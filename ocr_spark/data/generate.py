@@ -1,0 +1,301 @@
+"""Deterministic synthetic fixtures: transcripts + broadcast lookup tables.
+
+Shapes follow FIXTURES.md / BASELINE.json ``input_hint``:
+transcripts(conv_id string, turn_idx int32, role string, text string,
+tool string, ts timestamp). Everything is a pure function of
+``(conv_seq, seed)`` — no wall clock, no global RNG — so the same corpus
+can be built row-identical either driver-side (pandas, for tests) or
+distributed (``spark.range(n_convs)`` + mapInPandas, for bench-scale),
+regardless of partitioning.
+
+Payload kinds exercise each extraction path (see FIXTURES.md §1); edge
+cases from FIXTURES.md §6 are injected deterministically: empty /
+whitespace-only / all-boilerplate turns, malformed pdf_layout lines,
+duplicate names with case differences, field-employee headers, missing
+COMPANY_ID footers, and one heavily skewed conversation (conv_seq == 0)
+for the salting/scaling run.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from datetime import datetime, timedelta
+from typing import Dict, List
+
+EPOCH = datetime(2024, 1, 1)
+ROLES = ["user", "assistant", "tool", "system"]
+TOOLS = ["html", "pdf_layout", "plain", "records"]
+
+_FIRST = [
+    "James", "Mary", "Robert", "Patricia", "John", "Jennifer", "Michael",
+    "Linda", "David", "Elizabeth", "William", "Barbara", "Richard", "Susan",
+    "Joseph", "Jessica", "Thomas", "Sarah", "Charles", "Karen", "Maria",
+    "Nancy", "Daniel", "Lisa", "Matthew", "Betty", "Anthony", "Margaret",
+    "Mark", "Sandra", "Donald", "Ashley", "Steven", "Kimberly", "Paul",
+    "Emily", "Andrew", "Donna", "Joshua", "Michelle",
+]
+_LAST = [
+    "Smith", "Johnson", "Williams", "Brown", "Jones", "Garcia", "Miller",
+    "Davis", "Rodriguez", "Martinez", "Hernandez", "Lopez", "Gonzalez",
+    "Wilson", "Anderson", "Thomas", "Taylor", "Moore", "Jackson", "Martin",
+    "Lee", "Perez", "Thompson", "White", "Harris", "Sanchez", "Clark",
+    "Ramirez", "Lewis", "Robinson", "Walker", "Young", "Allen", "King",
+    "Wright", "Scott", "Torres", "Nguyen", "Hill", "Flores",
+]
+_WORDS = (
+    "the quick brown fox jumps over a lazy dog while data pipelines stream "
+    "tokens through vectorized batches and partitions shuffle across wide "
+    "clusters holding columnar pages of compressed text segments that real "
+    "documents contain with headers footers navigation menus and long form "
+    "paragraphs about medicine science history travel cooking music sports"
+).split()
+
+# (Credential, Classification, company_id, CredentialID, possible-name variants)
+_CREDENTIALS = [
+    ("MD", "HCP", 1, 1, ["MD", "M.D.", "Doctor of Medicine", "medical doctor"]),
+    ("DO", "HCP", 1, 2, ["DO", "D.O.", "Doctor of Osteopathy"]),
+    ("RN", "HCP", 1, 3, ["RN", "R.N.", "Registered Nurse", "registered nurse"]),
+    ("NP", "HCP", 1, 4, ["NP", "N.P.", "Nurse Practitioner", "nurse practicioner"]),
+    ("PA", "HCP", 1, 5, ["PA", "P.A.", "Physician Assistant", "physicians assistant"]),
+    ("PharmD", "HCP", 1, 6, ["PharmD", "Pharm.D.", "Doctor of Pharmacy", "pharmacy doctor"]),
+    ("LPN", "HCP", 1, 7, ["LPN", "L.P.N.", "Licensed Practical Nurse"]),
+    ("CNA", "Non-HCP", 1, 8, ["CNA", "C.N.A.", "Certified Nursing Assistant"]),
+    ("DDS", "HCP", 2, 9, ["DDS", "D.D.S.", "Doctor of Dental Surgery"]),
+    ("DPM", "HCP", 2, 10, ["DPM", "Doctor of Podiatric Medicine"]),
+    ("OD", "HCP", 2, 11, ["OD", "O.D.", "Doctor of Optometry"]),
+    ("RPh", "HCP", 2, 12, ["RPh", "R.Ph.", "Registered Pharmacist"]),
+    ("MA", "Non-HCP", 2, 13, ["MA", "M.A.", "Medical Assistant", "medical asst"]),
+    ("CRNA", "HCP", 3, 14, ["CRNA", "Nurse Anesthetist", "certified nurse anesthetist"]),
+    ("DC", "HCP", 3, 15, ["DC", "D.C.", "Doctor of Chiropractic"]),
+    ("OT", "HCP", 3, 16, ["OT", "Occupational Therapist"]),
+    ("PT", "HCP", 3, 17, ["PT", "Physical Therapist", "physical therapy"]),
+    ("RD", "Non-HCP", 3, 18, ["RD", "Registered Dietitian", "registered dietician"]),
+    ("rep", "Non-HCP", 1, 19, ["rep", "representative", "sales rep"]),
+    ("rep", "Non-HCP", 2, 19, ["rep", "representative"]),
+    ("rep", "Non-HCP", 3, 19, ["rep", "representative"]),
+]
+
+_STATES = ["federal", "california", "texas", "new york", "ohio", "vermont"]
+
+
+def conv_id_of(conv_seq: int) -> str:
+    return f"conv_{conv_seq:08d}"
+
+
+def conv_size(conv_seq: int, skew_factor: int = 50) -> int:
+    """Deterministic turn count; conv 0 is the skewed long conversation."""
+    if conv_seq == 0:
+        return 8 * skew_factor  # the FIXTURES.md §6.7 heavy hitter
+    r = random.Random(0xC0FFEE ^ conv_seq)
+    return r.randint(1, 16)
+
+
+def _name(r: random.Random) -> str:
+    return f"{r.choice(_FIRST)} {r.choice(_LAST)}"
+
+
+def _sentence(r: random.Random, lo: int = 6, hi: int = 18) -> str:
+    return " ".join(r.choice(_WORDS) for _ in range(r.randint(lo, hi)))
+
+
+def _html_payload(r: random.Random) -> str:
+    if r.random() < 0.04:  # all-boilerplate page (FIXTURES.md §6.2)
+        return (
+            "<html><body><nav>"
+            + " ".join(f'<a href="/{w}">{w}</a>' for w in r.sample(_WORDS, 6))
+            + "</nav><footer>copyright footer boilerplate only</footer></body></html>"
+        )
+    parts = ["<html><head><title>", _sentence(r, 2, 4), "</title></head><body>"]
+    parts.append(
+        "<nav>" + " ".join(f'<a href="/{w}">{w} link</a>' for w in r.sample(_WORDS, 5)) + "</nav>"
+    )
+    for _ in range(r.randint(1, 6)):
+        roll = r.random()
+        if roll < 0.55:
+            parts.append(f"<p>{_sentence(r, 8, 40)}</p>")
+        elif roll < 0.7:
+            parts.append(f"<h2>{_sentence(r, 1, 3)}</h2>")
+        elif roll < 0.85:
+            links = " ".join(f'<a href="/{w}">{w} {w} more</a>' for w in r.sample(_WORDS, 4))
+            parts.append(f"<div class='related'>{links}</div>")
+        else:
+            parts.append(f"<aside>{_sentence(r, 5, 15)}</aside>")
+    parts.append(f"<footer>{_sentence(r, 3, 8)}</footer></body></html>")
+    return "".join(parts)
+
+
+def _pdf_payload(r: random.Random) -> str:
+    two_col = r.random() < 0.4
+    lines = []
+    y = 10.0
+    for i in range(r.randint(3, 14)):
+        txt = _sentence(r, 3, 9)
+        jitter = r.uniform(-1.0, 1.0)
+        if two_col and r.random() < 0.5:
+            x0 = 320.0 + r.uniform(0, 4)
+        else:
+            x0 = 20.0 + r.uniform(0, 4)
+        x1 = x0 + 8.0 * len(txt.split())
+        lines.append(f"{x0:.1f},{y + jitter:.1f},{x1:.1f},{y + jitter + 9:.1f}|{txt}")
+        y += 14.0
+    if r.random() < 0.12:  # malformed line (FIXTURES.md §6.8)
+        lines.insert(r.randrange(len(lines) + 1), "not,a,valid|coordline" if r.random() < 0.5 else "garbage without bar")
+    r.shuffle(lines)
+    return "\n".join(lines)
+
+
+def _records_payload(r: random.Random) -> str:
+    lines: List[str] = []
+    fe_name = None
+    if r.random() < 0.35:
+        fe_name = _name(r)
+        lines.append(f"Field Employee: {fe_name}")
+    n = r.randint(2, 8)
+    names = [_name(r) for _ in range(n)]
+    if n >= 2 and r.random() < 0.3:  # duplicate name, different case (§6.3)
+        names[-1] = names[0].lower()
+    for nm in names:
+        roll = r.random()
+        if roll < 0.55:
+            _, _, _, _, variants = r.choice(_CREDENTIALS)
+            cred = r.choice(variants)
+        elif roll < 0.7:
+            cred = "[]"  # missing credential
+        elif roll < 0.85:
+            # near-miss spelling to exercise the fuzzy path
+            cred = r.choice(["Nurse Practicioner", "Registered Nures", "Doctr of Medicine", "physcian assistant"])
+        else:
+            cred = r.choice(["guest", "spouse", "driver", "student"])
+        sig = "[signature present]" if r.random() < 0.7 else "[]"
+        if r.random() < 0.15:
+            lines.append(f"{nm}, {cred}")  # old 2-field format
+        else:
+            lines.append(f"- {nm}, {cred}, {sig}")
+    if fe_name and r.random() < 0.5:
+        lines.append(f"- {fe_name}, rep, []")
+    if r.random() < 0.2:
+        lines.append("some noise line without any commas")
+    if r.random() < 0.85:
+        lines.append(f"COMPANY_ID: {r.randint(1, 3)}")
+    return "\n".join(lines)
+
+
+def _plain_payload(r: random.Random) -> str:
+    roll = r.random()
+    if roll < 0.03:
+        return ""
+    if roll < 0.06:
+        return "   \t  \n  "
+    sep = "\r\n" if r.random() < 0.2 else "\n"
+    body = sep.join(_sentence(r, 4, 30) for _ in range(r.randint(1, 5)))
+    if r.random() < 0.2:
+        body = body.replace(" ", " ", 3) + " café résumé"
+    return body
+
+
+_BUILDERS = {
+    "html": _html_payload,
+    "pdf_layout": _pdf_payload,
+    "records": _records_payload,
+    "plain": _plain_payload,
+}
+
+
+def gen_conv(conv_seq: int, seed: int = 42, skew_factor: int = 50) -> List[Dict]:
+    """All turns of one conversation; pure function of (conv_seq, seed)."""
+    size = conv_size(conv_seq, skew_factor)
+    cid = conv_id_of(conv_seq)
+    rows = []
+    for turn_idx in range(size):
+        r = random.Random((seed << 20) ^ (conv_seq << 8) ^ turn_idx)
+        tool = r.choice(TOOLS)
+        rows.append(
+            {
+                "conv_id": cid,
+                "turn_idx": turn_idx,
+                "role": ROLES[turn_idx % len(ROLES)],
+                "text": _BUILDERS[tool](r),
+                "tool": tool,
+                "ts": EPOCH + timedelta(hours=conv_seq % 8760, minutes=turn_idx),
+            }
+        )
+    return rows
+
+
+def gen_transcripts_pdf(n_convs: int, seed: int = 42, skew_factor: int = 50, shuffle: bool = True):
+    """Driver-side pandas build (tests / small fixtures); rows pre-shuffled
+    so stable-ordering logic is actually exercised (FIXTURES.md §1)."""
+    import pandas as pd
+
+    rows: List[Dict] = []
+    for c in range(n_convs):
+        rows.extend(gen_conv(c, seed, skew_factor))
+    if shuffle:
+        random.Random(seed).shuffle(rows)
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def credential_mapping_pdf():
+    """The broadcast lookup (FIXTURES.md §2; reference mapping schema at
+    credential_service.py:51-63)."""
+    import pandas as pd
+
+    rows = []
+    for prec, (cred, cls, company, cred_id, variants) in enumerate(_CREDENTIALS):
+        for v in variants:
+            rows.append(
+                {
+                    "PossibleNames": v,
+                    "CredentialID": cred_id,
+                    "Credential": cred,
+                    "Classification": cls,
+                    "company_id": company,
+                    "precedence_in_classification": prec,
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def state_credential_pdf():
+    """State compliance lookup (FIXTURES.md §3; credential_service.py:254-262)."""
+    import pandas as pd
+
+    rows = []
+    all_ids = sorted({c[3] for c in _CREDENTIALS})
+    for s in _STATES:
+        r = random.Random(zlib.crc32(s.encode()) & 0xFFFF)  # stable across runs (str hash is not)
+        if s == "federal":
+            ids = all_ids
+        elif s == "vermont":
+            ids = []  # zero valid credentials -> fallback path
+        else:
+            ids = sorted(r.sample(all_ids, max(3, len(all_ids) // 2)))
+        rows.extend({"state": s, "Credentialid": i} for i in ids)
+    return pd.DataFrame(rows)
+
+
+def conv_meta_pdf(n_convs: int, seed: int = 42):
+    """Per-conversation metadata (FIXTURES.md §4; the reduced Concur CSV)."""
+    import pandas as pd
+
+    rows = []
+    for c in range(n_convs):
+        r = random.Random((seed << 12) ^ c)
+        n_names = r.randint(1, 6)
+        expected = [_name(r) for _ in range(n_names)]
+        hints = {nm: r.choice(_CREDENTIALS)[0] for nm in expected if r.random() < 0.5}
+        roll = r.random()
+        company = None if roll < 0.1 else (r.randint(1, 3) if roll < 0.95 else -1)
+        rows.append(
+            {
+                "conv_id": conv_id_of(c),
+                "expected_names": expected,
+                "name_hints": hints,
+                "venue_state": None if r.random() < 0.2 else r.choice(_STATES[1:]),
+                "company_id": company,
+            }
+        )
+    return pd.DataFrame(rows)

@@ -1,0 +1,155 @@
+"""Golden oracle: row-by-row plain-Python reference semantics.
+
+Produces the expected outputs the Spark pipeline must match bit-exactly
+(north_rule: per-turn text equality under stable (conv_id, turn_idx)
+ordering). The oracle deliberately shares the pure extraction core and
+fuzzy matcher with the pipeline — the goldens therefore verify Spark's
+distributed plumbing (Arrow batching, shuffles, ordering, joins), not two
+diverging reimplementations.
+
+Classification semantics mirror the reference exactly:
+
+- per-turn company filter: classification_service.py:54-63
+- state filter with CredentialID 1,2 always kept:
+  classification_service.py:104-157; applied only when a venue state is
+  known and has valid ids (process_batch.py:78-98)
+- cascade exact-PossibleNames -> exact-Credential -> fuzzy(len>=5, >=80)
+  -> Non-HCP: classification_service.py:262-331 ("first row" = mapping
+  file row order)
+- field-employee override: classification_service.py:446-478
+- ordered keep-first dedup on upper(Name): classification_service.py:480-488,
+  made deterministic under the rebuild's stable (turn_idx, record_idx) order.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.normalize import norm_key
+from ocr_spark.functions.fuzzy import ratio, token_sort
+
+FUZZY_THRESHOLD = 80.0
+MIN_FUZZY_LENGTH = 5
+ALWAYS_VALID_IDS = frozenset([1, 2])  # classification_service.py:129-137
+
+
+def golden_extraction_rows(transcripts_pdf) -> List[Dict]:
+    """(conv_id, turn_idx, clean_text, spans, metrics) per turn, stable order."""
+    df = transcripts_pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    out = []
+    for row in df.itertuples(index=False):
+        r = extract_turn(row.text, row.tool)
+        out.append(
+            {
+                "conv_id": row.conv_id,
+                "turn_idx": int(row.turn_idx),
+                "clean_text": r["clean_text"],
+                "spans": r["spans"],
+                "blocks_kept": r["blocks_kept"],
+                "blocks_dropped": r["blocks_dropped"],
+                "parse_failures": r["parse_failures"],
+            }
+        )
+    return out
+
+
+class OracleClassifier:
+    """Reference classify_credential over an in-memory mapping table."""
+
+    def __init__(self, mapping_pdf, state_pdf):
+        # mapping rows in file order (the reference's Excel row order)
+        self.rows = list(mapping_pdf.itertuples(index=False))
+        self.keys = [norm_key(r.PossibleNames) for r in self.rows]
+        self.cred_keys = [(r.Credential or "").upper().strip() for r in self.rows]
+        self.state_ids: Dict[str, set] = {}
+        for r in state_pdf.itertuples(index=False):
+            self.state_ids.setdefault(r.state.lower(), set()).add(int(r.Credentialid))
+        self._eligible_cache: Dict[Tuple[int, Optional[str]], List[int]] = {}
+
+    def eligible(self, company_id: int, venue_state: Optional[str]) -> List[int]:
+        key = (company_id, venue_state)
+        if key in self._eligible_cache:
+            return self._eligible_cache[key]
+        valid = None
+        if venue_state:
+            ids = self.state_ids.get(venue_state.lower())
+            if ids:  # empty/missing state -> no filtering (process_batch.py:87-98)
+                valid = ids | ALWAYS_VALID_IDS
+        idxs = [
+            i
+            for i, r in enumerate(self.rows)
+            if r.company_id == company_id
+            and (valid is None or int(r.CredentialID) in valid)
+        ]
+        self._eligible_cache[key] = idxs
+        return idxs
+
+    def classify(
+        self, credential_ocr: str, company_id: int, venue_state: Optional[str]
+    ) -> Tuple[str, str, float, str]:
+        cred_upper = norm_key(credential_ocr)
+        idxs = self.eligible(company_id, venue_state)
+        if not idxs:
+            return "Non-HCP", credential_ocr, 0.0, "no_mapping_data"
+        for i in idxs:  # Rule 1: exact PossibleNames
+            if self.keys[i] == cred_upper:
+                r = self.rows[i]
+                return r.Classification, r.Credential, 100.0, f"exact_possiblenames(company:{r.company_id})"
+        for i in idxs:  # Rule 2: exact Credential
+            if self.cred_keys[i] == cred_upper:
+                r = self.rows[i]
+                return r.Classification, r.Credential, 100.0, f"exact_credential(company:{r.company_id})"
+        if len(cred_upper) >= MIN_FUZZY_LENGTH:  # Rule 3: fuzzy
+            ns = token_sort(cred_upper)
+            best_i, best_sc = -1, -1.0
+            for i in idxs:
+                sc = ratio(ns, token_sort(self.keys[i]))
+                if sc > best_sc:
+                    best_i, best_sc = i, sc
+            if best_i >= 0 and best_sc >= FUZZY_THRESHOLD:
+                r = self.rows[best_i]
+                return r.Classification, r.Credential, best_sc, f"fuzzy_possiblenames(company:{r.company_id})"
+        return "Non-HCP", credential_ocr, 0.0, "no_match"
+
+
+def golden_classified_rows(transcripts_pdf, mapping_pdf, state_pdf, conv_meta_pdf) -> List[Dict]:
+    """Final classified records per conversation, after override + dedup."""
+    clf = OracleClassifier(mapping_pdf, state_pdf)
+    states = {
+        r.conv_id: r.venue_state for r in conv_meta_pdf.itertuples(index=False)
+    }
+    df = transcripts_pdf[transcripts_pdf["tool"] == "records"].sort_values(
+        ["conv_id", "turn_idx"], kind="mergesort"
+    )
+    out: List[Dict] = []
+    seen_per_conv: Dict[str, set] = {}
+    for row in df.itertuples(index=False):
+        ext = extract_turn(row.text, row.tool)
+        venue_state = states.get(row.conv_id)
+        fe = ext["field_employee"]
+        fe_key = fe.upper().strip() if fe else None
+        seen = seen_per_conv.setdefault(row.conv_id, set())
+        for record_idx, (name, cred_ocr, sig) in enumerate(ext["records"]):
+            cls, std, score, method = clf.classify(cred_ocr, ext["company_id"], venue_state)
+            if fe_key is not None and name.upper().strip() == fe_key:
+                cls, std, score, method = "Field Employee", "Field Employee", 100.0, "field_employee_override"
+            name_upper = name.upper()
+            if name_upper in seen:  # keep-first dedup, stable order
+                continue
+            seen.add(name_upper)
+            out.append(
+                {
+                    "conv_id": row.conv_id,
+                    "turn_idx": int(row.turn_idx),
+                    "record_idx": record_idx,
+                    "Name": name,
+                    "Credential_OCR": cred_ocr,
+                    "Signature": sig,
+                    "Credential_Standardized": std,
+                    "Classification": cls,
+                    "Match_Score": float(score),
+                    "Match_Method": method,
+                }
+            )
+    return out

@@ -1,0 +1,109 @@
+"""Unified per-turn extraction core.
+
+``extract_turn(text, tool)`` is THE extraction semantic of this engine:
+one turn's raw payload in, ``(clean main text + char-offset spans +
+parsed records + metrics)`` out. It is pure Python (no Spark imports) and
+is shared verbatim by
+
+- the vectorized Spark pipeline (``ocr_spark.pipeline``, via mapInPandas
+  over Arrow batches), and
+- the golden oracle (``ocr_spark.data.goldens``, row-by-row),
+
+so per-turn text equality under stable (conv_id, turn_idx) ordering is
+bit-exact by construction and the pytest goldens verify the *distributed
+plumbing* (batching, ordering, shuffle) rather than two diverging
+implementations — the north_rule invariant.
+
+Payload kinds (the ``tool`` column; see FIXTURES.md §1):
+
+- ``html``       -> boilerplate strip via block text/link-density scoring
+                    (reference analog: signin/dinein page classification,
+                    pdf_processing_service.py:143-308)
+- ``pdf_layout`` -> bbox line clustering + reading-order sort
+                    (reference analog: pdf_to_images + top-to-bottom OCR,
+                    pdf_processing_service.py:101-141)
+- ``records``    -> the OCR-output record grammar
+                    (classification_service.py:182-242)
+- ``plain``      -> whitespace/unicode canonicalization only
+                    (classification_service.py:244-260 analog)
+
+Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
+reference's schema probing, data_extraction_service.py:71-78).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from .html_blocks import extract_html
+from .normalize import canonicalize
+from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
+from .pdf_layout import extract_pdf_layout
+
+Span = Tuple[int, int, str]
+Record = Tuple[str, str, str]  # (Name, Credential_OCR, Signature)
+
+KIND_HTML = "html"
+KIND_PDF = "pdf_layout"
+KIND_RECORDS = "records"
+KIND_PLAIN = "plain"
+
+
+def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
+    clean = canonicalize(payload)
+    if not clean:
+        return "", [], 0, 0
+    start = len(payload) - len(payload.lstrip())
+    end = len(payload.rstrip())
+    return clean, [(start, end, "plain")], 1, 0
+
+
+def _extract_records(payload: str) -> Tuple[str, List[Span], int, int, List[Record]]:
+    records, line_spans, unmatched = parse_records_detailed(payload)
+    texts = [canonicalize(payload[s:e]) for s, e in line_spans]
+    spans: List[Span] = [(s, e, "record") for s, e in line_spans]
+    return "\n".join(texts), spans, len(records), unmatched, records
+
+
+def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
+    """Extract one turn. Returns a plain dict (Arrow/JSON friendly):
+
+    - ``clean_text``: str — the extracted main text
+    - ``spans``: list[(start, end, kind)] — provenance into the raw payload
+    - ``records``: list[(Name, Credential_OCR, Signature)] — parsed records
+      (non-empty only for ``records`` payloads)
+    - ``field_employee``: str|None, ``company_id``: int (records payloads;
+      company_id defaults to 1 per data_extraction_service.py:257-276)
+    - ``blocks_kept`` / ``blocks_dropped`` / ``parse_failures``: metrics
+    """
+    payload = text or ""
+    kind = tool if tool in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN) else KIND_PLAIN
+
+    records: List[Record] = []
+    field_employee: Optional[str] = None
+    company_id = 1
+    parse_failures = 0
+
+    if kind == KIND_HTML:
+        clean, spans, kept, dropped = extract_html(payload)
+    elif kind == KIND_PDF:
+        clean, spans, kept, parse_failures = extract_pdf_layout(payload)
+        dropped = parse_failures
+    elif kind == KIND_RECORDS:
+        clean, spans, kept, dropped, records = _extract_records(payload)
+        field_employee = extract_field_employee(payload)
+        company_id = extract_company_id(payload)
+        parse_failures = dropped
+    else:
+        clean, spans, kept, dropped = _extract_plain(payload)
+
+    return {
+        "clean_text": clean,
+        "spans": [(int(s), int(e), k) for s, e, k in spans],
+        "records": records,
+        "field_employee": field_employee,
+        "company_id": int(company_id),
+        "blocks_kept": int(kept),
+        "blocks_dropped": int(dropped),
+        "parse_failures": int(parse_failures),
+    }

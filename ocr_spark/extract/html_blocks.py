@@ -1,0 +1,158 @@
+"""HTML main-content extraction via block text/link-density scoring.
+
+From-scratch Readability/Boilerpipe-style block segmenter + scorer (no
+libraries, no port). Plays the role of the reference's page
+classification + OCR extraction cascade (signin vs dinein page split,
+/root/reference/app/services/pdf_processing_service.py:143-308 and the
+prompt-guided extraction, gemini_client.py:147-166): separate relevant
+content from boilerplate, then emit the relevant text with provenance.
+
+Pure Python, no Spark imports; shared by the vectorized pipeline and the
+golden oracle so both produce bit-identical output.
+
+Model
+-----
+A lightweight tag tokenizer walks the payload once, accumulating text
+segments (with original char offsets) into *blocks*. A new block starts
+at every block-level tag (open or close). Per block we track:
+
+- ``text``: whitespace-collapsed visible text,
+- ``link_chars``: chars contributed inside ``<a>`` elements,
+- ``dropped_ctx``: whether the block sits inside nav/header/footer/aside/
+  script/style/noscript/form (structural boilerplate containers),
+- ``start``/``end``: char offsets of the block's visible text in the
+  ORIGINAL payload.
+
+Scoring (documented rule, deterministic):
+keep a block iff it is not inside a dropped container, its link density
+(link_chars / text_chars) is <= MAX_LINK_DENSITY, and it has at least
+MIN_WORDS words. Kept blocks are emitted in document order, joined by
+newlines; a span (start, end, 'block') is emitted per kept block.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .normalize import collapse_ws
+
+MAX_LINK_DENSITY = 0.33
+MIN_WORDS = 5
+
+# Containers whose entire subtree is boilerplate.
+DROP_CONTAINERS = frozenset(
+    ["nav", "header", "footer", "aside", "script", "style", "noscript", "form"]
+)
+
+# Tags that terminate the current text block (open or close).
+BLOCK_TAGS = frozenset(
+    [
+        "address", "article", "aside", "blockquote", "body", "br", "caption",
+        "dd", "div", "dl", "dt", "fieldset", "figcaption", "figure", "footer",
+        "form", "h1", "h2", "h3", "h4", "h5", "h6", "head", "header", "hr",
+        "html", "li", "main", "nav", "ol", "p", "pre", "section", "table",
+        "tbody", "td", "tfoot", "th", "thead", "title", "tr", "ul",
+    ]
+)
+
+_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:[^>'\"]|\"[^\"]*\"|'[^']*')*?)(/?)>")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_ENT_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+
+
+def _decode_entities(text: str) -> str:
+    return _ENT_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars", "start", "end", "dropped_ctx")
+
+    def __init__(self) -> None:
+        self.parts: List[str] = []
+        self.link_chars = 0
+        self.start = -1
+        self.end = -1
+        self.dropped_ctx = False
+
+
+def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, int]:
+    """Extract main content from an HTML payload.
+
+    Returns ``(clean_text, spans, blocks_kept, blocks_dropped)`` where
+    ``spans`` are ``(start, end, 'block')`` offsets into the ORIGINAL
+    payload covering each kept block's visible text.
+    """
+    blocks: List[_Block] = []
+    cur = _Block()
+    drop_depth = 0  # nesting depth of DROP_CONTAINERS
+    link_depth = 0  # nesting depth of <a>
+    pos = 0
+    n = len(payload)
+
+    def flush() -> None:
+        nonlocal cur
+        if cur.parts:
+            blocks.append(cur)
+        cur = _Block()
+        cur.dropped_ctx = drop_depth > 0
+
+    while pos < n:
+        m = _TAG.search(payload, pos)
+        seg_end = m.start() if m else n
+        if seg_end > pos:
+            raw = payload[pos:seg_end]
+            if raw.strip():
+                if cur.start < 0:
+                    cur.start = pos + (len(raw) - len(raw.lstrip()))
+                cur.end = pos + len(raw.rstrip())
+                cur.parts.append(raw)
+                if link_depth > 0:
+                    cur.link_chars += len(collapse_ws(raw))
+                if drop_depth > 0:
+                    cur.dropped_ctx = True
+        if not m:
+            break
+        closing, name, _attrs, self_close = m.groups()
+        name = name.lower()
+        if name in BLOCK_TAGS:
+            flush()
+        if name in DROP_CONTAINERS:
+            if self_close:
+                pass
+            elif closing:
+                drop_depth = max(0, drop_depth - 1)
+                cur.dropped_ctx = cur.dropped_ctx or bool(cur.parts)
+            else:
+                drop_depth += 1
+                cur.dropped_ctx = True
+        elif name == "a" and not self_close:
+            link_depth = link_depth + 1 if not closing else max(0, link_depth - 1)
+        pos = m.end()
+    flush()
+
+    kept_texts: List[str] = []
+    spans: List[Tuple[int, int, str]] = []
+    kept = dropped = 0
+    for b in blocks:
+        text = collapse_ws(_decode_entities("".join(b.parts)))
+        if not text:
+            continue
+        words = len(text.split())
+        link_density = b.link_chars / max(1, len(text))
+        if b.dropped_ctx or link_density > MAX_LINK_DENSITY or words < MIN_WORDS:
+            dropped += 1
+            continue
+        kept += 1
+        kept_texts.append(text)
+        spans.append((b.start, b.end, "block"))
+    return "\n".join(kept_texts), spans, kept, dropped

@@ -1,0 +1,67 @@
+"""Text normalizers shared by the Spark pipeline and the golden oracle.
+
+Pure Python, no Spark imports. These are the rebuild's analogs of the
+reference's normalization operators:
+
+- ``remove_special_chars``: /root/reference/app/services/classification_service.py:244-260
+  (strip everything but alphanumerics+spaces, collapse whitespace).
+- ``norm_key``: the uppercase/strip join-key normalization used for
+  PossibleNames_Upper / Credential_Upper / Name_Upper
+  (classification_service.py:67-78,148-157,480-488).
+- ``canonicalize``: the pre-extraction text cleanup playing the role of the
+  reference's deskew/enhance geometric normalization
+  (image_processing_service.py:12-85) — normalize before extract.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+_SPECIAL = re.compile(r"[^a-zA-Z0-9\s]")
+_HWS = re.compile("[ \t\f\v\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]+")
+_NL3 = re.compile(r"\n{3,}")
+
+
+def remove_special_chars(text: str) -> str:
+    """Keep only alphanumerics and whitespace, collapse runs to one space.
+
+    Exact semantics of classification_service.py:244-260:
+    ``re.sub(r'[^a-zA-Z0-9\\s]', '', text)`` then ``' '.join(split())``.
+    """
+    if text is None:
+        return ""
+    cleaned = _SPECIAL.sub("", text)
+    return " ".join(cleaned.split())
+
+
+def norm_key(text: str) -> str:
+    """Normalized match key: special-char strip -> upper -> strip."""
+    return remove_special_chars(text).upper().strip()
+
+
+def canonicalize(text: str) -> str:
+    """Canonicalize a raw text payload before block scoring.
+
+    Deterministic, order-preserving:
+    1. Unicode NFC normalization.
+    2. CRLF / CR -> LF.
+    3. Exotic horizontal whitespace (incl. NBSP) -> single space; runs collapsed.
+    4. Trailing spaces stripped per line; >=3 blank lines collapsed to one blank.
+    5. Leading/trailing whitespace stripped.
+    """
+    if text is None:
+        return ""
+    t = unicodedata.normalize("NFC", text)
+    t = t.replace("\r\n", "\n").replace("\r", "\n")
+    t = _HWS.sub(" ", t)
+    t = "\n".join(line.rstrip(" ") for line in t.split("\n"))
+    t = _NL3.sub("\n\n", t)
+    return t.strip()
+
+
+def collapse_ws(text: str) -> str:
+    """Collapse all whitespace runs (incl. newlines) to single spaces."""
+    if text is None:
+        return ""
+    return " ".join(text.split())

@@ -1,0 +1,101 @@
+"""Line-oriented record parser — the reference's OCR-output grammar.
+
+Semantics are an exact reimplementation (not a port) of:
+
+- record parsing cascade:
+  /root/reference/app/services/classification_service.py:182-242
+  (new format ``-? Name, Credential, [sig]`` first, fallback old format
+  ``-? Name, Credential``; ``[]`` credential -> empty string; old format
+  defaults Signature to ``[]``).
+- field-employee header extraction: classification_service.py:159-180
+  (``Field Employee: <name>`` case-insensitive, name must be >2 chars).
+- company-id footer extraction:
+  /root/reference/app/services/data_extraction_service.py:257-276
+  (``COMPANY_ID: <n>`` case-insensitive, default 1).
+
+Pure Python, no Spark imports.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+_WITH_SIG = re.compile(r"-?\s*(.+?),\s*(.+?),\s*(\[.*?\])$")
+_OLD = re.compile(r"-?\s*(.+?),\s*(.+)$")
+_FIELD_EMP = re.compile(r"Field\s+Employee:\s*([A-Za-z][A-Za-z\s.]+?)(?:\n|$|,)", re.IGNORECASE)
+_COMPANY = re.compile(r"COMPANY_ID:\s*(\d+)", re.IGNORECASE)
+
+
+def parse_records_detailed(
+    text: str,
+) -> Tuple[List[Tuple[str, str, str]], List[Tuple[int, int]], int]:
+    """Parse records plus provenance.
+
+    Returns ``(records, matched_line_spans, unmatched_nonempty)`` where
+    ``records`` are ``(Name, Credential_OCR, Signature)`` tuples,
+    ``matched_line_spans`` are (start, end) offsets of each matched line's
+    stripped text in the original payload, and ``unmatched_nonempty``
+    counts non-empty lines that matched neither format.
+    """
+    records: List[Tuple[str, str, str]] = []
+    spans: List[Tuple[int, int]] = []
+    unmatched = 0
+    if not text:
+        return records, spans, unmatched
+    offset = 0
+    for line in text.split("\n"):
+        line_start = offset
+        offset += len(line) + 1
+        stripped = line.strip()
+        if not stripped:
+            continue
+        lead = len(line) - len(line.lstrip())
+        span = (line_start + lead, line_start + lead + len(stripped))
+        m = _WITH_SIG.match(stripped)
+        if m:
+            name = m.group(1).strip()
+            cred = m.group(2).strip()
+            sig = m.group(3).strip()
+            if cred == "[]":
+                cred = ""
+            records.append((name, cred, sig))
+            spans.append(span)
+            continue
+        m = _OLD.match(stripped)
+        if m:
+            records.append((m.group(1).strip(), m.group(2).strip(), "[]"))
+            spans.append(span)
+        else:
+            unmatched += 1
+    return records, spans, unmatched
+
+
+def parse_records(text: str) -> List[Tuple[str, str, str]]:
+    """Parse ``(Name, Credential_OCR, Signature)`` records from a payload.
+
+    Two-format cascade per classification_service.py:200-233; non-matching
+    lines are skipped silently (same as the reference).
+    """
+    return parse_records_detailed(text)[0]
+
+
+def extract_field_employee(text: str) -> Optional[str]:
+    """Field-employee name from the standardized header, or None."""
+    if not text:
+        return None
+    m = _FIELD_EMP.search(text)
+    if m:
+        name = m.group(1).strip()
+        if len(name) > 2:
+            return name
+    return None
+
+
+def extract_company_id(text: str) -> int:
+    """``COMPANY_ID: <n>`` footer value, defaulting to 1."""
+    if text:
+        m = _COMPANY.search(text)
+        if m:
+            return int(m.group(1))
+    return 1

@@ -1,0 +1,127 @@
+"""PDF-layout extraction: bbox line clustering + reading-order sort.
+
+Analog of the reference's PDF page rasterization + per-page OCR path
+(/root/reference/app/services/pdf_processing_service.py:101-141): where
+the reference turns a PDF page into pixels and asks an external model to
+read it top-to-bottom, the rebuild receives coordinate-tagged text lines
+and reconstructs reading order natively.
+
+Payload grammar (one physical line per text line, shuffled order):
+
+    x0,y0,x1,y1|line text
+
+Coordinates are floats, y grows downward. Malformed lines are counted as
+parse failures and skipped (the pipeline continues — reference analog:
+per-page try/except, process_batch.py:122-133).
+
+Reading order algorithm (deterministic):
+1. Parse all well-formed lines.
+2. Detect column layout by merging the x-intervals [x0, x1) of all
+   lines; >=2 disjoint merged intervals (with a gutter wider than
+   GUTTER_MIN) => multi-column. Columns are ordered left to right.
+3. Within a column, cluster lines whose y0 differ by <= Y_TOL into one
+   visual row (absorbs scanner jitter), order clusters top to bottom,
+   and order lines within a cluster left to right (x0, then y0, then
+   input order as final tie-break).
+4. Emit text in that order, one extracted line per visual line.
+
+Pure Python, no Spark imports; shared by pipeline and golden oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from .normalize import collapse_ws
+
+Y_TOL = 2.0
+GUTTER_MIN = 10.0
+
+
+def _parse_lines(payload: str):
+    """Yield (x0, y0, x1, y1, text, text_start, text_end, seq) per valid line."""
+    lines = []
+    failures = 0
+    offset = 0
+    for seq, raw in enumerate(payload.split("\n")):
+        line_start = offset
+        offset += len(raw) + 1
+        if not raw.strip():
+            continue
+        bar = raw.find("|")
+        if bar < 0:
+            failures += 1
+            continue
+        coord_part = raw[:bar]
+        parts = coord_part.split(",")
+        if len(parts) != 4:
+            failures += 1
+            continue
+        try:
+            x0, y0, x1, y1 = (float(p) for p in parts)
+        except ValueError:
+            failures += 1
+            continue
+        if x1 < x0 or y1 < y0:
+            failures += 1
+            continue
+        text = raw[bar + 1 :]
+        if not text.strip():
+            failures += 1
+            continue
+        lines.append(
+            (x0, y0, x1, y1, text, line_start + bar + 1, line_start + len(raw), seq)
+        )
+    return lines, failures
+
+
+def _column_bounds(lines) -> List[Tuple[float, float]]:
+    """Merge x-intervals; return disjoint column intervals left->right."""
+    ivals = sorted((l[0], l[2]) for l in lines)
+    merged: List[List[float]] = []
+    for a, b in ivals:
+        if merged and a <= merged[-1][1] + GUTTER_MIN:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    return [(a, b) for a, b in merged]
+
+
+def extract_pdf_layout(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, int]:
+    """Extract reading-ordered text from a coordinate-tagged payload.
+
+    Returns ``(clean_text, spans, lines_kept, parse_failures)``; spans are
+    ``(start, end, 'line')`` char offsets of each emitted line's text in
+    the ORIGINAL payload, in reading order.
+    """
+    lines, failures = _parse_lines(payload)
+    if not lines:
+        return "", [], 0, failures
+
+    cols = _column_bounds(lines)
+
+    def col_of(line) -> int:
+        x0 = line[0]
+        for i, (a, b) in enumerate(cols):
+            if a <= x0 <= b:
+                return i
+        return len(cols) - 1
+
+    out_texts: List[str] = []
+    spans: List[Tuple[int, int, str]] = []
+    for ci in range(len(cols)):
+        col_lines = sorted(
+            (l for l in lines if col_of(l) == ci), key=lambda l: (l[1], l[0], l[7])
+        )
+        # cluster by y0 within Y_TOL (consecutive after y-sort)
+        clusters: List[List[tuple]] = []
+        for l in col_lines:
+            if clusters and l[1] - clusters[-1][-1][1] <= Y_TOL:
+                clusters[-1].append(l)
+            else:
+                clusters.append([l])
+        for cl in clusters:
+            for l in sorted(cl, key=lambda l: (l[0], l[1], l[7])):
+                out_texts.append(collapse_ws(l[4]))
+                spans.append((l[5], l[6], "line"))
+    return "\n".join(out_texts), spans, len(lines), failures

@@ -1,0 +1,53 @@
+"""Batched byte-stream tokenization utilities.
+
+Pure Python/regex tokenizers used by the extraction core, the quality
+scorer, and the dedup operators. These stand in for the reference's
+word-level fuzzy keyword scan (the Tesseract word loop at
+/root/reference/app/services/pdf_processing_service.py:143-195), rebuilt
+as offset-preserving tokenizers suitable for vectorized batch use.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Tuple
+
+# Whitespace tokens.
+_WS_TOKEN = re.compile(r"\S+")
+# BPE-ish word/number/punct pieces (GPT-2-style, simplified, ASCII-safe).
+_BPE_TOKEN = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+_WORD = re.compile(r"[A-Za-z0-9]+")
+
+
+def ws_tokens(text: str) -> List[str]:
+    """Whitespace tokens (the 'word' unit everywhere in this engine)."""
+    return _WS_TOKEN.findall(text or "")
+
+
+def ws_token_spans(text: str) -> Iterator[Tuple[int, int]]:
+    """(start, end) char offsets of each whitespace token."""
+    for m in _WS_TOKEN.finditer(text or ""):
+        yield m.start(), m.end()
+
+
+def bpe_ish_count(text: str) -> int:
+    """Token count under a BPE-ish regex pre-tokenizer (whitespace-aware)."""
+    if not text:
+        return 0
+    return sum(1 for m in _BPE_TOKEN.finditer(text) if m.group().strip())
+
+
+def word_ngrams(text: str, n: int) -> List[str]:
+    """Lowercased alphanumeric word n-grams (shingles) for dedup."""
+    words = [w.lower() for w in _WORD.findall(text or "")]
+    if len(words) < n:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def char_ngrams(text: str, n: int) -> List[str]:
+    """Character n-grams over the collapsed-whitespace lowercased text."""
+    t = " ".join((text or "").lower().split())
+    if len(t) < n:
+        return [t] if t else []
+    return [t[i : i + n] for i in range(len(t) - n + 1)]

@@ -1,0 +1,107 @@
+"""Fuzzy string similarity — native reimplementation, no library port.
+
+The reference fuzzy-matches OCR credentials against a candidate list with
+``process.extractOne(needle, candidates, scorer=fuzz.token_sort_ratio)``
+(/root/reference/app/services/classification_service.py:344-349,
+rapidfuzz semantics). This module reimplements those *semantics* from
+first principles:
+
+- ``ratio(a, b)``: normalized Indel similarity in [0, 100] —
+  ``100 * 2*LCS(a,b) / (len(a)+len(b))`` (insert/delete edit model; a
+  substitution costs 2). Computed with a bit-parallel LCS (Hyyrö/
+  Allison-Dix style) so a batch of needles against a broadcast candidate
+  list is cheap inside a pandas UDF.
+- ``token_sort_ratio(a, b)``: ``ratio`` over whitespace-token-sorted
+  strings (word-order insensitive).
+- ``extract_one(needle, candidates)``: argmax of token_sort_ratio with
+  the reference's deterministic tie-break — first candidate in list
+  order wins (strictly-greater comparison).
+
+Deterministic and pure; used both inside the Spark pandas UDF and by the
+golden oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (bit-parallel, O(n*m/64))."""
+    if not a or not b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    # positions of each char in a, as bitmasks
+    pos = {}
+    for i, ch in enumerate(a):
+        pos[ch] = pos.get(ch, 0) | (1 << i)
+    v = (1 << len(a)) - 1
+    full = v
+    for ch in b:
+        p = pos.get(ch, 0)
+        u = v & p
+        v = (v + u) | (v - u) & full
+        v &= full
+    # count zero bits of v within len(a) -> LCS length
+    return len(a) - bin(v).count("1")
+
+
+def ratio(a: str, b: str) -> float:
+    """Normalized Indel similarity, 0..100 (both empty -> 100)."""
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 100.0
+    if la == 0 or lb == 0:
+        return 0.0
+    return 200.0 * _lcs_len(a, b) / (la + lb)
+
+
+def token_sort(s: str) -> str:
+    return " ".join(sorted(s.split()))
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    return ratio(token_sort(a), token_sort(b))
+
+
+def extract_one(
+    needle: str, candidates: Sequence[str], score_cutoff: float = 0.0
+) -> Optional[Tuple[str, float, int]]:
+    """Best (candidate, score, index) by token_sort_ratio; ties keep the
+    first candidate in list order; None if no score >= score_cutoff."""
+    ns = token_sort(needle)
+    best: Optional[Tuple[str, float, int]] = None
+    for i, cand in enumerate(candidates):
+        sc = ratio(ns, token_sort(cand))
+        if best is None or sc > best[1]:
+            best = (cand, sc, i)
+    if best is None or best[1] < score_cutoff:
+        return None
+    return best
+
+
+def batch_extract_one(
+    needles: Sequence[str], candidates: Sequence[str]
+) -> List[Optional[Tuple[str, float, int]]]:
+    """Vectorized-by-batch extract_one with memoization across a batch.
+
+    Real corpora repeat credentials heavily; memoizing by needle makes the
+    pandas-UDF hot path O(distinct needles * candidates) per Arrow batch.
+    """
+    sorted_cands = [token_sort(c) for c in candidates]
+    cache: dict = {}
+    out: List[Optional[Tuple[str, float, int]]] = []
+    for needle in needles:
+        if needle in cache:
+            out.append(cache[needle])
+            continue
+        ns = token_sort(needle)
+        best = None
+        for i, cs in enumerate(sorted_cands):
+            sc = ratio(ns, cs)
+            if best is None or sc > best[1]:
+                best = (candidates[i], sc, i)
+        cache[needle] = best
+        out.append(best)
+    return out

@@ -1,0 +1,152 @@
+"""The extraction pipeline: transcripts -> (clean_text, spans, records, metrics).
+
+Spark-first design (north_rule):
+
+- the scan stays declarative (``spark.read.parquet`` / Iceberg table in
+  production) so Catalyst prunes columns and pushes predicates;
+- extraction runs in ``mapInPandas`` over Arrow batches — one
+  Python<->JVM crossing per ~10k-row batch, never per row (the rebuild's
+  analog of the reference's 10-page batched API calls,
+  /root/reference/app/services/pdf_processing_service.py:245-308);
+- extraction is per-turn embarrassingly parallel, so skewed long
+  conversations (one conv_id with 10^6 turns) are neutralized by
+  repartitioning on ``(conv_id, turn_idx)`` — the full key, which is the
+  degenerate-free form of salting: no single task ever owns a whole
+  conversation. Conversation-level operators downstream (ordered dedup,
+  grouping) re-shuffle on the keys they actually need, with AQE skew-join
+  handling enabled (session.py).
+- stable output ordering is by explicit ``(conv_id, turn_idx)`` sort, per
+  the north_rule invariant (reference analog: re-sort after thread-pool
+  scrambling, pdf_processing_service.py:439,494).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.extract.core import extract_turn
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+)
+RECORD_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("Name", T.StringType()),
+            T.StructField("Credential_OCR", T.StringType()),
+            T.StructField("Signature", T.StringType()),
+        ]
+    )
+)
+
+EXTRACTED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("spans", SPAN_TYPE),
+        T.StructField("records", RECORD_TYPE),
+        T.StructField("field_employee", T.StringType()),
+        T.StructField("company_id", T.IntegerType()),
+        T.StructField("blocks_kept", T.IntegerType()),
+        T.StructField("blocks_dropped", T.IntegerType()),
+        T.StructField("parse_failures", T.IntegerType()),
+    ]
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: one call per Arrow batch, pure compute inside."""
+    for pdf in batches:
+        n = len(pdf)
+        out = {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "role": pdf["role"],
+            "tool": pdf["tool"],
+            "ts": pdf["ts"],
+            "clean_text": [None] * n,
+            "spans": [None] * n,
+            "records": [None] * n,
+            "field_employee": [None] * n,
+            "company_id": [0] * n,
+            "blocks_kept": [0] * n,
+            "blocks_dropped": [0] * n,
+            "parse_failures": [0] * n,
+        }
+        texts = pdf["text"].tolist()
+        tools = pdf["tool"].tolist()
+        for i in range(n):
+            r = extract_turn(texts[i], tools[i])
+            out["clean_text"][i] = r["clean_text"]
+            out["spans"][i] = [
+                {"start": s, "end": e, "kind": k} for s, e, k in r["spans"]
+            ]
+            out["records"][i] = [
+                {"Name": a, "Credential_OCR": b, "Signature": c}
+                for a, b, c in r["records"]
+            ]
+            out["field_employee"][i] = r["field_employee"]
+            out["company_id"][i] = r["company_id"]
+            out["blocks_kept"][i] = r["blocks_kept"]
+            out["blocks_dropped"][i] = r["blocks_dropped"]
+            out["parse_failures"][i] = r["parse_failures"]
+        yield pd.DataFrame(out)
+
+
+def extract_transcripts(transcripts: DataFrame, repartition: int | None = None) -> DataFrame:
+    """Run the extraction core over a transcripts DataFrame.
+
+    ``repartition``: target partition count for the compute stage. Pass
+    the cluster's total cores (or a small multiple) — partitioning on the
+    full (conv_id, turn_idx) key spreads skewed conversations evenly.
+    When None, the input's partitioning is kept (scan-aligned, no
+    shuffle) — right when the source is already well-bucketed.
+    """
+    df = transcripts
+    if repartition:
+        df = df.repartition(repartition, "conv_id", "turn_idx")
+    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Lineage/metrics rollup per conversation bucket (north_rule: lineage +
+    extraction metrics — blocks kept/dropped, parse failures)."""
+    return (
+        extracted.groupBy(F.pmod(F.xxhash64("conv_id"), F.lit(64)).alias("conv_bucket"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+    )
