@@ -1,0 +1,363 @@
+"""Classification cascade: broadcast-join exact matching + vectorized fuzzy.
+
+Decorrelates the reference's per-value lookup loops into set-oriented
+Spark operators (the N+1 query chain at
+/root/reference/app/services/credential_service.py:98-148 and the
+row-at-a-time ``classify_credential`` at classification_service.py:262-331):
+
+1. Explode per-turn parsed records (posexplode keeps record order).
+2. Normalize the OCR credential into a join key with BUILT-IN column
+   functions (regexp_replace/upper/trim — stays in whole-stage codegen).
+3. ONE broadcast hash join against a unioned key table: every mapping row
+   contributes its ``PossibleNames`` key (kind 0) and its ``Credential``
+   key (kind 1). Picking the match with the smallest ``(kind, row_id)``
+   per record via a ranking window reproduces the reference's cascade
+   "rule 1 over all rows, then rule 2, first row wins" exactly while
+   costing a single join + one shuffle.
+4. State compliance (classification_service.py:104-157): eligibility is
+   a join-side predicate — CredentialID must be in the venue state's
+   valid set ∪ {1,2}; a null/unknown state disables filtering
+   (process_batch.py:87-98). Valid sets ride along as a broadcast
+   ``state -> array<int>`` dim joined on the conversation's venue state.
+5. Fuzzy fallback (classification_service.py:313-367) for still-unmatched
+   credentials of length >= 5: an Arrow-batched pandas UDF scoring the
+   broadcast candidate list with the native token-sort-ratio
+   (ocr_spark.functions.fuzzy), memoized per distinct needle per batch.
+6. Field-employee override (classification_service.py:446-478) as a
+   conditional column update — no join needed, the name is turn-local.
+7. Ordered keep-first dedup (classification_service.py:480-488) as a
+   ranking window over upper(Name) ordered by (turn_idx, record_idx) —
+   NOT dropDuplicates, which is order-nondeterministic distributed.
+
+Scale notes: the mapping and state dims are tiny (broadcast); the only
+shuffles are the per-record ranking window and the final dedup window,
+both keyed on high-cardinality composites, AQE-coalesced. Fuzzy touches
+only the unmatched subset (filter first, UDF second).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FUZZY_THRESHOLD = 80.0
+MIN_FUZZY_LENGTH = 5
+ALWAYS_VALID_IDS = (1, 2)  # classification_service.py:129-137
+
+_FUZZY_RESULT = T.StructType(
+    [
+        T.StructField("classification", T.StringType()),
+        T.StructField("credential", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("company", T.IntegerType()),
+    ]
+)
+
+
+def norm_key_col(col: F.Column) -> F.Column:
+    """Built-in-function form of normalize.norm_key (T2+T3): strip
+    non-alphanumerics, collapse whitespace, upper, trim."""
+    # (?U) makes Java's \s match unicode whitespace like Python's re does.
+    cleaned = F.regexp_replace(col, r"(?U)[^a-zA-Z0-9\s]", "")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"(?U)\s+", " "))
+    return F.upper(collapsed)
+
+
+def mapping_key_table(mapping: DataFrame) -> DataFrame:
+    """Union the two exact-match key spaces into one broadcastable dim.
+
+    kind 0 = PossibleNames key (cascade rule 1), kind 1 = Credential key
+    (rule 2); ``m_row_id`` is the mapping's file row order, the
+    reference's "first row wins" tie-break.
+    """
+    base = mapping.select(
+        F.col("m_row_id"),
+        F.col("CredentialID").alias("m_cred_id"),
+        F.col("Credential").alias("m_credential"),
+        F.col("Classification").alias("m_classification"),
+        F.col("company_id").alias("m_company_id"),
+        norm_key_col(F.col("PossibleNames")).alias("pn_key"),
+        F.upper(F.trim(F.col("Credential"))).alias("cred_key"),
+    )
+    k0 = base.select(
+        F.col("pn_key").alias("m_key"), F.lit(0).alias("m_kind"),
+        "m_row_id", "m_cred_id", "m_credential", "m_classification", "m_company_id",
+    )
+    k1 = base.select(
+        F.col("cred_key").alias("m_key"), F.lit(1).alias("m_kind"),
+        "m_row_id", "m_cred_id", "m_credential", "m_classification", "m_company_id",
+    )
+    return k0.unionByName(k1)
+
+
+def state_ids_table(state_credential: DataFrame) -> DataFrame:
+    """state -> sorted array of valid CredentialIDs (broadcast dim)."""
+    return (
+        state_credential.groupBy(F.lower(F.col("state")).alias("state_key"))
+        .agg(F.sort_array(F.collect_set(F.col("Credentialid").cast("int"))).alias("valid_ids"))
+        .filter(F.size("valid_ids") > 0)
+    )
+
+
+def explode_records(extracted: DataFrame) -> DataFrame:
+    """Per-turn record arrays -> one row per record, order preserved."""
+    return (
+        extracted.filter(F.col("tool") == "records")
+        .filter(F.size("records") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "company_id",
+            "field_employee",
+            F.posexplode("records").alias("record_idx", "rec"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "record_idx",
+            "company_id",
+            "field_employee",
+            F.col("rec.Name").alias("Name"),
+            F.col("rec.Credential_OCR").alias("Credential_OCR"),
+            F.col("rec.Signature").alias("Signature"),
+        )
+    )
+
+
+def _make_fuzzy_udf(mapping_rows, state_ids_map):
+    """Pandas UDF closure over broadcast-able plain-Python lookup data.
+
+    mapping_rows: list of (pn_key, credential, classification, company_id,
+    cred_id) in mapping file order. state_ids_map: state -> frozenset(ids).
+    """
+    from ocr_spark.functions.fuzzy import ratio, token_sort
+
+    sorted_keys = [token_sort(r[0]) for r in mapping_rows]
+    always = frozenset(ALWAYS_VALID_IDS)
+
+    @F.pandas_udf(_FUZZY_RESULT)
+    def fuzzy_classify(
+        needles: pd.Series, companies: pd.Series, states: pd.Series
+    ) -> pd.DataFrame:
+        eligible_cache: dict = {}
+        result_cache: dict = {}
+        out_cls, out_cred, out_score, out_company = [], [], [], []
+        for needle, company, state in zip(needles, companies, states):
+            if needle is None or len(needle) < MIN_FUZZY_LENGTH:
+                out_cls.append(None); out_cred.append(None)
+                out_score.append(None); out_company.append(None)
+                continue
+            skey = state.lower() if isinstance(state, str) else None
+            ckey = (int(company) if company is not None else None, skey)
+            rkey = (needle, *ckey)
+            if rkey in result_cache:
+                c, cr, sc, co = result_cache[rkey]
+            else:
+                if ckey not in eligible_cache:
+                    valid = None
+                    if skey is not None:
+                        ids = state_ids_map.get(skey)
+                        if ids:
+                            valid = ids | always
+                    eligible_cache[ckey] = [
+                        i
+                        for i, r in enumerate(mapping_rows)
+                        if r[3] == ckey[0] and (valid is None or r[4] in valid)
+                    ]
+                idxs = eligible_cache[ckey]
+                ns = token_sort(needle)
+                best_i, best_sc = -1, -1.0
+                for i in idxs:
+                    s = ratio(ns, sorted_keys[i])
+                    if s > best_sc:
+                        best_i, best_sc = i, s
+                if best_i >= 0 and best_sc >= FUZZY_THRESHOLD:
+                    r = mapping_rows[best_i]
+                    c, cr, sc, co = r[2], r[1], float(best_sc), int(r[3])
+                else:
+                    c, cr, sc, co = None, None, None, None
+                result_cache[rkey] = (c, cr, sc, co)
+            out_cls.append(c); out_cred.append(cr)
+            out_score.append(sc); out_company.append(co)
+        return pd.DataFrame(
+            {
+                "classification": out_cls,
+                "credential": out_cred,
+                "score": pd.array(out_score, dtype="float64"),
+                "company": pd.array(out_company, dtype="Int32"),
+            }
+        )
+
+    return fuzzy_classify
+
+
+def classify_records(
+    records: DataFrame,
+    mapping: DataFrame,
+    state_credential: DataFrame,
+    conv_meta: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Full cascade over exploded records. ``mapping`` must carry
+    ``m_row_id`` (file row order); add one with row_number if absent."""
+    spark = records.sparkSession
+    if "m_row_id" not in mapping.columns:
+        mapping = mapping.withColumn(
+            "m_row_id",
+            F.row_number().over(
+                Window.orderBy(F.monotonically_increasing_id())
+            ),
+        )
+
+    keys = mapping_key_table(mapping)
+    states = state_ids_table(state_credential)
+
+    recs = records
+    if conv_meta is not None:
+        recs = recs.join(
+            F.broadcast(conv_meta.select("conv_id", "venue_state")), "conv_id", "left"
+        )
+    elif "venue_state" not in recs.columns:
+        recs = recs.withColumn("venue_state", F.lit(None).cast("string"))
+
+    recs = recs.withColumn("cred_key", norm_key_col(F.col("Credential_OCR"))).join(
+        F.broadcast(states),
+        F.lower(F.col("venue_state")) == F.col("state_key"),
+        "left",
+    )
+
+    eligible = (
+        F.col("valid_ids").isNull()
+        | F.col("m_cred_id").isin(*ALWAYS_VALID_IDS)
+        | F.array_contains(F.col("valid_ids"), F.col("m_cred_id"))
+    )
+    joined = recs.join(
+        F.broadcast(keys),
+        (F.col("cred_key") == F.col("m_key"))
+        & (F.col("company_id") == F.col("m_company_id"))
+        & eligible,
+        "left",
+    )
+    w = Window.partitionBy("conv_id", "turn_idx", "record_idx").orderBy(
+        F.col("m_kind").asc_nulls_last(), F.col("m_row_id").asc_nulls_last()
+    )
+    exact = (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "m_key", "state_key")
+    )
+
+    # Fuzzy fallback only where exact missed and the needle is long enough.
+    mapping_rows = [
+        (r["pn_key"], r["m_credential"], r["m_classification"], int(r["m_company_id"]), int(r["m_cred_id"]))
+        for r in keys.filter(F.col("m_kind") == 0)
+        .orderBy("m_row_id")
+        .select(F.col("m_key").alias("pn_key"), "m_credential", "m_classification", "m_company_id", "m_cred_id")
+        .collect()
+    ]
+    state_ids_map = {
+        r["state_key"]: frozenset(r["valid_ids"]) for r in states.collect()
+    }
+    fuzzy_udf = _make_fuzzy_udf(mapping_rows, state_ids_map)
+
+    # Gate the needle to NULL where fuzzy isn't needed: the UDF then skips
+    # scoring those rows entirely (cheaper than when(), which may still
+    # evaluate the UDF; cheaper than filter+union, which recomputes the join).
+    needs_fuzzy = F.col("m_row_id").isNull() & (F.length("cred_key") >= MIN_FUZZY_LENGTH)
+    with_fuzzy = exact.withColumn(
+        "fz",
+        fuzzy_udf(
+            F.when(needs_fuzzy, F.col("cred_key")),
+            F.col("company_id"),
+            F.col("venue_state"),
+        ),
+    )
+
+    # Cascade resolution + defaults (classification_service.py:262-331).
+    classified = with_fuzzy.select(
+        "conv_id",
+        "turn_idx",
+        "record_idx",
+        "Name",
+        "Credential_OCR",
+        "Signature",
+        F.coalesce(
+            F.col("m_credential"), F.col("fz.credential"), F.col("Credential_OCR")
+        ).alias("Credential_Standardized"),
+        F.coalesce(
+            F.col("m_classification"), F.col("fz.classification"), F.lit("Non-HCP")
+        ).alias("Classification"),
+        F.coalesce(
+            F.when(F.col("m_row_id").isNotNull(), F.lit(100.0)),
+            F.col("fz.score"),
+            F.lit(0.0),
+        ).alias("Match_Score"),
+        F.coalesce(
+            F.when(
+                F.col("m_kind") == 0,
+                F.concat(F.lit("exact_possiblenames(company:"), F.col("m_company_id"), F.lit(")")),
+            ),
+            F.when(
+                F.col("m_kind") == 1,
+                F.concat(F.lit("exact_credential(company:"), F.col("m_company_id"), F.lit(")")),
+            ),
+            F.when(
+                F.col("fz.classification").isNotNull(),
+                F.concat(F.lit("fuzzy_possiblenames(company:"), F.col("fz.company"), F.lit(")")),
+            ),
+            F.lit("no_match"),
+        ).alias("Match_Method"),
+        "field_employee",
+    )
+
+    # Field-employee override (J9): turn-local conditional update.
+    fe_hit = F.col("field_employee").isNotNull() & (
+        F.upper(F.trim(F.col("Name"))) == F.upper(F.trim(F.col("field_employee")))
+    )
+    overridden = (
+        classified.withColumn(
+            "Credential_Standardized",
+            F.when(fe_hit, F.lit("Field Employee")).otherwise(F.col("Credential_Standardized")),
+        )
+        .withColumn(
+            "Match_Score", F.when(fe_hit, F.lit(100.0)).otherwise(F.col("Match_Score"))
+        )
+        .withColumn(
+            "Match_Method",
+            F.when(fe_hit, F.lit("field_employee_override")).otherwise(F.col("Match_Method")),
+        )
+        .withColumn(
+            "Classification",
+            F.when(fe_hit, F.lit("Field Employee")).otherwise(F.col("Classification")),
+        )
+        .drop("field_employee")
+    )
+    return overridden
+
+
+def dedup_first_per_name(classified: DataFrame) -> DataFrame:
+    """Ordered keep-first dedup (A7): first occurrence of upper(Name) per
+    conversation under stable (turn_idx, record_idx) order."""
+    w = Window.partitionBy("conv_id", F.upper(F.col("Name"))).orderBy(
+        "turn_idx", "record_idx"
+    )
+    return (
+        classified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def classify_pipeline(
+    extracted: DataFrame,
+    mapping: DataFrame,
+    state_credential: DataFrame,
+    conv_meta: Optional[DataFrame] = None,
+) -> DataFrame:
+    """explode -> cascade -> override -> ordered dedup, stable order."""
+    recs = explode_records(extracted)
+    classified = classify_records(recs, mapping, state_credential, conv_meta)
+    return dedup_first_per_name(classified).orderBy("conv_id", "turn_idx", "record_idx")
