@@ -1,0 +1,35 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from ocr_spark.session import get_spark
+
+    s = get_spark(app_name="ocr_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """Deterministic synthetic corpus shared across Spark tests."""
+    from ocr_spark.data.generate import (
+        conv_meta_pdf,
+        credential_mapping_pdf,
+        gen_transcripts_pdf,
+        state_credential_pdf,
+    )
+
+    n = 40
+    return {
+        "transcripts": gen_transcripts_pdf(n, seed=42, skew_factor=10),
+        "mapping": credential_mapping_pdf(),
+        "state": state_credential_pdf(),
+        "conv_meta": conv_meta_pdf(n, seed=42),
+        "n_convs": n,
+    }

@@ -1,0 +1,145 @@
+"""Unit tests for the pure-Python extraction core (no Spark)."""
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.html_blocks import extract_html
+from ocr_spark.extract.normalize import canonicalize, norm_key, remove_special_chars
+from ocr_spark.extract.parse_records import (
+    extract_company_id,
+    extract_field_employee,
+    parse_records,
+)
+from ocr_spark.extract.pdf_layout import extract_pdf_layout
+
+
+class TestNormalize:
+    def test_remove_special_chars(self):
+        # classification_service.py:244-260 semantics
+        assert remove_special_chars("M.D., Ph.D.!!") == "MD PhD"
+        assert remove_special_chars("  a   b  ") == "a b"
+        assert remove_special_chars("") == ""
+        assert remove_special_chars(None) == ""
+
+    def test_norm_key(self):
+        assert norm_key(" m.d. ") == "MD"
+        assert norm_key("Nurse  Practitioner") == "NURSE PRACTITIONER"
+
+    def test_canonicalize(self):
+        assert canonicalize("a\r\nb") == "a\nb"
+        assert canonicalize("a    b") == "a b"
+        assert canonicalize("x\n\n\n\n\ny") == "x\n\ny"
+        assert canonicalize("  padded  ") == "padded"
+        assert canonicalize("") == ""
+
+
+class TestHtmlBlocks:
+    def test_boilerplate_dropped(self):
+        html = (
+            "<body><nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
+            "<p>main content paragraph with definitely enough words to keep</p>"
+            "<footer>short footer boilerplate text that is dropped</footer></body>"
+        )
+        text, spans, kept, dropped = extract_html(html)
+        assert text == "main content paragraph with definitely enough words to keep"
+        assert kept == 1 and dropped >= 2
+        s, e, kind = spans[0]
+        assert html[s:e] == text and kind == "block"
+
+    def test_link_density(self):
+        html = "<p>tiny <a href='x'>very long dominating anchor text in this block</a> y</p>"
+        text, _, kept, dropped = extract_html(html)
+        assert text == "" and kept == 0 and dropped == 1
+
+    def test_entities_and_short_blocks(self):
+        html = "<p>words one two three four &amp; five six</p><p>too short</p>"
+        text, _, kept, dropped = extract_html(html)
+        assert "&" in text and kept == 1 and dropped == 1
+
+    def test_empty_and_plainlike(self):
+        assert extract_html("") == ("", [], 0, 0)
+        t, spans, k, d = extract_html("just plain words with no markup at all here")
+        assert k == 1 and t.startswith("just plain")
+
+
+class TestPdfLayout:
+    def test_reading_order_two_columns(self):
+        payload = "\n".join(
+            [
+                "320,10,400,20|right one two three",
+                "20,40,100,50|left second line here",
+                "20,10,100,20|left first line here",
+                "322,40,410,50|right second line words",
+            ]
+        )
+        text, spans, kept, fails = extract_pdf_layout(payload)
+        assert text.split("\n") == [
+            "left first line here",
+            "left second line here",
+            "right one two three",
+            "right second line words",
+        ]
+        assert kept == 4 and fails == 0
+
+    def test_jitter_cluster_x_order(self):
+        payload = "100,10.4,160,20|beta words\n20,10.0,80,20|alpha words"
+        text, _, _, _ = extract_pdf_layout(payload)
+        assert text == "alpha words\nbeta words"
+
+    def test_malformed_counted(self):
+        payload = "20,10,100,20|good line text\nnot a layout line\n1,2|short"
+        text, _, kept, fails = extract_pdf_layout(payload)
+        assert kept == 1 and fails == 2 and text == "good line text"
+
+    def test_span_offsets(self):
+        payload = "20,10,100,20|hello span world"
+        _, spans, _, _ = extract_pdf_layout(payload)
+        s, e, kind = spans[0]
+        assert payload[s:e] == "hello span world" and kind == "line"
+
+
+class TestParseRecords:
+    def test_three_field(self):
+        # classification_service.py:200-218
+        recs = parse_records("- Jane Doe, MD, [signature present]")
+        assert recs == [("Jane Doe", "MD", "[signature present]")]
+
+    def test_empty_credential_brackets(self):
+        recs = parse_records("- Jane Doe, [], [signature present]")
+        assert recs == [("Jane Doe", "", "[signature present]")]
+
+    def test_old_format_default_signature(self):
+        # classification_service.py:221-233
+        recs = parse_records("John Smith, RN")
+        assert recs == [("John Smith", "RN", "[]")]
+
+    def test_noise_skipped(self):
+        recs = parse_records("no commas here\n- A B, MD, []\nanother noise")
+        assert len(recs) == 1
+
+    def test_field_employee(self):
+        # classification_service.py:159-180
+        assert extract_field_employee("Field Employee: Sam Jones\n- x, y") == "Sam Jones"
+        assert extract_field_employee("field employee: Pat Lee, more") == "Pat Lee"
+        assert extract_field_employee("Field Employee: Ab") is None  # <=2 chars
+        assert extract_field_employee("nothing") is None
+
+    def test_company_id(self):
+        # data_extraction_service.py:257-276
+        assert extract_company_id("stuff\nCOMPANY_ID: 3") == 3
+        assert extract_company_id("company_id: 2") == 2
+        assert extract_company_id("no footer") == 1
+        assert extract_company_id("") == 1
+
+
+class TestExtractTurn:
+    def test_dispatch_and_defaults(self):
+        r = extract_turn("- A B, MD, []\nCOMPANY_ID: 2", "records")
+        assert r["records"] == [("A B", "MD", "[]")]
+        assert r["company_id"] == 2
+        r = extract_turn("plain words", "unknown_kind")
+        assert r["clean_text"] == "plain words"
+
+    def test_empty_whitespace(self):
+        # FIXTURES.md §6.2
+        for payload in ["", "   \t \n  ", None]:
+            r = extract_turn(payload, "plain")
+            assert r["clean_text"] == "" and r["spans"] == []

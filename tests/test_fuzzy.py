@@ -1,0 +1,61 @@
+"""Fuzzy matcher: native token_sort_ratio vs brute-force LCS oracle."""
+
+import random
+
+from ocr_spark.functions.fuzzy import (
+    _lcs_len,
+    batch_extract_one,
+    extract_one,
+    ratio,
+    token_sort_ratio,
+)
+
+
+def _lcs_dp(a, b):
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i, ca in enumerate(a):
+        for j, cb in enumerate(b):
+            m[i + 1][j + 1] = m[i][j] + 1 if ca == cb else max(m[i][j + 1], m[i + 1][j])
+    return m[len(a)][len(b)]
+
+
+def test_lcs_bitparallel_matches_dp():
+    r = random.Random(7)
+    for _ in range(300):
+        a = "".join(r.choice("abcde ") for _ in range(r.randint(0, 24)))
+        b = "".join(r.choice("abcde ") for _ in range(r.randint(0, 24)))
+        assert _lcs_len(a, b) == _lcs_dp(a, b)
+
+
+def test_ratio_properties():
+    assert ratio("", "") == 100.0
+    assert ratio("", "x") == 0.0
+    assert ratio("abc", "abc") == 100.0
+    # indel model: substitution costs 2
+    assert abs(ratio("abc", "abd") - 200.0 * 2 / 6) < 1e-9
+
+
+def test_token_sort_insensitive_to_word_order():
+    assert token_sort_ratio("NURSE PRACTITIONER", "PRACTITIONER NURSE") == 100.0
+
+
+def test_extract_one_tiebreak_first_in_list_order():
+    # reference: process.extractOne keeps the first max (classification_service.py:344-349)
+    cands = ["ABCD", "ABCE", "ABCD"]
+    best = extract_one("ABCD", cands)
+    assert best == ("ABCD", 100.0, 0)
+    # two distinct candidates with identical score: first wins
+    best = extract_one("AB", ["AXB", "ABX"])
+    assert best[2] == 0
+
+
+def test_extract_one_cutoff():
+    assert extract_one("ZZZZZ", ["AAAAA"], score_cutoff=80.0) is None
+
+
+def test_batch_matches_single():
+    cands = ["NURSE PRACTITIONER", "REGISTERED NURSE", "MD"]
+    needles = ["NURSE PRACTICIONER", "REGISTERED NURES", "NURSE PRACTICIONER"]
+    batch = batch_extract_one(needles, cands)
+    for n, b in zip(needles, batch):
+        assert b == extract_one(n, cands)

@@ -1,0 +1,88 @@
+"""Golden-fixture equality: Spark pipeline vs plain-Python oracle.
+
+The north_rule invariant — per-turn text equality under stable
+(conv_id, turn_idx) ordering — plus span, metrics, and classified-record
+equality. Also checks ordering stability under different partitioning.
+"""
+
+import pytest
+
+from ocr_spark.data.goldens import golden_classified_rows, golden_extraction_rows
+from ocr_spark.operators.classify import classify_pipeline
+from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, extraction_metrics
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, small_corpus):
+    tdf = spark.createDataFrame(small_corpus["transcripts"], schema=TRANSCRIPT_SCHEMA)
+    return extract_transcripts(tdf, repartition=8)
+
+
+def test_per_turn_text_equality(spark, small_corpus, extracted):
+    golden = golden_extraction_rows(small_corpus["transcripts"])
+    rows = extracted.orderBy("conv_id", "turn_idx").collect()
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert (got.conv_id, got.turn_idx) == (exp["conv_id"], exp["turn_idx"])
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [
+            tuple(s) for s in exp["spans"]
+        ]
+        assert got.blocks_kept == exp["blocks_kept"]
+        assert got.blocks_dropped == exp["blocks_dropped"]
+        assert got.parse_failures == exp["parse_failures"]
+
+
+def test_stable_order_invariant_under_partitioning(spark, small_corpus):
+    """Same results regardless of partition count (distribution-invariance)."""
+    tdf = spark.createDataFrame(small_corpus["transcripts"], schema=TRANSCRIPT_SCHEMA)
+    a = (
+        extract_transcripts(tdf, repartition=2)
+        .select("conv_id", "turn_idx", "clean_text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    b = (
+        extract_transcripts(tdf, repartition=16)
+        .select("conv_id", "turn_idx", "clean_text")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    assert a == b
+
+
+def test_classified_matches_oracle(spark, small_corpus, extracted):
+    golden = golden_classified_rows(
+        small_corpus["transcripts"],
+        small_corpus["mapping"],
+        small_corpus["state"],
+        small_corpus["conv_meta"],
+    )
+    mdf = spark.createDataFrame(small_corpus["mapping"])
+    sdf = spark.createDataFrame(small_corpus["state"])
+    cmdf = spark.createDataFrame(small_corpus["conv_meta"][["conv_id", "venue_state"]])
+    out = classify_pipeline(extracted, mdf, sdf, cmdf).collect()
+    assert len(out) == len(golden)
+    fields = [
+        "Name",
+        "Credential_OCR",
+        "Signature",
+        "Credential_Standardized",
+        "Classification",
+        "Match_Method",
+    ]
+    for got, exp in zip(out, golden):
+        key = (exp["conv_id"], exp["turn_idx"], exp["record_idx"])
+        assert (got.conv_id, got.turn_idx, got.record_idx) == key
+        for f in fields:
+            assert getattr(got, f) == exp[f], (key, f)
+        assert abs(got.Match_Score - exp["Match_Score"]) < 1e-9, key
+
+
+def test_metrics_rollup(spark, small_corpus, extracted):
+    m = extraction_metrics(extracted).collect()
+    total_turns = sum(r.turns for r in m)
+    assert total_turns == len(small_corpus["transcripts"])
+    golden = golden_extraction_rows(small_corpus["transcripts"])
+    assert sum(r.parse_failures for r in m) == sum(g["parse_failures"] for g in golden)
+    assert sum(r.blocks_kept for r in m) == sum(g["blocks_kept"] for g in golden)
