@@ -1,0 +1,113 @@
+"""Checkpoint/resume: per-partition completion markers + lineage metrics.
+
+Generalizes the reference's idempotence cache (glob for already-split
+page images and skip the work,
+/root/reference/app/services/pdf_processing_service.py:332-356) to the
+distributed setting per the north_rule: a failed run must resume without
+recomputing completed partitions.
+
+Unit of work: a conversation bucket ``pmod(xxhash64(conv_id), n_buckets)``
+— conversations are atomic (conv-level dedup needs every turn), buckets
+bound marker-table size at 10^12-turn scale, and the hash spreads skew.
+
+Protocol (atomicity per FIXTURES/SURVEY §7.4):
+1. Resume scan: read the marker table; a bucket is complete iff a marker
+   row exists. The work set is the complement — a driver-side anti-join
+   over at most ``n_buckets`` rows.
+2. Process only missing buckets; the output is written partitioned by
+   ``conv_bucket`` so a bucket's data files land under one directory.
+3. Markers commit AFTER the bucket's data write succeeds, carrying the
+   run id and the bucket's extraction metrics (blocks kept/dropped,
+   parse failures, turns) as lineage.
+
+In production both tables are Iceberg (atomic append, schema evolution);
+in this sandbox the same protocol runs on partitioned parquet with
+directory-commit semantics: per-bucket data directories are written via
+dynamic partition overwrite, and since markers are only appended after
+that write returns, a crash can only yield data-without-marker (redone
+idempotently on resume via overwrite), never marker-without-data.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 64
+
+
+def bucket_col(n_buckets: int = DEFAULT_BUCKETS) -> F.Column:
+    return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(spark: SparkSession, marker_path: str) -> set[int]:
+    if not os.path.exists(marker_path):
+        return set()
+    try:
+        rows = spark.read.parquet(marker_path).select("conv_bucket").distinct().collect()
+    except Exception:
+        return set()
+    return {r.conv_bucket for r in rows}
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    process,  # DataFrame -> DataFrame, must preserve conv_id
+    out_path: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: str | None = None,
+) -> dict:
+    """Process only not-yet-completed conversation buckets; resume-safe.
+
+    Returns ``{"processed_buckets": int, "skipped_buckets": int, "run_id": str}``.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    data_path = os.path.join(out_path, "data")
+    marker_path = os.path.join(out_path, "markers")
+
+    done = completed_buckets(spark, marker_path)
+    with_bucket = transcripts.withColumn("conv_bucket", bucket_col(n_buckets))
+    todo = with_bucket
+    if done:
+        # conv_bucket is derived, so this filter prunes before any compute;
+        # at bucket counts in the thousands this stays a cheap IN-list.
+        todo = with_bucket.filter(~F.col("conv_bucket").isin(*sorted(done)))
+
+    n_total = n_buckets
+    if todo.isEmpty():
+        return {"processed_buckets": 0, "skipped_buckets": len(done), "run_id": run_id}
+
+    result = process(todo)
+    if "conv_bucket" not in result.columns:
+        result = result.withColumn("conv_bucket", bucket_col(n_buckets))
+
+    # Dynamic partition overwrite: re-running a half-written bucket replaces
+    # its directory instead of duplicating rows (idempotent redo).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.write.mode("overwrite").partitionBy("conv_bucket").parquet(data_path)
+
+    # Markers commit only after the data write returned: lineage + metrics.
+    agg_cols = [F.count("*").alias("rows_written")]
+    for c in ("blocks_kept", "blocks_dropped", "parse_failures"):
+        if c in result.columns:
+            agg_cols.append(F.sum(c).alias(c))
+    written = spark.read.parquet(data_path)
+    if done:
+        # partition filter -> prunes completed buckets' directories at scan
+        written = written.filter(~F.col("conv_bucket").isin(*sorted(done)))
+    markers = (
+        written.groupBy("conv_bucket").agg(*agg_cols).withColumn("run_id", F.lit(run_id))
+    )
+    markers.write.mode("append").parquet(marker_path)
+
+    processed = markers.count()
+    return {
+        "processed_buckets": processed,
+        "skipped_buckets": len(done),
+        "run_id": run_id,
+        "n_buckets": n_total,
+    }

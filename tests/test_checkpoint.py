@@ -1,0 +1,63 @@
+"""Resume protocol: completed buckets are not recomputed; final table identical."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.checkpoint import completed_buckets, run_with_checkpoint
+from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+
+@pytest.fixture()
+def tdf(spark, small_corpus):
+    return spark.createDataFrame(small_corpus["transcripts"], schema=TRANSCRIPT_SCHEMA)
+
+
+def _process(df):
+    return extract_transcripts(df.drop("conv_bucket"))
+
+
+def test_full_run_then_resume_noop(spark, tdf, tmp_path):
+    out = str(tmp_path / "out")
+    r1 = run_with_checkpoint(spark, tdf, _process, out, n_buckets=8, run_id="r1")
+    assert r1["processed_buckets"] > 0 and r1["skipped_buckets"] == 0
+    total = spark.read.parquet(os.path.join(out, "data")).count()
+    assert total == tdf.count()
+
+    # second run: everything skipped, nothing recomputed, data unchanged
+    before = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(out, "data"))
+        for f in fs
+    )
+    r2 = run_with_checkpoint(spark, tdf, _process, out, n_buckets=8, run_id="r2")
+    assert r2["processed_buckets"] == 0 and r2["skipped_buckets"] == r1["processed_buckets"]
+    after = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(out, "data"))
+        for f in fs
+    )
+    assert before == after  # untouched files => no recompute
+
+
+def test_partial_failure_resume(spark, tdf, tmp_path):
+    out = str(tmp_path / "out")
+    # simulate a run that died after completing buckets {0,1}: process only them
+    subset = tdf.filter(F.pmod(F.xxhash64("conv_id"), F.lit(8)).isin(0, 1))
+    run_with_checkpoint(spark, subset, _process, out, n_buckets=8, run_id="partial")
+    done_before = completed_buckets(spark, os.path.join(out, "markers"))
+    assert done_before and done_before.issubset({0, 1})
+
+    # resume over the FULL input: only missing buckets processed
+    r = run_with_checkpoint(spark, tdf, _process, out, n_buckets=8, run_id="resume")
+    assert r["skipped_buckets"] == len(done_before)
+    total = spark.read.parquet(os.path.join(out, "data")).count()
+    assert total == tdf.count()
+
+    # marker lineage: completed buckets keep their original run_id
+    markers = spark.read.parquet(os.path.join(out, "markers")).collect()
+    by_bucket = {m.conv_bucket: m.run_id for m in markers}
+    for b in done_before:
+        assert by_bucket[b] == "partial"
+    assert len(markers) == len(by_bucket)  # one marker per bucket
