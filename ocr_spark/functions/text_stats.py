@@ -1,0 +1,139 @@
+"""Text-analysis column builders: token counts, quality, lang-ID, fingerprints.
+
+Large-scale training-data-pipeline operators over a ``text`` column,
+expressed with BUILT-IN pyspark.sql.functions only — they stay inside
+whole-stage codegen, no Python in the hot path. Each has an exact ANSI-SQL
+twin (used for the DuckDB oracle) built from the same constants, so the
+Spark and oracle definitions cannot drift.
+
+Reference analogs: the keyword/fuzzy text scoring that routes pages
+cheap-vs-expensive (/root/reference/app/services/pdf_processing_service.py:143-195)
+generalizes to quality scoring + language ID; the per-page dedup keys
+(classification_service.py:480-488) generalize to document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer pieces (RE2-safe: no lookaheads, works in both
+# Spark's Java regex and DuckDB's RE2).
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+PUNCT_CLASS = r"[^A-Za-z0-9\s]"
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    c = F.trim(col)
+    return F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, r"\s+"))).cast("int")
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CAST(CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END AS INTEGER)"
+    )
+
+
+def bpe_token_count(col) -> Column:
+    """Token count under the BPE-ish regex pre-tokenizer."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)).cast("int")
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_PATTERN}')) AS INTEGER)"
+
+
+def punct_ratio(col) -> Column:
+    """Non-alphanumeric-char share of total length (quality feature)."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def punct_ratio_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN 0.0 ELSE "
+        f"length(regexp_replace({expr}, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / length({expr}) END"
+    )
+
+
+def stopword_hits(col, lang: str = "en") -> Column:
+    """Count of stopword occurrences (word-boundary, case-insensitive)."""
+    pat = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str) else col, F.lit(pat), 0)).cast("int")
+
+
+def stopword_hits_sql(expr: str, lang: str = "en") -> str:
+    pat = r"(?i)\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS INTEGER)"
+
+
+def quality_score(col) -> Column:
+    """Composite quality in [0,1]: length band + stopword presence - punct
+    excess. Deterministic rule, documented; mirrors the reference's
+    require-all-keyword-categories gate as a soft score."""
+    n_tok = token_count(col)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    sw = F.when(stopword_hits(col, "en") >= 2, F.lit(0.3)).otherwise(F.lit(0.0))
+    punct_pen = F.when(punct_ratio(col) > 0.2, F.lit(-0.2)).otherwise(F.lit(0.0))
+    base = F.lit(0.2) + len_ok + sw + punct_pen
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), base))
+
+
+def quality_score_sql(expr: str) -> str:
+    n_tok = token_count_sql(expr)
+    sw = stopword_hits_sql(expr)
+    pr = punct_ratio_sql(expr)
+    return (
+        "greatest(0.0, least(1.0, 0.2 "
+        f"+ CASE WHEN {n_tok} BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END "
+        f"+ CASE WHEN {sw} >= 2 THEN 0.3 ELSE 0.0 END "
+        f"+ CASE WHEN {pr} > 0.2 THEN -0.2 ELSE 0.0 END))"
+    )
+
+
+def lang_id(col) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    'und' (undetermined) when every language scores zero. Deterministic
+    tie-break: language order en > de > fr > es (strictly-greater wins)."""
+    langs = list(STOPWORDS)
+    hits = {lang: stopword_hits(col, lang) for lang in langs}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        take = hits[lang] > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits[lang]).otherwise(best_hits)
+    return best_lang
+
+
+def lang_id_sql(expr: str) -> str:
+    langs = list(STOPWORDS)
+    h = {lang: stopword_hits_sql(expr, lang) for lang in langs}
+    # same strictly-greater fold, unrolled
+    sql = "'und'"
+    best = "0"
+    for lang in langs:
+        sql = f"CASE WHEN {h[lang]} > {best} THEN '{lang}' ELSE {sql} END"
+        best = f"greatest({best}, {h[lang]})" if best != "0" else h[lang]
+    return sql
+
+
+def fingerprint(col) -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased,
+    whitespace-collapsed text (the exact-dedup key)."""
+    norm = F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+    return F.md5(norm)
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g'))))"

@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+All shapes are Spark-first and scale-aware:
+
+- exact: hash-groupBy on a normalized fingerprint — one shuffle on the
+  fingerprint, min-key winner (deterministic), no Python.
+- MinHash + LSH: shingle -> k minhashes via built-in ``xxhash64(shingle,
+  seed_i)`` (seeded by adding a per-permutation constant column), banded
+  into b buckets; only same-bucket pairs are candidates, verified with
+  exact shingle Jaccard via array_intersect/array_union. Entirely
+  built-in functions; the only shuffles are the signature groupBy and the
+  band-bucket self-join, both on high-cardinality keys. This is the
+  scale path: candidate generation is linear in corpus size, never the
+  O(n^2) cross join.
+- SimHash: 64-bit hamming-fingerprint in a vectorized pandas UDF (bit
+  manipulation is genuinely awkward as column expressions); near-dup =
+  hamming distance <= d over LSH-prefix buckets.
+- n-gram Jaccard: the exact verifier, exposed standalone for small sets.
+
+The ordered keep-first conversation dedup lives in operators/classify.py
+(reference semantics, classification_service.py:480-488); these operators
+are the corpus-scale generalization.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.functions.text_stats import fingerprint
+
+N_MINHASH = 16
+N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 4
+SHINGLE_N = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint (deterministic)."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+    )
+
+
+def shingles_col(text_col: str, n: int = SHINGLE_N) -> F.Column:
+    """Distinct lowercased word n-gram shingles as an array column.
+
+    Words = alphanumeric runs (tokenize.word_ngrams semantics, column form).
+    """
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]+", " ")), " "
+    )
+    words = F.filter(words, lambda w: w != "")
+    # zip consecutive n words: transform over index range
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    short = F.array(F.concat_ws(" ", words))  # < n words -> one shingle
+    return F.array_distinct(F.when(F.size(words) >= n, grams).otherwise(short))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = N_MINHASH) -> DataFrame:
+    """(id, minhash array of k) via explode + per-permutation xxhash64 min."""
+    sh = df.select(id_col, F.explode(shingles_col(text_col)).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(k)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{i}" for i in range(k)]).alias("minhash"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = N_BANDS, k: int = N_MINHASH) -> DataFrame:
+    """Banded LSH: same band-hash => candidate pair (a < b)."""
+    rows_per_band = k // bands
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs via MinHash-LSH, verified with exact shingle Jaccard."""
+    with_sh = df.select(id_col, shingles_col(text_col).alias("sh"))
+    sigs = minhash_signature(df, text_col, id_col)
+    pairs = lsh_candidate_pairs(sigs, id_col)
+    a = with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (small sets / verification only —
+    O(n^2); the scale path is minhash_near_dups)."""
+    with_sh = df.select(id_col, shingles_col(text_col).alias("sh"))
+    a = with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+_SIMHASH_T = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_T)
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized per Arrow batch)."""
+    import zlib
+
+    out = []
+    for t in texts:
+        if not t:
+            out.append(0)
+            continue
+        acc = [0] * 64
+        for w in t.lower().split():
+            h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        # to signed 64-bit
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dups by SimHash hamming distance, bucketed by the top 16 bits
+    (candidate pruning; exact hamming verified on candidates)."""
+    sh = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
+    sh = sh.withColumn("bucket", F.shiftrightunsigned("sim", 48))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "bucket")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "bucket")
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k against a constant query
+  vector, entirely with built-in higher-order functions
+  (``zip_with`` dot product + ``aggregate`` norms) — JVM-side, codegen,
+  no Python. Exact baseline.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
+  (h sign bits against deterministic seeded planes) computed with the
+  same built-ins; the query probes only its own bucket (plus optional
+  hamming-1 neighbors). At 100 TB the bucket join replaces a full scan.
+- ``knn_join``: batch top-k for MANY query vectors — bucket-join then
+  per-query ranking window (the ANN analog of a broadcast probe).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _vec_lit(vec: Sequence[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def dot_col(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_sim_col(a, b) -> F.Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine; ties broken by id (stable)."""
+    q = _vec_lit(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = embeddings.select(
+        F.col(id_col),
+        (dot_col(F.col(vec_col), q) / (norm_col(F.col(vec_col)) * F.lit(qn))).alias(
+            "cosine_sim"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, h: int = 8, seed: int = 7) -> List[List[float]]:
+    """Deterministic random hyperplanes (seeded Gaussian)."""
+    r = random.Random(seed)
+    return [[r.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(h)]
+
+
+def rh_signature_col(vec_col, planes: List[List[float]]) -> F.Column:
+    """Random-hyperplane sign signature as an int (h bits, h <= 30)."""
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = F.when(dot_col(vec_col, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("int")
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    h: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming1: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose signature is within
+    hamming distance <= 1 of the query's signature."""
+    dim = len(query_vec)
+    planes = hyperplanes(dim, h)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qsig |= 1 << i
+    buckets = [qsig] + ([qsig ^ (1 << i) for i in range(h)] if probe_hamming1 else [])
+    signed = embeddings.withColumn("sig", rh_signature_col(F.col(vec_col), planes))
+    cand = signed.filter(F.col("sig").isin(buckets))
+    return cosine_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    h: int = 8,
+    vec_col: str = "embedding",
+    qid_col: str = "q_id",
+    cid_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Batch ANN: bucket-equi-join queries to corpus on the hyperplane
+    signature, rank per query, keep top-k. One shuffle on the signature
+    (both sides), one ranking window — no cross join."""
+    planes = hyperplanes(dim, h)
+    qs = queries.withColumn("sig", rh_signature_col(F.col(vec_col), planes)).select(
+        F.col(qid_col), F.col(vec_col).alias("q_vec"), "sig"
+    )
+    cs = corpus.withColumn("sig", rh_signature_col(F.col(vec_col), planes)).select(
+        F.col(cid_col), F.col(vec_col).alias("c_vec"), "sig"
+    )
+    joined = qs.join(cs, "sig").withColumn(
+        "cosine_sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(cid_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, cid_col, "cosine_sim", "rank")
+    )

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages (one Python crossing per batch —
+the same execution shape as the text extraction pipeline).
+
+The actual codec work is STUBBED in this container (no image/audio
+libraries available): ``decode_image_meta`` parses real PNG/JPEG headers
+(pure struct unpacking — deterministic, no library), and
+``extract_features`` computes a deterministic byte-level feature vector
+standing in for a real embedding. ``decode_pixels`` raises
+NotImplementedError by design — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested; swap the
+stub for PIL/ffmpeg on a cluster with the libs installed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_bytes", T.IntegerType()),
+        ])),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+N_FEATURES = 16
+
+
+def decode_image_meta(payload: bytes) -> Tuple[Optional[str], Optional[int], Optional[int]]:
+    """Parse (format, width, height) from PNG/JPEG headers. Pure struct
+    unpacking — no imaging library."""
+    if payload is None or len(payload) < 16:
+        return None, None, None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", int(w), int(h)
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk segments for SOF0/2
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC2):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", int(w), int(h)
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return "unknown", None, None
+
+
+def decode_pixels(payload: bytes):
+    """Full pixel decode — requires an imaging library not present in this
+    container. The plumbing around it is real; swap in PIL on a cluster."""
+    raise NotImplementedError(
+        "pixel decode stubbed: install an imaging library and replace this"
+    )
+
+
+def byte_features(payload: bytes, n: int = N_FEATURES) -> list:
+    """Deterministic stand-in feature vector: bucketed byte histogram,
+    L1-normalized. Replace with a real encoder on a full cluster."""
+    if not payload:
+        return [0.0] * n
+    hist = [0] * n
+    for b in payload:
+        hist[b * n // 256] += 1
+    total = float(len(payload))
+    return [c / total for c in hist]
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {"media_id": pdf["media_id"], "format": [], "width": [], "height": [],
+               "n_bytes": [], "features": []}
+        for payload in pdf["payload"]:
+            b = bytes(payload) if payload is not None else b""
+            fmt, w, h = decode_image_meta(b)
+            out["format"].append(fmt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_bytes"].append(len(b))
+            out["features"].append(byte_features(b))
+        yield pd.DataFrame(out)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """media(media_id, payload binary, ...) -> typed meta + feature vector.
+
+    Arrow-batched; partition count should track cluster cores upstream
+    (payloads are large — fewer rows per task than text)."""
+    return media.select("media_id", "payload").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
+    )
+
+
+def synth_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic minimal-but-valid PNG (header + IHDR + fake IDAT) for
+    tests — lets the decode path run on real header bytes without an
+    encoder library."""
+    ihdr_data = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+    body = hashlib.sha256(f"{width}x{height}x{seed}".encode()).digest() * 4
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_data)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )

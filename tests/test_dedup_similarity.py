@@ -1,0 +1,97 @@
+"""Dedup + similarity operators: correctness against exact computation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from ocr_spark.operators.similarity import cosine_topk, knn_join, lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+        (2, "completely different content about spark shuffles and partitions"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (4, "another unrelated document describing columnar storage formats"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    assert len(out) == 4  # 0 and 3 merge
+    winner = [r for r in out if r.dup_count == 2][0]
+    assert winner.doc_id == 0  # smallest id kept (deterministic)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_dups(docs, jaccard_threshold=0.5).collect()}
+    assert (0, 3) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup found
+    assert not any({a, b} & {2} and {a, b} & {4} for a, b in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """Every emitted pair's jaccard equals the exact all-pairs value."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    for r in minhash_near_dups(docs, jaccard_threshold=0.5).collect():
+        assert abs(exact[(r.id_a, r.id_b)] - r.jaccard) < 1e-9
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_dups(docs, max_hamming=8).collect()}
+    assert (0, 3) in pairs  # identical text -> hamming 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import random
+
+    r = random.Random(3)
+    rows = []
+    for i in range(200):
+        rows.append((i, [r.gauss(0, 1) for _ in range(16)]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") == 5).first().embedding
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0].vec_id == 5 and abs(top[0].cosine_sim - 1.0) < 1e-6
+    sims = [t.cosine_sim for t in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_subset_of_bruteforce_order(spark, emb):
+    q = emb.filter(F.col("vec_id") == 7).first().embedding
+    approx = lsh_bucketed_topk(emb, q, k=5, h=6).collect()
+    assert approx[0].vec_id == 7  # the query itself is always in its own bucket
+    exact = {r.vec_id: r.cosine_sim for r in cosine_topk(emb, q, k=200).collect()}
+    for r in approx:  # approximate scores must equal the exact scores
+        assert abs(exact[r.vec_id] - r.cosine_sim) < 1e-6
+
+
+def test_knn_join_ranks(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = knn_join(qs, emb, k=3, h=4, dim=16).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q_id, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert rows[0].vec_id == q_id  # self is rank 1
+        sims = [r.cosine_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

@@ -1,0 +1,49 @@
+"""Multimodal plumbing: real header parsing + batched feature extraction."""
+
+import pytest
+
+from ocr_spark.sources.multimodal import (
+    byte_features,
+    decode_image_meta,
+    decode_pixels,
+    extract_features,
+    synth_png,
+)
+
+
+def test_png_header_roundtrip():
+    payload = synth_png(640, 480, seed=1)
+    fmt, w, h = decode_image_meta(payload)
+    assert (fmt, w, h) == ("png", 640, 480)
+
+
+def test_unknown_and_empty():
+    assert decode_image_meta(b"") == (None, None, None)
+    assert decode_image_meta(b"RIFFxxxxWAVEfmt plus padding")[0] == "unknown"
+
+
+def test_decode_pixels_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_pixels(synth_png(8, 8))
+
+
+def test_byte_features_deterministic_normalized():
+    f1 = byte_features(synth_png(32, 32, seed=2))
+    f2 = byte_features(synth_png(32, 32, seed=2))
+    assert f1 == f2 and abs(sum(f1) - 1.0) < 1e-9
+
+
+def test_extract_features_spark(spark):
+    rows = [
+        (i, "image", bytearray(synth_png(100 + i, 50 + i, seed=i)), None)
+        for i in range(10)
+    ]
+    from ocr_spark.sources.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_features(df).collect()}
+    assert len(out) == 10
+    for i in range(10):
+        assert out[i].format == "png"
+        assert out[i].width == 100 + i and out[i].height == 50 + i
+        assert len(out[i].features) == 16

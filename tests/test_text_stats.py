@@ -1,0 +1,63 @@
+"""Text-stats column builders vs their DuckDB SQL twins (anti-drift)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text_stats as ts
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    return con.execute(sql).fetchall()
+
+
+@pytest.mark.parametrize(
+    "col_fn,sql_fn",
+    [
+        (ts.token_count, ts.token_count_sql),
+        (ts.bpe_token_count, ts.bpe_token_count_sql),
+        (ts.punct_ratio, ts.punct_ratio_sql),
+        (ts.quality_score, ts.quality_score_sql),
+        (ts.lang_id, ts.lang_id_sql),
+        (ts.fingerprint, ts.fingerprint_sql),
+    ],
+)
+def test_spark_matches_duckdb(spark, docs, col_fn, sql_fn):
+    got = {
+        r.doc_id: r.v
+        for r in docs.select("doc_id", col_fn(F.col("text")).alias("v")).collect()
+    }
+    exp = dict(_duck(f"SELECT doc_id, {sql_fn('text')} AS v FROM documents"))
+    assert set(got) == set(exp)
+    for k in got:
+        if isinstance(got[k], float):
+            assert abs(got[k] - exp[k]) < 1e-9, (k, got[k], exp[k])
+        else:
+            assert got[k] == exp[k], (k, got[k], exp[k])
+
+
+def test_edge_cases(spark):
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, "a b  c\nd"), (4, "!!! ??? ...")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.tc, r.pr)
+        for r in df.select(
+            "doc_id",
+            ts.token_count(F.col("text")).alias("tc"),
+            ts.punct_ratio(F.col("text")).alias("pr"),
+        ).collect()
+    }
+    assert got[0][0] == 0 and got[1][0] == 0
+    assert got[2][0] == 1 and got[3][0] == 4
+    assert got[4][1] > 0.5
