@@ -1,0 +1,110 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Two groups:
+- relational/training-data headliners straight from __spark_entry__
+  (pricing summary, broadcast join, ordered dedup, tumbling window,
+  text stats, exact + MinHash dedup, batch ANN) at the sf dir;
+- the flagship extraction+classification pipeline over a deterministic
+  synthetic transcripts corpus (~BENCH_TURNS turns, generated once and
+  cached as parquet under .bench_cache/ so generation cost never
+  pollutes the measurement). The headline metric is extraction
+  throughput in turns/sec (BASELINE.json metric).
+
+Materialization is via the noop sink (full execution, no driver
+collect). Scaling evidence (local[8] vs local[32]) lives in
+scripts/scaling.py; its latest result is echoed into the JSON when
+present (BENCH_SCALING.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as E  # noqa: E402
+from ocr_spark.data.generate import gen_transcripts_df  # noqa: E402
+from ocr_spark.operators.classify import classify_pipeline  # noqa: E402
+from ocr_spark.pipeline import extract_transcripts  # noqa: E402
+from ocr_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000"))  # ~210k turns
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_transcripts_path(spark, n_convs: int) -> str:
+    path = os.path.join(REPO, ".bench_cache", f"transcripts_{n_convs}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        gen_transcripts_df(spark, n_convs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+
+    qs = E.queries()
+    headliners = [
+        "a1_pricing_summary",
+        "j1_broadcast_lookup",
+        "a7_ordered_dedup",
+        "w_tumbling_window",
+        "tx_text_stats",
+        "dd_exact_dedup",
+        "dd_minhash_neardups",
+        "sim_knn_join",
+    ]
+    times: dict[str, float] = {}
+    for name in headliners:
+        t0 = time.time()
+        materialize(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship extraction + classification over the synthetic corpus
+    tpath = bench_transcripts_path(spark, BENCH_CONVS)
+    transcripts = spark.read.parquet(tpath)
+    n_turns = transcripts.count()
+
+    t0 = time.time()
+    extracted = extract_transcripts(transcripts)
+    materialize(extracted)
+    t_extract = time.time() - t0
+    times["ex_extract_pipeline"] = round(t_extract, 3)
+
+    mapping, state, meta = E._fixture_lookups(spark, BENCH_CONVS)
+    t0 = time.time()
+    classified = classify_pipeline(
+        extract_transcripts(transcripts), mapping, state, meta.drop("company_id")
+    )
+    materialize(classified)
+    times["ex_classify_pipeline"] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    result = {
+        "metric": "bench_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "bench_turns": n_turns,
+        "extract_throughput_turns_per_sec": round(n_turns / t_extract, 1),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            result["scaling"] = json.load(f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

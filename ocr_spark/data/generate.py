@@ -238,6 +238,40 @@ def gen_transcripts_pdf(n_convs: int, seed: int = 42, skew_factor: int = 50, shu
     return df
 
 
+def gen_transcripts_df(spark, n_convs: int, seed: int = 42, skew_factor: int = 50,
+                       parallelism: int | None = None):
+    """Distributed build for bench-scale corpora: ``spark.range(n_convs)``
+    -> one task per conv-id slice -> ``mapInPandas`` expanding each conv_seq
+    into its turns via the same pure ``gen_conv``. Row-identical to
+    ``gen_transcripts_pdf`` modulo row order (which the pipeline must not
+    depend on — stable ordering is the pipeline's job, not the source's)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            rows = []
+            for conv_seq in pdf["id"]:
+                rows.extend(gen_conv(int(conv_seq), seed, skew_factor))
+            out = pd.DataFrame(rows)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    par = parallelism or (spark.sparkContext.defaultParallelism * 2)
+    return spark.range(n_convs).repartition(par).mapInPandas(expand, schema=schema)
+
+
 def credential_mapping_pdf():
     """The broadcast lookup (FIXTURES.md §2; reference mapping schema at
     credential_service.py:51-63)."""

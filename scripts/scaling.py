@@ -1,0 +1,84 @@
+"""Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
+between N and 4N executors; sandbox proxy = local[8] vs local[32]).
+
+Runs the SAME extraction job on the SAME cached transcripts parquet at
+two parallelism levels, each in a fresh JVM (subprocess), and writes
+BENCH_SCALING.json {n_cores, throughput_n, 4n_cores, throughput_4n,
+efficiency}. bench.py echoes the file into its JSON line.
+
+Usage: python scripts/scaling.py [n_convs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from ocr_spark.session import get_spark
+from ocr_spark.pipeline import extract_transcripts
+
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(f"scaling_{{cores}}", master=f"local[{{cores}}]")
+df = spark.read.parquet(path)
+n = df.count()
+# warm the JVM + Python workers once, then measure
+extract_transcripts(df.limit(2000)).write.format("noop").mode("overwrite").save()
+t0 = time.time()
+extract_transcripts(df).write.format("noop").mode("overwrite").save()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "turns": n, "sec": round(dt, 3),
+                   "turns_per_sec": round(n / dt, 1)}}))
+spark.stop()
+"""
+
+
+def run(cores: int, path: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), path],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000")
+    )
+    # ensure the cached corpus exists (built with a full-size session)
+    sys.path.insert(0, REPO)
+    from bench import bench_transcripts_path
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("scaling_gen")
+    path = bench_transcripts_path(spark, n_convs)
+    spark.stop()
+
+    lo = run(8, path)
+    hi = run(32, path)
+    eff = round(lo["turns_per_sec"] and (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0, 3)
+    result = {
+        "n_cores": lo["cores"],
+        "throughput_n": lo["turns_per_sec"],
+        "sec_n": lo["sec"],
+        "x4_cores": hi["cores"],
+        "throughput_4n": hi["turns_per_sec"],
+        "sec_4n": hi["sec"],
+        "efficiency_n_to_4n": eff,
+        "turns": hi["turns"],
+    }
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
