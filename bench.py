@@ -33,7 +33,7 @@ from ocr_spark.pipeline import extract_transcripts  # noqa: E402
 from ocr_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000"))  # ~210k turns
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))  # ~1.7M turns
 
 
 def materialize(df) -> None:

@@ -1,0 +1,72 @@
+"""Physical-plan audit helpers: make efficiency assertions testable.
+
+The 100 TB design point is enforced here, not just documented: tests
+assert that small dims actually broadcast, that scans actually push
+filters/prune columns, and that an operator doesn't shuffle more times
+than its algebra requires (SURVEY.md §4). ``explain("formatted")``'s
+output is the contract Catalyst gives us; these helpers parse it.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle boundaries (Exchange operators, minus broadcast
+    and reused exchanges) in the physical plan."""
+    plan = formatted_plan(df)
+    # formatted mode lists each node as "(N) Exchange" with the
+    # partitioning in its Arguments; broadcast exchanges are a separate
+    # node type (BroadcastExchange) and don't shuffle.
+    return len(re.findall(r"^\(\d+\) Exchange\s*$", plan, flags=re.M))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in formatted_plan(df)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """The PushedFilters section(s) of the scan nodes, joined."""
+    plan = formatted_plan(df)
+    return "; ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column-pruning evidence)."""
+    plan = formatted_plan(df)
+    cols: list[str] = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(p.split(":")[0].strip() for p in m.split(",") if p.strip())
+    return sorted(set(cols))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen spans. ``simple`` mode marks them with
+    ``*(N)``; ``formatted`` mode doesn't annotate codegen at all."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # pre-execution AQE plans (isFinalPlan=false) carry no codegen
+        # annotation; disable AQE just for this plan render
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # .select("*") forces a fresh Dataset whose physical planning runs
+        # under the temporarily-changed conf
+        plan = spark._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df.select("*")._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

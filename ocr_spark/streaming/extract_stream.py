@@ -1,0 +1,159 @@
+"""Structured Streaming surface for the extraction engine.
+
+The reference is purely batch (SURVEY.md §2.10) — this module is the
+engine's forward-looking streaming path for continuously-arriving
+transcript turns, built on the SAME extraction core (one semantic, two
+execution modes):
+
+- ``stream_transcripts``: file-source ``readStream`` with the declared
+  transcript schema (new parquet files under a directory = new turns);
+- ``extract_stream``: the identical ``mapInPandas`` extraction stage —
+  mapInPandas is streaming-compatible, so batch and stream share the
+  exact same operator;
+- ``windowed_metrics_stream``: event-time tumbling-window extraction
+  metrics with a watermark for late turns (blocks kept/dropped,
+  parse failures per window — the streaming form of
+  ``pipeline.extraction_metrics``);
+- ``sessionize_conversations``: custom stateful operator via
+  ``applyInPandasWithState`` — groups turns into per-conversation
+  sessions (closed after ``gap`` of event-time silence), emitting one
+  row per closed session with turn count and span. This is the shape
+  the reference's per-document grouping (main.py:455-474) takes under
+  continuous arrival.
+
+At scale: the file source lists incrementally; watermarks bound state;
+the sessionizer's state is per conv_id (hash-distributed, skew spread
+across executors by Spark's state store partitioning on the group key).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ocr_spark.pipeline import EXTRACTED_SCHEMA, TRANSCRIPT_SCHEMA, _extract_batches
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("first_turn_idx", T.IntegerType()),
+        T.StructField("last_turn_idx", T.IntegerType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("last_ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = "n_turns INT, first_turn_idx INT, last_turn_idx INT, first_ts DOUBLE, last_ts DOUBLE"
+
+
+def stream_transcripts(spark: SparkSession, path: str, files_per_trigger: int = 64) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(path)
+    )
+
+
+def extract_stream(transcripts: DataFrame) -> DataFrame:
+    """The batch extraction stage, verbatim, on a streaming DataFrame."""
+    return transcripts.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+
+
+def windowed_metrics_stream(
+    extracted: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    return (
+        extracted.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("turns"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .select(F.col("w.start").alias("win_start"), "turns", "blocks_kept",
+                "blocks_dropped", "parse_failures")
+    )
+
+
+SESSION_GAP_MS = 10 * 60 * 1000  # close a session after 10 min of silence
+
+
+def _sessionize(
+    key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    if state.hasTimedOut:
+        n, first_i, last_i, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns": [n],
+                "first_turn_idx": [first_i],
+                "last_turn_idx": [last_i],
+                "first_ts": [pd.Timestamp(first_ts, unit="s")],
+                "last_ts": [pd.Timestamp(last_ts, unit="s")],
+            }
+        )
+        return
+    n, first_i, last_i, first_ts, last_ts = (
+        state.get if state.exists else (0, None, None, None, None)
+    )
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts = pdf["ts"].astype("int64") / 1e9
+        n += len(pdf)
+        lo_i, hi_i = int(pdf["turn_idx"].min()), int(pdf["turn_idx"].max())
+        first_i = lo_i if first_i is None else min(first_i, lo_i)
+        last_i = hi_i if last_i is None else max(last_i, hi_i)
+        lo_t, hi_t = float(ts.min()), float(ts.max())
+        first_ts = lo_t if first_ts is None else min(first_ts, lo_t)
+        last_ts = hi_t if last_ts is None else max(last_ts, hi_t)
+    state.update((n, first_i, last_i, first_ts, last_ts))
+    # event-time timeout: the session closes when the stream's watermark
+    # passes last event + gap — per-conversation silence, not wall clock.
+    state.setTimeoutTimestamp(int((last_ts or 0) * 1000) + SESSION_GAP_MS)
+    return
+    yield  # generator form required by applyInPandasWithState
+
+
+def sessionize_conversations(transcripts: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """One output row per conversation session, emitted when the
+    conversation has been silent for SESSION_GAP_MS of event time
+    (watermark-driven — late data within the watermark still joins its
+    session). The streaming form of the reference's per-document
+    grouping (main.py:455-474)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Drain everything currently available, then stop (the batch-like
+    trigger used by tests and backfills)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -28,8 +28,9 @@ cores = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark(f"scaling_{{cores}}", master=f"local[{{cores}}]")
 df = spark.read.parquet(path)
 n = df.count()
-# warm the JVM + Python workers once, then measure
-extract_transcripts(df.limit(2000)).write.format("noop").mode("overwrite").save()
+# warm-up: one FULL pass so every core's Python worker is started and
+# module imports are paid before the measured run (worker reuse is on)
+extract_transcripts(df).write.format("noop").mode("overwrite").save()
 t0 = time.time()
 extract_transcripts(df).write.format("noop").mode("overwrite").save()
 dt = time.time() - t0
@@ -50,13 +51,11 @@ def run(cores: int, path: str) -> dict:
 
 
 def main() -> None:
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else int(
-        os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000")
-    )
-    # ensure the cached corpus exists (built with a full-size session)
     sys.path.insert(0, REPO)
-    from bench import bench_transcripts_path
+    from bench import BENCH_CONVS, bench_transcripts_path
     from ocr_spark.session import get_spark
+
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else BENCH_CONVS
 
     spark = get_spark("scaling_gen")
     path = bench_transcripts_path(spark, n_convs)

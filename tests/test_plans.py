@@ -1,0 +1,58 @@
+"""Physical-plan efficiency assertions (SURVEY.md §4): broadcasts happen,
+filters/projections reach the parquet scan, the extract stage adds no
+shuffle, and dedup costs exactly its one algebraic shuffle."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.data.generate import credential_mapping_pdf, state_credential_pdf
+from ocr_spark.operators.classify import classify_pipeline
+from ocr_spark.operators.dedup import exact_dedup
+from ocr_spark.pipeline import extract_transcripts
+from ocr_spark.plans import checks
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_broadcast_join_in_classify(spark, small_corpus):
+    extracted = extract_transcripts(spark.createDataFrame(small_corpus["transcripts"]))
+    out = classify_pipeline(
+        extracted,
+        spark.createDataFrame(small_corpus["mapping"]),
+        spark.createDataFrame(small_corpus["state"]),
+        spark.createDataFrame(small_corpus["conv_meta"][["conv_id", "venue_state"]]),
+    )
+    assert checks.has_broadcast_join(out)
+    assert not checks.has_sort_merge_join(out)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    pushed = checks.pushed_filters(q)
+    assert "o_orderstatus" in pushed, pushed
+    cols = checks.read_schema_columns(q)
+    assert set(cols) == {"o_orderkey", "o_totalprice", "o_orderstatus"}, cols
+
+
+def test_extract_stage_is_shuffle_free(spark, small_corpus):
+    transcripts = spark.createDataFrame(small_corpus["transcripts"])
+    out = extract_transcripts(transcripts)  # no repartition arg -> scan-aligned
+    assert checks.count_exchanges(out) == 0
+
+
+def test_exact_dedup_costs_one_shuffle(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = exact_dedup(docs, "text", "doc_id")
+    assert checks.count_exchanges(out) == 1
+
+
+def test_small_dim_join_autobroadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    q = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_name"
+    )
+    assert checks.has_broadcast_join(q)
+    assert checks.count_exchanges(q) == 0
+
+    assert checks.codegen_stage_count(q) >= 1

@@ -1,0 +1,91 @@
+"""Streaming surface: stream==batch extraction parity, watermarked
+windowed metrics, event-time sessionization via applyInPandasWithState."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from ocr_spark.data.generate import gen_transcripts_pdf
+from ocr_spark.pipeline import extract_transcripts
+from ocr_spark.streaming.extract_stream import (
+    extract_stream,
+    run_available_now,
+    sessionize_conversations,
+    stream_transcripts,
+    windowed_metrics_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory, spark):
+    """Two file drops: batch-0 = the real corpus, batch-1 = one sentinel
+    conversation a day later (advances the watermark past every batch-0
+    window and session gap)."""
+    root = tmp_path_factory.mktemp("stream")
+    src = str(root / "src")
+    pdf = gen_transcripts_pdf(12, seed=7, skew_factor=4)
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    sentinel = pdf.iloc[:1].copy()
+    sentinel["conv_id"] = "conv_sentinel"
+    sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=1)
+    spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(src)
+    return {"root": root, "src": src, "pdf": pdf}
+
+
+def test_stream_extraction_matches_batch(spark, stream_dirs):
+    out = str(stream_dirs["root"] / "out")
+    ckpt = str(stream_dirs["root"] / "ckpt")
+    stream = extract_stream(stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1))
+    run_available_now(stream.drop("spans", "records"), out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .filter("conv_id != 'conv_sentinel'")
+        .select("conv_id", "turn_idx", "clean_text", "blocks_kept", "parse_failures")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_transcripts(spark.createDataFrame(stream_dirs["pdf"]))
+        .select("conv_id", "turn_idx", "clean_text", "blocks_kept", "parse_failures")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_windowed_metrics_emit_closed_windows(spark, stream_dirs):
+    out = str(stream_dirs["root"] / "metrics_out")
+    ckpt = str(stream_dirs["root"] / "metrics_ckpt")
+    stream = windowed_metrics_stream(
+        extract_stream(stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1)),
+        window="10 minutes",
+        watermark="5 minutes",
+    )
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out).toPandas()
+    # every batch-0 window is closed by the sentinel's day-later watermark
+    assert got["turns"].sum() == len(stream_dirs["pdf"])
+    assert (got["turns"] > 0).all()
+
+
+def test_sessionize_closes_quiet_conversations(spark, stream_dirs):
+    out = str(stream_dirs["root"] / "sess_out")
+    ckpt = str(stream_dirs["root"] / "sess_ckpt")
+    stream = sessionize_conversations(
+        stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1)
+    )
+    run_available_now(stream, out, ckpt)
+    got = spark.read.parquet(out).toPandas()
+    pdf = stream_dirs["pdf"]
+    # all 12 batch-0 conversations closed (sentinel stays open: nothing after it)
+    assert set(got["conv_id"]) == set(pdf["conv_id"])
+    sizes = pdf.groupby("conv_id")["turn_idx"].agg(["count", "min", "max"])
+    for _, row in got.iterrows():
+        assert row["n_turns"] == sizes.loc[row["conv_id"], "count"]
+        assert row["first_turn_idx"] == sizes.loc[row["conv_id"], "min"]
+        assert row["last_turn_idx"] == sizes.loc[row["conv_id"], "max"]
