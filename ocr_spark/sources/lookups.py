@@ -1,0 +1,69 @@
+"""Lookup/dimension sources: pipe-delimited CSV scan + lookup bootstrap.
+
+Reference analogs:
+- S2: the 249-column Concur extract loaded all-string
+  (`pd.read_csv(..., sep="|", dtype=str)`,
+  /root/reference/app/services/data_extraction_service.py:21-25) —
+  ``load_pipe_csv`` keeps the same all-string contract (schema
+  inference off) so downstream casts are explicit, then projects early
+  (Catalyst prunes the scan to the selected columns).
+- S10: the mapping-file bootstrap (build the Excel lookup from DB when
+  missing, /root/reference/main.py:66-84) — ``bootstrap_lookup_parquet``
+  materializes a lookup DataFrame to parquet once, load-if-exists.
+
+All lookups here are broadcast-sized dims: read once, `F.broadcast` at
+the join site (never shuffled at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_pipe_csv(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """All-string pipe-delimited CSV scan (S2 contract: dtype=str, no
+    inference — malformed numerics surface at the explicit cast, not as
+    silent schema drift)."""
+    df = (
+        spark.read.option("sep", "|")
+        .option("header", True)
+        .option("inferSchema", False)
+        .csv(path)
+    )
+    if columns:
+        present = [c for c in columns if c in df.columns]
+        df = df.select(*present)  # early projection; warn-and-degrade on
+        # missing columns mirrors data_extraction_service.py:71-78
+    return df
+
+
+def strip_key_column(df: DataFrame, key: str) -> DataFrame:
+    """The reference strips whitespace on its key column at load
+    (data_extraction_service.py:25)."""
+    return df.withColumn(key, F.trim(F.col(key)))
+
+
+def bootstrap_lookup_parquet(
+    spark: SparkSession, path: str, build: "callable"
+) -> DataFrame:
+    """Load a lookup from parquet; if absent, build it (driver-side
+    pandas), persist once, then read back (S10: build-from-source-of-
+    truth-when-missing, main.py:66-84)."""
+    if not os.path.exists(path):
+        pdf = build()
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def coerce_company_id(df: DataFrame, col: str = "company_id") -> DataFrame:
+    """String->int company id with garbage/UUID fallback to 1
+    (data_extraction_service.py:177-193): try_cast returns null on
+    non-numeric input, coalesced to the default."""
+    return df.withColumn(
+        col, F.coalesce(F.col(col).try_cast("int"), F.lit(1))
+    )

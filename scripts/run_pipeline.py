@@ -1,0 +1,75 @@
+"""spark-submit entry point for the full extraction+classification job.
+
+Production deploy shape (north_rule):
+
+    spark-submit --py-files ocr_spark.zip scripts/run_pipeline.py \
+        --input  <transcripts parquet/Iceberg path> \
+        --output <output root> \
+        --mapping <credential mapping parquet> \
+        --state <state credential parquet> \
+        [--conv-meta <per-conv metadata parquet>] \
+        [--buckets 4096] [--no-resume]
+
+The job is checkpointed: per-conversation-bucket completion markers with
+lineage metrics land under ``<output>/markers``; a rerun after failure
+processes only incomplete buckets (ocr_spark.checkpoint). On a cluster,
+data+markers are Iceberg tables; here they are partitioned parquet with
+the same commit ordering.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from ocr_spark.checkpoint import run_with_checkpoint
+from ocr_spark.operators.classify import classify_pipeline
+from ocr_spark.pipeline import extract_transcripts, load_transcripts
+from ocr_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--mapping", required=True)
+    ap.add_argument("--state", required=True)
+    ap.add_argument("--conv-meta", default=None)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("extract_pipeline")
+    transcripts = load_transcripts(spark, args.input)
+    mapping = spark.read.parquet(args.mapping)
+    state = spark.read.parquet(args.state)
+    conv_meta = (
+        spark.read.parquet(args.conv_meta).select("conv_id", "venue_state")
+        if args.conv_meta
+        else None
+    )
+
+    def process(df):
+        extracted = extract_transcripts(df)
+        return classify_pipeline(extracted, mapping, state, conv_meta)
+
+    out = args.output
+    if args.no_resume:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.time()
+    stats = run_with_checkpoint(
+        spark, transcripts, process, out, n_buckets=args.buckets
+    )
+    stats["wall_sec"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Fast regression guard over the driver contract: a subset of
+__spark_entry__.queries() vs their DuckDB oracle twins at sf0.001.
+The full set runs via ``python scripts/check_entry.py`` (sf0.01)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+SUBSET = [
+    "a2_count_by_class",
+    "a7_ordered_dedup",
+    "t1_key_extraction",
+    "w_tumbling_window",
+    "tx_text_stats",
+    "dd_exact_dedup",
+    "sim_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, con, name):
+    sdf = E.queries()[name](spark, SF).toPandas()
+    odf = con.sql(E.oracle_sql()[name]).df()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    a = sdf[sorted(sdf.columns)].astype(str).sort_values(list(sorted(sdf.columns))).reset_index(drop=True)
+    b = odf[sorted(odf.columns)].astype(str).sort_values(list(sorted(odf.columns))).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert {"conv_id", "turn_idx", "Name", "Classification"} <= set(df.columns)
