@@ -106,22 +106,22 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
         cur = _Block()
         cur.dropped_ctx = drop_depth > 0
 
-    while pos < n:
-        m = _TAG.search(payload, pos)
-        seg_end = m.start() if m else n
+    # single left-to-right scan (finditer) — one regex pass over the
+    # payload instead of a fresh .search per segment
+    for m in _TAG.finditer(payload):
+        seg_end = m.start()
         if seg_end > pos:
             raw = payload[pos:seg_end]
-            if raw.strip():
+            stripped = raw.strip()
+            if stripped:
                 if cur.start < 0:
-                    cur.start = pos + (len(raw) - len(raw.lstrip()))
+                    cur.start = pos + raw.index(stripped[0])
                 cur.end = pos + len(raw.rstrip())
                 cur.parts.append(raw)
                 if link_depth > 0:
                     cur.link_chars += len(collapse_ws(raw))
                 if drop_depth > 0:
                     cur.dropped_ctx = True
-        if not m:
-            break
         closing, name, _attrs, self_close = m.groups()
         name = name.lower()
         if name in BLOCK_TAGS:
@@ -138,6 +138,18 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
         elif name == "a" and not self_close:
             link_depth = link_depth + 1 if not closing else max(0, link_depth - 1)
         pos = m.end()
+    if pos < n:
+        raw = payload[pos:n]
+        stripped = raw.strip()
+        if stripped:
+            if cur.start < 0:
+                cur.start = pos + raw.index(stripped[0])
+            cur.end = pos + len(raw.rstrip())
+            cur.parts.append(raw)
+            if link_depth > 0:
+                cur.link_chars += len(collapse_ws(raw))
+            if drop_depth > 0:
+                cur.dropped_ctx = True
     flush()
 
     kept_texts: List[str] = []

@@ -8,12 +8,16 @@ row-at-a-time ``classify_credential`` at classification_service.py:262-331):
 1. Explode per-turn parsed records (posexplode keeps record order).
 2. Normalize the OCR credential into a join key with BUILT-IN column
    functions (regexp_replace/upper/trim — stays in whole-stage codegen).
-3. ONE broadcast hash join against a unioned key table: every mapping row
-   contributes its ``PossibleNames`` key (kind 0) and its ``Credential``
-   key (kind 1). Picking the match with the smallest ``(kind, row_id)``
-   per record via a ranking window reproduces the reference's cascade
-   "rule 1 over all rows, then rule 2, first row wins" exactly while
-   costing a single join + one shuffle.
+3. ONE broadcast hash join against a PRE-AGGREGATED key table: every
+   mapping row contributes its ``PossibleNames`` key (kind 0) and its
+   ``Credential`` key (kind 1); the key table is grouped to one row per
+   ``(key, company)`` carrying an array of candidate structs sorted by
+   ``(kind, row_id)``. The probe join is therefore 1:at-most-1 — no
+   fact-side ranking window, no shuffle — and the reference's cascade
+   "rule 1 over all rows, then rule 2, first eligible row wins" is the
+   FIRST ELIGIBLE element of the sorted array (``F.filter`` +
+   ``element_at``, evaluated in whole-stage codegen). The aggregation
+   runs on the tiny mapping dim, never on the fact table.
 4. State compliance (classification_service.py:104-157): eligibility is
    a join-side predicate — CredentialID must be in the venue state's
    valid set ∪ {1,2}; a null/unknown state disables filtering
@@ -92,6 +96,16 @@ def mapping_key_table(mapping: DataFrame) -> DataFrame:
         "m_row_id", "m_cred_id", "m_credential", "m_classification", "m_company_id",
     )
     return k0.unionByName(k1)
+
+
+def candidate_table(keys: DataFrame) -> DataFrame:
+    """One row per (key, company) with candidates sorted by (kind, row_id)
+    — struct field order IS the sort order. Tiny (mapping-sized); makes
+    the fact-side probe join 1:at-most-1."""
+    cand = F.struct("m_kind", "m_row_id", "m_cred_id", "m_credential", "m_classification")
+    return keys.groupBy("m_key", "m_company_id").agg(
+        F.array_sort(F.collect_list(cand)).alias("m_cands")
+    )
 
 
 def state_ids_table(state_credential: DataFrame) -> DataFrame:
@@ -229,26 +243,35 @@ def classify_records(
         "left",
     )
 
-    eligible = (
-        F.col("valid_ids").isNull()
-        | F.col("m_cred_id").isin(*ALWAYS_VALID_IDS)
-        | F.array_contains(F.col("valid_ids"), F.col("m_cred_id"))
-    )
     joined = recs.join(
-        F.broadcast(keys),
+        F.broadcast(candidate_table(keys)),
         (F.col("cred_key") == F.col("m_key"))
-        & (F.col("company_id") == F.col("m_company_id"))
-        & eligible,
+        & (F.col("company_id") == F.col("m_company_id")),
         "left",
     )
-    w = Window.partitionBy("conv_id", "turn_idx", "record_idx").orderBy(
-        F.col("m_kind").asc_nulls_last(), F.col("m_row_id").asc_nulls_last()
-    )
-    exact = (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "m_key", "state_key")
-    )
+
+    # First ELIGIBLE candidate in (kind, row_id) order — the cascade's
+    # "rule 1 first, first eligible row wins" without any fact-side
+    # window/shuffle. Eligibility (F3): state's valid set ∪ {1,2}; no
+    # state -> no filtering.
+    def _eligible(x):
+        always = x["m_cred_id"] == ALWAYS_VALID_IDS[0]
+        for v in ALWAYS_VALID_IDS[1:]:
+            always = always | (x["m_cred_id"] == v)
+        return (
+            F.col("valid_ids").isNull()
+            | always
+            | F.array_contains(F.col("valid_ids"), x["m_cred_id"])
+        )
+
+    best = F.try_element_at(F.filter(F.col("m_cands"), _eligible), F.lit(1))
+    exact = joined.select(
+        "*",
+        best.getField("m_kind").alias("m_kind"),
+        best.getField("m_row_id").alias("m_row_id"),
+        best.getField("m_credential").alias("m_credential"),
+        best.getField("m_classification").alias("m_classification"),
+    ).drop("m_key", "m_cands", "state_key")
 
     # Fuzzy fallback only where exact missed and the needle is long enough.
     mapping_rows = [
