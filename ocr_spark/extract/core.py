@@ -43,6 +43,12 @@ from .pdf_layout import extract_pdf_layout
 Span = Tuple[int, int, str]
 Record = Tuple[str, str, str]  # (Name, Credential_OCR, Signature)
 
+# D2 analog: the reference caps page images at 4096px to bound per-item
+# encoder cost (pdf_processing_service.py:43-67, gemini_client.py:119-145);
+# the text analog caps payload chars per turn. Truncation is counted, not
+# silent (truncated_chars metric).
+MAX_PAYLOAD_CHARS = 1_000_000
+
 KIND_HTML = "html"
 KIND_PDF = "pdf_layout"
 KIND_RECORDS = "records"
@@ -77,6 +83,10 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
     - ``blocks_kept`` / ``blocks_dropped`` / ``parse_failures``: metrics
     """
     payload = text or ""
+    truncated_chars = 0
+    if len(payload) > MAX_PAYLOAD_CHARS:
+        truncated_chars = len(payload) - MAX_PAYLOAD_CHARS
+        payload = payload[:MAX_PAYLOAD_CHARS]
     kind = tool if tool in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN) else KIND_PLAIN
 
     records: List[Record] = []
@@ -106,4 +116,5 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         "blocks_kept": int(kept),
         "blocks_dropped": int(dropped),
         "parse_failures": int(parse_failures),
+        "truncated_chars": int(truncated_chars),
     }

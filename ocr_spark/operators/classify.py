@@ -142,6 +142,35 @@ def explode_records(extracted: DataFrame) -> DataFrame:
     )
 
 
+def apply_credential_hints(records: DataFrame, hints: DataFrame) -> DataFrame:
+    """J8/D8 analog: the reference ships per-conversation credential hints
+    (expected attendee name -> credential,
+    data_extraction_service.py:217-226) into the OCR prompt, so hinted
+    names come back with their credential filled in. The rebuild applies
+    the same map as a broadcast lookup: a record whose parsed credential
+    is EMPTY (the ``[]`` rule, classification_service.py:207-209) and
+    whose name has a hint takes the hinted credential BEFORE the
+    classification cascade (which then standardizes it normally).
+
+    ``hints``: DataFrame(conv_id, name_hints: map<string,string>).
+    """
+    h = hints.select(
+        "conv_id",
+        F.map_from_arrays(
+            F.transform(F.map_keys("name_hints"), lambda k: F.upper(F.trim(k))),
+            F.map_values("name_hints"),
+        ).alias("_hints"),
+    )
+    hinted = records.join(F.broadcast(h), "conv_id", "left")
+    hint_val = F.element_at(F.col("_hints"), F.upper(F.trim(F.col("Name"))))
+    return hinted.withColumn(
+        "Credential_OCR",
+        F.when(
+            (F.trim(F.col("Credential_OCR")) == "") & hint_val.isNotNull(), hint_val
+        ).otherwise(F.col("Credential_OCR")),
+    ).drop("_hints")
+
+
 def _make_fuzzy_udf(mapping_rows, state_ids_map):
     """Pandas UDF closure over broadcast-able plain-Python lookup data.
 
@@ -379,8 +408,11 @@ def classify_pipeline(
     mapping: DataFrame,
     state_credential: DataFrame,
     conv_meta: Optional[DataFrame] = None,
+    hints: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """explode -> cascade -> override -> ordered dedup, stable order."""
+    """explode -> [hints] -> cascade -> override -> ordered dedup, stable order."""
     recs = explode_records(extracted)
+    if hints is not None:
+        recs = apply_credential_hints(recs, hints)
     classified = classify_records(recs, mapping, state_credential, conv_meta)
     return dedup_first_per_name(classified).orderBy("conv_id", "turn_idx", "record_idx")

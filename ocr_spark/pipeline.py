@@ -76,6 +76,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("blocks_kept", T.IntegerType()),
         T.StructField("blocks_dropped", T.IntegerType()),
         T.StructField("parse_failures", T.IntegerType()),
+        T.StructField("truncated_chars", T.IntegerType()),
     ]
 )
 
@@ -98,6 +99,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "blocks_kept": [0] * n,
             "blocks_dropped": [0] * n,
             "parse_failures": [0] * n,
+            "truncated_chars": [0] * n,
         }
         texts = pdf["text"].tolist()
         tools = pdf["tool"].tolist()
@@ -116,6 +118,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["blocks_kept"][i] = r["blocks_kept"]
             out["blocks_dropped"][i] = r["blocks_dropped"]
             out["parse_failures"][i] = r["parse_failures"]
+            out["truncated_chars"][i] = r["truncated_chars"]
         yield pd.DataFrame(out)
 
 
@@ -148,5 +151,6 @@ def extraction_metrics(extracted: DataFrame) -> DataFrame:
             F.sum("blocks_kept").alias("blocks_kept"),
             F.sum("blocks_dropped").alias("blocks_dropped"),
             F.sum("parse_failures").alias("parse_failures"),
+            F.sum("truncated_chars").alias("truncated_chars"),
         )
     )

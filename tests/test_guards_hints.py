@@ -1,0 +1,62 @@
+"""D2 payload-size guard + J8/D8 credential-hints operator."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.extract import core
+from ocr_spark.operators.classify import apply_credential_hints, explode_records
+from ocr_spark.pipeline import extract_transcripts
+
+
+def test_payload_guard_truncates_and_counts():
+    big = "word " * 300_000  # 1.5M chars
+    r = core.extract_turn(big, "plain")
+    assert r["truncated_chars"] == len(big) - core.MAX_PAYLOAD_CHARS
+    assert len(r["clean_text"]) <= core.MAX_PAYLOAD_CHARS
+    small = core.extract_turn("hello world", "plain")
+    assert small["truncated_chars"] == 0
+
+
+def test_guard_metric_flows_through_pipeline(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": pd.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["short text here", "x" * (core.MAX_PAYLOAD_CHARS + 5000)],
+            "tool": ["plain", "plain"],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-01"]),
+        }
+    )
+    out = extract_transcripts(spark.createDataFrame(pdf)).orderBy("turn_idx").collect()
+    assert out[0]["truncated_chars"] == 0
+    assert out[1]["truncated_chars"] == 5000
+
+
+def _records_fixture(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["tool"],
+            "text": ["- Jane Doe, [], [signature present]\n- Bob Roe, MD, []\n- Ann Poe, [], []"],
+            "tool": ["records"],
+            "ts": pd.to_datetime(["2024-01-01"]),
+        }
+    )
+    return explode_records(extract_transcripts(spark.createDataFrame(pdf)))
+
+
+def test_hints_fill_only_empty_credentials(spark):
+    recs = _records_fixture(spark)
+    hints = spark.createDataFrame(
+        [("c1", {"jane doe": "RN", "Bob Roe": "DO"})],
+        "conv_id string, name_hints map<string,string>",
+    )
+    got = {
+        r["Name"]: r["Credential_OCR"]
+        for r in apply_credential_hints(recs, hints).collect()
+    }
+    assert got["Jane Doe"] == "RN"  # empty + hinted (case-insensitive key)
+    assert got["Bob Roe"] == "MD"  # non-empty: hint must NOT override
+    assert got["Ann Poe"] == ""  # empty, no hint

@@ -1,0 +1,35 @@
+"""Skew handling: a heavy-hitter conversation must spread across tasks
+in the extract stage (full-key repartition), while conversation-level
+dedup still sees whole conversations (hash on conv_id alone)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.checkpoint import bucket_col
+from ocr_spark.data.generate import gen_transcripts_pdf
+from ocr_spark.pipeline import extract_transcripts
+
+
+def test_skewed_conversation_spreads_across_partitions(spark):
+    # conv 0 is the generator's heavy hitter (100x the median turns)
+    pdf = gen_transcripts_pdf(20, seed=42, skew_factor=100)
+    df = spark.createDataFrame(pdf)
+    out = extract_transcripts(df, repartition=8)
+    per_part = (
+        out.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv_00000000")
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # the 800-turn conversation must not pin one task
+    assert len(per_part) >= 6, per_part
+    counts = [r["count"] for r in per_part]
+    assert max(counts) < sum(counts) * 0.5
+
+
+def test_bucketing_keeps_conversations_atomic(spark):
+    pdf = gen_transcripts_pdf(30, seed=1, skew_factor=5)
+    df = spark.createDataFrame(pdf).withColumn("b", bucket_col(8))
+    n_pairs = df.select("conv_id", "b").distinct().count()
+    n_convs = df.select("conv_id").distinct().count()
+    assert n_pairs == n_convs  # each conv maps to exactly one bucket
