@@ -122,6 +122,46 @@ def _q_f3_inlist_union12(spark, sf_dir):
     )
 
 
+def _q_f1_key_filter_projection(spark, sf_dir):
+    # F1: key-equality filter + early projection (reaches the scan:
+    # PushedFilters + pruned ReadSchema, see tests/test_plans.py)
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+def _q_j9_conditional_override(spark, sf_dir):
+    # J9: name-equality override as conditional update, no join
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.when(
+            F.col("c_mktsegment") == "BUILDING", F.lit("Field Employee")
+        ).otherwise(F.col("c_mktsegment")).alias("segment_out"),
+    )
+
+
+def _q_a4_distinct_list(spark, sf_dir):
+    # A4: distinct vocabulary of a column
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority")
+    ).distinct()
+
+
+def _q_o3_argmax_per_group(spark, sf_dir):
+    # O3: top-1 by score per group (argmax), deterministic tie-break
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("best_orderkey"))
+    )
+
+
 def _q_f7_first_per_key(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -359,8 +399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_left_outer_default": _q_j2_left_outer_default,
         "j3_semi_distinct": _q_j3_semi_distinct,
         "j4_coalesce_cascade": _q_j4_coalesce_cascade,
+        "f1_key_filter_projection": _q_f1_key_filter_projection,
         "f3_inlist_union12": _q_f3_inlist_union12,
         "f7_first_per_key": _q_f7_first_per_key,
+        "j9_conditional_override": _q_j9_conditional_override,
+        "a4_distinct_list": _q_a4_distinct_list,
+        "o3_argmax_per_group": _q_o3_argmax_per_group,
         "a2_count_by_class": _q_a2_count_by_class,
         "a1_pricing_summary": _q_a1_pricing_summary,
         "a7_ordered_dedup": _q_a7_ordered_dedup,
@@ -448,6 +492,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem "
             "LEFT JOIN (SELECT * FROM part WHERE p_size > 25) p ON l_partkey = p_partkey "
             "LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 0) s ON l_suppkey = s_suppkey"
+        ),
+        "f1_key_filter_projection": (
+            "SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price "
+            "FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "j9_conditional_override": (
+            "SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' "
+            "THEN 'Field Employee' ELSE c_mktsegment END AS segment_out FROM customer"
+        ),
+        "a4_distinct_list": (
+            "SELECT DISTINCT o_orderpriority AS priority FROM orders"
+        ),
+        "o3_argmax_per_group": (
+            "SELECT o_custkey, best_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey AS best_orderkey, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1"
         ),
         "f3_inlist_union12": (
             "SELECT l_orderkey, l_linenumber, l_suppkey FROM lineitem "
