@@ -19,7 +19,11 @@ row-count + schema + value-hash):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -34,12 +38,38 @@ from ocr_spark.pipeline import extract_transcripts
 SMOKE_CONVS = 120  # ~1k turns: entry() smoke scale
 QUERY_CONVS = 300  # ~2.5k turns: rows-only correctness scale
 
+_PYFILES_SENT: set = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship ocr_spark to executors (the --py-files mechanism, inline) so
+    pandas-UDF closures resolve regardless of the driver's cwd/session."""
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PYFILES_SENT:
+        return
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "ocr_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(repo, "ocr_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, repo))
+    sc.addPyFile(zpath)
+    _PYFILES_SENT.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def _fixture_transcripts(spark: SparkSession, n_convs: int) -> DataFrame:
+    _ensure_pyfiles(spark)
     pdf = G.gen_transcripts_pdf(n_convs, seed=42, skew_factor=10)
     return spark.createDataFrame(pdf)
 
@@ -323,6 +353,7 @@ def _dup_corpus(spark, sf_dir):
 
 
 def _q_dd_ngram_jaccard(spark, sf_dir):
+    _ensure_pyfiles(spark)
     return DD.ngram_jaccard_pairs(
         _dup_corpus(spark, sf_dir), "text", "doc_id", threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
@@ -373,12 +404,14 @@ def _q_ex_classify_records(spark, sf_dir):
 
 
 def _q_dd_minhash_neardups(spark, sf_dir):
+    _ensure_pyfiles(spark)
     return DD.minhash_near_dups(
         _dup_corpus(spark, sf_dir), "text", "doc_id", jaccard_threshold=0.5
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_dd_simhash_neardups(spark, sf_dir):
+    _ensure_pyfiles(spark)
     return DD.simhash_near_dups(_dup_corpus(spark, sf_dir), "text", "doc_id", 6)
 
 

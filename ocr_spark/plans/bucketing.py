@@ -1,0 +1,41 @@
+"""Bucketed co-located joins: the no-shuffle path for repeated big joins.
+
+At 100 TB, a fact-fact equi-join (e.g. turns ⋈ per-turn annotations, or
+lineitem ⋈ orders) shuffles both sides every run. Writing both tables
+bucketed by the join key (same bucket count) makes the join shuffle-free
+FOREVER after: Spark's scan reports the bucketed hash partitioning, and
+EnsureRequirements inserts no Exchange (verified by
+tests/test_plans.py::test_bucketed_join_is_shuffle_free).
+
+The reference has no analog (single-node pandas); this is the Spark-first
+answer to its repeated per-key probes (SURVEY §2.3 J1 at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (+ optionally sorted) managed table.
+
+    Sorting within buckets additionally removes the Sort before
+    sort-merge joins and enables efficient merge of pre-ordered turns.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on their bucket key — no Exchange."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

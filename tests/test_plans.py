@@ -46,6 +46,27 @@ def test_exact_dedup_costs_one_shuffle(spark):
     assert checks.count_exchanges(out) == 1
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from ocr_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        write_bucketed(li.select("l_orderkey", "l_quantity"), "b_li", ["l_orderkey"], 8)
+        write_bucketed(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"),
+            "b_ord", ["l_orderkey"], 8,
+        )
+        j = bucketed_join(spark, "b_li", "b_ord", ["l_orderkey"])
+        assert checks.count_exchanges(j) == 0, checks.formatted_plan(j)[:600]
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
 def test_small_dim_join_autobroadcasts(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     part = spark.read.parquet(f"{SF}/part.parquet")
