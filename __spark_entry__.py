@@ -368,6 +368,29 @@ def _q_sim_cosine_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def _dup_embeddings(spark, sf_dir):
+    """embeddings ∪ exact clones (id+1000000) — SQL-expressible, so the
+    near-dup pair set is hash-verifiable (clone pairs have cosine 1)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return emb.unionByName(clones)
+
+
+def _q_sim_cosine_pairs(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    return SIM.embedding_near_dups(
+        _dup_embeddings(spark, sf_dir), threshold=0.95, h=None
+    ).select("id_a", "id_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _q_sim_ivf_topk(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    out = SIM.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3)
+    return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
 def _q_fz_levenshtein(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     a = region.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("name_a"))
@@ -453,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "sim_cosine_topk": _q_sim_cosine_topk,
+        "sim_cosine_pairs": _q_sim_cosine_pairs,
         "fz_levenshtein": _q_fz_levenshtein,
         # rows-only:
         "ex_extract_turns": _q_ex_extract_turns,
@@ -460,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_neardups": _q_dd_minhash_neardups,
         "dd_simhash_neardups": _q_dd_simhash_neardups,
         "sim_knn_join": _q_sim_knn_join,
+        "sim_ivf_topk": _q_sim_ivf_topk,
     }
 
 
@@ -632,6 +657,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings "
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC, "
             "vec_id LIMIT 10"
+        ),
+        "sim_cosine_pairs": (
+            "WITH corpus AS ("
+            "SELECT vec_id, embedding FROM embeddings "
+            "UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS cosine_sim "
+            "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
+            "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.95"
         ),
         "fz_levenshtein": (
             "SELECT a.r_name AS name_a, b.r_name AS name_b, "

@@ -1,25 +1,37 @@
 """Similarity search over embedding columns (array<float>).
 
 - ``cosine_topk``: brute-force cosine top-k against a constant query
-  vector, entirely with built-in higher-order functions
-  (``zip_with`` dot product + ``aggregate`` norms) — JVM-side, codegen,
-  no Python. Exact baseline.
-- ``lsh_bucketed_topk``: the scale path — random-hyperplane signatures
-  (h sign bits against deterministic seeded planes) computed with the
-  same built-ins; the query probes only its own bucket (plus optional
-  hamming-1 neighbors). At 100 TB the bucket join replaces a full scan.
+  vector. Exact baseline.
+- ``cosine_scores_udf``: numpy-vectorized scoring (one BLAS matvec per
+  Arrow batch). Column higher-order functions (``zip_with``/
+  ``aggregate``) are interpreted per element in Spark — the numpy path
+  is the hot-path implementation; the HOF column builders are kept for
+  composition inside pure-SQL plans.
+- ``lsh_bucketed_topk``: scale path #1 — random-hyperplane signatures
+  (h sign bits against deterministic seeded planes); the query probes
+  only its own bucket (plus optional hamming-1 neighbors).
+- ``ivf_topk`` / ``ivf_assign``: scale path #2 — IVF: k-means coarse
+  centroids (pyspark.ml, seeded), each vector assigned to its nearest
+  centroid (one shuffle-free numpy UDF); a query scans only the
+  ``n_probe`` nearest inverted lists. At 100 TB the assignment column
+  becomes the table's partition key, so a probe prunes partitions.
 - ``knn_join``: batch top-k for MANY query vectors — bucket-join then
   per-query ranking window (the ANN analog of a broadcast probe).
+- ``embedding_near_dups``: cosine near-duplicate pairs — exact
+  (cross-join, small sets / verification) or LSH-bucketed (scale).
 """
 
 from __future__ import annotations
 
 import math
 import random
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _vec_lit(vec: Sequence[float]) -> F.Column:
@@ -59,6 +71,129 @@ def cosine_topk(
         ),
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_scores_udf(query_vec: Sequence[float]):
+    """Vectorized cosine vs a constant query: one numpy matvec per Arrow
+    batch (the pandas-UDF fast path the HOF expressions can't match)."""
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf(T.DoubleType())
+    def _score(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.asarray(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        return pd.Series((m @ q) / (norms * qn))
+
+    return _score
+
+
+def ivf_centroids(
+    embeddings: DataFrame, vec_col: str = "embedding", n_centroids: int = 16,
+    seed: int = 7, sample_fraction: float = 1.0,
+) -> List[List[float]]:
+    """Coarse quantizer: seeded k-means (pyspark.ml) over (a sample of)
+    the corpus. Returns plain Python centroid lists (broadcastable)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = embeddings.select(array_to_vector(F.col(vec_col)).alias("features"))
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(df)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_assign_udf(centroids: List[List[float]]):
+    """list_id = argmin centroid distance, one numpy matmul per batch."""
+    c = np.asarray(centroids, dtype=np.float64)  # (k, d)
+    c_sq = (c * c).sum(axis=1)  # (k,)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, d)
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d2 = -2.0 * (m @ c.T) + c_sq
+        return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+    return _assign
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """IVF ANN: scan only the n_probe inverted lists nearest the query.
+
+    At corpus scale the ``ivf_list`` column is written as the partition
+    key, so the ``isin`` filter prunes partitions at the scan."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        embeddings, vec_col, n_centroids
+    )
+    c = np.asarray(cents, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    probe = np.argsort(((c - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    assigned = embeddings.withColumn("ivf_list", ivf_assign_udf(cents)(F.col(vec_col)))
+    cand = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
+    scored = cand.select(
+        F.col(id_col), cosine_scores_udf(query_vec)(F.col(vec_col)).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    h: Optional[int] = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (id_a < id_b, cosine_sim >= threshold).
+
+    ``h=None``: exact all-pairs (O(n^2) — small sets / the oracle path).
+    ``h=8`` (default): candidate pairs share a random-hyperplane bucket —
+    linear candidate generation at corpus scale (high-cosine pairs land
+    in the same bucket with probability (1 - theta/pi)^h)."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if h is None:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        planes = hyperplanes(dim, h)
+        sig = rh_signature_col
+        a = a.withColumn("sig", sig(F.col("va"), planes))
+        b = b.withColumn("sig", sig(F.col("vb"), planes))
+        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+
+    @F.pandas_udf(T.DoubleType())
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.asarray(va.tolist(), dtype=np.float64)
+        mb = np.asarray(vb.tolist(), dtype=np.float64)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series((ma * mb).sum(axis=1) / (na * nb))
+
+    return (
+        pairs.withColumn("cosine_sim", _pair_cos("va", "vb"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
 
 
 def hyperplanes(dim: int, h: int = 8, seed: int = 7) -> List[List[float]]:

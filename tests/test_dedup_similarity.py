@@ -95,3 +95,43 @@ def test_knn_join_ranks(spark, emb):
         assert rows[0].vec_id == q_id  # self is rank 1
         sims = [r.cosine_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_finds_self(spark):
+    from ocr_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).head()["embedding"]]
+    top = ivf_topk(emb, qvec, k=5, n_centroids=4, n_probe=2).collect()
+    assert top[0]["vec_id"] == 3  # the query's own vector wins
+    assert abs(top[0]["cosine_sim"] - 1.0) < 1e-9
+    sims = [r["cosine_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_near_dups_exact_vs_lsh(spark):
+    from ocr_spark.operators.similarity import embedding_near_dups
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(60)
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(corpus, threshold=0.999, h=None).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dups(corpus, threshold=0.999, h=8).collect()
+    }
+    clone_pairs = {(i, i + 1000) for i in range(60)}
+    assert clone_pairs <= exact
+    # identical vectors share every hyperplane sign -> LSH recall is 1.0 on clones
+    assert clone_pairs <= lsh
+    assert lsh <= exact
