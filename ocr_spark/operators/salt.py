@@ -1,0 +1,83 @@
+"""Explicit skew handling (north_rule: partitioning/shuffle/skew explicit).
+
+Three tools, each for a different skew shape:
+
+- ``salted_repartition``: spread a heavy key's rows over ``salt`` tasks
+  for per-row work (the extract stage's general form; with
+  salt = full turn cardinality this degenerates to the pipeline's
+  (conv_id, turn_idx) repartition — no task ever owns a whole heavy key).
+- ``skew_safe_distinct_count``: exact distinct-count per key without a
+  skewed single-reducer: phase 1 groups by (key, value) — spreading a
+  heavy key across reducers by value — phase 2 counts per key. Sums and
+  counts don't need this (Spark's hash aggregate does map-side partial
+  aggregation); operators WITHOUT partial aggregation (distinct,
+  collect_*) do.
+- ``skew_safe_collect_sorted``: collect_list per heavy key in two
+  phases: partial lists per (key, salt), concatenated and sorted once
+  per key — the reducer receives ``salt`` pre-built arrays instead of
+  every row.
+
+AQE's skew-join splitting (on in session.py) covers the JOIN side of
+skew; these cover aggregation/repartition shapes AQE doesn't touch.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(n: int, *cols: str) -> Column:
+    """Deterministic salt in [0, n): hash of ``cols`` if given (stable
+    across runs), else a per-row spread from the full row via
+    monotonically_increasing_id (used only for physical spreading,
+    never in results)."""
+    if cols:
+        return F.pmod(F.xxhash64(*cols), F.lit(n)).cast("int")
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n)).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame, key: str, salt: int = 16, n_partitions: int | None = None
+) -> DataFrame:
+    """Repartition on (key, salt) so a heavy key spans ``salt`` tasks."""
+    out = df.withColumn("_salt", salt_col(salt))
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    return out.repartition(parts, F.col(key), F.col("_salt")).drop("_salt")
+
+
+def skew_safe_distinct_count(
+    df: DataFrame, keys: Sequence[str], value: str, alias: str = "n_distinct"
+) -> DataFrame:
+    """Exact countDistinct(value) per keys, skew-spread by value."""
+    return (
+        df.select(*keys, value)
+        .distinct()  # phase 1: hash on (keys, value) — heavy key spread
+        .groupBy(*keys)  # phase 2: one row per (key, value) -> light
+        .agg(F.count("*").cast("long").alias(alias))
+    )
+
+
+def skew_safe_collect_sorted(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    order: str,
+    salt: int = 16,
+    alias: str = "values",
+) -> DataFrame:
+    """Ordered collect_list per key in two phases (reducer sees ``salt``
+    partial arrays, not every row of a heavy key)."""
+    partial = (
+        df.withColumn("_salt", salt_col(salt, order))
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_list(F.struct(order, value)).alias("_part"))
+    )
+    merged = partial.groupBy(*keys).agg(
+        F.array_sort(F.flatten(F.collect_list("_part"))).alias("_sorted")
+    )
+    return merged.select(
+        *keys, F.transform("_sorted", lambda s: s[value]).alias(alias)
+    )

@@ -33,3 +33,50 @@ def test_bucketing_keeps_conversations_atomic(spark):
     n_pairs = df.select("conv_id", "b").distinct().count()
     n_convs = df.select("conv_id").distinct().count()
     assert n_pairs == n_convs  # each conv maps to exactly one bucket
+
+
+def test_skew_safe_distinct_count_matches_naive(spark):
+    from ocr_spark.operators.salt import skew_safe_distinct_count
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {
+        r["l_orderkey"]: r["n_distinct"]
+        for r in skew_safe_distinct_count(li, ["l_orderkey"], "l_partkey").collect()
+    }
+    want = {
+        r["l_orderkey"]: r["n"]
+        for r in li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_skew_safe_collect_sorted_order(spark):
+    from ocr_spark.operators.salt import skew_safe_collect_sorted
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = skew_safe_collect_sorted(
+        li, ["l_orderkey"], "l_partkey", "l_linenumber", salt=4
+    ).filter(F.col("l_orderkey") == 1).head()
+    naive = [
+        r["l_partkey"]
+        for r in li.filter(F.col("l_orderkey") == 1)
+        .orderBy("l_linenumber", "l_partkey")
+        .collect()
+    ]
+    assert sorted(got["values"]) == sorted(naive)
+
+
+def test_salted_repartition_spreads_heavy_key(spark):
+    from ocr_spark.operators.salt import salted_repartition
+
+    heavy = spark.range(0, 10000).withColumn("k", F.lit("hot"))
+    parts = (
+        salted_repartition(heavy, "k", salt=32, n_partitions=8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(parts) >= 6  # the single hot key spans most partitions
