@@ -143,3 +143,58 @@ class TestExtractTurn:
         for payload in ["", "   \t \n  ", None]:
             r = extract_turn(payload, "plain")
             assert r["clean_text"] == "" and r["spans"] == []
+
+
+class TestHtmlEdgeCases:
+    def test_nested_drop_containers(self):
+        html = (
+            "<body><nav><div><a href='/'>x</a><p>inside nav long enough to pass word count</p></div></nav>"
+            "<p>kept paragraph body text with plenty of words here</p></body>"
+        )
+        text, _, kept, dropped = extract_html(html)
+        assert text == "kept paragraph body text with plenty of words here"
+        assert kept == 1
+
+    def test_self_closing_and_br(self):
+        html = "<p>first half of the sentence<br/>second half with more words</p>"
+        text, _, kept, _ = extract_html(html)
+        # br is a block boundary: two segments, each must pass MIN_WORDS
+        assert "first half of the sentence" in text
+        assert "second half with more words" in text
+
+    def test_unclosed_drop_container_drops_rest(self):
+        html = "<footer><p>unclosed footer content with many words that must be dropped</p>"
+        text, _, kept, dropped = extract_html(html)
+        assert text == "" and kept == 0 and dropped == 1
+
+    def test_attributes_with_angle_quotes(self):
+        html = '<p data-x="a>b">quoted attr block with enough extra words kept</p>'
+        text, _, kept, _ = extract_html(html)
+        assert text == "quoted attr block with enough extra words kept"
+        assert kept == 1
+
+    def test_unicode_content_preserved(self):
+        html = "<p>café résumé words continue here with more text</p>"
+        text, _, kept, _ = extract_html(html)
+        assert "café" in text and "résumé" in text
+
+
+class TestRecordsEdgeCases:
+    def test_crlf_and_old_format(self):
+        payload = "- A B, MD, [sig]\r\nC D, RN\r\nCOMPANY_ID: 2"
+        recs = parse_records(payload)
+        assert ("A B", "MD", "[sig]") in recs
+        assert ("C D", "RN", "[]") in recs  # old format defaults sig to []
+        assert extract_company_id(payload) == 2
+
+    def test_company_id_garbage_defaults_to_1(self):
+        assert extract_company_id("no footer at all") == 1
+        assert extract_company_id("COMPANY_ID: abc") == 1
+
+    def test_field_employee_guard(self):
+        assert extract_field_employee("Field Employee: Al\n") is None  # len<=2 guard
+        assert extract_field_employee("field employee: Jane Doe\nrest") == "Jane Doe"
+
+    def test_turn_kind_fallback(self):
+        r = extract_turn("plain words here", "unknown-kind")
+        assert r["clean_text"] == "plain words here"
