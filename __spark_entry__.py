@@ -253,6 +253,13 @@ def _q_a8_sorted_id_sets(spark, sf_dir):
     return nation.groupBy("n_regionkey").agg(ids.alias("nation_ids"))
 
 
+def _q_a9_skew_safe_distinct(spark, sf_dir):
+    from ocr_spark.operators.salt import skew_safe_distinct_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return skew_safe_distinct_count(li, ["l_orderkey"], "l_partkey", "n_parts")
+
+
 def _q_u1_union_all(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     a = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
@@ -465,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_pricing_summary": _q_a1_pricing_summary,
         "a7_ordered_dedup": _q_a7_ordered_dedup,
         "a8_sorted_id_sets": _q_a8_sorted_id_sets,
+        "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
         "u1_union_all": _q_u1_union_all,
         "o1_topk_orders": _q_o1_topk_orders,
         "t1_key_extraction": _q_t1_key_extraction,
@@ -602,6 +610,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_regionkey, "
             "string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_nationkey) AS nation_ids "
             "FROM nation GROUP BY n_regionkey"
+        ),
+        "a9_skew_safe_distinct": (
+            "SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+            "FROM lineitem GROUP BY l_orderkey"
         ),
         "u1_union_all": (
             "SELECT c_custkey FROM customer WHERE c_acctbal > 0 "

@@ -103,8 +103,20 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         }
         texts = pdf["text"].tolist()
         tools = pdf["tool"].tolist()
+        # D7 parity: failure isolation — one poisoned payload degrades to
+        # an empty extraction with parse_failures=1, it never kills the
+        # batch/task (reference: whole-batch LLM failure -> all dinein,
+        # pdf_processing_service.py:245-308; here isolation is per row).
+        _failed = {
+            "clean_text": "", "spans": [], "records": [],
+            "field_employee": None, "company_id": 1, "blocks_kept": 0,
+            "blocks_dropped": 0, "parse_failures": 1, "truncated_chars": 0,
+        }
         for i in range(n):
-            r = extract_turn(texts[i], tools[i])
+            try:
+                r = extract_turn(texts[i], tools[i])
+            except Exception:
+                r = _failed
             out["clean_text"][i] = r["clean_text"]
             out["spans"][i] = [
                 {"start": s, "end": e, "kind": k} for s, e, k in r["spans"]
