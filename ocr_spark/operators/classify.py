@@ -117,8 +117,12 @@ def state_ids_table(state_credential: DataFrame) -> DataFrame:
     )
 
 
-def explode_records(extracted: DataFrame) -> DataFrame:
-    """Per-turn record arrays -> one row per record, order preserved."""
+def explode_records(extracted: DataFrame, passthrough: Tuple[str, ...] = ()) -> DataFrame:
+    """Per-turn record arrays -> one row per record, order preserved.
+
+    ``passthrough``: extra turn-level columns to retain (e.g. ``ts`` for
+    the streaming path's event-time dedup)."""
+    extra = list(passthrough)
     return (
         extracted.filter(F.col("tool") == "records")
         .filter(F.size("records") > 0)
@@ -127,6 +131,7 @@ def explode_records(extracted: DataFrame) -> DataFrame:
             "turn_idx",
             "company_id",
             "field_employee",
+            *extra,
             F.posexplode("records").alias("record_idx", "rec"),
         )
         .select(
@@ -135,6 +140,7 @@ def explode_records(extracted: DataFrame) -> DataFrame:
             "record_idx",
             "company_id",
             "field_employee",
+            *extra,
             F.col("rec.Name").alias("Name"),
             F.col("rec.Credential_OCR").alias("Credential_OCR"),
             F.col("rec.Signature").alias("Signature"),
@@ -243,17 +249,18 @@ def classify_records(
     mapping: DataFrame,
     state_credential: DataFrame,
     conv_meta: Optional[DataFrame] = None,
+    passthrough: Tuple[str, ...] = (),
 ) -> DataFrame:
     """Full cascade over exploded records. ``mapping`` must carry
     ``m_row_id`` (file row order); add one with row_number if absent."""
     spark = records.sparkSession
     if "m_row_id" not in mapping.columns:
-        mapping = mapping.withColumn(
-            "m_row_id",
-            F.row_number().over(
-                Window.orderBy(F.monotonically_increasing_id())
-            ),
-        )
+        # file row order IS the cascade tie-break; the mapping is a
+        # dim-sized table, so enumerate driver-side (works for both batch
+        # and stream-static plans, and avoids a single-partition window)
+        mpdf = mapping.toPandas()
+        mpdf.insert(0, "m_row_id", range(1, len(mpdf) + 1))
+        mapping = spark.createDataFrame(mpdf)
 
     keys = mapping_key_table(mapping)
     states = state_ids_table(state_credential)
@@ -333,6 +340,7 @@ def classify_records(
         "conv_id",
         "turn_idx",
         "record_idx",
+        *passthrough,
         "Name",
         "Credential_OCR",
         "Signature",

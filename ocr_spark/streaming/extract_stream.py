@@ -144,6 +144,105 @@ def sessionize_conversations(transcripts: DataFrame, watermark: str = "1 minute"
     )
 
 
+CLASSIFIED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("record_idx", T.IntegerType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Credential_OCR", T.StringType()),
+        T.StructField("Signature", T.StringType()),
+        T.StructField("Credential_Standardized", T.StringType()),
+        T.StructField("Classification", T.StringType()),
+        T.StructField("Match_Score", T.DoubleType()),
+        T.StructField("Match_Method", T.StringType()),
+    ]
+)
+
+_DEDUP_STATE = "names ARRAY<STRING>, rows ARRAY<STRING>, last_ts DOUBLE"
+_ROW_FIELDS = [f.name for f in CLASSIFIED_SCHEMA.fields]
+
+
+def _dedup_sessions(key, pdfs: Iterable[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+    """Stateful keep-first name dedup per conversation: the streaming form
+    of the batch ranking window (classification_service.py:480-488).
+    Within the watermark, late records still compete on (turn_idx,
+    record_idx) — state keeps the minimum per name; rows are emitted
+    once, sorted, when the conversation closes."""
+    import json
+
+    (conv_id,) = key
+    if state.hasTimedOut:
+        names, rows, _last = state.get
+        state.remove()
+        recs = sorted(
+            (json.loads(r) for r in rows),
+            key=lambda d: (d["turn_idx"], d["record_idx"]),
+        )
+        yield pd.DataFrame(recs, columns=_ROW_FIELDS)
+        return
+    names, rows, last_ts = state.get if state.exists else ([], [], None)
+    import json
+
+    best = {n: json.loads(r) for n, r in zip(names, rows)}
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ts = pdf["ts"].astype("int64") / 1e9
+        hi = float(ts.max())
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+        for rec in pdf.sort_values(["turn_idx", "record_idx"]).to_dict("records"):
+            name_key = str(rec["Name"]).upper()
+            cur = best.get(name_key)
+            row = {k: rec[k] for k in _ROW_FIELDS}
+            if cur is None or (row["turn_idx"], row["record_idx"]) < (
+                cur["turn_idx"], cur["record_idx"]
+            ):
+                best[name_key] = row
+    state.update(
+        (
+            list(best.keys()),
+            [json.dumps(v) for v in best.values()],
+            last_ts,
+        )
+    )
+    state.setTimeoutTimestamp(int((last_ts or 0) * 1000) + SESSION_GAP_MS)
+    return
+    yield
+
+
+def classify_stream(
+    transcripts_stream: DataFrame,
+    mapping: DataFrame,
+    state_credential: DataFrame,
+    conv_meta=None,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """The ENTIRE reference pipeline under continuous arrival:
+    extraction (shared mapInPandas stage) -> record explode ->
+    stream-static broadcast classification cascade -> stateful
+    keep-first dedup, emitting each conversation's final records when it
+    goes quiet. mapping/state/conv_meta are static broadcast dims."""
+    from ocr_spark.operators.classify import classify_records, explode_records
+
+    ext = extract_stream(transcripts_stream)
+    recs = explode_records(ext, passthrough=("ts",))
+    classified = classify_records(
+        recs, mapping, state_credential, conv_meta, passthrough=("ts",)
+    )
+    return (
+        classified.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _dedup_sessions,
+            outputStructType=CLASSIFIED_SCHEMA,
+            stateStructType=_DEDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain everything currently available, then stop (the batch-like
     trigger used by tests and backfills)."""

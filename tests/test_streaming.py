@@ -30,6 +30,11 @@ def stream_dirs(tmp_path_factory, spark):
     sentinel = pdf.iloc[:1].copy()
     sentinel["conv_id"] = "conv_sentinel"
     sentinel["ts"] = pdf["ts"].max() + pd.Timedelta(days=1)
+    # a parseable records payload so the sentinel survives the records
+    # filter too — it must advance the watermark in EVERY downstream
+    # topology (metrics, sessionize, classify)
+    sentinel["tool"] = "records"
+    sentinel["text"] = "- Zz Flush, MD, []"
     spark.createDataFrame(sentinel).coalesce(1).write.mode("append").parquet(src)
     return {"root": root, "src": src, "pdf": pdf}
 
@@ -89,3 +94,47 @@ def test_sessionize_closes_quiet_conversations(spark, stream_dirs):
         assert row["n_turns"] == sizes.loc[row["conv_id"], "count"]
         assert row["first_turn_idx"] == sizes.loc[row["conv_id"], "min"]
         assert row["last_turn_idx"] == sizes.loc[row["conv_id"], "max"]
+
+
+def test_stream_classify_matches_batch(spark, stream_dirs):
+    """The full pipeline under continuous arrival equals the batch
+    pipeline: same records, same keep-first dedup, per conversation."""
+    from ocr_spark.data.generate import (
+        conv_meta_pdf,
+        credential_mapping_pdf,
+        state_credential_pdf,
+    )
+    from ocr_spark.operators.classify import classify_pipeline
+    from ocr_spark.pipeline import extract_transcripts
+    from ocr_spark.streaming.extract_stream import classify_stream
+
+    mapping = spark.createDataFrame(credential_mapping_pdf())
+    state = spark.createDataFrame(state_credential_pdf())
+    meta = spark.createDataFrame(
+        conv_meta_pdf(12, seed=7)[["conv_id", "venue_state"]]
+    )
+
+    out = str(stream_dirs["root"] / "cls_out")
+    ckpt = str(stream_dirs["root"] / "cls_ckpt")
+    stream = classify_stream(
+        stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1),
+        mapping, state, meta,
+    )
+    run_available_now(stream, out, ckpt)
+    got = (
+        spark.read.parquet(out)
+        .filter("conv_id != 'conv_sentinel'")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "record_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        classify_pipeline(
+            extract_transcripts(spark.createDataFrame(stream_dirs["pdf"])),
+            mapping, state, meta,
+        )
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx", "record_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
