@@ -326,6 +326,101 @@ def _q_w_tumbling_window(spark, sf_dir):
     )
 
 
+def _q_w_sessionize_agg(spark, sf_dir):
+    # gap-based sessionization (lag + running-sum windows, one shuffle)
+    from ocr_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_minutes=30, tiebreak="event_id")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+    )
+
+
+def _q_aj_asof_join(spark, sf_dir):
+    # as-of join via tag+union+window carry-forward (sort-merge ASOF)
+    from ocr_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="ts",
+        payload_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").alias("purchase_event_id"),
+        F.round("asof_value", 2).alias("purchase_value"),
+    )
+
+
+def _q_rj_range_join(spark, sf_dir):
+    # points-in-interval as a time-bucket equi-join + residual predicate
+    from ocr_spark.operators.temporal import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join_buckets(
+        clicks, signups, key="user_id", ts="ts", bucket_seconds=3600
+    )
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_ag_percentiles(spark, sf_dir):
+    # exact linear-interpolated percentiles (sort-based, matches
+    # DuckDB quantile_cont semantics)
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))").alias("p")
+    )
+    return g.select(
+        "event_type",
+        F.round(F.col("p")[0], 4).alias("p50"),
+        F.round(F.col("p")[1], 4).alias("p90"),
+        F.round(F.col("p")[2], 4).alias("p99"),
+    )
+
+
+def _q_ag_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -480,6 +575,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_regex_extract_cast": _q_t5_regex_extract_cast,
         "t4_concat_names": _q_t4_concat_names,
         "w_tumbling_window": _q_w_tumbling_window,
+        "w_sessionize_agg": _q_w_sessionize_agg,
+        "aj_asof_join": _q_aj_asof_join,
+        "rj_range_join": _q_rj_range_join,
+        "ag_percentiles": _q_ag_percentiles,
+        "ag_rollup": _q_ag_rollup,
         "tx_text_stats": _q_tx_text_stats,
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
@@ -645,6 +745,56 @@ def oracle_sql() -> dict[str, str]:
             "'%Y-%m-%d %H:%M:%S') AS win_start, "
             "event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "w_sessionize_agg": (
+            "WITH b AS ("
+            "SELECT user_id, event_id, ts, "
+            "CASE WHEN date_diff('second', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "s AS (SELECT user_id, ts, "
+            "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM b) "
+            "SELECT user_id, session_idx, count(*) AS n_events, "
+            "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
+            "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
+            "FROM s GROUP BY 1, 2"
+        ),
+        "aj_asof_join": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "purchases AS (SELECT user_id, ts, event_id, value FROM ("
+            "SELECT user_id, ts, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn "
+            "FROM events WHERE event_type = 'purchase') WHERE rn = 1) "
+            "SELECT c.event_id, c.user_id, p.event_id AS purchase_event_id, "
+            "round(p.value, 2) AS purchase_value "
+            "FROM clicks c ASOF LEFT JOIN purchases p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        "rj_range_join": (
+            "WITH signups AS (SELECT user_id, event_id AS interval_id, ts AS s, "
+            "ts + INTERVAL 1 HOUR AS e FROM events WHERE event_type = 'signup'), "
+            "clicks AS (SELECT user_id, ts, value FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT interval_id, count(*) AS n_clicks, "
+            "round(sum(value), 2) AS sum_value "
+            "FROM clicks c JOIN signups s "
+            "ON c.user_id = s.user_id AND c.ts >= s.s AND c.ts <= s.e "
+            "GROUP BY 1"
+        ),
+        "ag_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.9), 4) AS p90, "
+            "round(quantile_cont(value, 0.99), 4) AS p99 "
+            "FROM events GROUP BY 1"
+        ),
+        "ag_rollup": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, "
+            "count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
         "tx_text_stats": (
             "SELECT doc_id, "

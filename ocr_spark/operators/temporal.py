@@ -1,0 +1,167 @@
+"""Event-time operators: sessionization, as-of join, range join.
+
+The reference's only temporal logic is stable page ordering
+(`pdf_processing_service.py:439,494`) — these generalize it to the
+event-time operations a transcript/training-data pipeline needs over
+`(key, ts)` streams, each built so the shuffle story survives 100 TB:
+
+- ``sessionize``: gap-based session ids from lag + running sum windows
+  — one shuffle on the key, no self-join, no state blow-up. The batch
+  twin of ``streaming/extract_stream.sessionize_conversations``.
+- ``asof_join``: "most recent right row at or before each left row"
+  without a per-key cross product: tag + union both sides, one window
+  sort per key, carry the right payload forward with
+  ``last(ignorenulls)``. Cost is a single (key)-shuffle of L+R rows —
+  the sort-merge formulation of ASOF JOIN (DuckDB/Pandas ``merge_asof``
+  semantics, right side deduped to one row per (key, ts) for
+  determinism).
+- ``range_join_buckets``: points-in-interval join via time-bucket
+  equi-join + residual predicate. A naive ``ts BETWEEN start AND end``
+  theta-join degenerates to per-key nested loops; bucketizing makes it
+  an equi-join Catalyst can hash/sort-merge and AQE can re-plan, with
+  each interval exploded to the O(duration/bucket) buckets it covers.
+  Each point carries exactly one bucket, so no post-join dedup.
+
+All three are pure DataFrame compositions — no UDFs, whole-stage
+codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _epoch_s(c: Column) -> Column:
+    """Truncated epoch seconds for TIMESTAMP or TIMESTAMP_NTZ input
+    (NTZ wall time read as UTC — session TZ is pinned UTC in
+    session.get_spark, so both types land on the same integer)."""
+    return c.cast("timestamp_ltz").cast("long")
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign ``session_idx`` (0-based per key) to rows whose gaps from
+    the previous row of the same key exceed ``gap_minutes``.
+
+    Ordering must be total for determinism (SURVEY §7.4 applies to any
+    order-defined operator): pass ``tiebreak`` when ``ts`` can repeat
+    within a key.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_s = gap_minutes * 60
+    brk = (
+        F.when(
+            _epoch_s(F.col(ts)) - _epoch_s(F.lag(F.col(ts)).over(w))
+            > F.lit(gap_s),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_idx", F.sum(brk).over(running))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str = "ts",
+    payload_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: each left row gains the payload of the most
+    recent right row with ``right.ts <= left.ts`` for the same key
+    (nulls when no prior right row exists).
+
+    ``right`` is first deduped to one row per (key, ts) — keeping the
+    last by ``right_tiebreak`` — so the match is deterministic even
+    with timestamp collisions (DuckDB ASOF JOIN leaves that case
+    unspecified; we pin it).
+    """
+    payload_cols = payload_cols or [
+        c for c in right.columns if c not in (key, ts)
+    ]
+    r = right
+    if right_tiebreak:
+        wd = Window.partitionBy(key, ts).orderBy(F.desc(right_tiebreak))
+        r = (
+            r.withColumn("_rn", F.row_number().over(wd))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    # side 0 = right, 1 = left; at equal ts the right row sorts first so
+    # "at or before" includes ties.
+    r_tagged = r.select(
+        F.col(key), F.col(ts), F.lit(0).alias("_side"), payload.alias("_pl")
+    )
+    l_tagged = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tagged.schema["_pl"].dataType).alias("_pl"),
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_m", F.last("_pl", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).drop("_side", "_pl")
+    for c in payload_cols:
+        out = out.withColumn(prefix + c, F.col("_m")[c])
+    return out.drop("_m")
+
+
+def _bucket(ts_col: Column, bucket_seconds: int) -> Column:
+    return F.floor(_epoch_s(ts_col) / F.lit(bucket_seconds)).cast("long")
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join of ``points`` to every interval of the same key with
+    ``start <= ts <= end`` (bounds inclusive), as a bucket equi-join.
+
+    ``bucket_seconds`` should be on the order of the typical interval
+    length: each interval materializes ``duration/bucket + 1`` rows,
+    and each point probes exactly one bucket.
+    """
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(_bucket(F.col(start), bucket_seconds),
+                       _bucket(F.col(end), bucket_seconds))
+        ),
+    )
+    pt = points.withColumn("_bucket", _bucket(F.col(ts), bucket_seconds))
+    iv_cols = [c for c in intervals.columns if c != key]
+    joined = pt.alias("p").join(
+        iv.alias("i"),
+        on=[
+            F.col(f"p.{key}") == F.col(f"i.{key}"),
+            F.col("p._bucket") == F.col("i._bucket"),
+            F.col(f"p.{ts}") >= F.col(f"i.{start}"),
+            F.col(f"p.{ts}") <= F.col(f"i.{end}"),
+        ],
+        how="inner",
+    )
+    return joined.select(
+        *[F.col(f"p.{c}") for c in points.columns if c != "_bucket"],
+        *[F.col(f"i.{c}") for c in iv_cols],
+    )

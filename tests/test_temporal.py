@@ -1,0 +1,190 @@
+"""Temporal operators: sessionize / asof_join / range_join_buckets
+checked against naive oracle implementations (pandas merge_asof, plain
+theta-join) on deterministic synthetic event data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.temporal import (
+    asof_join,
+    range_join_buckets,
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    rng = np.random.default_rng(7)
+    n = 2000
+    ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        np.sort(rng.integers(0, 14 * 86400, n)), unit="s"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 25, n),
+            "ts": ts,
+            "kind": rng.choice(["click", "purchase", "signup"], n),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+
+
+def test_sessionize_matches_naive(spark, events_pdf):
+    df = spark.createDataFrame(events_pdf)
+    got = (
+        sessionize(df, "user_id", "ts", gap_minutes=45, tiebreak="event_id")
+        .select("event_id", "session_idx")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for _uid, g in events_pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        sess, prev = 0, None
+        for _, r in g.iterrows():
+            if prev is not None and (r.ts - prev).total_seconds() > 45 * 60:
+                sess += 1
+            exp_rows.append((r.event_id, sess))
+            prev = r.ts
+    exp = (
+        pd.DataFrame(exp_rows, columns=["event_id", "session_idx"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["session_idx"].tolist() == exp["session_idx"].tolist()
+
+
+def test_asof_join_matches_merge_asof(spark, events_pdf):
+    left_pdf = events_pdf[events_pdf.kind == "click"][
+        ["event_id", "user_id", "ts"]
+    ]
+    right_pdf = events_pdf[events_pdf.kind == "purchase"][
+        ["user_id", "ts", "event_id", "value"]
+    ]
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pdf),
+            spark.createDataFrame(right_pdf),
+            key="user_id",
+            ts="ts",
+            payload_cols=["event_id", "value"],
+            right_tiebreak="event_id",
+        )
+        .select("event_id", "asof_event_id", "asof_value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # oracle: dedup right per (user, ts) keeping max event_id, then merge_asof
+    rd = (
+        right_pdf.sort_values("event_id")
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+        .rename(columns={"event_id": "asof_event_id", "value": "asof_value"})
+    )
+    exp = pd.merge_asof(
+        left_pdf.sort_values("ts"),
+        rd.sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["asof_event_id"].astype("float"),
+        exp["asof_event_id"].astype("float"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        got["asof_value"].astype("float"),
+        exp["asof_value"].astype("float"),
+        check_names=False,
+    )
+
+
+def test_asof_join_tie_and_no_match(spark):
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1], "ts": [t0, t0 - pd.Timedelta("1h")],
+                      "lid": [10, 11]})
+    )
+    # two right rows at exactly t0 — equal-ts match is included, and the
+    # dedup keeps the larger tiebreak (rid=6)
+    right = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1, 1], "ts": [t0, t0], "rid": [5, 6]})
+    )
+    out = (
+        asof_join(left, right, key="user_id", ts="ts",
+                  payload_cols=["rid"], right_tiebreak="rid")
+        .select("lid", "asof_rid")
+        .toPandas()
+        .set_index("lid")["asof_rid"]
+    )
+    assert out[10] == 6  # equal-ts inclusive, deterministic tiebreak
+    assert pd.isna(out[11])  # no prior right row -> null
+
+
+def test_range_join_buckets_matches_theta(spark, events_pdf):
+    points_pdf = events_pdf[events_pdf.kind == "click"][
+        ["user_id", "ts", "event_id"]
+    ]
+    iv_pdf = events_pdf[events_pdf.kind == "signup"][
+        ["user_id", "ts", "event_id"]
+    ].rename(columns={"event_id": "interval_id"})
+    iv_pdf = iv_pdf.assign(
+        start=iv_pdf.ts - pd.Timedelta("2h"), end=iv_pdf.ts + pd.Timedelta("2h")
+    )[["user_id", "interval_id", "start", "end"]]
+    points = spark.createDataFrame(points_pdf)
+    intervals = spark.createDataFrame(iv_pdf)
+    # bucket far smaller than the interval: spans many buckets
+    got = (
+        range_join_buckets(points, intervals, key="user_id", ts="ts",
+                           bucket_seconds=600)
+        .select("event_id", "interval_id")
+        .toPandas()
+    )
+    exp = (
+        points.alias("p")
+        .join(
+            intervals.alias("i"),
+            on=[
+                F.col("p.user_id") == F.col("i.user_id"),
+                F.col("p.ts") >= F.col("i.start"),
+                F.col("p.ts") <= F.col("i.end"),
+            ],
+        )
+        .select("event_id", "interval_id")
+        .toPandas()
+    )
+    key = ["event_id", "interval_id"]
+    assert len(got) == len(exp) > 0
+    assert (
+        got.sort_values(key).reset_index(drop=True).equals(
+            exp.sort_values(key).reset_index(drop=True)
+        )
+    )
+
+
+def test_range_join_bounds_inclusive(spark):
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    points = spark.createDataFrame(
+        pd.DataFrame({
+            "user_id": [1, 1, 1, 1],
+            "ts": [t0, t0 + pd.Timedelta("1h"),
+                   t0 - pd.Timedelta("1s"), t0 + pd.Timedelta("1h 1s")],
+            "pid": [0, 1, 2, 3],
+        })
+    )
+    intervals = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "interval_id": [100],
+                      "start": [t0], "end": [t0 + pd.Timedelta("1h")]})
+    )
+    got = (
+        range_join_buckets(points, intervals, key="user_id", ts="ts",
+                           bucket_seconds=60)
+        .select("pid").toPandas()["pid"].sort_values().tolist()
+    )
+    assert got == [0, 1]  # both bounds inclusive, outside rows excluded
