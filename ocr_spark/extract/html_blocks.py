@@ -123,7 +123,8 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
                 if drop_depth > 0:
                     cur.dropped_ctx = True
         closing, name, _attrs, self_close = m.groups()
-        name = name.lower()
+        if not name.islower():
+            name = name.lower()
         if name in BLOCK_TAGS:
             flush()
         if name in DROP_CONTAINERS:
@@ -156,10 +157,14 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
     spans: List[Tuple[int, int, str]] = []
     kept = dropped = 0
     for b in blocks:
-        text = collapse_ws(_decode_entities("".join(b.parts)))
+        joined = "".join(b.parts)
+        if "&" in joined:
+            joined = _decode_entities(joined)
+        text = collapse_ws(joined)
         if not text:
             continue
-        words = len(text.split())
+        # collapse_ws guarantees single-space separation, no edges
+        words = text.count(" ") + 1
         link_density = b.link_chars / max(1, len(text))
         if b.dropped_ctx or link_density > MAX_LINK_DENSITY or words < MIN_WORDS:
             dropped += 1

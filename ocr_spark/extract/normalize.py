@@ -55,7 +55,9 @@ def canonicalize(text: str) -> str:
     t = unicodedata.normalize("NFC", text)
     t = t.replace("\r\n", "\n").replace("\r", "\n")
     t = _HWS.sub(" ", t)
-    t = "\n".join(line.rstrip(" ") for line in t.split("\n"))
+    # after _HWS collapsing, a line can carry at most ONE trailing space,
+    # so per-line rstrip(" ") reduces to a single C-level replace
+    t = t.replace(" \n", "\n")
     t = _NL3.sub("\n\n", t)
     return t.strip()
 

@@ -109,9 +109,11 @@ def extract_pdf_layout(payload: str) -> Tuple[str, List[Tuple[int, int, str]], i
 
     out_texts: List[str] = []
     spans: List[Tuple[int, int, str]] = []
+    single_col = len(cols) == 1
     for ci in range(len(cols)):
         col_lines = sorted(
-            (l for l in lines if col_of(l) == ci), key=lambda l: (l[1], l[0], l[7])
+            lines if single_col else (l for l in lines if col_of(l) == ci),
+            key=lambda l: (l[1], l[0], l[7]),
         )
         # cluster by y0 within Y_TOL (consecutive after y-sort)
         clusters: List[List[tuple]] = []

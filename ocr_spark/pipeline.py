@@ -112,25 +112,25 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "field_employee": None, "company_id": 1, "blocks_kept": 0,
             "blocks_dropped": 0, "parse_failures": 1, "truncated_chars": 0,
         }
+        # struct fields ship as the kernel's tuples — Arrow accepts
+        # tuple sequences for struct types, so no per-row dict rebuild
+        ct, sp, rc = out["clean_text"], out["spans"], out["records"]
+        fe, ci, bk = out["field_employee"], out["company_id"], out["blocks_kept"]
+        bd, pf, tc = out["blocks_dropped"], out["parse_failures"], out["truncated_chars"]
         for i in range(n):
             try:
                 r = extract_turn(texts[i], tools[i])
             except Exception:
                 r = _failed
-            out["clean_text"][i] = r["clean_text"]
-            out["spans"][i] = [
-                {"start": s, "end": e, "kind": k} for s, e, k in r["spans"]
-            ]
-            out["records"][i] = [
-                {"Name": a, "Credential_OCR": b, "Signature": c}
-                for a, b, c in r["records"]
-            ]
-            out["field_employee"][i] = r["field_employee"]
-            out["company_id"][i] = r["company_id"]
-            out["blocks_kept"][i] = r["blocks_kept"]
-            out["blocks_dropped"][i] = r["blocks_dropped"]
-            out["parse_failures"][i] = r["parse_failures"]
-            out["truncated_chars"][i] = r["truncated_chars"]
+            ct[i] = r["clean_text"]
+            sp[i] = r["spans"]
+            rc[i] = r["records"]
+            fe[i] = r["field_employee"]
+            ci[i] = r["company_id"]
+            bk[i] = r["blocks_kept"]
+            bd[i] = r["blocks_dropped"]
+            pf[i] = r["parse_failures"]
+            tc[i] = r["truncated_chars"]
         yield pd.DataFrame(out)
 
 
