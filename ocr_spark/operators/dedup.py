@@ -158,17 +158,40 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (small sets / verification only —
-    O(n^2); the scale path is minhash_near_dups)."""
-    with_sh = df.select(id_col, shingles_col(text_col).alias("sh"))
-    a = with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    """Exact n-gram Jaccard via an inverted-index self-join: explode
+    shingles, equi-join on the shingle, count shared shingles per pair,
+    derive jaccard from the two set sizes. Only pairs sharing >=1
+    shingle are ever materialized — the equi-join is hash/sort-merge
+    plannable and skew-splittable by AQE, unlike the O(n^2)
+    nested-loop ``array_intersect`` formulation it replaces.
+
+    Zero-overlap pairs (jaccard exactly 0) are never produced, whatever
+    the threshold — they don't share an index entry. ``threshold <= 0``
+    therefore means "every pair sharing at least one shingle".
+    """
+    with_sh = df.select(id_col, shingles_col(text_col).alias("sh")).persist()
+    e = with_sh.select(id_col, F.explode("sh").alias("s"))
+    inter = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = with_sh.select(id_col, F.size("sh").alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -77,3 +77,57 @@ def test_small_dim_join_autobroadcasts(spark):
     assert checks.count_exchanges(q) == 0
 
     assert checks.codegen_stage_count(q) >= 1
+
+
+def test_asof_join_shuffle_budget(spark):
+    """asof_join's algebra needs: right-dedup window (1 shuffle on
+    (key, ts)), union window on key (1 shuffle). No join node at all —
+    never a nested-loop pair blowup."""
+    from ocr_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, right, key="user_id", ts="ts",
+                    payload_cols=["value"], right_tiebreak="event_id")
+    plan = checks.formatted_plan(out)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert checks.count_exchanges(out) <= 2, checks.count_exchanges(out)
+
+
+def test_range_join_is_equi_joinable(spark):
+    """The bucketized range join must plan as a hash or sort-merge
+    equi-join (AQE-splittable), never BroadcastNestedLoop/Cartesian —
+    that is the entire point of bucketizing the interval predicate."""
+    from ocr_spark.operators.temporal import range_join_buckets
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        intervals = ev.filter(F.col("event_type") == "signup").select(
+            "user_id",
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+        points = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        out = range_join_buckets(points, intervals, key="user_id", ts="ts")
+        plan = checks.formatted_plan(out)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_ngram_jaccard_has_no_nested_loop(spark):
+    """The inverted-index jaccard must not contain a nested-loop pair
+    join (the O(n^2) shape it replaced)."""
+    from ocr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    plan = checks.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
