@@ -260,6 +260,22 @@ def _q_a9_skew_safe_distinct(spark, sf_dir):
     return skew_safe_distinct_count(li, ["l_orderkey"], "l_partkey", "n_parts")
 
 
+def _q_a10_ordered_collect(spark, sf_dir):
+    # two-phase skew-safe ordered collect_list, hash-verified against
+    # DuckDB's ordered string_agg
+    from ocr_spark.operators.salt import skew_safe_collect_sorted
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "ok_str", F.col("o_orderkey").cast("string")
+    )
+    out = skew_safe_collect_sorted(
+        orders, ["o_custkey"], "ok_str", "o_orderkey", salt=4, alias="vals"
+    )
+    return out.select(
+        "o_custkey", F.array_join("vals", ",").alias("order_keys")
+    )
+
+
 def _q_u1_union_all(spark, sf_dir):
     customer = _t(spark, sf_dir, "customer")
     a = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
@@ -568,6 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_ordered_dedup": _q_a7_ordered_dedup,
         "a8_sorted_id_sets": _q_a8_sorted_id_sets,
         "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
+        "a10_ordered_collect": _q_a10_ordered_collect,
         "u1_union_all": _q_u1_union_all,
         "o1_topk_orders": _q_o1_topk_orders,
         "t1_key_extraction": _q_t1_key_extraction,
@@ -714,6 +731,10 @@ def oracle_sql() -> dict[str, str]:
         "a9_skew_safe_distinct": (
             "SELECT l_orderkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
             "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "a10_ordered_collect": (
+            "SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' "
+            "ORDER BY o_orderkey) AS order_keys FROM orders GROUP BY o_custkey"
         ),
         "u1_union_all": (
             "SELECT c_custkey FROM customer WHERE c_acctbal > 0 "

@@ -58,6 +58,8 @@ def main() -> None:
         "j1_broadcast_lookup",
         "a7_ordered_dedup",
         "w_tumbling_window",
+        "w_sessionize_agg",
+        "aj_asof_join",
         "tx_text_stats",
         "dd_exact_dedup",
         "dd_minhash_neardups",
