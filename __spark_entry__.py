@@ -420,6 +420,35 @@ def _q_ag_percentiles(spark, sf_dir):
     )
 
 
+def _q_ag_pivot(spark, sf_dir):
+    # pivot: one row per user, one count column per event type. Explicit
+    # value list (not inferred) — at scale an inferred pivot needs an
+    # extra distinct pass over the data.
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+def _q_ag_unpivot(spark, sf_dir):
+    # unpivot/melt: wide metric columns -> (metric, value) rows
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2), "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    ).select("c_custkey", "metric", "value")
+
+
 def _q_ag_rollup(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -596,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aj_asof_join": _q_aj_asof_join,
         "rj_range_join": _q_rj_range_join,
         "ag_percentiles": _q_ag_percentiles,
+        "ag_pivot": _q_ag_pivot,
+        "ag_unpivot": _q_ag_unpivot,
         "ag_rollup": _q_ag_rollup,
         "tx_text_stats": _q_tx_text_stats,
         "dd_exact_dedup": _q_dd_exact_dedup,
@@ -810,6 +841,22 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.9), 4) AS p90, "
             "round(quantile_cont(value, 0.99), 4) AS p99 "
             "FROM events GROUP BY 1"
+        ),
+        "ag_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click') AS n_click, "
+            "count(*) FILTER (event_type = 'error') AS n_error, "
+            "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "ag_unpivot": (
+            "SELECT c_custkey, metric, value FROM ("
+            "SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value "
+            "FROM customer UNION ALL "
+            "SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) "
+            "FROM customer)"
         ),
         "ag_rollup": (
             "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "

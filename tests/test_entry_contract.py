@@ -13,6 +13,9 @@ SUBSET = [
     "a7_ordered_dedup",
     "t1_key_extraction",
     "w_tumbling_window",
+    "w_sessionize_agg",
+    "aj_asof_join",
+    "ag_pivot",
     "tx_text_stats",
     "dd_exact_dedup",
     "sim_cosine_topk",
