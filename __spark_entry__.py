@@ -172,6 +172,25 @@ def _q_j9_conditional_override(spark, sf_dir):
     )
 
 
+def _q_j10_anti_join(spark, sf_dir):
+    # left anti join — the checkpoint/resume "skip completed work"
+    # algebra (ocr_spark/checkpoint.py) over driver testdata
+    customer = _t(spark, sf_dir, "customer")
+    done = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        done, customer.c_custkey == done.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def _q_j11_semi_join(spark, sf_dir):
+    # left semi join — F3/J3's IN-list consumption as a join
+    customer = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big, customer.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
 def _q_a4_distinct_list(spark, sf_dir):
     # A4: distinct vocabulary of a column
     return _t(spark, sf_dir, "orders").select(
@@ -606,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_inlist_union12": _q_f3_inlist_union12,
         "f7_first_per_key": _q_f7_first_per_key,
         "j9_conditional_override": _q_j9_conditional_override,
+        "j10_anti_join": _q_j10_anti_join,
+        "j11_semi_join": _q_j11_semi_join,
         "a4_distinct_list": _q_a4_distinct_list,
         "o3_argmax_per_group": _q_o3_argmax_per_group,
         "a2_count_by_class": _q_a2_count_by_class,
@@ -717,6 +738,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a4_distinct_list": (
             "SELECT DISTINCT o_orderpriority AS priority FROM orders"
+        ),
+        "j10_anti_join": (
+            "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderstatus = 'F')"
+        ),
+        "j11_semi_join": (
+            "SELECT c_custkey FROM customer WHERE EXISTS "
+            "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_totalprice > 300000)"
         ),
         "o3_argmax_per_group": (
             "SELECT o_custkey, best_orderkey FROM ("
