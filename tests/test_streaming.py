@@ -138,3 +138,45 @@ def test_stream_classify_matches_batch(spark, stream_dirs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
+    """Two separate runs over incrementally arriving files with the SAME
+    checkpoint: run 1 sees half the corpus, run 2 sees the rest. The
+    union of outputs equals one batch pass — nothing lost, nothing
+    reprocessed (the streaming analog of checkpoint.py's marker resume)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pdf = gen_transcripts_pdf(10, seed=11, skew_factor=4)
+    convs = sorted(pdf["conv_id"].unique())
+    half_a = pdf[pdf["conv_id"].isin(convs[:5])]
+    half_b = pdf[pdf["conv_id"].isin(convs[5:])]
+
+    spark.createDataFrame(half_a).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = extract_stream(stream_transcripts(spark, src, files_per_trigger=1))
+    run_available_now(stream.drop("spans", "records"), out, ckpt)
+    n_first = spark.read.parquet(out).count()
+    assert n_first == len(half_a)
+
+    spark.createDataFrame(half_b).coalesce(1).write.mode("append").parquet(src)
+    stream = extract_stream(stream_transcripts(spark, src, files_per_trigger=1))
+    run_available_now(stream.drop("spans", "records"), out, ckpt)
+
+    got = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        extract_transcripts(spark.createDataFrame(pdf))
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)  # no duplicates from re-listing run-1 files
+    pd.testing.assert_frame_equal(got, want)
