@@ -1,0 +1,36 @@
+"""Approximate aggregates — the 100 TB scale path for distinct counts and
+quantiles (exact twins are hash-verified as a9_skew_safe_distinct /
+ag_percentiles; here we bound the sketches' error vs exact)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_count_distinct_error_bound(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.06 * row["exact"])
+
+
+def test_approx_count_distinct_high_cardinality(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] <= 0.06
+
+
+def test_approx_percentile_close_to_exact(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    row = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("exact"),
+        F.percentile_approx("value", 0.5, 1000).alias("approx"),
+    ).head()
+    # value is uniform over ~[0, 100]; accuracy=1000 keeps the rank error
+    # within 1/1000 of n, loose bound of 1.0 in value space
+    assert abs(row["approx"] - row["exact"]) <= 1.0
