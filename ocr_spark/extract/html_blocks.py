@@ -58,6 +58,14 @@ BLOCK_TAGS = frozenset(
 
 _TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9:-]*)((?:[^>'\"]|\"[^\"]*\"|'[^']*')*?)(/?)>")
 
+# per-name dispatch tuple (is_block, is_drop, is_anchor), lowercase names
+# precomputed — one dict probe per tag instead of several set probes
+_TAG_INFO = {
+    n: (n in BLOCK_TAGS, n in DROP_CONTAINERS, n == "a")
+    for n in BLOCK_TAGS | DROP_CONTAINERS | {"a"}
+}
+_NO_INFO = (False, False, False)
+
 _ENTITIES = {
     "&amp;": "&",
     "&lt;": "<",
@@ -103,7 +111,8 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
         nonlocal cur
         if cur.parts:
             blocks.append(cur)
-        cur = _Block()
+            cur = _Block()
+        # an empty cur differs from a fresh _Block only in dropped_ctx
         cur.dropped_ctx = drop_depth > 0
 
     # single left-to-right scan (finditer) — one regex pass over the
@@ -123,11 +132,13 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
                 if drop_depth > 0:
                     cur.dropped_ctx = True
         closing, name, _attrs, self_close = m.groups()
-        if not name.islower():
-            name = name.lower()
-        if name in BLOCK_TAGS:
+        info = _TAG_INFO.get(name)
+        if info is None:
+            info = _TAG_INFO.get(name.lower(), _NO_INFO)
+        is_block, is_drop, is_anchor = info
+        if is_block:
             flush()
-        if name in DROP_CONTAINERS:
+        if is_drop:
             if self_close:
                 pass
             elif closing:
@@ -136,7 +147,7 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
             else:
                 drop_depth += 1
                 cur.dropped_ctx = True
-        elif name == "a" and not self_close:
+        elif is_anchor and not self_close:
             link_depth = link_depth + 1 if not closing else max(0, link_depth - 1)
         pos = m.end()
     if pos < n:
