@@ -424,6 +424,21 @@ def _q_rj_range_join(spark, sf_dir):
     )
 
 
+def _q_w_moving_avg(spark, sf_dir):
+    # sliding-frame window aggregate (ROWS BETWEEN 3 PRECEDING AND CURRENT)
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
 def _q_ag_percentiles(spark, sf_dir):
     # exact linear-interpolated percentiles (sort-based, matches
     # DuckDB quantile_cont semantics)
@@ -643,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_concat_names": _q_t4_concat_names,
         "w_tumbling_window": _q_w_tumbling_window,
         "w_sessionize_agg": _q_w_sessionize_agg,
+        "w_moving_avg": _q_w_moving_avg,
         "aj_asof_join": _q_aj_asof_join,
         "rj_range_join": _q_rj_range_join,
         "ag_percentiles": _q_ag_percentiles,
@@ -842,6 +858,12 @@ def oracle_sql() -> dict[str, str]:
             "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, "
             "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end "
             "FROM s GROUP BY 1, 2"
+        ),
+        "w_moving_avg": (
+            "SELECT event_id, user_id, "
+            "round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
+            "FROM events"
         ),
         "aj_asof_join": (
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
