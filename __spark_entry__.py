@@ -439,6 +439,19 @@ def _q_w_moving_avg(spark, sf_dir):
     )
 
 
+def _q_gm_gap_stats(spark, sf_dir):
+    # grouped-map applyInPandas (batch §2.11 surface): per-user median
+    # inter-event gap
+    from ocr_spark.operators.temporal import grouped_gap_stats
+
+    _ensure_pyfiles(spark)
+    ev = _t(spark, sf_dir, "events")
+    out = grouped_gap_stats(ev, "user_id", "ts", tiebreak="event_id")
+    return out.select(
+        "user_id", "n_rows", F.round("median_gap_us", 1).alias("median_gap_us")
+    )
+
+
 def _q_ag_percentiles(spark, sf_dir):
     # exact linear-interpolated percentiles (sort-based, matches
     # DuckDB quantile_cont semantics)
@@ -659,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_tumbling_window": _q_w_tumbling_window,
         "w_sessionize_agg": _q_w_sessionize_agg,
         "w_moving_avg": _q_w_moving_avg,
+        "gm_gap_stats": _q_gm_gap_stats,
         "aj_asof_join": _q_aj_asof_join,
         "rj_range_join": _q_rj_range_join,
         "ag_percentiles": _q_ag_percentiles,
@@ -887,6 +901,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM clicks c JOIN signups s "
             "ON c.user_id = s.user_id AND c.ts >= s.s AND c.ts <= s.e "
             "GROUP BY 1"
+        ),
+        "gm_gap_stats": (
+            "WITH g AS (SELECT user_id, "
+            "date_diff('microsecond', lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us "
+            "FROM events) "
+            "SELECT user_id, CAST(count(*) AS INTEGER) AS n_rows, "
+            "round(quantile_cont(gap_us, 0.5), 1) AS median_gap_us "
+            "FROM g GROUP BY user_id"
         ),
         "ag_percentiles": (
             "SELECT event_type, "

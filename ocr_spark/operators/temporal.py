@@ -122,6 +122,44 @@ def asof_join(
     return out.drop("_m")
 
 
+def grouped_gap_stats(
+    df: DataFrame, key: str, ts: str = "ts", tiebreak: str | None = None
+) -> DataFrame:
+    """Per-key event-cadence stats via grouped-map ``applyInPandas``
+    (SURVEY §2.11: the batch grouped-map surface; per-group custom Python
+    where the aggregate — a median over *derived* per-group gaps — isn't
+    a plain groupBy). One shuffle on the key; group skew is bounded by
+    the per-key row count, same locality the aggregate itself demands.
+
+    Returns ``(key, n_rows, median_gap_us)``; median is linear-interpolated
+    (numpy) over INTEGER microsecond gaps — exactly a whole or half µs, so
+    it equals DuckDB ``quantile_cont(0.5)`` bit-for-bit (float-seconds
+    gaps differ in the last ulp between engines). Single-row keys get NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    out_schema = f"{key} long, n_rows int, median_gap_us double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        us = pdf[ts].astype("int64") // 1000  # ns -> µs
+        gaps = us.diff().dropna().to_numpy()
+        med = float(np.median(gaps)) if len(gaps) else None
+        return pd.DataFrame(
+            [
+                {
+                    key: pdf[key].iloc[0],
+                    "n_rows": len(pdf),
+                    "median_gap_us": med,
+                }
+            ]
+        )
+
+    return df.select(key, *order).groupBy(key).applyInPandas(fn, out_schema)
+
+
 def _bucket(ts_col: Column, bucket_seconds: int) -> Column:
     return F.floor(_epoch_s(ts_col) / F.lit(bucket_seconds)).cast("long")
 
