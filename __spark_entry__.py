@@ -334,6 +334,27 @@ def _q_t5_regex_extract_cast(spark, sf_dir):
     )
 
 
+def _q_t13_json_extract(spark, sf_dir):
+    # JSON path extraction from the events props column
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_json"),
+    )
+
+
+def _q_t14_time_parts(spark, sf_dir):
+    # date-part extraction (hour/day/month are engine-unambiguous;
+    # dayofweek origins differ between engines and is avoided)
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.hour("ts").alias("h"),
+        F.dayofmonth("ts").alias("d"),
+        F.month("ts").alias("m"),
+    )
+
+
 def _q_t4_concat_names(spark, sf_dir):
     nation, region = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
     return nation.join(
@@ -668,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_key_extraction": _q_t1_key_extraction,
         "t2_normalize_key": _q_t2_normalize_key,
         "t5_regex_extract_cast": _q_t5_regex_extract_cast,
+        "t13_json_extract": _q_t13_json_extract,
+        "t14_time_parts": _q_t14_time_parts,
         "t4_concat_names": _q_t4_concat_names,
         "w_tumbling_window": _q_w_tumbling_window,
         "w_sessionize_agg": _q_w_sessionize_agg,
@@ -848,6 +871,15 @@ def oracle_sql() -> dict[str, str]:
         "t5_regex_extract_cast": (
             "SELECT event_id, coalesce(try_cast(nullif(regexp_extract(props, "
             "'\"k\": ([0-9]+)', 1), '') AS INTEGER), 1) AS k_val FROM events"
+        ),
+        "t13_json_extract": (
+            "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) "
+            "AS k_json FROM events"
+        ),
+        "t14_time_parts": (
+            "SELECT event_id, CAST(hour(ts) AS INTEGER) AS h, "
+            "CAST(day(ts) AS INTEGER) AS d, CAST(month(ts) AS INTEGER) AS m "
+            "FROM events"
         ),
         "t4_concat_names": (
             "SELECT n_nationkey, concat_ws(' ', n_name, r_name) AS full_name "
