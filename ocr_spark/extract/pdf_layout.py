@@ -52,13 +52,13 @@ def _parse_lines(payload: str):
         if bar < 0:
             failures += 1
             continue
-        coord_part = raw[:bar]
-        parts = coord_part.split(",")
+        parts = raw[:bar].split(",")
         if len(parts) != 4:
             failures += 1
             continue
         try:
-            x0, y0, x1, y1 = (float(p) for p in parts)
+            x0 = float(parts[0]); y0 = float(parts[1])
+            x1 = float(parts[2]); y1 = float(parts[3])
         except ValueError:
             failures += 1
             continue
