@@ -14,9 +14,15 @@ from typing import Iterator, List, Tuple
 
 # Whitespace tokens.
 _WS_TOKEN = re.compile(r"\S+")
-# BPE-ish word/number/punct pieces (GPT-2-style, simplified, ASCII-safe).
-_BPE_TOKEN = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
-_WORD = re.compile(r"[A-Za-z0-9]+")
+# BPE-ish word/number/punct pieces — THE canonical pattern, RE2-safe (no
+# lookaheads) so the same string works in Python re, Spark's Java regex,
+# and DuckDB's RE2. functions/text_stats.py imports it for the column
+# twins; changing it here changes all three in lockstep.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+_BPE_TOKEN = re.compile(BPE_PATTERN)
+# lower-FIRST word extraction, matching the dedup shingle semantics and
+# the DuckDB oracle twin (regexp over lower(text))
+_WORD_LOWER = re.compile(r"[a-z0-9]+")
 
 
 def ws_tokens(text: str) -> List[str]:
@@ -31,15 +37,22 @@ def ws_token_spans(text: str) -> Iterator[Tuple[int, int]]:
 
 
 def bpe_ish_count(text: str) -> int:
-    """Token count under a BPE-ish regex pre-tokenizer (whitespace-aware)."""
+    """Token count under BPE_PATTERN — the pure-Python twin of
+    ``functions/text_stats.bpe_token_count`` (same pattern object)."""
     if not text:
         return 0
-    return sum(1 for m in _BPE_TOKEN.finditer(text) if m.group().strip())
+    return sum(1 for _ in _BPE_TOKEN.finditer(text))
+
+
+def words_lower(text: str) -> List[str]:
+    """Lowercased alphanumeric word tokens (shingle word unit)."""
+    return _WORD_LOWER.findall((text or "").lower())
 
 
 def word_ngrams(text: str, n: int) -> List[str]:
-    """Lowercased alphanumeric word n-grams (shingles) for dedup."""
-    words = [w.lower() for w in _WORD.findall(text or "")]
+    """Lowercased alphanumeric word n-grams (shingles) for dedup.
+    <n words collapse to one joined shingle (minhash degenerate case)."""
+    words = words_lower(text)
     if len(words) < n:
         return [" ".join(words)] if words else []
     return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]

@@ -17,9 +17,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# BPE-ish pre-tokenizer pieces (RE2-safe: no lookaheads, works in both
-# Spark's Java regex and DuckDB's RE2).
-BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
+# BPE-ish pre-tokenizer pieces — canonical definition lives in
+# extract/tokenize.py (pure-Python twin bpe_ish_count shares the object).
+from ocr_spark.extract.tokenize import BPE_PATTERN  # noqa: E402
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],

@@ -52,21 +52,19 @@ def shingles_col(text_col: str, n: int = SHINGLE_N) -> F.Column:
     (transform/filter) are interpreted per element in Spark, which made
     the pure-expression formulation ~2 ms/doc — the Arrow-batched Python
     loop is ~20x faster and semantically identical (words = lowercase
-    alphanumeric runs; < n words -> one joined shingle).
+    alphanumeric runs; < n words -> one joined shingle). The word/shingle
+    definition is extract/tokenize.word_ngrams — the single source shared
+    with the DuckDB oracle twin (dd_ngram_jaccard SQL).
     """
-    import re as _re
-
-    tok = _re.compile(r"[a-z0-9]+")
+    from ocr_spark.extract.tokenize import word_ngrams
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _shingles(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            words = tok.findall(t.lower()) if t else []
-            if len(words) >= n:
-                grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-            else:
-                grams = {" ".join(words)}
+            # empty/wordless doc -> the single empty shingle, matching
+            # the oracle SQL's degenerate branch
+            grams = set(word_ngrams(t, n)) or {""}
             out.append(list(grams))
         return pd.Series(out)
 

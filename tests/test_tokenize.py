@@ -1,0 +1,65 @@
+"""extract/tokenize — the pure-Python tokenizer twins must agree exactly
+with the Spark column expressions (text_stats) and the dedup shingle UDF
+built from them."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ocr_spark.extract import tokenize as TK
+from ocr_spark.functions import text_stats as TS
+
+DOCS = [
+    "key agg row scan slow fast table",
+    "one",
+    "",
+    "  leading and trailing  ",
+    "punct!! mixed, 123 tokens-and dashes",
+    "UPPER Case Words Here Now",
+    "a b",
+]
+
+
+def _spark_col_vals(spark, col_builder):
+    pdf = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    df = spark.createDataFrame(pdf)
+    out = df.select("doc_id", col_builder(F.col("text")).alias("v"))
+    return [r["v"] for r in out.orderBy("doc_id").collect()]
+
+
+def test_ws_tokens_matches_token_count_column(spark):
+    got = _spark_col_vals(spark, TS.token_count)
+    want = [len(TK.ws_tokens(d)) for d in DOCS]
+    assert got == want
+
+
+def test_bpe_count_matches_column_twin(spark):
+    got = _spark_col_vals(spark, TS.bpe_token_count)
+    want = [TK.bpe_ish_count(d) for d in DOCS]
+    assert got == want
+
+
+def test_ws_token_spans_cover_tokens():
+    for d in DOCS:
+        toks = TK.ws_tokens(d)
+        spans = list(TK.ws_token_spans(d))
+        assert [d[s:e] for s, e in spans] == toks
+
+
+def test_word_ngrams_match_shingle_udf(spark):
+    from ocr_spark.operators.dedup import shingles_col
+
+    pdf = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select("doc_id", shingles_col("text").alias("sh")).collect()
+    }
+    for i, d in enumerate(DOCS):
+        want = sorted(set(TK.word_ngrams(d, 3)) or {""})
+        assert got[i] == want, (i, d)
+
+
+def test_char_ngrams_basic():
+    assert TK.char_ngrams("ab cd", 2) == ["ab", "b ", " c", "cd"]
+    assert TK.char_ngrams("a", 3) == ["a"]
+    assert TK.char_ngrams("", 3) == []
