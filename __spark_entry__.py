@@ -302,6 +302,16 @@ def _q_u1_union_all(spark, sf_dir):
     return a.unionByName(b)
 
 
+def _q_u2_intersect_except(spark, sf_dir):
+    # set intersection / difference (distinct semantics both engines)
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    b = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.intersect(b).withColumn("op", F.lit("intersect")).unionByName(
+        a.subtract(b).withColumn("op", F.lit("except"))
+    )
+
+
 def _q_o1_topk_orders(spark, sf_dir):
     return (
         _t(spark, sf_dir, "orders")
@@ -685,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
         "a10_ordered_collect": _q_a10_ordered_collect,
         "u1_union_all": _q_u1_union_all,
+        "u2_intersect_except": _q_u2_intersect_except,
         "o1_topk_orders": _q_o1_topk_orders,
         "t1_key_extraction": _q_t1_key_extraction,
         "t2_normalize_key": _q_t2_normalize_key,
@@ -855,6 +866,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM customer WHERE c_acctbal > 0 "
             "UNION ALL "
             "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+        ),
+        "u2_intersect_except": (
+            "SELECT c_custkey, 'intersect' AS op FROM "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 0 "
+            "INTERSECT "
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+            "UNION ALL "
+            "SELECT c_custkey, 'except' AS op FROM "
+            "(SELECT c_custkey FROM customer WHERE c_acctbal > 0 "
+            "EXCEPT "
+            "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
         ),
         "o1_topk_orders": (
             "SELECT o_orderkey, round(o_totalprice, 2) AS total_price FROM orders "
