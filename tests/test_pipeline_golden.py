@@ -86,3 +86,27 @@ def test_metrics_rollup(spark, small_corpus, extracted):
     golden = golden_extraction_rows(small_corpus["transcripts"])
     assert sum(r.parse_failures for r in m) == sum(g["parse_failures"] for g in golden)
     assert sum(r.blocks_kept for r in m) == sum(g["blocks_kept"] for g in golden)
+
+
+def test_pipeline_output_invariant_under_partitioning(spark, small_corpus):
+    """The full pipeline's result must be identical whatever the physical
+    partitioning of the input — the north-rule stable-order invariant is
+    logical, never an accident of shuffle layout."""
+    import pandas as pd
+
+    from ocr_spark.operators.classify import classify_pipeline
+
+    transcripts = spark.createDataFrame(small_corpus["transcripts"])
+    mapping = spark.createDataFrame(small_corpus["mapping"])
+    state = spark.createDataFrame(small_corpus["state"])
+    meta = spark.createDataFrame(small_corpus["conv_meta"][["conv_id", "venue_state"]])
+
+    def run(n_parts):
+        out = classify_pipeline(
+            extract_transcripts(transcripts.repartition(n_parts)),
+            mapping, state, meta,
+        )
+        return out.toPandas().reset_index(drop=True)
+
+    a, b = run(2), run(23)
+    pd.testing.assert_frame_equal(a, b)
