@@ -43,23 +43,42 @@ _PYFILES_SENT: set = set()
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship ocr_spark to executors (the --py-files mechanism, inline) so
-    pandas-UDF closures resolve regardless of the driver's cwd/session."""
-    sc = spark.sparkContext
-    key = id(sc)
-    if key in _PYFILES_SENT:
-        return
+    pandas-UDF closures resolve regardless of the driver's cwd/session.
+
+    The zip path embeds a content hash of every source file, so an edit
+    to ocr_spark/ produces a fresh zip (a stale cached zip prepended to
+    executor sys.path would silently shadow new code); the hash also
+    namespaces checkouts sharing /tmp. The sent-set is keyed by
+    applicationId, which is stable per context and never reused after GC.
+    """
+    import hashlib
+    import tempfile
     import zipfile
 
+    sc = spark.sparkContext
     repo = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join("/tmp", "ocr_spark_pyfiles.zip")
+    pkg = os.path.join(repo, "ocr_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    hasher = hashlib.sha256()
+    for full in sorted(sources):
+        hasher.update(full.encode())
+        with open(full, "rb") as fh:
+            hasher.update(fh.read())
+    digest = hasher.hexdigest()[:16]
+    key = (sc.applicationId, digest)
+    if key in _PYFILES_SENT:
+        return
+    zpath = os.path.join(tempfile.gettempdir(), f"ocr_spark_pyfiles_{digest}.zip")
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(repo, "ocr_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, repo))
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sorted(sources):
+                z.write(full, os.path.relpath(full, repo))
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _PYFILES_SENT.add(key)
 

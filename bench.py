@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as E  # noqa: E402
 from ocr_spark.data.generate import gen_transcripts_df  # noqa: E402
 from ocr_spark.operators.classify import classify_pipeline  # noqa: E402
+from ocr_spark.operators.dedup import release_shingle_caches  # noqa: E402
 from ocr_spark.pipeline import extract_transcripts  # noqa: E402
 from ocr_spark.session import get_spark  # noqa: E402
 
@@ -70,6 +71,7 @@ def main() -> None:
         t0 = time.time()
         materialize(qs[name](spark, sf_dir))
         times[name] = round(time.time() - t0, 3)
+        release_shingle_caches()  # dedup queries each pin one cached relation
 
     # flagship extraction + classification over the synthetic corpus
     tpath = bench_transcripts_path(spark, BENCH_CONVS)
@@ -82,13 +84,19 @@ def main() -> None:
     t_extract = time.time() - t0
     times["ex_extract_pipeline"] = round(t_extract, 3)
 
+    # Time classification alone: persist the extracted frame (materialized
+    # untimed) so the classify measurement doesn't re-run extraction and
+    # the suite total doesn't double-count the extract stage.
     mapping, state, meta = E._fixture_lookups(spark, BENCH_CONVS)
+    extracted_cached = extracted.persist()
+    materialize(extracted_cached)
     t0 = time.time()
     classified = classify_pipeline(
-        extract_transcripts(transcripts), mapping, state, meta.drop("company_id")
+        extracted_cached, mapping, state, meta.drop("company_id")
     )
     materialize(classified)
     times["ex_classify_pipeline"] = round(time.time() - t0, 3)
+    extracted_cached.unpersist(blocking=False)
 
     total = round(sum(times.values()), 3)
     result = {

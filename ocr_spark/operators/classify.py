@@ -160,13 +160,25 @@ def apply_credential_hints(records: DataFrame, hints: DataFrame) -> DataFrame:
 
     ``hints``: DataFrame(conv_id, name_hints: map<string,string>).
     """
-    h = hints.select(
-        "conv_id",
-        F.map_from_arrays(
-            F.transform(F.map_keys("name_hints"), lambda k: F.upper(F.trim(k))),
-            F.map_values("name_hints"),
-        ).alias("_hints"),
+    # Normalizing keys with upper(trim()) can collide two distinct hint
+    # names ('Jane Doe' / 'JANE DOE'); under the default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION a duplicate map key fails the
+    # job at runtime. Dedup first-wins while building the entry array
+    # (deterministic: map_entries preserves insertion order).
+    norm_entries = F.transform(
+        F.map_entries("name_hints"),
+        lambda e: F.struct(
+            F.upper(F.trim(e["key"])).alias("key"), e["value"].alias("value")
+        ),
     )
+    deduped = F.aggregate(
+        norm_entries,
+        F.array().cast("array<struct<key:string,value:string>>"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda x: x["key"] == e["key"]), acc
+        ).otherwise(F.array_append(acc, e)),
+    )
+    h = hints.select("conv_id", F.map_from_entries(deduped).alias("_hints"))
     hinted = records.join(F.broadcast(h), "conv_id", "left")
     hint_val = F.element_at(F.col("_hints"), F.upper(F.trim(F.col("Name"))))
     return hinted.withColumn(

@@ -25,6 +25,7 @@ are the corpus-scale generalization.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -34,6 +35,29 @@ from ocr_spark.functions.text_stats import fingerprint
 N_MINHASH = 16
 N_BANDS = 4  # rows per band = N_MINHASH / N_BANDS = 4
 SHINGLE_N = 3
+
+# Shingle arrays are ~10x the raw text, so the cache policy is explicit:
+# MEMORY_AND_DISK_DESER spills to local disk instead of evicting (at
+# corpus scale recomputing the interpreted n-gram build costs more than
+# a local-disk read). Each near-dup call registers its cached relation
+# here; callers that loop (bench, the correctness gate) should call
+# release_shingle_caches() between queries or executor memory accrues
+# one pinned relation per call.
+_LIVE_CACHES: list = []
+
+
+def _persist_shingles(df: DataFrame) -> DataFrame:
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LIVE_CACHES.append(cached)
+    return cached
+
+
+def release_shingle_caches() -> int:
+    """Unpersist every shingle cache registered since the last release."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=False)
+    return n
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -128,7 +152,7 @@ def minhash_near_dups(
     here), and it feeds three consumers — the signature explode and both
     sides of the verify join. Without the cache, projection collapse
     recomputes it per consumer."""
-    with_sh = df.select(id_col, shingles_col(text_col).alias("sh")).persist()
+    with_sh = _persist_shingles(df.select(id_col, shingles_col(text_col).alias("sh")))
     sigs = with_sh.select(
         id_col, F.explode("sh").alias("shingle")
     ).groupBy(id_col).agg(
@@ -167,7 +191,7 @@ def ngram_jaccard_pairs(
     the threshold — they don't share an index entry. ``threshold <= 0``
     therefore means "every pair sharing at least one shingle".
     """
-    with_sh = df.select(id_col, shingles_col(text_col).alias("sh")).persist()
+    with_sh = _persist_shingles(df.select(id_col, shingles_col(text_col).alias("sh")))
     e = with_sh.select(id_col, F.explode("sh").alias("s"))
     inter = (
         e.alias("a")

@@ -60,3 +60,28 @@ def test_hints_fill_only_empty_credentials(spark):
     assert got["Jane Doe"] == "RN"  # empty + hinted (case-insensitive key)
     assert got["Bob Roe"] == "MD"  # non-empty: hint must NOT override
     assert got["Ann Poe"] == ""  # empty, no hint
+
+
+def test_hints_colliding_normalized_keys_first_wins(spark):
+    # 'Jane Doe' and 'JANE DOE' normalize to the same map key; under
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION a naive map rebuild fails the
+    # whole job. The first entry (map insertion order) must win.
+    from pyspark.sql import functions as F
+
+    recs = _records_fixture(spark)
+    # map_from_arrays guarantees entry order (a Python-dict literal does not)
+    hints = (
+        recs.sparkSession.range(1)
+        .select(
+            F.lit("c1").alias("conv_id"),
+            F.map_from_arrays(
+                F.array(F.lit("Jane Doe"), F.lit("JANE DOE")),
+                F.array(F.lit("RN"), F.lit("DO")),
+            ).alias("name_hints"),
+        )
+    )
+    got = {
+        r["Name"]: r["Credential_OCR"]
+        for r in apply_credential_hints(recs, hints).collect()
+    }
+    assert got["Jane Doe"] == "RN"
