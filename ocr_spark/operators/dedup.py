@@ -14,7 +14,8 @@ All shapes are Spark-first and scale-aware:
   O(n^2) cross join.
 - SimHash: 64-bit hamming-fingerprint in a vectorized pandas UDF (bit
   manipulation is genuinely awkward as column expressions); near-dup =
-  hamming distance <= d over LSH-prefix buckets.
+  hamming distance <= d with block-combination LSH candidate generation
+  (exact recall by pigeonhole — see simhash_candidate_buckets).
 - n-gram Jaccard: the exact verifier, exposed standalone for small sets.
 
 The ordered keep-first conversation dedup lives in operators/classify.py
@@ -23,6 +24,8 @@ are the corpus-scale generalization.
 """
 
 from __future__ import annotations
+
+from typing import Optional
 
 import pandas as pd
 from pyspark import StorageLevel
@@ -247,18 +250,93 @@ def simhash64(texts: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="int64")
 
 
-def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def _simhash_blocks(n_bits: int, n_blocks: int) -> list:
+    """(shift, width) bounds splitting n_bits into n_blocks near-even blocks."""
+    base, rem = divmod(n_bits, n_blocks)
+    bounds, start = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((start, w))
+        start += w
+    return bounds
+
+
+def _default_simhash_blocks(max_hamming: int) -> int:
+    """Largest block count m with C(m, m-d) <= 40 tables, capped at 2(d+1).
+
+    More blocks than the minimal d+1 widens the bucket key (a key is a
+    combination of m-d blocks, so key width ~= (m-d) * 64/m bits): d=3
+    picks m=6 (20 tables, ~32-bit keys), d=6 picks m=8 (28 tables,
+    ~16-bit keys). Wider keys keep within-bucket self-joins linear at
+    corpus scale; the table count is the bounded explode factor."""
+    from math import comb
+
+    best = max_hamming + 1
+    for m in range(max_hamming + 1, 2 * (max_hamming + 1) + 1):
+        if m <= 64 and comb(m, m - max_hamming) <= 40:
+            best = m
+    return best
+
+
+def simhash_candidate_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+    n_blocks: Optional[int] = None, sim_col: str = "sim",
 ) -> DataFrame:
-    """Near-dups by SimHash hamming distance, bucketed by the top 16 bits
-    (candidate pruning; exact hamming verified on candidates)."""
+    """Block-combination LSH over 64-bit signatures (Manku et al.,
+    'Detecting Near-Duplicates for Web Crawling', WWW'07 — public
+    algorithm, reimplemented): split the 64 bits into m near-even blocks
+    and emit one bucket key per combination of (m - d) blocks. A pair at
+    hamming <= d has at most d dirty blocks, so at least m-d blocks are
+    clean and SOME combination of m-d blocks matches in full — every
+    true pair shares at least one bucket (exact recall by pigeonhole),
+    and candidate generation stays linear: the self-join key is a 64-bit
+    hash of m-d block values, never a short prefix."""
+    from itertools import combinations
+
+    m = n_blocks or _default_simhash_blocks(max_hamming)
+    if m <= max_hamming:
+        raise ValueError("n_blocks must exceed max_hamming")
+    keep = m - max_hamming
+    bounds = _simhash_blocks(64, m)
+    block = [
+        F.shiftrightunsigned(sim_col, s).bitwiseAND(F.lit((1 << w) - 1))
+        for s, w in bounds
+    ]
+    keys = F.array(
+        *[
+            # the combo index is hashed in so equal block values under
+            # different combinations never collide into one bucket
+            F.xxhash64(F.lit(ci), *[block[b] for b in combo])
+            for ci, combo in enumerate(combinations(range(m), keep))
+        ]
+    )
+    return sigs.select(id_col, sim_col, F.explode(keys).alias("bucket"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, n_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Near-dups by SimHash hamming distance.
+
+    Candidates come from block-combination LSH (exact recall at
+    ``hamming <= max_hamming`` — see simhash_candidate_buckets), then the
+    exact hamming distance is verified with ``bit_count(xor)``. Output is
+    exactly the hamming-<=d self-join, computed without the O(n^2) cross
+    join the round-1 prefix bucketing degraded to."""
     sh = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
-    sh = sh.withColumn("bucket", F.shiftrightunsigned("sim", 48))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "bucket")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "bucket")
+    banded = simhash_candidate_buckets(sh, id_col, max_hamming, n_blocks)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "bucket"
+    )
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()  # a pair may share several clean-block combinations
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -54,6 +54,58 @@ def test_simhash_near_dups(spark, docs):
     assert (0, 3) in pairs  # identical text -> hamming 0
 
 
+def test_simhash_blockperm_recall_is_exact(spark):
+    """Adversarial corpus: every near-dup pair differs ONLY in the top 16
+    bits — the exact region the round-1 single-prefix bucketing keyed on
+    (those pairs were unfindable by construction). Block-combination LSH
+    must recover 100% of the exact hamming-<=d self-join."""
+    import random
+
+    from ocr_spark.operators.dedup import simhash_candidate_buckets
+
+    r = random.Random(11)
+    sigs = []
+    for i in range(60):
+        base = r.getrandbits(64)
+        sigs.append((2 * i, base))
+        flips = r.sample(range(48, 64), r.randint(1, 3))  # top bits only
+        pert = base
+        for b in flips:
+            pert ^= 1 << b
+        sigs.append((2 * i + 1, pert))
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(i, signed(s)) for i, s in sigs], "doc_id long, sim long"
+    )
+    # ground truth: exact all-pairs hamming join
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"))
+    exact = {
+        (r2.id_a, r2.id_b)
+        for r2 in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .collect()
+    }
+    banded = simhash_candidate_buckets(df, "doc_id", max_hamming=3)
+    ba = banded.select(F.col("doc_id").alias("id_a"), F.col("sim").alias("sim_a"), "bucket")
+    bb = banded.select(F.col("doc_id").alias("id_b"), F.col("sim").alias("sim_b"), "bucket")
+    got = {
+        (r2.id_a, r2.id_b)
+        for r2 in ba.join(bb, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+        .filter(F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= 3)
+        .collect()
+    }
+    assert exact, "adversarial corpus must contain true pairs"
+    assert got == exact  # 100% recall, no extras after verification
+
+
 @pytest.fixture(scope="module")
 def emb(spark):
     import random
