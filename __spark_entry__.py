@@ -628,10 +628,17 @@ def _q_sim_cosine_pairs(spark, sf_dir):
 
 
 def _q_sim_ivf_topk(spark, sf_dir):
+    # IVF with FIXED coarse centroids (the first 8 corpus vectors) so the
+    # assignment/probe/score path is SQL-expressible and hash-verified;
+    # the seeded-k-means centroid path is pytest-covered separately.
     _ensure_pyfiles(spark)
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
-    out = SIM.ivf_topk(emb, qvec, k=10, n_centroids=8, n_probe=3)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    qvec = cents[0]  # vec_id 0 doubles as the query
+    out = SIM.ivf_topk(emb, qvec, k=10, n_probe=3, centroids=cents)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
@@ -737,15 +744,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
+        "sim_knn_join": _q_sim_knn_join,
+        "sim_ivf_topk": _q_sim_ivf_topk,
         "fz_levenshtein": _q_fz_levenshtein,
-        # rows-only:
+        # rows-only (xxhash64/crc32 signatures have no DuckDB twin; the
+        # full-corpus flagship is covered hash-wise by the *_sql_twin
+        # queries over driver tables):
         "ex_extract_turns": _q_ex_extract_turns,
         "ex_classify_records": _q_ex_classify_records,
         "dd_minhash_neardups": _q_dd_minhash_neardups,
         "dd_simhash_neardups": _q_dd_simhash_neardups,
-        "sim_knn_join": _q_sim_knn_join,
-        "sim_ivf_topk": _q_sim_ivf_topk,
     }
+
+
+def _knn_join_sql() -> str:
+    """DuckDB twin of SIM.knn_join: identical deterministic hyperplanes
+    (seed 7) as literal DOUBLE[] rows, sign-bit signature via
+    list_dot_product, bucket equi-join, per-query ranking window. Engine
+    fp parity: both sides widen float32 embeddings to float64 before the
+    dot product; a sign flip would need |dot| ~ 1e-15, unobserved."""
+    planes = SIM.hyperplanes(64, 8, seed=7)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH planes(pid, pv) AS (VALUES {rows}),
+sigs AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END) AS INTEGER) AS sig
+  FROM embeddings e, planes p GROUP BY e.vec_id
+),
+qs AS (SELECT s.vec_id AS q_id, CAST(e.embedding AS DOUBLE[]) AS q_vec, s.sig
+       FROM sigs s JOIN embeddings e USING (vec_id) WHERE s.vec_id < 20),
+cs AS (SELECT s.vec_id, CAST(e.embedding AS DOUBLE[]) AS c_vec, s.sig
+       FROM sigs s JOIN embeddings e USING (vec_id)),
+scored AS (
+  SELECT q.q_id, c.vec_id,
+         list_cosine_similarity(q.q_vec, c.c_vec) AS cos_raw,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY list_cosine_similarity(q.q_vec, c.c_vec) DESC,
+                                     c.vec_id) AS rank
+  FROM qs q JOIN cs c ON q.sig = c.sig
+)
+SELECT q_id, vec_id, round(cos_raw, 4) AS cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+
+_IVF_TOPK_SQL = """
+WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 8),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv),
+                                       c.cid) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1
+),
+probe AS (SELECT cid FROM (
+    SELECT c.cid, row_number() OVER (
+        ORDER BY list_distance(c.cv, (SELECT qv FROM q)), c.cid) AS rn
+    FROM cents c) WHERE rn <= 3)
+SELECT e.vec_id,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)), 4)
+         AS cosine_sim
+FROM embeddings e
+JOIN assign a ON e.vec_id = a.vec_id
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC,
+         e.vec_id
+LIMIT 10
+"""
 
 
 _DUP_CORPUS_SQL = (
@@ -1053,4 +1126,6 @@ def oracle_sql() -> dict[str, str]:
             "CAST(levenshtein(a.r_name, b.r_name) AS INTEGER) AS lev "
             "FROM region a, region b WHERE a.r_regionkey < b.r_regionkey"
         ),
+        "sim_knn_join": _knn_join_sql(),
+        "sim_ivf_topk": _IVF_TOPK_SQL,
     }

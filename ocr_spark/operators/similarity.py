@@ -152,6 +152,22 @@ def ivf_topk(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+@F.pandas_udf(T.DoubleType())
+def pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Row-pair cosine: one vectorized numpy pass per Arrow batch (the
+    scoring hot path — HOF ``aggregate(zip_with(...))`` is interpreted
+    per element and ~2 orders slower at corpus scale)."""
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.asarray(va.tolist(), dtype=np.float64)
+    mb = np.asarray(vb.tolist(), dtype=np.float64)
+    na = np.linalg.norm(ma, axis=1)
+    nb = np.linalg.norm(mb, axis=1)
+    na[na == 0.0] = 1.0
+    nb[nb == 0.0] = 1.0
+    return pd.Series((ma * mb).sum(axis=1) / (na * nb))
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -172,25 +188,13 @@ def embedding_near_dups(
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
         planes = hyperplanes(dim, h)
-        sig = rh_signature_col
-        a = a.withColumn("sig", sig(F.col("va"), planes))
-        b = b.withColumn("sig", sig(F.col("vb"), planes))
+        sig = rh_signature_udf(planes)
+        a = a.withColumn("sig", sig(F.col("va")))
+        b = b.withColumn("sig", sig(F.col("vb")))
         pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
 
-    @F.pandas_udf(T.DoubleType())
-    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype="float64")
-        ma = np.asarray(va.tolist(), dtype=np.float64)
-        mb = np.asarray(vb.tolist(), dtype=np.float64)
-        na = np.linalg.norm(ma, axis=1)
-        nb = np.linalg.norm(mb, axis=1)
-        na[na == 0.0] = 1.0
-        nb[nb == 0.0] = 1.0
-        return pd.Series((ma * mb).sum(axis=1) / (na * nb))
-
     return (
-        pairs.withColumn("cosine_sim", _pair_cos("va", "vb"))
+        pairs.withColumn("cosine_sim", pair_cosine_udf("va", "vb"))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
@@ -203,12 +207,35 @@ def hyperplanes(dim: int, h: int = 8, seed: int = 7) -> List[List[float]]:
 
 
 def rh_signature_col(vec_col, planes: List[List[float]]) -> F.Column:
-    """Random-hyperplane sign signature as an int (h bits, h <= 30)."""
+    """Random-hyperplane sign signature as an int (h bits, h <= 30).
+
+    Pure-column form for composition inside SQL-only plans; evaluates h
+    interpreted HOF dot products per row — use ``rh_signature_udf`` on
+    any hot path."""
     sig = F.lit(0)
     for i, p in enumerate(planes):
         bit = F.when(dot_col(vec_col, _vec_lit(p)) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = sig + bit
     return sig.cast("int")
+
+
+def rh_signature_udf(planes: List[List[float]]):
+    """All h hyperplane sign bits in ONE numpy matmul per Arrow batch:
+    (n, d) @ (d, h) then a packbits reduction — replaces h interpreted
+    HOF dot products per row. Sign rule matches rh_signature_col
+    (``dot >= 0`` sets the bit)."""
+    pt = np.asarray(planes, dtype=np.float64).T  # (d, h)
+    weights = (1 << np.arange(pt.shape[1], dtype=np.int64))  # bit i = plane i
+
+    @F.pandas_udf(T.IntegerType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, d)
+        bits = (m @ pt) >= 0.0  # (n, h) bool
+        return pd.Series((bits @ weights).astype("int32"))
+
+    return _sig
 
 
 def lsh_bucketed_topk(
@@ -229,7 +256,7 @@ def lsh_bucketed_topk(
         if sum(a * b for a, b in zip(query_vec, p)) >= 0:
             qsig |= 1 << i
     buckets = [qsig] + ([qsig ^ (1 << i) for i in range(h)] if probe_hamming1 else [])
-    signed = embeddings.withColumn("sig", rh_signature_col(F.col(vec_col), planes))
+    signed = embeddings.withColumn("sig", rh_signature_udf(planes)(F.col(vec_col)))
     cand = signed.filter(F.col("sig").isin(buckets))
     return cosine_topk(cand, query_vec, k, vec_col, id_col)
 
@@ -246,16 +273,20 @@ def knn_join(
 ) -> DataFrame:
     """Batch ANN: bucket-equi-join queries to corpus on the hyperplane
     signature, rank per query, keep top-k. One shuffle on the signature
-    (both sides), one ranking window — no cross join."""
+    (both sides), one ranking window — no cross join. Signatures and
+    pair scores are numpy pandas_udfs (one matmul / one vectorized pass
+    per Arrow batch) — at corpus scale the signature+score pass
+    dominates, so nothing here evaluates interpreted HOF lambdas."""
     planes = hyperplanes(dim, h)
-    qs = queries.withColumn("sig", rh_signature_col(F.col(vec_col), planes)).select(
+    sig = rh_signature_udf(planes)
+    qs = queries.withColumn("sig", sig(F.col(vec_col))).select(
         F.col(qid_col), F.col(vec_col).alias("q_vec"), "sig"
     )
-    cs = corpus.withColumn("sig", rh_signature_col(F.col(vec_col), planes)).select(
+    cs = corpus.withColumn("sig", sig(F.col(vec_col))).select(
         F.col(cid_col), F.col(vec_col).alias("c_vec"), "sig"
     )
     joined = qs.join(cs, "sig").withColumn(
-        "cosine_sim", cosine_sim_col(F.col("q_vec"), F.col("c_vec"))
+        "cosine_sim", pair_cosine_udf(F.col("q_vec"), F.col("c_vec"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(cid_col))
     return (
