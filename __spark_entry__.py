@@ -23,6 +23,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -642,6 +644,38 @@ def _q_sim_ivf_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
 
 
+def _q_fz_token_sort_scalar(spark, sf_dir):
+    """Hash-verify the native token_sort_ratio (T12/J7 scalar) at the gate.
+
+    Restricted fixture where the Indel score is levenshtein-derivable:
+    candidate = token-sorted p_name, needle = candidate minus its last
+    token. The needle is then a SUBSEQUENCE of the candidate, so
+    LCS = len(needle), indel distance = levenshtein = len diff, and
+    ratio = (la+lb-lev)*100/(la+lb) exactly — the oracle computes that
+    from DuckDB levenshtein while Spark runs the real bit-parallel LCS
+    implementation (functions/fuzzy.py)."""
+    from ocr_spark.functions.fuzzy import token_sort_ratio
+
+    _ensure_pyfiles(spark)
+
+    @F.pandas_udf("double")
+    def _tsr(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([token_sort_ratio(x, y) for x, y in zip(a, b)])
+
+    part = _t(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.split(F.upper("p_name"), " ")), " ").alias("cand"),
+    ).select(
+        "p_partkey",
+        "cand",
+        F.regexp_replace("cand", r" [^ ]+$", "").alias("needle"),
+    )
+    return t.select(
+        "p_partkey", "needle", "cand", F.round(_tsr("needle", "cand"), 2).alias("tsr")
+    )
+
+
 def _q_fz_levenshtein(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     a = region.select(F.col("r_regionkey").alias("ka"), F.col("r_name").alias("name_a"))
@@ -675,6 +709,108 @@ def _q_ex_extract_turns(spark, sf_dir):
 
 def _q_ex_classify_records(spark, sf_dir):
     return _flagship(spark, QUERY_CONVS)
+
+
+def _plain_corpus(spark, sf_dir) -> DataFrame:
+    """documents -> transcripts-shaped plain-kind payloads; the payload
+    expression is the SAME SQL string the oracle inlines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.expr(_PLAIN_PAYLOAD_SQL).alias("text"),
+        F.lit("plain").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _q_ex_plain_sql_twin(spark, sf_dir):
+    """Hash-verified plain-kind extraction: the REAL mapInPandas kernel vs
+    a DuckDB reimplementation of canonicalize + span bounds."""
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_plain_corpus(spark, sf_dir))
+    span1 = F.try_element_at("spans", F.lit(1))
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        F.coalesce(span1["start"], F.lit(-1)).cast("int").alias("span_start"),
+        F.coalesce(span1["end"], F.lit(-1)).cast("int").alias("span_end"),
+        "blocks_kept",
+    )
+
+
+def _records_corpus(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_RECORDS_PAYLOAD_SQL).alias("text"),
+        F.lit("records").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def _q_ex_records_parse_twin(spark, sf_dir):
+    """Hash-verified record-grammar parse: real kernel vs the SQL grammar."""
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_records_corpus(spark, sf_dir))
+    return ext.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        F.posexplode("records").alias("record_idx", "rec"),
+    ).select(
+        "conv",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        F.col("rec.Name").alias("Name"),
+        F.col("rec.Credential_OCR").alias("Credential_OCR"),
+        F.col("rec.Signature").alias("Signature"),
+    )
+
+
+def _q_ex_records_meta_twin(spark, sf_dir):
+    """Hash-verified per-turn extraction output: clean_text (canonicalized
+    matched lines), record/parse-failure metrics, field-employee header,
+    company footer — including zero-record turns."""
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_records_corpus(spark, sf_dir))
+    return ext.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "clean_text",
+        F.size("records").alias("n_records"),
+        "parse_failures",
+        F.coalesce("field_employee", F.lit("")).alias("field_employee"),
+        "company_id",
+    )
+
+
+def _q_ex_classify_sql_twin(spark, sf_dir):
+    """Hash-verified FULL flagship cascade (extract -> explode -> exact
+    cascade w/ state eligibility -> defaults -> FE override -> ordered
+    dedup) vs the DuckDB twin. Fuzzy quiescent by corpus construction."""
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_records_corpus(spark, sf_dir))
+    mpdf = G.credential_mapping_pdf()
+    mpdf.insert(0, "m_row_id", range(1, len(mpdf) + 1))
+    mapping = spark.createDataFrame(mpdf)
+    state = spark.createDataFrame(G.state_credential_pdf())
+    meta = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.expr(_VENUE_SQL_TMPL.format(k="c_custkey")).alias("venue_state"),
+    )
+    out = classify_pipeline(ext, mapping, state, meta)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "turn_idx",
+        "record_idx",
+        "Name",
+        "Credential_OCR",
+        "Signature",
+        "Credential_Standardized",
+        "Classification",
+        "Match_Score",
+        "Match_Method",
+    )
 
 
 def _q_dd_minhash_neardups(spark, sf_dir):
@@ -747,6 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "fz_levenshtein": _q_fz_levenshtein,
+        "fz_token_sort_scalar": _q_fz_token_sort_scalar,
+        "ex_plain_sql_twin": _q_ex_plain_sql_twin,
+        "ex_records_parse_twin": _q_ex_records_parse_twin,
+        "ex_records_meta_twin": _q_ex_records_meta_twin,
+        "ex_classify_sql_twin": _q_ex_classify_sql_twin,
         # rows-only (xxhash64/crc32 signatures have no DuckDB twin; the
         # full-corpus flagship is covered hash-wise by the *_sql_twin
         # queries over driver tables):
@@ -755,6 +896,267 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_neardups": _q_dd_minhash_neardups,
         "dd_simhash_neardups": _q_dd_simhash_neardups,
     }
+
+
+# ---------------------------------------------------------------------------
+# Flagship SQL twins (VERDICT round-1 ask #1): the extraction kernel and the
+# classification cascade, hash-verified against DuckDB reimplementations of
+# the SAME grammar/cascade over driver tables. Payloads are constructed with
+# ONE SQL expression valid in BOTH engines (Spark runs it via F.expr, the
+# oracle inline), so both sides parse identical inputs; the Spark side runs
+# the REAL mapInPandas kernel, the oracle runs an independent SQL
+# reimplementation of the semantics (parse_records.py grammar,
+# normalize.canonicalize, classify.py cascade).
+# ---------------------------------------------------------------------------
+
+# plain-kind payload over documents: leading/trailing ws, CRLF, lone CR,
+# tabs, 4-blank-line runs, and every-7th row whitespace-only (degenerate).
+_PLAIN_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN '  ' || chr(9) || chr(10) || ' ' "
+    "ELSE '  ' || substr(text, 1, 60) || chr(13) || chr(10) || chr(9) || chr(9) "
+    "|| ' ' || upper(substr(text, 21, 40)) || chr(13) || chr(10) || chr(10) "
+    "|| chr(10) || chr(10) || substr(text, 1, 25) || '  ' || chr(9) || ' ' END"
+)
+
+# DuckDB twin of normalize.canonicalize for ASCII payloads (NFC is a no-op
+# on ASCII; steps and order mirror normalize.py:43-62 exactly).
+def _canon_sql(expr: str) -> str:
+    s = f"replace(replace({expr}, chr(13)||chr(10), chr(10)), chr(13), chr(10))"
+    s = f"regexp_replace({s}, '[ \\t\\f\\x0b]+', ' ', 'g')"
+    s = f"replace({s}, ' '||chr(10), chr(10))"
+    s = f"regexp_replace({s}, '\\n{{3,}}', chr(10)||chr(10), 'g')"
+    return f"trim({s}, ' '||chr(10)||chr(9)||chr(13))"
+
+
+_WS_CHARS = "' '||chr(9)||chr(10)||chr(13)"
+
+_PLAIN_TWIN_SQL = f"""
+WITH p AS (SELECT doc_id, {_PLAIN_PAYLOAD_SQL} AS payload FROM documents),
+c AS (SELECT doc_id, payload, {_canon_sql('payload')} AS clean_text FROM p)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
+  CAST(CASE WHEN clean_text = '' THEN -1
+       ELSE length(payload) - length(ltrim(payload, {_WS_CHARS})) END AS INTEGER)
+    AS span_start,
+  CAST(CASE WHEN clean_text = '' THEN -1
+       ELSE length(rtrim(payload, {_WS_CHARS})) END AS INTEGER) AS span_end,
+  CAST(CASE WHEN clean_text = '' THEN 0 ELSE 1 END AS INTEGER) AS blocks_kept
+FROM c
+"""
+
+# records-kind payload over customer: both grammar formats, [] credential,
+# whitespace-variant separators, an unmatched noise line, an empty payload,
+# a Field Employee header whose name recurs as a record (override path),
+# and a COMPANY_ID footer on the multi-record case. Credentials are chosen
+# so the fuzzy fallback stays quiescent (norm < 5 chars wherever an exact
+# miss is possible; long forms only where CredentialID 1/2 guarantees an
+# always-eligible exact hit) — fuzzy is verified by fz_token_sort_scalar
+# and the pytest goldens instead.
+_REC_N1 = "('Alice ' || chr(CAST(65 + c_custkey % 26 AS INTEGER)))"
+_REC_N2 = "('Bob ' || chr(CAST(65 + c_custkey % 7 AS INTEGER)))"
+_REC_CRED_SHORT = (
+    "(CASE c_custkey % 4 WHEN 0 THEN 'MD' WHEN 1 THEN 'P.A.' "
+    "WHEN 2 THEN 'DO' ELSE 'O.D.' END)"
+)
+_REC_CRED_LONG = (
+    "(CASE c_custkey % 3 WHEN 0 THEN 'Doctor of Medicine' "
+    "WHEN 1 THEN 'Doctor of Osteopathy' ELSE 'medical doctor' END)"
+)
+_REC_CRED_JUNK = (
+    "(CASE c_custkey % 3 WHEN 0 THEN 'aide' WHEN 1 THEN 'spy' ELSE 'n/a' END)"
+)
+_RECORDS_PAYLOAD_SQL = f"""
+CASE c_custkey % 6
+  WHEN 0 THEN 'Field Employee: ' || {_REC_N1} || chr(10)
+    || '- ' || {_REC_N1} || ', ' || {_REC_CRED_SHORT} || ', [signature present]' || chr(10)
+    || '- ' || {_REC_N2} || ', ' || {_REC_CRED_JUNK} || ', []' || chr(10)
+    || 'COMPANY_ID: ' || (1 + c_custkey % 3)
+  WHEN 1 THEN {_REC_N1} || ', ' || {_REC_CRED_LONG}
+  WHEN 2 THEN '- ' || {_REC_N1} || ', [], [signature present]'
+  WHEN 3 THEN 'noise line without that symbol' || chr(10)
+    || '-' || {_REC_N2} || ',' || {_REC_CRED_SHORT} || ',[sig]'
+  WHEN 4 THEN ''
+  ELSE '  - ' || {_REC_N1} || '  ,  ' || {_REC_CRED_LONG} || ' , [x]'
+END
+"""
+
+_VENUE_SQL_TMPL = (
+    "(CASE {k} % 7 WHEN 0 THEN 'federal' WHEN 1 THEN 'california' "
+    "WHEN 2 THEN 'texas' WHEN 3 THEN 'new york' WHEN 4 THEN 'ohio' "
+    "WHEN 5 THEN 'vermont' ELSE NULL END)"
+)
+
+# the two-format grammar (parse_records.py:24-25); RE2 and Python re agree
+# on these patterns over ASCII single-line inputs
+_REC_NEW_PAT = r"'^-?\s*(.+?),\s*(.+?),\s*(\[.*?\])$'"
+_REC_OLD_PAT = r"'^-?\s*(.+?),\s*(.+)$'"
+_FE_PAT = r"'(?i)field\s+employee:\s*([a-zA-Z][a-zA-Z\s.]+?)(?:\n|$|,)'"
+_COMPANY_PAT = r"'(?i)company_id:\s*([0-9]+)'"
+
+# shared CTE chain: payload -> lines -> stripped -> format-classified
+_REC_PARSE_CTES = f"""
+p AS (SELECT c_custkey AS conv, {_RECORDS_PAYLOAD_SQL} AS payload FROM customer),
+ls AS (SELECT conv, payload, string_split(payload, chr(10)) AS arr FROM p),
+l AS (SELECT conv, unnest(arr) AS line,
+             unnest(generate_series(1, len(arr))) AS lno FROM ls),
+s AS (SELECT conv, lno, trim(line, ' '||chr(9)) AS st FROM l
+      WHERE trim(line, ' '||chr(9)) <> ''),
+m AS (SELECT conv, lno, st,
+        CASE WHEN regexp_matches(st, {_REC_NEW_PAT}) THEN 2
+             WHEN regexp_matches(st, {_REC_OLD_PAT}) THEN 1
+             ELSE 0 END AS fmt
+      FROM s),
+rec AS (
+  SELECT conv, lno,
+    CAST(row_number() OVER (PARTITION BY conv ORDER BY lno) - 1 AS INTEGER)
+      AS record_idx,
+    CASE WHEN fmt = 2 THEN trim(regexp_extract(st, {_REC_NEW_PAT}, 1), ' '||chr(9))
+         ELSE trim(regexp_extract(st, {_REC_OLD_PAT}, 1), ' '||chr(9)) END AS "Name",
+    CASE WHEN fmt = 2 THEN
+           (CASE WHEN trim(regexp_extract(st, {_REC_NEW_PAT}, 2), ' '||chr(9)) = '[]'
+                 THEN '' ELSE trim(regexp_extract(st, {_REC_NEW_PAT}, 2), ' '||chr(9)) END)
+         ELSE trim(regexp_extract(st, {_REC_OLD_PAT}, 2), ' '||chr(9)) END
+      AS "Credential_OCR",
+    CASE WHEN fmt = 2 THEN trim(regexp_extract(st, {_REC_NEW_PAT}, 3), ' '||chr(9))
+         ELSE '[]' END AS "Signature"
+  FROM m WHERE fmt > 0),
+turn AS (
+  SELECT conv, payload,
+    CASE WHEN length(trim(regexp_extract(payload, {_FE_PAT}, 1), ' '||chr(9))) > 2
+         THEN trim(regexp_extract(payload, {_FE_PAT}, 1), ' '||chr(9)) END
+      AS field_employee,
+    coalesce(try_cast(nullif(regexp_extract(payload, {_COMPANY_PAT}, 1), '')
+                      AS INTEGER), 1) AS company_id
+  FROM p)
+"""
+
+_REC_PARSE_TWIN_SQL = f"""
+WITH {_REC_PARSE_CTES}
+SELECT CAST(conv AS BIGINT) AS conv, record_idx, "Name", "Credential_OCR", "Signature"
+FROM rec
+"""
+
+_REC_META_TWIN_SQL = f"""
+WITH {_REC_PARSE_CTES},
+agg AS (
+  SELECT conv,
+    string_agg(CASE WHEN fmt > 0
+                    THEN trim(regexp_replace(st, '[ \\t]+', ' ', 'g'), ' ') END,
+               chr(10) ORDER BY lno) AS clean_text,
+    CAST(count(*) FILTER (fmt > 0) AS INTEGER) AS n_records,
+    CAST(count(*) FILTER (fmt = 0) AS INTEGER) AS parse_failures
+  FROM m GROUP BY conv)
+SELECT CAST(t.conv AS BIGINT) AS conv,
+  coalesce(a.clean_text, '') AS clean_text,
+  coalesce(a.n_records, 0) AS n_records,
+  coalesce(a.parse_failures, 0) AS parse_failures,
+  coalesce(t.field_employee, '') AS field_employee,
+  t.company_id
+FROM turn t LEFT JOIN agg a ON t.conv = a.conv
+"""
+
+
+def _mapping_values_sql() -> str:
+    """The credential mapping fixture as a VALUES list in file row order
+    (m_row_id = the cascade tie-break, classify.py:255-263)."""
+    pdf = G.credential_mapping_pdf()
+    rows = []
+    for i, r in enumerate(pdf.itertuples(index=False), start=1):
+        pn = str(r.PossibleNames).replace("'", "''")
+        cred = str(r.Credential).replace("'", "''")
+        rows.append(
+            f"({i}, '{pn}', {int(r.CredentialID)}, '{cred}', "
+            f"'{r.Classification}', {int(r.company_id)})"
+        )
+    return (
+        "(VALUES " + ", ".join(rows)
+        + ") mv(m_row_id, pn, m_cred_id, m_credential, m_classification, m_company_id)"
+    )
+
+
+def _state_values_sql() -> str:
+    pdf = G.state_credential_pdf()
+    rows = ", ".join(
+        f"('{r.state}', {int(r.Credentialid)})" for r in pdf.itertuples(index=False)
+    )
+    return f"(VALUES {rows}) sv(state, cred_id)"
+
+
+_NORM_KEY_TMPL = (
+    "upper(trim(regexp_replace(regexp_replace({c}, '[^a-zA-Z0-9\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+
+def _classify_twin_sql() -> str:
+    """DuckDB twin of the FULL classification cascade (classify.py:247-427)
+    over the records corpus: normalized-key exact match against the
+    (kind, row_id)-ordered candidate list with state eligibility
+    (valid ∪ {1,2}, NULL state disables), defaults, the field-employee
+    override, and ordered keep-first dedup. Fuzzy is quiescent by corpus
+    construction (see _RECORDS_PAYLOAD_SQL)."""
+    venue = _VENUE_SQL_TMPL.format(k="rk.conv")
+    return f"""
+WITH {_REC_PARSE_CTES},
+mk AS (
+  SELECT {_NORM_KEY_TMPL.format(c='pn')} AS m_key, 0 AS m_kind,
+         m_row_id, m_cred_id, m_credential, m_classification, m_company_id
+  FROM {_mapping_values_sql()}
+  UNION ALL
+  SELECT upper(trim(m_credential)), 1,
+         m_row_id, m_cred_id, m_credential, m_classification, m_company_id
+  FROM {_mapping_values_sql()}),
+ss AS (SELECT lower(state) AS state_key,
+              list_sort(list(CAST(cred_id AS INTEGER))) AS valid_ids
+       FROM {_state_values_sql()} GROUP BY 1),
+rk AS (
+  SELECT rec.*, t.field_employee, t.company_id,
+         {_NORM_KEY_TMPL.format(c='rec."Credential_OCR"')} AS cred_key
+  FROM rec JOIN turn t ON rec.conv = t.conv),
+rv AS (
+  SELECT rk.*, ss.valid_ids
+  FROM rk LEFT JOIN ss ON lower({venue}) = ss.state_key),
+mt AS (
+  SELECT rv.conv, rv.record_idx, k.m_kind, k.m_credential, k.m_classification,
+         k.m_company_id, k.m_row_id,
+         row_number() OVER (PARTITION BY rv.conv, rv.record_idx
+                            ORDER BY k.m_kind, k.m_row_id) AS rn
+  FROM rv JOIN mk k
+    ON rv.cred_key = k.m_key AND rv.company_id = k.m_company_id
+  WHERE rv.valid_ids IS NULL OR k.m_cred_id IN (1, 2)
+     OR list_contains(rv.valid_ids, k.m_cred_id)),
+best AS (SELECT * FROM mt WHERE rn = 1),
+cls AS (
+  SELECT rv.conv, 0 AS turn_idx, rv.record_idx, rv."Name", rv."Credential_OCR",
+    rv."Signature",
+    coalesce(b.m_credential, rv."Credential_OCR") AS cred_std,
+    coalesce(b.m_classification, 'Non-HCP') AS cls_out,
+    CASE WHEN b.m_row_id IS NOT NULL THEN CAST(100 AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS score,
+    CASE WHEN b.m_kind = 0 THEN 'exact_possiblenames(company:' || b.m_company_id || ')'
+         WHEN b.m_kind = 1 THEN 'exact_credential(company:' || b.m_company_id || ')'
+         ELSE 'no_match' END AS method,
+    rv.field_employee,
+    (rv.field_employee IS NOT NULL
+     AND upper(trim(rv."Name")) = upper(trim(rv.field_employee))) AS fe_hit
+  FROM rv LEFT JOIN best b
+    ON rv.conv = b.conv AND rv.record_idx = b.record_idx),
+ov AS (
+  SELECT conv, turn_idx, record_idx, "Name", "Credential_OCR", "Signature",
+    CASE WHEN fe_hit THEN 'Field Employee' ELSE cred_std END
+      AS "Credential_Standardized",
+    CASE WHEN fe_hit THEN 'Field Employee' ELSE cls_out END AS "Classification",
+    CASE WHEN fe_hit THEN CAST(100 AS DOUBLE) ELSE score END AS "Match_Score",
+    CASE WHEN fe_hit THEN 'field_employee_override' ELSE method END
+      AS "Match_Method"
+  FROM cls),
+dd AS (SELECT *, row_number() OVER (PARTITION BY conv, upper("Name")
+                                    ORDER BY turn_idx, record_idx) AS drn
+       FROM ov)
+SELECT CAST(conv AS BIGINT) AS conv, CAST(turn_idx AS INTEGER) AS turn_idx,
+  record_idx, "Name", "Credential_OCR", "Signature", "Credential_Standardized",
+  "Classification", "Match_Score", "Match_Method"
+FROM dd WHERE drn = 1
+"""
 
 
 def _knn_join_sql() -> str:
@@ -1128,4 +1530,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sim_knn_join": _knn_join_sql(),
         "sim_ivf_topk": _IVF_TOPK_SQL,
+        "fz_token_sort_scalar": (
+            "WITH t AS (SELECT p_partkey, array_to_string(list_sort("
+            "string_split(upper(p_name), ' ')), ' ') AS cand FROM part), "
+            "n AS (SELECT p_partkey, cand, "
+            "regexp_replace(cand, ' [^ ]+$', '') AS needle FROM t) "
+            "SELECT p_partkey, needle, cand, "
+            "round((length(needle) + length(cand) - levenshtein(needle, cand)) "
+            "* 100.0 / (length(needle) + length(cand)), 2) AS tsr FROM n"
+        ),
+        "ex_plain_sql_twin": _PLAIN_TWIN_SQL,
+        "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
+        "ex_records_meta_twin": _REC_META_TWIN_SQL,
+        "ex_classify_sql_twin": _classify_twin_sql(),
     }
