@@ -22,9 +22,44 @@ def test_unknown_and_empty():
     assert decode_image_meta(b"RIFFxxxxWAVEfmt plus padding")[0] == "unknown"
 
 
-def test_decode_pixels_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_pixels(synth_png(8, 8))
+def test_decode_pixels_roundtrip_all_filters():
+    """synth_png forward-filters rows cycling through all five PNG filter
+    types; the decoder must recover the exact source samples."""
+    from ocr_spark.sources.multimodal import synth_pixels
+
+    for w, h, seed in [(8, 8, 0), (5, 7, 3), (1, 1, 9), (33, 6, 4)]:
+        h_out, w_out, c, raw = decode_pixels(synth_png(w, h, seed=seed))
+        assert (h_out, w_out, c) == (h, w, 3)
+        assert raw == synth_pixels(w, h, seed=seed, channels=3)
+
+
+def test_decode_pixels_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8jpeg-ish")
+    with pytest.raises(ValueError):
+        decode_pixels(b"")
+
+
+def test_decode_pixel_stats_spark(spark):
+    from ocr_spark.sources.multimodal import MEDIA_SCHEMA, decode_pixel_stats, synth_pixels
+
+    rows = [
+        (i, "image", bytearray(synth_png(16, 8, seed=i)), None) for i in range(5)
+    ]
+    # one poisoned payload: must degrade to a decode_error row, not fail
+    rows.append((99, "image", bytearray(b"\x89PNG\r\n\x1a\nbroken"), None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_pixel_stats(df).collect()}
+    assert len(out) == 6
+    for i in range(5):
+        px = synth_pixels(16, 8, seed=i, channels=3)
+        expect = [
+            sum(px[k] for k in range(c, len(px), 3)) / (16 * 8) for c in range(3)
+        ]
+        got = out[i].channel_means
+        assert out[i].decode_error is None
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))
+    assert out[99].decode_error is not None and out[99].channel_means is None
 
 
 def test_byte_features_deterministic_normalized():
