@@ -28,6 +28,15 @@ keep a block iff it is not inside a dropped container, its link density
 (link_chars / text_chars) is <= MAX_LINK_DENSITY, and it has at least
 MIN_WORDS words. Kept blocks are emitted in document order, joined by
 newlines; a span (start, end, 'block') is emitted per kept block.
+
+Two-pass cascade (D6 parity): when the cheap pass keeps ZERO blocks, a
+second pass re-scores the same blocks with relaxed numeric thresholds
+(MIN_WORDS_RELAXED / MAX_LINK_DENSITY_RELAXED; structural drop
+containers still excluded) — the analog of the reference's
+cheap-keyword-pass -> stricter-whole-document-fallback cascade
+(/root/reference/app/services/pdf_processing_service.py:433-480). Blocks
+recovered by the fallback carry span kind 'block_relaxed', so lineage
+metrics can count fallback activations.
 """
 
 from __future__ import annotations
@@ -39,6 +48,9 @@ from .normalize import collapse_ws
 
 MAX_LINK_DENSITY = 0.33
 MIN_WORDS = 5
+# second-pass (fallback) thresholds — see the cascade note in the docstring
+MAX_LINK_DENSITY_RELAXED = 0.66
+MIN_WORDS_RELAXED = 2
 
 # Containers whose entire subtree is boilerplate.
 DROP_CONTAINERS = frozenset(
@@ -164,9 +176,7 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
                 cur.dropped_ctx = True
     flush()
 
-    kept_texts: List[str] = []
-    spans: List[Tuple[int, int, str]] = []
-    kept = dropped = 0
+    prepped: List[Tuple[str, int, float, bool, int, int]] = []
     for b in blocks:
         joined = "".join(b.parts)
         if "&" in joined:
@@ -177,10 +187,34 @@ def extract_html(payload: str) -> Tuple[str, List[Tuple[int, int, str]], int, in
         # collapse_ws guarantees single-space separation, no edges
         words = text.count(" ") + 1
         link_density = b.link_chars / max(1, len(text))
-        if b.dropped_ctx or link_density > MAX_LINK_DENSITY or words < MIN_WORDS:
+        prepped.append((text, words, link_density, b.dropped_ctx, b.start, b.end))
+
+    result = _score_blocks(prepped, MAX_LINK_DENSITY, MIN_WORDS, "block")
+    if result[2] == 0 and prepped:
+        # D6 fallback pass: relaxed numeric thresholds over the SAME
+        # blocks; structural boilerplate containers stay excluded.
+        relaxed = _score_blocks(
+            prepped, MAX_LINK_DENSITY_RELAXED, MIN_WORDS_RELAXED, "block_relaxed"
+        )
+        if relaxed[2] > 0:
+            return relaxed
+    return result
+
+
+def _score_blocks(
+    prepped: List[Tuple[str, int, float, bool, int, int]],
+    max_link_density: float,
+    min_words: int,
+    kind: str,
+) -> Tuple[str, List[Tuple[int, int, str]], int, int]:
+    kept_texts: List[str] = []
+    spans: List[Tuple[int, int, str]] = []
+    kept = dropped = 0
+    for text, words, link_density, dropped_ctx, start, end in prepped:
+        if dropped_ctx or link_density > max_link_density or words < min_words:
             dropped += 1
             continue
         kept += 1
         kept_texts.append(text)
-        spans.append((b.start, b.end, "block"))
+        spans.append((start, end, kind))
     return "\n".join(kept_texts), spans, kept, dropped

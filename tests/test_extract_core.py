@@ -59,6 +59,32 @@ class TestHtmlBlocks:
         t, spans, k, d = extract_html("just plain words with no markup at all here")
         assert k == 1 and t.startswith("just plain")
 
+    def test_second_pass_recovers_short_blocks(self):
+        # every block fails the cheap pass (< MIN_WORDS); the D6 fallback
+        # pass (relaxed thresholds) must recover them, tagged as relaxed
+        html = "<h2>short heading</h2><p>tiny note</p>"
+        text, spans, kept, dropped = extract_html(html)
+        assert text == "short heading\ntiny note"
+        assert kept == 2 and dropped == 0
+        assert all(kind == "block_relaxed" for _, _, kind in spans)
+
+    def test_second_pass_still_excludes_containers(self):
+        # an all-boilerplate page (nav/footer only) must stay empty even
+        # under the relaxed pass — structural drops are never relaxed
+        html = (
+            "<nav><a href='/x'>x</a> <a href='/y'>y</a></nav>"
+            "<footer>copyright footer boilerplate only</footer>"
+        )
+        text, spans, kept, dropped = extract_html(html)
+        assert text == "" and kept == 0 and dropped == 2
+
+    def test_first_pass_unchanged_when_it_keeps_blocks(self):
+        # a doc with one good block: pass 1 wins, short block still dropped
+        html = "<p>plenty of words in this main content block</p><p>tiny</p>"
+        text, spans, kept, dropped = extract_html(html)
+        assert kept == 1 and dropped == 1
+        assert spans[0][2] == "block"
+
 
 class TestPdfLayout:
     def test_reading_order_two_columns(self):

@@ -76,7 +76,8 @@ def test_html_spans_are_ordered_and_in_bounds(s):
         assert 0 <= start <= end <= len(payload)
         assert start >= prev_end  # document order, non-overlapping
         prev_end = end
-        assert kind == "block"
+        # 'block' from the cheap pass, 'block_relaxed' from the D6 fallback
+        assert kind in ("block", "block_relaxed")
 
 
 @given(text_strategy, st.sampled_from(["html", "pdf_layout", "records", "plain", "junk"]))
