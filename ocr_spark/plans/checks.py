@@ -53,6 +53,13 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return sorted(set(cols))
 
 
+def executed_plan(df: DataFrame) -> str:
+    """The AQE FINAL physical plan — only meaningful after an action has
+    run on this exact DataFrame (AQE re-plans at runtime; the pre-action
+    plan shows isFinalPlan=false and no skew/coalesce decisions)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Distinct whole-stage-codegen spans. ``simple`` mode marks them with
     ``*(N)``; ``formatted`` mode doesn't annotate codegen at all."""
