@@ -565,6 +565,77 @@ def _q_ag_rollup(spark, sf_dir):
     )
 
 
+def _q_ag_cube(spark, sf_dir):
+    # full cube (all grouping-set combinations), null levels coalesced
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+def _q_w_lead_lag(spark, sf_dir):
+    # lead/lag with explicit defaults under a deterministic order
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1, 0.0).over(w), 2).alias("prev_value"),
+        F.round(F.lead("value", 1, -1.0).over(w), 2).alias("next_value"),
+    )
+
+
+def _q_w_rank_funcs(spark, sf_dir):
+    # rank / dense_rank / ntile over a deterministic order
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+def _q_t15_string_funcs(spark, sf_dir):
+    # lpad/rpad/translate/locate/left-right — engine-identical semantics
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.lpad("c_mktsegment", 12, ".").alias("seg_lpad"),
+        F.rpad("c_mktsegment", 12, "_").alias("seg_rpad"),
+        F.translate("c_name", "#0", "-x").alias("name_tr"),
+        F.locate("#", F.col("c_name")).alias("hash_pos"),
+        F.substring("c_name", 1, 8).alias("name_left"),
+    )
+
+
+def _q_t16_sequence_explode(spark, sf_dir):
+    # array generation + flatten (sequence -> posexplode)
+    nation = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_nationkey",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_nationkey") % 5)).alias(
+            "pos", "val"
+        ),
+    ).select(
+        "n_nationkey",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("int").alias("val"),
+    )
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -875,6 +946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ag_pivot": _q_ag_pivot,
         "ag_unpivot": _q_ag_unpivot,
         "ag_rollup": _q_ag_rollup,
+        "ag_cube": _q_ag_cube,
+        "w_lead_lag": _q_w_lead_lag,
+        "w_rank_funcs": _q_w_rank_funcs,
+        "t15_string_funcs": _q_t15_string_funcs,
+        "t16_sequence_explode": _q_t16_sequence_explode,
         "tx_text_stats": _q_tx_text_stats,
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
@@ -1487,6 +1563,43 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(l_linestatus, 'ALL') AS linestatus, "
             "count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty "
             "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "ag_cube": (
+            "SELECT coalesce(l_returnflag, 'ALL') AS returnflag, "
+            "coalesce(l_linestatus, 'ALL') AS linestatus, "
+            "count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "w_lead_lag": (
+            "SELECT event_id, user_id, "
+            "round(lag(value, 1, CAST(0 AS DOUBLE)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value, "
+            "round(lead(value, 1, CAST(-1 AS DOUBLE)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value "
+            "FROM events"
+        ),
+        "w_rank_funcs": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(rank() OVER w AS INTEGER) AS rnk, "
+            "CAST(dense_rank() OVER w AS INTEGER) AS drnk, "
+            "CAST(ntile(4) OVER w AS INTEGER) AS quartile "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)"
+        ),
+        "t15_string_funcs": (
+            "SELECT c_custkey, "
+            "lpad(c_mktsegment, 12, '.') AS seg_lpad, "
+            "rpad(c_mktsegment, 12, '_') AS seg_rpad, "
+            "translate(c_name, '#0', '-x') AS name_tr, "
+            "CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos, "
+            "substr(c_name, 1, 8) AS name_left "
+            "FROM customer"
+        ),
+        "t16_sequence_explode": (
+            "SELECT n_nationkey, "
+            "CAST(unnest(generate_series(0, n_nationkey % 5)) AS INTEGER) AS pos, "
+            "CAST(unnest(generate_series(0, n_nationkey % 5)) AS INTEGER) AS val "
+            "FROM nation"
         ),
         "tx_text_stats": (
             "SELECT doc_id, "

@@ -131,3 +131,20 @@ def test_ngram_jaccard_has_no_nested_loop(spark):
     plan = checks.formatted_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_join_is_vectorized_equi_join(spark):
+    """knn_join must plan as an equi-join on the signature (no nested
+    loop / cartesian pair generation) with Arrow-batched Python eval for
+    signatures and scores — no interpreted HOF lambdas in the hot path."""
+    from ocr_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries_df = emb.limit(20).selectExpr("vec_id AS q_id", "embedding")
+    out = knn_join(queries_df, emb, k=5, dim=64)
+    plan = checks.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan  # numpy pandas_udf stages
+    # the interpreted HOF form would show up as higher-order expressions
+    assert "aggregate(zip_with" not in plan
