@@ -811,6 +811,54 @@ def _q_ex_plain_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_pdf_sql_twin(spark, sf_dir):
+    """Hash-verified pdf_layout-kind extraction: the real bbox parser +
+    reading-order sort vs a SQL twin of the same grammar (restricted
+    single-column fixture — see _PDF_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    cust = _t(spark, sf_dir, "customer")
+    corpus = cust.select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_PDF_PAYLOAD_SQL).alias("text"),
+        F.lit("pdf_layout").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "clean_text",
+        F.col("blocks_kept").alias("n_lines"),
+        "parse_failures",
+    )
+
+
+def _q_ex_html_sql_twin(spark, sf_dir):
+    """Hash-verified html-kind scoring: the real walker + two-pass scorer
+    vs a block-enumerating SQL twin (see _HTML_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    cust = _t(spark, sf_dir, "customer")
+    corpus = cust.select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.expr(_HTML_PAYLOAD_SQL).alias("text"),
+        F.lit("html").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        F.size(
+            F.filter("spans", lambda s: s["kind"] == F.lit("block_relaxed"))
+        ).alias("n_relaxed"),
+    )
+
+
 def _records_corpus(spark, sf_dir) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return cust.select(
@@ -961,6 +1009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fz_levenshtein": _q_fz_levenshtein,
         "fz_token_sort_scalar": _q_fz_token_sort_scalar,
         "ex_plain_sql_twin": _q_ex_plain_sql_twin,
+        "ex_html_sql_twin": _q_ex_html_sql_twin,
+        "ex_pdf_sql_twin": _q_ex_pdf_sql_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
@@ -1054,6 +1104,126 @@ CASE c_custkey % 6
   ELSE '  - ' || {_REC_N1} || '  ,  ' || {_REC_CRED_LONG} || ' , [x]'
 END
 """
+
+# pdf_layout-kind payload over customer: 5 coordinate-tagged lines whose
+# TEXTUAL order is a permutation of their y order (i*3 mod 5 walk), all in
+# one column with y separation >> Y_TOL (restricted fixture: clustering
+# degenerates to the deterministic (y0, x0, seq) sort, which IS
+# SQL-expressible), plus per-conv malformed variants exercising every
+# parse-failure rule (no bar / 3 coords / reversed bbox) and an
+# all-malformed payload every 11th conv.
+def _pdf_line_sql(i: int) -> str:
+    y = f"(10 + 14 * (({i} * 3 + c_custkey) % 5))"
+    return (
+        f"(20 + c_custkey % 3) || '.0,' || {y} || '.0,' || "
+        f"(120 + c_custkey % 7) || '.0,' || ({y} + 9) || '.0|' || "
+        f"'alpha beta line {i} conv ' || c_custkey"
+    )
+
+
+_PDF_PAYLOAD_SQL = (
+    "CASE WHEN c_custkey % 11 = 0 THEN 'garbage without bar' ELSE "
+    + " || chr(10) || ".join(_pdf_line_sql(i) for i in range(5))
+    + " || (CASE c_custkey % 4 WHEN 0 THEN chr(10) || 'garbage without bar' "
+    "WHEN 1 THEN chr(10) || '1,2,3|short' "
+    "WHEN 2 THEN chr(10) || '9.0,9.0,1.0,20.0|reversed' ELSE '' END) END"
+)
+
+_PDF_TWIN_SQL = f"""
+WITH p AS (SELECT c_custkey AS conv, {_PDF_PAYLOAD_SQL} AS payload FROM customer),
+ls AS (SELECT conv, string_split(payload, chr(10)) AS arr FROM p),
+l AS (SELECT conv, unnest(arr) AS line,
+             unnest(generate_series(1, len(arr))) AS lno FROM ls),
+nb AS (SELECT conv, lno, line, strpos(line, '|') AS bar FROM l
+       WHERE trim(line) <> ''),
+c1 AS (SELECT conv, lno,
+         string_split(substr(line, 1, bar - 1), ',') AS coords,
+         substr(line, bar + 1) AS text
+       FROM nb WHERE bar > 0),
+ok AS (SELECT conv, lno, text,
+         try_cast(coords[1] AS DOUBLE) AS x0, try_cast(coords[2] AS DOUBLE) AS y0,
+         try_cast(coords[3] AS DOUBLE) AS x1, try_cast(coords[4] AS DOUBLE) AS y1
+       FROM c1 WHERE len(coords) = 4),
+valid AS (SELECT * FROM ok
+          WHERE x0 IS NOT NULL AND y0 IS NOT NULL AND x1 IS NOT NULL
+            AND y1 IS NOT NULL AND x1 >= x0 AND y1 >= y0 AND trim(text) <> ''),
+agg AS (SELECT conv,
+          string_agg(trim(regexp_replace(text, '[ \\t]+', ' ', 'g')),
+                     chr(10) ORDER BY y0, x0, lno) AS clean_text,
+          CAST(count(*) AS INTEGER) AS n_lines
+        FROM valid GROUP BY conv),
+cnt AS (SELECT conv, CAST(count(*) AS INTEGER) AS n_nonempty FROM nb GROUP BY conv)
+SELECT CAST(p.conv AS BIGINT) AS conv,
+  coalesce(a.clean_text, '') AS clean_text,
+  coalesce(a.n_lines, 0) AS n_lines,
+  coalesce(c.n_nonempty, 0) - coalesce(a.n_lines, 0) AS parse_failures
+FROM p
+LEFT JOIN agg a ON p.conv = a.conv
+LEFT JOIN cnt c ON p.conv = c.conv
+"""
+
+
+# html-kind payload over customer: flat structure (no nesting beyond one
+# container level) so the oracle can enumerate the walker's blocks
+# directly and re-apply the SCORING rule — including link density, entity
+# decode, and the D6 two-pass cascade — in SQL. The tag walker itself is
+# golden/pytest-verified; this twin hash-verifies the scoring semantics.
+# conv%3==0 makes every candidate block fail the strict pass (exercises
+# the relaxed fallback); conv%5==0 makes the div's anchor dominate
+# (dropped by BOTH passes); conv%2 gates the div's existence.
+_HTML_P1 = (
+    "(CASE WHEN c_custkey % 3 = 0 THEN 'four tiny words only' "
+    "ELSE 'plenty of genuine content words in this paragraph body' END)"
+)
+_HTML_ANCHOR = (
+    "(CASE WHEN c_custkey % 5 = 0 "
+    "THEN 'long anchor text dominating this block entirely' ELSE 'x y' END)"
+)
+_HTML_PAYLOAD_SQL = (
+    "'<html><head><title>short title</title></head><body>' || "
+    "'<nav><a href=\"/a\">aaa bbb ccc ddd eee fff</a></nav>' || "
+    f"'<p>' || {_HTML_P1} || '</p>' || "
+    "'<p>tiny &amp; note</p>' || "
+    "(CASE WHEN c_custkey % 2 = 0 THEN "
+    f"'<div><a href=\"/x\">' || {_HTML_ANCHOR} || '</a> tail words here</div>' "
+    "ELSE '' END) || "
+    "'<footer>footer words about stuff</footer></body></html>'"
+)
+
+_HTML_TWIN_SQL = f"""
+WITH base AS (SELECT c_custkey AS conv, {_HTML_P1} AS p1, {_HTML_ANCHOR} AS anch,
+                     (c_custkey % 2 = 0) AS has_div FROM customer),
+blocks AS (
+  SELECT conv, 1 AS ord, 'short title' AS text, false AS ctx, 0 AS link_chars FROM base
+  UNION ALL SELECT conv, 2, 'aaa bbb ccc ddd eee fff', true, 23 FROM base
+  UNION ALL SELECT conv, 3, p1, false, 0 FROM base
+  UNION ALL SELECT conv, 4, 'tiny & note', false, 0 FROM base
+  UNION ALL SELECT conv, 5, anch || ' tail words here', false, length(anch)
+    FROM base WHERE has_div
+  UNION ALL SELECT conv, 6, 'footer words about stuff', true, 0 FROM base),
+scored AS (SELECT conv, ord, text, ctx,
+    length(text) - length(replace(text, ' ', '')) + 1 AS words,
+    CAST(link_chars AS DOUBLE) / length(text) AS ld
+  FROM blocks),
+flags AS (SELECT *,
+    (NOT ctx AND ld <= 0.33 AND words >= 5) AS k1,
+    (NOT ctx AND ld <= 0.66 AND words >= 2) AS k2
+  FROM scored),
+cnt AS (SELECT conv, count(*) FILTER (k1) AS n1, count(*) FILTER (k2) AS n2
+        FROM flags GROUP BY conv),
+sel AS (SELECT f.conv, f.ord, f.text, c.n1,
+          CASE WHEN c.n1 > 0 THEN f.k1 WHEN c.n2 > 0 THEN f.k2
+               ELSE false END AS keep
+        FROM flags f JOIN cnt c ON f.conv = c.conv)
+SELECT CAST(conv AS BIGINT) AS conv,
+  coalesce(string_agg(text, chr(10) ORDER BY ord) FILTER (keep), '') AS clean_text,
+  CAST(count(*) FILTER (keep) AS INTEGER) AS blocks_kept,
+  CAST(count(*) FILTER (NOT keep) AS INTEGER) AS blocks_dropped,
+  CAST(CASE WHEN any_value(n1) > 0 THEN 0
+       ELSE count(*) FILTER (keep) END AS INTEGER) AS n_relaxed
+FROM sel GROUP BY conv
+"""
+
 
 _VENUE_SQL_TMPL = (
     "(CASE {k} % 7 WHEN 0 THEN 'federal' WHEN 1 THEN 'california' "
@@ -1653,6 +1823,8 @@ def oracle_sql() -> dict[str, str]:
             "* 100.0 / (length(needle) + length(cand)), 2) AS tsr FROM n"
         ),
         "ex_plain_sql_twin": _PLAIN_TWIN_SQL,
+        "ex_html_sql_twin": _HTML_TWIN_SQL,
+        "ex_pdf_sql_twin": _PDF_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),
