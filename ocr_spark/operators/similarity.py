@@ -168,6 +168,40 @@ def pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
     return pd.Series((ma * mb).sum(axis=1) / (na * nb))
 
 
+def ivf_write_index(
+    embeddings: DataFrame, path: str, centroids: List[List[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: the coarse-quantizer assignment becomes
+    the PARTITION KEY of the stored table, so a probe query's
+    ``ivf_list IN (...)`` filter prunes partitions at the scan — at
+    corpus scale a 3-of-64-list probe reads ~5% of the bytes. (Iceberg
+    analog: ``PARTITIONED BY (ivf_list)``.)"""
+    assigned = embeddings.withColumn(
+        "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(path)
+
+
+def ivf_topk_from_index(
+    spark, path: str, query_vec: Sequence[float], centroids: List[List[float]],
+    k: int = 10, n_probe: int = 4, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index: scan ONLY the n_probe partitions
+    nearest the query (partition pruning does the list selection)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    probe = np.argsort(((c - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    cand = spark.read.parquet(path).filter(
+        F.col("ivf_list").isin([int(p) for p in probe])
+    )
+    scored = cand.select(
+        F.col(id_col), cosine_scores_udf(query_vec)(F.col(vec_col)).alias("cosine_sim")
+    )
+    return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

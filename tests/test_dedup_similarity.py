@@ -187,3 +187,32 @@ def test_embedding_near_dups_exact_vs_lsh(spark):
     # identical vectors share every hyperplane sign -> LSH recall is 1.0 on clones
     assert clone_pairs <= lsh
     assert lsh <= exact
+
+
+def test_ivf_index_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The materialized IVF layout must prune non-probed lists AT THE SCAN
+    (PartitionFilters on ivf_list), and the probe must return the same
+    rows as the in-memory IVF path with the same centroids."""
+    from ocr_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        ivf_write_index,
+    )
+    from ocr_spark.plans import checks
+
+    cents = [r.embedding for r in emb.orderBy("vec_id").limit(6).collect()]
+    cents = [[float(x) for x in c] for c in cents]
+    qvec = cents[1]
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, cents)
+
+    out = ivf_topk_from_index(spark, path, qvec, cents, k=5, n_probe=2)
+    plan = checks.formatted_plan(out)
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan[:1500]
+
+    got = [(r.vec_id, round(r.cosine_sim, 6)) for r in out.collect()]
+    ref = [
+        (r.vec_id, round(r.cosine_sim, 6))
+        for r in ivf_topk(emb, qvec, k=5, n_probe=2, centroids=cents).collect()
+    ]
+    assert got == ref
