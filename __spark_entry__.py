@@ -939,6 +939,24 @@ def _q_dd_minhash_neardups(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dd_minhash_exact_clones(spark, sf_dir):
+    """Hash-verified MinHash-LSH end-to-end on a provable-recall fixture:
+    exact clones have identical shingle SETS, hence identical minhash
+    signatures and guaranteed same-band candidates — at threshold ~1 the
+    REAL LSH path's output is exactly the identical-shingle-set pair
+    relation, which the oracle computes by shingle-array equality. (The
+    realistic-threshold entry dd_minhash_neardups stays rows-only: LSH
+    recall below jaccard 1 is probabilistic by design.)"""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return DD.minhash_near_dups(
+        corpus, "text", "doc_id", jaccard_threshold=0.9999
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_dd_simhash_neardups(spark, sf_dir):
     _ensure_pyfiles(spark)
     return DD.simhash_near_dups(_dup_corpus(spark, sf_dir), "text", "doc_id", 6)
@@ -1002,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_text_stats": _q_tx_text_stats,
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
+        "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "sim_knn_join": _q_sim_knn_join,
@@ -1787,6 +1806,28 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS dup_count FROM documents GROUP BY 1"
         ),
         "dd_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dd_minhash_exact_clones": """
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                    for i in range(0, len(words) - 2)]
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+),
+d AS (SELECT doc_id, list_sort(list_distinct(sh)) AS sh FROM g)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1 AS DOUBLE) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
+""",
         "sim_cosine_topk": (
             "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) "
             "SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
