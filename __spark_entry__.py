@@ -636,6 +636,40 @@ def _q_t16_sequence_explode(spark, sf_dir):
     )
 
 
+def _q_ctx_window_assembly(spark, sf_dir):
+    # training-data shaping: per-key sliding context of the k=3 preceding
+    # rows' text under a deterministic order (operators/training.py)
+    from ocr_spark.operators.training import assemble_context
+
+    ev = _t(spark, sf_dir, "events")
+    out = assemble_context(ev, "user_id", ["ts", "event_id"], "event_type", k=3)
+    return out.select("event_id", "user_id", "context")
+
+
+def _q_pk_sequence_packing(spark, sf_dir):
+    # sharded contiguous packing into 512-token bins (BPE-ish counts)
+    from ocr_spark.operators.training import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences(
+        docs, "doc_id", TS.bpe_token_count(F.col("text")), budget=512, shards=16
+    )
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("tokens").cast("long").alias("tokens"),
+    )
+
+
+def _q_tx_quality_filter(spark, sf_dir):
+    # keep/drop verdict, first-failing-rule reason (operators/training.py)
+    from ocr_spark.operators.training import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs, "text").select("doc_id", "keep", "reason")
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1018,6 +1052,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_string_funcs": _q_t15_string_funcs,
         "t16_sequence_explode": _q_t16_sequence_explode,
         "tx_text_stats": _q_tx_text_stats,
+        "tx_quality_filter": _q_tx_quality_filter,
+        "ctx_window_assembly": _q_ctx_window_assembly,
+        "pk_sequence_packing": _q_pk_sequence_packing,
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
@@ -1804,6 +1841,33 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact_dedup": (
             f"SELECT {TS.fingerprint_sql(txt)} AS fp, min(doc_id) AS doc_id, "
             "count(*) AS dup_count FROM documents GROUP BY 1"
+        ),
+        "ctx_window_assembly": (
+            "SELECT event_id, user_id, "
+            "coalesce(string_agg(event_type, chr(10)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context "
+            "FROM events"
+        ),
+        "pk_sequence_packing": (
+            f"WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "
+            f"{TS.bpe_token_count_sql(txt)} AS tokens FROM documents) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
+            "CAST(floor(coalesce(sum(tokens) OVER ("
+            "PARTITION BY shard ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) "
+            "AS BIGINT) AS bin_id, "
+            "CAST(tokens AS BIGINT) AS tokens FROM t"
+        ),
+        "tx_quality_filter": (
+            f"WITH t AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tokens, "
+            f"{TS.punct_ratio_sql(txt)} AS punct, "
+            f"{TS.quality_score_sql(txt)} AS quality FROM documents), "
+            "r AS (SELECT doc_id, CASE WHEN n_tokens < 5 THEN 'too_short' "
+            "WHEN punct > 0.3 THEN 'too_punctuated' "
+            "WHEN quality < 0.3 THEN 'low_quality' ELSE 'ok' END AS reason "
+            "FROM t) "
+            "SELECT doc_id, reason = 'ok' AS keep, reason FROM r"
         ),
         "dd_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dd_minhash_exact_clones": """

@@ -1,0 +1,102 @@
+"""Training-data shaping operators: context assembly, sequence packing,
+quality filtering.
+
+These are the operations a 100 TB LLM-training pipeline applies AFTER
+extraction/dedup (the reference stops at classification; these extend the
+engine to the training-data hand-off):
+
+- ``assemble_context``: per-key sliding context window — each row gets
+  the concatenation of its k predecessors' text under a deterministic
+  order. Pure window algebra (one shuffle on the key), no UDF.
+- ``pack_sequences``: contiguous greedy packing of documents into
+  fixed-token-budget bins, SHARDED: packing runs independently per shard
+  (embarrassingly parallel — no global order, no single-partition
+  window), which is the right semantics for training shards anyway. A
+  document whose tokens straddle a boundary belongs to the bin where it
+  started (bin = floor(preceding-tokens / budget)); the consumer-side
+  reader handles truncation/continuation.
+- ``quality_filter``: a keep/drop verdict with the FIRST failing rule as
+  the reason, composed entirely from ``functions.text_stats`` built-in
+  expressions (whole-stage codegen; SQL-twinnable for the oracle gate).
+
+Scale notes: assemble_context shuffles once on (key); its state is the
+window frame (k rows), never the whole partition. pack_sequences
+shuffles once on the shard id; the running sum is a single pass per
+shard. quality_filter is a stateless projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text_stats as TS
+
+
+def assemble_context(
+    df: DataFrame,
+    key: str,
+    order: list,
+    text_col: str,
+    k: int = 3,
+    sep: str = "\n",
+    out_col: str = "context",
+) -> DataFrame:
+    """Concatenate each row's k predecessors' ``text_col`` (exclusive of
+    the row itself) under the given deterministic order; empty context
+    for the first row of each key."""
+    w = Window.partitionBy(key).orderBy(*order).rowsBetween(-k, -1)
+    ctx = F.array_join(F.collect_list(text_col).over(w), sep)
+    return df.withColumn(out_col, ctx)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col,
+    budget: int,
+    shards: int = 16,
+) -> DataFrame:
+    """Assign each document a ``(shard, bin_id)`` packing slot.
+
+    ``token_col`` may be a column name or Column expression of per-doc
+    token counts. Deterministic: shard = id % shards, docs packed in id
+    order within a shard, bin = floor(tokens-before-this-doc / budget).
+    """
+    tokens = F.col(token_col) if isinstance(token_col, str) else token_col
+    shard = (F.col(id_col) % shards).alias("shard")
+    out = df.withColumn("shard", shard).withColumn("_tok", tokens)
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_before = F.coalesce(F.sum("_tok").over(w), F.lit(0))
+    return (
+        out.withColumn("bin_id", F.floor(cum_before / budget))
+        .withColumn("tokens", F.col("_tok"))
+        .drop("_tok")
+    )
+
+
+# quality_filter thresholds (documented rule; the oracle twin inlines the
+# same constants)
+MIN_TOKENS = 5
+MAX_PUNCT_RATIO = 0.3
+MIN_QUALITY = 0.3
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """keep/drop verdict per document with the FIRST failing rule as the
+    reason (rule order: too_short, too_punctuated, low_quality)."""
+    c = F.col(text_col)
+    n_tokens = TS.token_count(c)
+    punct = TS.punct_ratio(c)
+    quality = TS.quality_score(c)
+    reason = (
+        F.when(n_tokens < MIN_TOKENS, F.lit("too_short"))
+        .when(punct > MAX_PUNCT_RATIO, F.lit("too_punctuated"))
+        .when(quality < MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "ok"
+    )

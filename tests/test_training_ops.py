@@ -1,0 +1,58 @@
+"""Training-data shaping operators (operators/training.py)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.training import (
+    assemble_context,
+    pack_sequences,
+    quality_filter,
+)
+
+
+def test_assemble_context_window(spark):
+    rows = [("u1", i, f"t{i}") for i in range(5)] + [("u2", 0, "x")]
+    df = spark.createDataFrame(rows, ["user", "seq", "txt"])
+    out = {
+        (r.user, r.seq): r.context
+        for r in assemble_context(df, "user", ["seq"], "txt", k=2).collect()
+    }
+    assert out[("u1", 0)] == ""  # no predecessors
+    assert out[("u1", 1)] == "t0"
+    assert out[("u1", 3)] == "t1\nt2"  # exactly k=2, frame order
+    assert out[("u2", 0)] == ""  # keys are independent
+
+
+def test_pack_sequences_contiguous_bins(spark):
+    # one shard (ids all ≡ 1 mod 16): tokens 300 each, budget 512 ->
+    # cum-before 0,300,600,900 -> bins 0,0,1,1
+    rows = [(1, 300), (17, 300), (33, 300), (49, 300)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {
+        r.doc_id: (r.shard, r.bin_id)
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=512).collect()
+    }
+    assert out == {1: (1, 0), 17: (1, 0), 33: (1, 1), 49: (1, 1)}
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(0, 600), (16, 600), (1, 600)]  # shard 0 has two docs, shard 1 one
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = {
+        r.doc_id: (r.shard, r.bin_id)
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=512).collect()
+    }
+    assert out[0] == (0, 0) and out[16] == (0, 1)
+    assert out[1] == (1, 0)  # other shard restarts at bin 0
+
+
+def test_quality_filter_reasons(spark):
+    rows = [
+        (0, "one two"),  # 2 tokens -> too_short
+        (1, "!!!! ???? ,,,, ;;;; #### $$$$ %%%%"),  # punct-heavy, 7 tokens
+        (2, "the data pipeline is one of the ways that it works well for " * 2),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: (r.keep, r.reason) for r in quality_filter(df).collect()}
+    assert got[0] == (False, "too_short")
+    assert got[1][0] is False  # first failing rule wins
+    assert got[2] == (True, "ok")
