@@ -243,6 +243,22 @@ def classify_stream(
     )
 
 
+def dedup_stream(extracted: DataFrame, watermark: str = "1 minute") -> DataFrame:
+    """Streaming exact dedup: emit each distinct normalized-text
+    fingerprint once (the streaming form of ``operators.dedup.
+    exact_dedup``). State is bounded by the watermark —
+    ``dropDuplicatesWithinWatermark`` evicts fingerprint state once the
+    event-time watermark passes, so at 10^12-turn scale the state store
+    holds only the active window's fingerprints, not history."""
+    from ocr_spark.functions.text_stats import fingerprint
+
+    return (
+        extracted.withColumn("fp", fingerprint(F.col("clean_text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain everything currently available, then stop (the batch-like
     trigger used by tests and backfills)."""

@@ -180,3 +180,27 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     )
     assert len(got) == len(want)  # no duplicates from re-listing run-1 files
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_dedup_within_watermark(spark, stream_dirs):
+    """Streaming exact dedup emits one row per distinct fingerprint of
+    the drained input (state bounded by the watermark), matching the
+    batch exact-dedup key set."""
+    from ocr_spark.functions.text_stats import fingerprint as fp_col
+    from ocr_spark.streaming.extract_stream import dedup_stream
+    from pyspark.sql import functions as F
+
+    root, src = stream_dirs["root"], stream_dirs["src"]
+    out = str(root / "dedup_out")
+    ckpt = str(root / "dedup_ckpt")
+    stream = dedup_stream(extract_stream(stream_transcripts(spark, src)))
+    run_available_now(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = extract_transcripts(spark.read.parquet(src)).withColumn(
+        "fp", fp_col(F.col("clean_text"))
+    )
+    batch_fps = {r.fp for r in batch.select("fp").distinct().collect()}
+    got_fps = [r.fp for r in got.select("fp").collect()]
+    assert len(got_fps) == len(set(got_fps))  # each fingerprint once
+    assert set(got_fps) == batch_fps  # same distinct key set as batch
