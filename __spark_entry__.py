@@ -937,6 +937,34 @@ def _q_ex_records_meta_twin(spark, sf_dir):
     )
 
 
+def _q_j8_hints_twin(spark, sf_dir):
+    """Hash-verified J8 dict-map hint lookup: the real broadcast-map
+    apply_credential_hints (empty-credential rule + case-insensitive
+    key, first-wins dedup) vs a CASE-based SQL twin. Hints: every conv
+    hints its n1 name -> 'NP' (n1 carries the empty [] credential in the
+    case-2 payloads) plus an upper-cased duplicate of the same name ->
+    'XX' (exercises the normalized-key first-wins dedup)."""
+    from ocr_spark.operators.classify import apply_credential_hints, explode_records
+
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_records_corpus(spark, sf_dir))
+    recs = explode_records(ext)
+    hints = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.map_from_arrays(
+            F.array(F.expr(_REC_N1), F.upper(F.expr(_REC_N1))),
+            F.array(F.lit("NP"), F.lit("XX")),
+        ).alias("name_hints"),
+    )
+    out = apply_credential_hints(recs, hints)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "record_idx",
+        "Name",
+        F.col("Credential_OCR").alias("cred_after_hints"),
+    )
+
+
 def _q_ex_classify_sql_twin(spark, sf_dir):
     """Hash-verified FULL flagship cascade (extract -> explode -> exact
     cascade w/ state eligibility -> defaults -> FE override -> ordered
@@ -1017,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_inlist_union12": _q_f3_inlist_union12,
         "f7_first_per_key": _q_f7_first_per_key,
         "j9_conditional_override": _q_j9_conditional_override,
+        "j8_hints_twin": _q_j8_hints_twin,
         "j10_anti_join": _q_j10_anti_join,
         "j11_semi_join": _q_j11_semi_join,
         "a4_distinct_list": _q_a4_distinct_list,
@@ -1933,4 +1962,13 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),
+        "j8_hints_twin": f"""
+WITH {_REC_PARSE_CTES},
+n1 AS (SELECT c_custkey AS conv, {_REC_N1} AS hint_name FROM customer)
+SELECT CAST(rec.conv AS BIGINT) AS conv, rec.record_idx, rec."Name",
+  CASE WHEN trim(rec."Credential_OCR") = ''
+        AND upper(trim(rec."Name")) = upper(trim(n1.hint_name))
+       THEN 'NP' ELSE rec."Credential_OCR" END AS cred_after_hints
+FROM rec JOIN n1 ON rec.conv = n1.conv
+""",
     }
