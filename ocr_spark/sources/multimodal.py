@@ -247,6 +247,52 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Video-kind frame sampling as an Arrow-batched stage: pick n_frames
+    evenly-spaced byte windows per payload (the container has no video
+    codec — the SAMPLING/flatten plumbing is real: one input row fans
+    out to n frame rows with offsets, the exact shape a real
+    ffmpeg-backed sampler emits; swap the chunker for a decoder on a
+    cluster with the libs). Features are the deterministic byte
+    histogram per frame."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "frame_offset": [],
+                   "frame_bytes": [], "features": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if not b:
+                    continue
+                step = max(1, len(b) // n_frames)
+                for i in range(min(n_frames, len(b))):
+                    off = i * step
+                    chunk = b[off : off + step]
+                    if not chunk:
+                        break
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(chunk)
+                    out["features"].append(byte_features(chunk))
+            if out["media_id"]:  # an all-empty batch has untyped columns
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=FRAME_SCHEMA
+    )
+
+
 def synth_pixels(width: int, height: int, seed: int = 0, channels: int = 3) -> bytearray:
     """Deterministic pseudo-random raw samples (h*w*c bytes)."""
     need = width * height * channels

@@ -82,3 +82,23 @@ def test_extract_features_spark(spark):
         assert out[i].format == "png"
         assert out[i].width == 100 + i and out[i].height == 50 + i
         assert len(out[i].features) == 16
+
+
+def test_sample_frames_fanout(spark):
+    from ocr_spark.sources.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        (1, "video", bytearray(bytes(range(256)) * 4), None),  # 1024 bytes
+        (2, "video", bytearray(b""), None),  # empty payload -> no frames
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, n_frames=8).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert 2 not in by_media  # empty payload emits nothing
+    frames = sorted(by_media[1], key=lambda r: r.frame_idx)
+    assert len(frames) == 8
+    assert [f.frame_offset for f in frames] == [i * 128 for i in range(8)]
+    assert all(len(bytes(f.frame_bytes)) == 128 for f in frames)
+    assert all(len(f.features) == 16 for f in frames)
