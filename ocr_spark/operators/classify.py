@@ -429,10 +429,33 @@ def classify_pipeline(
     state_credential: DataFrame,
     conv_meta: Optional[DataFrame] = None,
     hints: Optional[DataFrame] = None,
+    output_order: str = "global",
 ) -> DataFrame:
-    """explode -> [hints] -> cascade -> override -> ordered dedup, stable order."""
+    """explode -> [hints] -> cascade -> override -> ordered dedup, stable order.
+
+    ``output_order`` picks how the north_rule's stable (conv_id, turn_idx,
+    record_idx) ordering is materialized:
+
+    - ``"global"`` (default): total ``orderBy`` — a range shuffle. Right
+      for driver-collected results and modest outputs.
+    - ``"within_partitions"``: repartition on conv_id + sortWithinPartitions
+      — each conversation is contiguous and internally ordered with NO
+      global range exchange; this is the 10^12-row form (the partitioned
+      writer consumes exactly this layout, and per-turn comparisons only
+      need per-conversation order, not a total order across conversations).
+    - ``"none"``: caller handles ordering.
+    """
     recs = explode_records(extracted)
     if hints is not None:
         recs = apply_credential_hints(recs, hints)
     classified = classify_records(recs, mapping, state_credential, conv_meta)
-    return dedup_first_per_name(classified).orderBy("conv_id", "turn_idx", "record_idx")
+    deduped = dedup_first_per_name(classified)
+    if output_order == "global":
+        return deduped.orderBy("conv_id", "turn_idx", "record_idx")
+    if output_order == "within_partitions":
+        return deduped.repartition("conv_id").sortWithinPartitions(
+            "conv_id", "turn_idx", "record_idx"
+        )
+    if output_order == "none":
+        return deduped
+    raise ValueError(f"unknown output_order: {output_order!r}")

@@ -55,7 +55,13 @@ def main() -> None:
 
     def process(df):
         extracted = extract_transcripts(df)
-        return classify_pipeline(extracted, mapping, state, conv_meta)
+        # within_partitions: conversations contiguous + internally ordered
+        # with no global range shuffle — the partitioned writer's layout
+        # (the north_rule ordering is per-conversation, not total)
+        return classify_pipeline(
+            extracted, mapping, state, conv_meta,
+            output_order="within_partitions",
+        )
 
     out = args.output
     if args.no_resume:

@@ -148,3 +148,36 @@ def test_knn_join_is_vectorized_equi_join(spark):
     assert "ArrowEvalPython" in plan  # numpy pandas_udf stages
     # the interpreted HOF form would show up as higher-order expressions
     assert "aggregate(zip_with" not in plan
+
+
+def test_classify_within_partitions_order_avoids_global_sort(spark, small_corpus):
+    """The 10^12-row output mode must contain NO range-partitioning
+    exchange (global sort); content equals the global-order mode up to
+    row order, with each conversation contiguous and internally ordered."""
+    from ocr_spark.operators.classify import classify_pipeline
+    from ocr_spark.pipeline import extract_transcripts
+
+    ext = extract_transcripts(spark.createDataFrame(small_corpus["transcripts"]))
+    args = (
+        spark.createDataFrame(small_corpus["mapping"]),
+        spark.createDataFrame(small_corpus["state"]),
+        spark.createDataFrame(small_corpus["conv_meta"][["conv_id", "venue_state"]]),
+    )
+    wp = classify_pipeline(ext, *args, output_order="within_partitions")
+    plan = checks.formatted_plan(wp)
+    assert "rangepartitioning" not in plan.lower(), plan[:2000]
+
+    glob_rows = classify_pipeline(ext, *args).collect()
+    wp_rows = wp.collect()
+    key = lambda r: (r.conv_id, r.turn_idx, r.record_idx)
+    assert sorted(map(key, wp_rows)) == list(map(key, glob_rows))
+    # contiguity + internal order: per conv, rows appear once, in order
+    seen, last = {}, None
+    for r in wp_rows:
+        k = key(r)
+        if last is not None and last[0] == k[0]:
+            assert k > last  # ordered within the conversation
+        else:
+            assert k[0] not in seen  # each conversation is one contiguous run
+        seen[k[0]] = True
+        last = k
