@@ -105,7 +105,8 @@ def main() -> None:
     materialize(extracted_cached)
     t0 = time.time()
     classified = classify_pipeline(
-        extracted_cached, mapping, state, meta.drop("company_id")
+        extracted_cached, mapping, state, meta.drop("company_id"),
+        output_order="within_partitions",  # the production (writer) form
     )
     materialize(classified)
     times["ex_classify_pipeline"] = round(time.time() - t0, 3)
