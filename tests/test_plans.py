@@ -181,3 +181,18 @@ def test_classify_within_partitions_order_avoids_global_sort(spark, small_corpus
             assert k[0] not in seen  # each conversation is one contiguous run
         seen[k[0]] = True
         last = k
+
+
+def test_training_ops_shuffle_budget(spark):
+    """assemble_context and pack_sequences each cost exactly ONE shuffle
+    (their window partition key) — no hidden global exchange."""
+    from ocr_spark.operators.training import assemble_context, pack_sequences
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ctx = assemble_context(ev, "user_id", ["ts", "event_id"], "event_type", k=3)
+    assert checks.count_exchanges(ctx) == 1, checks.formatted_plan(ctx)[:1500]
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_sequences(docs, "doc_id", F.length("text"), budget=4096)
+    assert checks.count_exchanges(packed) == 1, checks.formatted_plan(packed)[:1500]
+    assert "rangepartitioning" not in checks.formatted_plan(packed).lower()
