@@ -937,6 +937,38 @@ def _q_ex_records_meta_twin(spark, sf_dir):
     )
 
 
+def _q_ex_fuzzy_cascade_twin(spark, sf_dir):
+    """Hash-verified FUZZY cascade (J7) end-to-end: extraction -> exact
+    miss -> real token-sort-Indel UDF argmax over the broadcast
+    candidates -> threshold -> score/method resolution, vs the
+    levenshtein-derivable oracle (see _FZ_CRED)."""
+    _ensure_pyfiles(spark)
+    cust = _t(spark, sf_dir, "customer")
+    corpus = cust.select(
+        F.col("c_custkey").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_FZ_PAYLOAD_SQL).alias("text"),
+        F.lit("records").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    mpdf = G.credential_mapping_pdf()
+    mpdf.insert(0, "m_row_id", range(1, len(mpdf) + 1))
+    mapping = spark.createDataFrame(mpdf)
+    state = spark.createDataFrame(G.state_credential_pdf())
+    out = classify_pipeline(ext, mapping, state, conv_meta=None)
+    return out.select(
+        F.col("conv_id").cast("long").alias("conv"),
+        "Name",
+        "Credential_OCR",
+        "Credential_Standardized",
+        "Classification",
+        F.round("Match_Score", 4).alias("Match_Score"),
+        "Match_Method",
+    )
+
+
 def _q_j8_hints_twin(spark, sf_dir):
     """Hash-verified J8 dict-map hint lookup: the real broadcast-map
     apply_credential_hints (empty-credential rule + case-insensitive
@@ -1099,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
+        "ex_fuzzy_cascade_twin": _q_ex_fuzzy_cascade_twin,
         # rows-only (xxhash64/crc32 signatures have no DuckDB twin; the
         # full-corpus flagship is covered hash-wise by the *_sql_twin
         # queries over driver tables):
@@ -1307,6 +1340,49 @@ SELECT CAST(conv AS BIGINT) AS conv,
   CAST(CASE WHEN any_value(n1) > 0 THEN 0
        ELSE count(*) FILTER (keep) END AS INTEGER) AS n_relaxed
 FROM sel GROUP BY conv
+"""
+
+
+# fuzzy-cascade twin fixture: each conv's record carries a NEAR-MISS
+# credential formed by deleting the last character of a long mapping
+# variant with CredentialID 1/2 (always state-eligible, company 1). The
+# needle is then a SUBSEQUENCE of its true candidate after token sorting,
+# so the real UDF's Indel score is exactly levenshtein-derivable in the
+# oracle (~96-97, far above every competing candidate's upper bound and
+# the 80 threshold) — the REAL fuzzy argmax+threshold+score+method path
+# is hash-verified, not quiesced.
+_FZ_CRED = (
+    "(CASE c_custkey % 3 WHEN 0 THEN 'Doctor of Medicin' "
+    "WHEN 1 THEN 'Doctor of Osteopath' ELSE 'medical docto' END)"
+)
+_FZ_PAYLOAD_SQL = f"'- ' || {_REC_N1} || ', ' || {_FZ_CRED} || ', [sig]'"
+
+_FZ_CASCADE_TWIN_SQL = f"""
+WITH base AS (
+  SELECT c_custkey AS conv, {_REC_N1} AS nm, c_custkey % 3 AS variant
+  FROM customer),
+m AS (
+  SELECT conv, nm,
+    CASE variant WHEN 0 THEN 'DOCTOR MEDICIN OF'
+                 WHEN 1 THEN 'DOCTOR OF OSTEOPATH'
+                 ELSE 'DOCTO MEDICAL' END AS needle_sorted,
+    CASE variant WHEN 0 THEN 'DOCTOR MEDICINE OF'
+                 WHEN 1 THEN 'DOCTOR OF OSTEOPATHY'
+                 ELSE 'DOCTOR MEDICAL' END AS cand_sorted,
+    CASE variant WHEN 0 THEN 'Doctor of Medicin'
+                 WHEN 1 THEN 'Doctor of Osteopath'
+                 ELSE 'medical docto' END AS raw_cred,
+    CASE variant WHEN 1 THEN 'DO' ELSE 'MD' END AS matched_cred
+  FROM base)
+SELECT CAST(conv AS BIGINT) AS conv, nm AS "Name",
+  raw_cred AS "Credential_OCR",
+  matched_cred AS "Credential_Standardized",
+  'HCP' AS "Classification",
+  round((length(needle_sorted) + length(cand_sorted)
+         - levenshtein(needle_sorted, cand_sorted)) * 100.0
+        / (length(needle_sorted) + length(cand_sorted)), 4) AS "Match_Score",
+  'fuzzy_possiblenames(company:1)' AS "Match_Method"
+FROM m
 """
 
 
@@ -1962,6 +2038,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),
+        "ex_fuzzy_cascade_twin": _FZ_CASCADE_TWIN_SQL,
         "j8_hints_twin": f"""
 WITH {_REC_PARSE_CTES},
 n1 AS (SELECT c_custkey AS conv, {_REC_N1} AS hint_name FROM customer)
