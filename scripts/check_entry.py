@@ -43,11 +43,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from ocr_spark.operators.dedup import release_shingle_caches
+
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        release_shingle_caches()  # dedup queries each pin one cached relation
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
