@@ -46,3 +46,17 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert {"conv_id", "turn_idx", "Name", "Classification"} <= set(df.columns)
+
+
+def test_contract_key_consistency():
+    """Every oracle key must have a query; rows-only queries are the
+    documented non-SQL-expressible set, nothing else."""
+    q, o = set(E.queries()), set(E.oracle_sql())
+    assert o <= q, o - q  # an orphan oracle would never be checked
+    rows_only = q - o
+    assert rows_only == {
+        "ex_extract_turns",
+        "ex_classify_records",
+        "dd_minhash_neardups",
+        "dd_simhash_neardups",
+    }, rows_only
