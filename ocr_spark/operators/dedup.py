@@ -266,7 +266,7 @@ def _default_simhash_blocks(max_hamming: int) -> int:
 
     More blocks than the minimal d+1 widens the bucket key (a key is a
     combination of m-d blocks, so key width ~= (m-d) * 64/m bits): d=3
-    picks m=6 (20 tables, ~32-bit keys), d=6 picks m=8 (28 tables,
+    picks m=7 (35 tables, ~27-bit keys), d=6 picks m=8 (28 tables,
     ~16-bit keys). Wider keys keep within-bucket self-joins linear at
     corpus scale; the table count is the bounded explode factor."""
     from math import comb
