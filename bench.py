@@ -91,10 +91,13 @@ def main() -> None:
     transcripts = spark.read.parquet(tpath)
     n_turns = transcripts.count()
 
-    t0 = time.time()
-    extracted = extract_transcripts(transcripts)
-    materialize(extracted)
-    t_extract = time.time() - t0
+    t_extract = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        extracted = extract_transcripts(transcripts)
+        materialize(extracted)
+        dt = time.time() - t0
+        t_extract = dt if t_extract is None or dt < t_extract else t_extract
     times["ex_extract_pipeline"] = round(t_extract, 3)
 
     # Time classification alone: persist the extracted frame (materialized
@@ -103,13 +106,17 @@ def main() -> None:
     mapping, state, meta = E._fixture_lookups(spark, BENCH_CONVS)
     extracted_cached = extracted.persist()
     materialize(extracted_cached)
-    t0 = time.time()
-    classified = classify_pipeline(
-        extracted_cached, mapping, state, meta.drop("company_id"),
-        output_order="within_partitions",  # the production (writer) form
-    )
-    materialize(classified)
-    times["ex_classify_pipeline"] = round(time.time() - t0, 3)
+    t_cls = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        classified = classify_pipeline(
+            extracted_cached, mapping, state, meta.drop("company_id"),
+            output_order="within_partitions",  # the production (writer) form
+        )
+        materialize(classified)
+        dt = time.time() - t0
+        t_cls = dt if t_cls is None or dt < t_cls else t_cls
+    times["ex_classify_pipeline"] = round(t_cls, 3)
     extracted_cached.unpersist(blocking=False)
 
     total = round(sum(times.values()), 3)
