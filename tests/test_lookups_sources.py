@@ -1,0 +1,82 @@
+"""Lookup-source operators (S2/S10 contracts) + secondary similarity APIs."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.sources.lookups import (
+    bootstrap_lookup_parquet,
+    coerce_company_id,
+    load_pipe_csv,
+    strip_key_column,
+)
+
+
+def test_load_pipe_csv_all_string_and_projection(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("ExpenseV3_ID|Amount|Extra\n  k1 |12.5|x\nk2|oops|y\n")
+    df = load_pipe_csv(spark, str(p), columns=["ExpenseV3_ID", "Amount", "Missing"])
+    # all-string contract: no inference, malformed numerics survive as text
+    assert all(t == "string" for _, t in df.dtypes)
+    # early projection with warn-and-degrade on missing columns
+    assert df.columns == ["ExpenseV3_ID", "Amount"]
+    rows = {r.ExpenseV3_ID: r.Amount for r in df.collect()}
+    assert rows["  k1 "] == "12.5" and rows["k2"] == "oops"
+
+
+def test_strip_key_column(spark, tmp_path):
+    p = tmp_path / "dim2.csv"
+    p.write_text("ExpenseV3_ID|v\n  k1 |1\n")
+    df = strip_key_column(load_pipe_csv(spark, str(p)), "ExpenseV3_ID")
+    assert df.collect()[0].ExpenseV3_ID == "k1"
+
+
+def test_coerce_company_id_garbage_defaults(spark):
+    df = spark.createDataFrame(
+        [("3",), ("not-a-number",), (None,), ("7e1b-uuid",)], ["company_id"]
+    )
+    got = [r.company_id for r in coerce_company_id(df).collect()]
+    assert got == [3, 1, 1, 1]
+
+
+def test_bootstrap_lookup_parquet_builds_once(spark, tmp_path):
+    import pandas as pd
+
+    path = str(tmp_path / "lk.parquet")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})
+
+    first = bootstrap_lookup_parquet(spark, path, build)
+    second = bootstrap_lookup_parquet(spark, path, build)
+    assert len(calls) == 1  # second load reads the materialized parquet
+    assert first.count() == second.count() == 2
+
+
+def test_cosine_sim_col_matches_vectorized_scoring(spark):
+    """The pure-column HOF form (kept for SQL-plan composition) must agree
+    with the numpy hot path."""
+    from ocr_spark.operators.dedup import minhash_signature, shingles_col
+    from ocr_spark.operators.similarity import cosine_sim_col, pair_cosine_udf
+
+    import random
+
+    r = random.Random(5)
+    rows = [(i, [r.gauss(0, 1) for _ in range(8)], [r.gauss(0, 1) for _ in range(8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["i", "a", "b"])
+    out = df.select(
+        cosine_sim_col(F.col("a"), F.col("b")).alias("hof"),
+        pair_cosine_udf("a", "b").alias("np"),
+    ).collect()
+    assert all(abs(r2.hof - r2.np) < 1e-9 for r2 in out)
+
+    # minhash_signature (the standalone signature API) must agree with the
+    # inline signature computation used by minhash_near_dups
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"), (2, "x y z w")],
+        ["doc_id", "text"],
+    )
+    sigs = {r.doc_id: tuple(r.minhash) for r in minhash_signature(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text -> identical signature
+    assert sigs[0] != sigs[2]
