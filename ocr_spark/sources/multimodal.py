@@ -247,6 +247,72 @@ def decode_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_pixels(
+    height: int, width: int, channels: int, raw, out_h: int, out_w: int
+) -> bytearray:
+    """Nearest-neighbor resize of a decoded sample buffer (pure Python,
+    deterministic: source index = floor(i * src / dst), the standard NN
+    mapping). Swap for a real resampler (PIL/LANCZOS) on a cluster with
+    imaging libs — this is the D2-analog geometry stage for binary
+    media, mirroring the reference's aspect/cap resize
+    (pdf_processing_service.py:43-67)."""
+    out = bytearray(out_h * out_w * channels)
+    for y in range(out_h):
+        sy = (y * height) // out_h
+        src_row = sy * width * channels
+        dst_row = y * out_w * channels
+        for x in range(out_w):
+            sx = (x * width) // out_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = raw[s : s + channels]
+    return out
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def decode_and_resize(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """Decode PNG payloads and resize to (out_h, out_w) inside one
+    Arrow-batched stage (decode + geometry fused: no intermediate pixel
+    materialization between stages)."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"], "height": [], "width": [],
+                   "channels": [], "pixels": [], "decode_error": []}
+            for payload in pdf["payload"]:
+                try:
+                    h, w, c, raw = decode_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    px = resize_pixels(h, w, c, raw, out_h, out_w)
+                    out["height"].append(out_h)
+                    out["width"].append(out_w)
+                    out["channels"].append(c)
+                    out["pixels"].append(bytes(px))
+                    out["decode_error"].append(None)
+                except (ValueError, zlib.error) as ex:
+                    out["height"].append(None)
+                    out["width"].append(None)
+                    out["channels"].append(None)
+                    out["pixels"].append(None)
+                    out["decode_error"].append(str(ex))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -102,3 +102,41 @@ def test_sample_frames_fanout(spark):
     assert [f.frame_offset for f in frames] == [i * 128 for i in range(8)]
     assert all(len(bytes(f.frame_bytes)) == 128 for f in frames)
     assert all(len(f.features) == 16 for f in frames)
+
+
+def test_resize_pixels_nearest_neighbor():
+    from ocr_spark.sources.multimodal import resize_pixels
+
+    # 2x2 RGB: distinct corner colors; upscale to 4x4 quadrants
+    raw = bytes([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4])
+    up = resize_pixels(2, 2, 3, raw, 4, 4)
+    # each source pixel becomes a 2x2 quadrant
+    def px(y, x):
+        i = (y * 4 + x) * 3
+        return up[i]
+    assert px(0, 0) == px(0, 1) == px(1, 0) == px(1, 1) == 1
+    assert px(0, 2) == 2 and px(2, 0) == 3 and px(3, 3) == 4
+    # downscale back picks top-left of each quadrant
+    down = resize_pixels(4, 4, 3, up, 2, 2)
+    assert bytes(down) == raw
+
+
+def test_decode_and_resize_spark(spark):
+    from ocr_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_resize,
+        decode_pixels,
+        resize_pixels,
+        synth_png,
+    )
+
+    rows = [(i, "image", bytearray(synth_png(12, 10, seed=i)), None) for i in range(4)]
+    rows.append((9, "image", bytearray(b"junk"), None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_and_resize(df, 5, 6).collect()}
+    for i in range(4):
+        h, w, c, raw = decode_pixels(synth_png(12, 10, seed=i))
+        expect = bytes(resize_pixels(h, w, c, raw, 5, 6))
+        assert bytes(out[i].pixels) == expect
+        assert (out[i].height, out[i].width, out[i].channels) == (5, 6, 3)
+    assert out[9].decode_error is not None and out[9].pixels is None
