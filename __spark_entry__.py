@@ -15,6 +15,19 @@ row-count + schema + value-hash):
   agree (DuckDB ``count``/``len``/``sum(int)`` default to BIGINT/HUGEINT);
 - no raw timestamps in outputs — epoch seconds as BIGINT (session-TZ
   independent on both engines).
+
+Flagship SQL-twin pattern (the ``ex_*_twin`` / ``j8`` / ``fz`` queries):
+one payload-construction SQL expression valid in BOTH engines (Spark
+``F.expr`` + DuckDB inline) builds identical inputs from driver tables;
+the Spark side runs the REAL kernel/cascade (mapInPandas, broadcast
+joins, pandas UDFs) while the oracle is an independent SQL
+reimplementation of the semantics (record grammar, canonicalizer,
+block scoring incl. the two-pass cascade, pdf reading order, exact+fuzzy
+classification, hint maps). Approximate operators are twinned on
+provable-recall fixtures (exact clones for MinHash; fixed centroids for
+IVF; literal hyperplanes for kNN) — the four remaining rows-only
+entries are the non-SQL-expressible set (nested-tag walking over the
+mixed corpus; xxhash64/crc32 signatures absent from DuckDB).
 """
 
 from __future__ import annotations
