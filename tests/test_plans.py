@@ -196,3 +196,49 @@ def test_training_ops_shuffle_budget(spark):
     packed = pack_sequences(docs, "doc_id", F.length("text"), budget=4096)
     assert checks.count_exchanges(packed) == 1, checks.formatted_plan(packed)[:1500]
     assert "rangepartitioning" not in checks.formatted_plan(packed).lower()
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: a selective dim join injects a bloom
+    filter into the fact-side scan (might_contain on the join key) —
+    the mechanism that prunes most of a 100 TB fact scan before the
+    shuffle. Thresholds forced to test scale (at production scale the
+    defaults trigger naturally); result must equal the plain join."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        part = spark.read.parquet(f"{SF}/part.parquet").filter(F.col("p_size") > 48)
+        j = li.join(part, li.l_partkey == part.p_partkey).select("l_orderkey", "p_name")
+        plan = checks.formatted_plan(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        n_filtered = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_plain = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .join(
+            spark.read.parquet(f"{SF}/part.parquet").filter(F.col("p_size") > 48),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .count()
+    )
+    assert n_filtered == n_plain  # pruning never changes the answer
