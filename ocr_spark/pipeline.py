@@ -149,8 +149,49 @@ def extract_transcripts(transcripts: DataFrame, repartition: int | None = None) 
     return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+def load_transcripts(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Transcripts scan with the DECLARED schema (never inferred — at
+    100 TB an inference pass is a full extra read, and silent schema
+    drift must surface at the scan). Formats: parquet (columnar,
+    default), orc, json (JSONL interchange — the common training-data
+    exchange format), csv (header, escaped quotes)."""
+    reader = spark.read.schema(TRANSCRIPT_SCHEMA)
+    if fmt == "parquet":
+        return reader.parquet(path)
+    if fmt == "orc":
+        return reader.orc(path)
+    if fmt == "json":
+        # timestamps serialized as ISO-8601 by write_transcripts
+        return reader.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").json(path)
+    if fmt == "csv":
+        # multiLine: payloads embed newlines (quoted by the writer)
+        return (
+            reader.option("header", True)
+            .option("escape", '"')
+            .option("multiLine", True)
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+            .csv(path)
+        )
+    raise ValueError(f"unknown transcripts format: {fmt!r}")
+
+
+def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
+    """Symmetric writer for the formats load_transcripts reads."""
+    w = df.write.mode("overwrite")
+    if fmt == "parquet":
+        w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
+    elif fmt == "json":
+        w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").json(path)
+    elif fmt == "csv":
+        w.option("header", True).option("escape", '"').option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"
+        ).csv(path)
+    else:
+        raise ValueError(f"unknown transcripts format: {fmt!r}")
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

@@ -110,3 +110,26 @@ def test_pipeline_output_invariant_under_partitioning(spark, small_corpus):
 
     a, b = run(2), run(23)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_transcripts_roundtrip_all_formats(spark, small_corpus, tmp_path):
+    """Every supported source format round-trips the transcript schema
+    losslessly — extraction output is format-independent."""
+    from ocr_spark.pipeline import load_transcripts, write_transcripts
+
+    src = spark.createDataFrame(small_corpus["transcripts"]).limit(200)
+    baseline = None
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        p = str(tmp_path / f"t_{fmt}")
+        write_transcripts(src, p, fmt)
+        back = load_transcripts(spark, p, fmt)
+        assert back.schema == src.schema
+        rows = sorted(
+            extract_transcripts(back)
+            .select("conv_id", "turn_idx", "clean_text")
+            .collect()
+        )
+        if baseline is None:
+            baseline = rows
+        else:
+            assert rows == baseline, f"{fmt} diverged"
