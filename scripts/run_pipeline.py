@@ -39,12 +39,14 @@ def main() -> None:
     ap.add_argument("--mapping", required=True)
     ap.add_argument("--state", required=True)
     ap.add_argument("--conv-meta", default=None)
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json", "csv"])
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("extract_pipeline")
-    transcripts = load_transcripts(spark, args.input)
+    transcripts = load_transcripts(spark, args.input, fmt=args.format)
     mapping = spark.read.parquet(args.mapping)
     state = spark.read.parquet(args.state)
     conv_meta = (
