@@ -723,6 +723,28 @@ def _q_dd_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dd_connected_components(spark, sf_dir):
+    """Near-dup clustering: pairs -> connected components (min-id
+    canonical label) via iterative min-label propagation, hash-verified
+    against a DuckDB recursive-CTE transitive closure. Edge graph =
+    chains of 5 per custkey decade plus an intra-chain shortcut;
+    non-edge customers come out as singletons."""
+    _ensure_pyfiles(spark)
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = cust.filter((k % 10).between(1, 4)).select(
+        k.alias("id_a"), (k + 1).alias("id_b")
+    )
+    e2 = cust.filter(k % 10 == 1).select(k.alias("id_a"), (k + 2).alias("id_b"))
+    comps = DD.connected_components(
+        e1.unionByName(e2), nodes=cust.select("c_custkey")
+    )
+    return comps.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster").cast("long").alias("cluster"),
+    )
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -1132,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
+        "dd_connected_components": _q_dd_connected_components,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "sim_knn_join": _q_sim_knn_join,
@@ -1960,6 +1983,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {TS.fingerprint_sql(txt)} AS fp, min(doc_id) AS doc_id, "
             "count(*) AS dup_count FROM documents GROUP BY 1"
         ),
+        "dd_connected_components": """
+WITH RECURSIVE ed AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+  WHERE c_custkey % 10 BETWEEN 1 AND 4
+  UNION ALL
+  SELECT c_custkey, c_custkey + 2 FROM customer WHERE c_custkey % 10 = 1),
+sym AS (SELECT s, d FROM ed UNION SELECT d, s FROM ed),
+reach(s, d) AS (
+  SELECT s, d FROM sym
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN sym e2 ON r.d = e2.s),
+comp AS (SELECT s AS id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+SELECT CAST(c.c_custkey AS BIGINT) AS id,
+       CAST(coalesce(comp.cluster, c.c_custkey) AS BIGINT) AS cluster
+FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
+""",
         "ctx_window_assembly": (
             "SELECT event_id, user_id, "
             "coalesce(string_agg(event_type, chr(10)) OVER ("

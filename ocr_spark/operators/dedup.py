@@ -223,6 +223,99 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame, nodes: Optional[DataFrame] = None,
+    src: str = "id_a", dst: str = "id_b", max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster)
+    where cluster = the MINIMUM node id in the component (deterministic
+    canonical representative — the same min-key-wins rule as
+    exact_dedup).
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING —
+    each round a node takes min(own label, neighbors' labels, label of
+    its label). The neighbor step moves information one hop; the jump
+    step (label-of-label indirection) doubles the effective distance,
+    so a diameter-D component converges in O(log D) rounds, not D (a
+    40-node path takes ~6 rounds). Fixpoint is detected with one count
+    per round, and every round ends in an EAGER ``localCheckpoint`` —
+    iterative DataFrame algorithms that merely ``persist`` grow an
+    unbounded logical plan (the plan tree, not the data, OOMs the
+    driver after tens of rounds). Each round shuffles only (node,
+    label) pairs — linear state, no transitive-closure materialization
+    (which is quadratic per component and the reason the oracle's
+    recursive-CTE formulation works only at test scale).
+
+    ``nodes``: optional one-column DataFrame of ALL ids (isolated nodes
+    come out as their own singleton cluster); defaults to ids present
+    in edges."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    if nodes is not None:
+        node_df = nodes.toDF("id").distinct()
+    else:
+        node_df = e.select(F.col("s").alias("id")).distinct()
+    labels = node_df.select("id", F.col("id").alias("cluster")).localCheckpoint()
+    e = e.persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels, e.d == labels.id)
+            .groupBy("s")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.id == nbr_min.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        jump = stepped.select(
+            F.col("id").alias("jid"), F.col("cluster").alias("jcluster")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.cluster == jump.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce("jcluster", F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()  # eager: truncates lineage AND materializes
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist(blocking=False)
+    return labels.select("id", "cluster")
+
+
+def canonical_docs(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse a corpus over a near-dup pair set: keep ONE document per
+    connected component (the min-id representative), tagging each kept
+    row with its cluster size. Isolated documents survive unchanged."""
+    comps = connected_components(
+        pairs, nodes=df.select(id_col), src="id_a", dst="id_b"
+    )
+    sizes = comps.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return (
+        df.join(comps, df[id_col] == comps.id)
+        .filter(F.col(id_col) == F.col("cluster"))  # min id IS the cluster id
+        .join(sizes, "cluster")
+        .drop("id", "cluster")
+    )
+
+
 _SIMHASH_T = T.LongType()
 
 

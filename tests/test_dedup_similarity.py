@@ -216,3 +216,36 @@ def test_ivf_index_scan_is_partition_pruned(spark, emb, tmp_path):
         for r in ivf_topk(emb, qvec, k=5, n_probe=2, centroids=cents).collect()
     ]
     assert got == ref
+
+
+def test_connected_components_shapes(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    # chain 1-2-3, triangle 10-11-12, isolated 99 (via nodes)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 12, 99]], ["id"])
+    got = {r.id: r.cluster for r in connected_components(edges, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    n = 40  # a 40-node path: worst case for min propagation (diameter)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    got = {r.id: r.cluster for r in connected_components(edges).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_canonical_docs_keeps_min_id_with_cluster_size(spark):
+    from ocr_spark.operators.dedup import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 4)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_size for r in canonical_docs(docs, pairs).collect()}
+    # components: {0,3,5} -> keep 0, {1,4} -> keep 1, singletons 2
+    assert out == {0: 3, 1: 2, 2: 1}
