@@ -723,6 +723,20 @@ def _q_dd_ngram_jaccard(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dd_canonical_corpus(spark, sf_dir):
+    """End-to-end corpus dedup (minhash pairs -> components -> canonical
+    doc per cluster), hash-verified on the provable-recall exact-clone
+    fixture: clusters are exactly the identical-shingle-set groups, so
+    the oracle groups by sorted shingle array and keeps the min id."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    out = DD.near_dup_dedup(corpus, "text", "doc_id", jaccard_threshold=0.9999)
+    return out.select("doc_id", F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
 def _q_dd_connected_components(spark, sf_dir):
     """Near-dup clustering: pairs -> connected components (min-id
     canonical label) via iterative min-label propagation, hash-verified
@@ -1155,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
         "dd_connected_components": _q_dd_connected_components,
+        "dd_canonical_corpus": _q_dd_canonical_corpus,
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "sim_knn_join": _q_sim_knn_join,
@@ -1983,6 +1998,28 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {TS.fingerprint_sql(txt)} AS fp, min(doc_id) AS doc_id, "
             "count(*) AS dup_count FROM documents GROUP BY 1"
         ),
+        "dd_canonical_corpus": """
+WITH corpus AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                    for i in range(0, len(words) - 2)]
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+),
+d AS (SELECT doc_id, list_sort(list_distinct(sh)) AS sh FROM g)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS cluster_size
+FROM d GROUP BY sh
+""",
         "dd_connected_components": """
 WITH RECURSIVE ed AS (
   SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer

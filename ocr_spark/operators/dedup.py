@@ -316,6 +316,21 @@ def canonical_docs(
     )
 
 
+def near_dup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """The complete corpus-dedup pipeline in one call:
+    MinHash-LSH candidate pairs -> exact-jaccard verification ->
+    connected components -> one canonical (min-id) document per cluster,
+    tagged with cluster_size. Every stage is the scale path (banded LSH,
+    single-shuffle components, no cross joins)."""
+    pairs = minhash_near_dups(df, text_col, id_col, jaccard_threshold)
+    return canonical_docs(df, pairs.select("id_a", "id_b"), id_col)
+
+
 _SIMHASH_T = T.LongType()
 
 
