@@ -64,7 +64,11 @@ def main() -> None:
         "tx_text_stats",
         "dd_exact_dedup",
         "dd_minhash_neardups",
+        "dd_simhash_neardups",
+        "dd_connected_components",
+        "dd_canonical_corpus",
         "sim_knn_join",
+        "sim_ivf_topk",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.
@@ -119,6 +123,47 @@ def main() -> None:
     times["ex_classify_pipeline"] = round(t_cls, 3)
     extracted_cached.unpersist(blocking=False)
 
+    # IVF partition-pruning win: probe the materialized index (scans only
+    # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
+    # through the same numpy scoring path — the delta is pure pruning.
+    from pyspark.sql import functions as F  # noqa: E402
+    from ocr_spark.operators.similarity import (  # noqa: E402
+        cosine_scores_udf,
+        ivf_topk_from_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    ]
+    ivf_path = os.path.join(REPO, ".bench_cache", f"ivf_index_sf{sf}")
+    if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
+        ivf_write_index(emb, ivf_path, cents)
+    qvec = cents[0]
+
+    def full_scan_topk():
+        scored = spark.read.parquet(ivf_path).select(
+            "vec_id", cosine_scores_udf(qvec)(F.col("embedding")).alias("cosine_sim")
+        )
+        return scored.orderBy(F.desc("cosine_sim"), "vec_id").limit(10)
+
+    t_probe = t_full = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        materialize(
+            ivf_topk_from_index(spark, ivf_path, qvec, cents, k=10, n_probe=2)
+        )
+        dt = time.time() - t0
+        t_probe = dt if t_probe is None or dt < t_probe else t_probe
+        t0 = time.time()
+        materialize(full_scan_topk())
+        dt = time.time() - t0
+        t_full = dt if t_full is None or dt < t_full else t_full
+    times["sim_ivf_probe_index"] = round(t_probe, 3)
+    times["sim_ivf_full_scan"] = round(t_full, 3)
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "bench_suite_total",
@@ -130,6 +175,7 @@ def main() -> None:
         "extract_throughput_turns_per_sec": round(n_turns / t_extract, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "headliner_trials_best_of": TRIALS,
+        "ivf_pruned_vs_full_ratio": round(t_probe / t_full, 3),
     }
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):

@@ -25,6 +25,7 @@ are the corpus-scale generalization.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Optional
 
 import pandas as pd
@@ -61,6 +62,29 @@ def release_shingle_caches() -> int:
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist(blocking=False)
     return n
+
+
+@contextmanager
+def shingle_cache_scope():
+    """Auto-release shingle caches registered inside the block.
+
+    ``minhash_near_dups`` / ``ngram_jaccard_pairs`` return LAZY frames
+    whose plans reference the persisted shingle relation, so they cannot
+    unpersist it themselves; long-lived callers wrap the call AND the
+    consumption (collect/write) in this scope so the cache is released
+    exactly when the query completes::
+
+        with shingle_cache_scope():
+            minhash_near_dups(df).write.parquet(out)
+
+    ``near_dup_dedup`` needs no scope — its component stage materializes
+    eagerly, so it releases its own caches before returning."""
+    mark = len(_LIVE_CACHES)
+    try:
+        yield
+    finally:
+        while len(_LIVE_CACHES) > mark:
+            _LIVE_CACHES.pop().unpersist(blocking=False)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -226,6 +250,7 @@ def ngram_jaccard_pairs(
 def connected_components(
     edges: DataFrame, nodes: Optional[DataFrame] = None,
     src: str = "id_a", dst: str = "id_b", max_iter: int = 50,
+    reliable_checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster)
     where cluster = the MINIMUM node id in the component (deterministic
@@ -248,14 +273,32 @@ def connected_components(
 
     ``nodes``: optional one-column DataFrame of ALL ids (isolated nodes
     come out as their own singleton cluster); defaults to ids present
-    in edges."""
+    in edges.
+
+    ``reliable_checkpoint_dir``: when set, rounds checkpoint with
+    ``df.checkpoint()`` to that (HDFS/object-store) directory instead of
+    ``localCheckpoint()``. localCheckpoint stores blocks on EXECUTOR
+    storage with lineage truncated — fine single-JVM (this sandbox), but
+    on a real cluster an executor loss after truncation is unrecoverable
+    mid-job. Cluster runs should pass a reliable dir; results are
+    identical under both modes (pytest-asserted)."""
+    spark = edges.sparkSession
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     if nodes is not None:
         node_df = nodes.toDF("id").distinct()
     else:
         node_df = e.select(F.col("s").alias("id")).distinct()
-    labels = node_df.select("id", F.col("id").alias("cluster")).localCheckpoint()
+    labels = _ckpt(node_df.select("id", F.col("id").alias("cluster")))
     e = e.persist()
     for _ in range(max_iter):
         nbr_min = (
@@ -283,8 +326,8 @@ def connected_components(
                     F.col("cluster"), F.coalesce("jcluster", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .localCheckpoint()  # eager: truncates lineage AND materializes
         )
+        new_labels = _ckpt(new_labels)  # eager: truncates lineage AND materializes
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -294,6 +337,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # With pointer jumping, max_iter=50 covers diameter ~2^50; exiting
+        # by iteration count means an unconverged (wrong) clustering.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     e.unpersist(blocking=False)
     return labels.select("id", "cluster")
 
@@ -326,9 +376,15 @@ def near_dup_dedup(
     MinHash-LSH candidate pairs -> exact-jaccard verification ->
     connected components -> one canonical (min-id) document per cluster,
     tagged with cluster_size. Every stage is the scale path (banded LSH,
-    single-shuffle components, no cross joins)."""
-    pairs = minhash_near_dups(df, text_col, id_col, jaccard_threshold)
-    return canonical_docs(df, pairs.select("id_a", "id_b"), id_col)
+    single-shuffle components, no cross joins).
+
+    The shingle caches this call registers are released before returning:
+    the component stage checkpoints eagerly (consuming the pair query),
+    so the returned frame's plan references only ``df`` and the
+    materialized component labels — no scope management needed."""
+    with shingle_cache_scope():
+        pairs = minhash_near_dups(df, text_col, id_col, jaccard_threshold)
+        return canonical_docs(df, pairs.select("id_a", "id_b"), id_col)
 
 
 _SIMHASH_T = T.LongType()
@@ -336,26 +392,51 @@ _SIMHASH_T = T.LongType()
 
 @F.pandas_udf(_SIMHASH_T)
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word tokens (vectorized per Arrow batch)."""
+    """64-bit SimHash over word tokens, numpy-vectorized across the batch.
+
+    Per word: h = crc32(word) | crc32(reversed word) << 32 (the only
+    per-word Python — crc32 is a C call). Everything downstream is one
+    numpy pass over ALL words of the Arrow batch at once: unpack the
+    word-hash array to a (words, 64) bit matrix, prefix-sum down the
+    word axis, difference at document boundaries to get per-document
+    ones-counts, threshold (majority bit) and packbits back to one
+    uint64 per document. Replaces the round-2 ``for bit in range(64)``
+    Python inner loop (O(64*words) interpreted bytecode per document)
+    with O(words*8) vectorized bytes; signatures are bit-identical
+    (digest-asserted in tests/test_dedup.py)."""
     import zlib
 
-    out = []
+    import numpy as np
+
+    words_per_doc = []
+    all_words: list = []
     for t in texts:
-        if not t:
-            out.append(0)
-            continue
-        acc = [0] * 64
-        for w in t.lower().split():
-            h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # to signed 64-bit
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
-    return pd.Series(out, dtype="int64")
+        ws = t.lower().split() if t else []
+        all_words.extend(ws)
+        words_per_doc.append(len(ws))
+    n_docs = len(words_per_doc)
+    if not all_words:
+        return pd.Series(np.zeros(n_docs, dtype=np.int64))
+    hs = np.fromiter(
+        (
+            zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+            for w in all_words
+        ),
+        dtype=np.uint64,
+        count=len(all_words),
+    )
+    # bit k of the hash -> column k (little-endian byte+bit order)
+    bits = np.unpackbits(
+        hs.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )
+    csum = np.zeros((len(all_words) + 1, 64), dtype=np.int64)
+    np.cumsum(bits, axis=0, dtype=np.int64, out=csum[1:])
+    lens = np.asarray(words_per_doc, dtype=np.int64)
+    ends = np.cumsum(lens)
+    ones = csum[ends] - csum[ends - lens]  # (docs, 64) per-doc set-bit counts
+    majority = (2 * ones > lens[:, None]).astype(np.uint8)  # acc>0 <=> ones > words/2
+    vals = np.packbits(majority, axis=1, bitorder="little").view("<u8").ravel()
+    return pd.Series(vals.view(np.int64))  # bit-reinterpret = two's-complement
 
 
 def _simhash_blocks(n_bits: int, n_blocks: int) -> list:

@@ -304,18 +304,34 @@ def knn_join(
     qid_col: str = "q_id",
     cid_col: str = "vec_id",
     dim: int = 64,
+    probe_hamming1: bool = True,
 ) -> DataFrame:
     """Batch ANN: bucket-equi-join queries to corpus on the hyperplane
     signature, rank per query, keep top-k. One shuffle on the signature
     (both sides), one ranking window — no cross join. Signatures and
     pair scores are numpy pandas_udfs (one matmul / one vectorized pass
     per Arrow batch) — at corpus scale the signature+score pass
-    dominates, so nothing here evaluates interpreted HOF lambdas."""
+    dominates, so nothing here evaluates interpreted HOF lambdas.
+
+    ``probe_hamming1`` (default, mirrors ``lsh_bucketed_topk``): each
+    query probes its own bucket PLUS the h single-bit-flip neighbor
+    buckets — a true neighbor straddling one hyperplane is still found
+    (recall-asserted vs exact kNN in tests/test_similarity.py). Only the
+    query side fans out (x(h+1), queries << corpus); the corpus side is
+    untouched, and a (query, corpus) pair joins at most once because the
+    h+1 probe signatures are distinct."""
     planes = hyperplanes(dim, h)
     sig = rh_signature_udf(planes)
-    qs = queries.withColumn("sig", sig(F.col(vec_col))).select(
-        F.col(qid_col), F.col(vec_col).alias("q_vec"), "sig"
-    )
+    qs = queries.withColumn("sig0", sig(F.col(vec_col)))
+    if probe_hamming1:
+        probes = F.array(
+            F.col("sig0"),
+            *[F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(h)],
+        )
+        qs = qs.withColumn("sig", F.explode(probes))
+    else:
+        qs = qs.withColumn("sig", F.col("sig0"))
+    qs = qs.select(F.col(qid_col), F.col(vec_col).alias("q_vec"), "sig")
     cs = corpus.withColumn("sig", sig(F.col(vec_col))).select(
         F.col(cid_col), F.col(vec_col).alias("c_vec"), "sig"
     )

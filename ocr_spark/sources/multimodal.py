@@ -24,6 +24,7 @@ import struct
 import zlib
 from typing import Iterator, Optional, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -219,14 +220,15 @@ def _pixel_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 h, w, c, raw = decode_pixels(
                     bytes(payload) if payload is not None else b""
                 )
-                sums = [0] * c
-                for i, v in enumerate(raw):
-                    sums[i % c] += v
-                npx = h * w
+                means = (
+                    np.frombuffer(bytes(raw), dtype=np.uint8)
+                    .reshape(-1, c)
+                    .mean(axis=0)
+                )
                 out["height"].append(h)
                 out["width"].append(w)
                 out["channels"].append(c)
-                out["channel_means"].append([s / npx for s in sums])
+                out["channel_means"].append([float(m) for m in means])
                 out["decode_error"].append(None)
             except (ValueError, zlib.error) as ex:
                 # D7 parity: a poisoned payload degrades to a null row with

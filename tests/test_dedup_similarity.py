@@ -239,6 +239,141 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def _simhash64_reference(t):
+    """The round-2 pure-Python SimHash loop, kept verbatim as the digest
+    oracle for the vectorized rewrite (signatures must be bit-identical)."""
+    import zlib
+
+    if not t:
+        return 0
+    acc = [0] * 64
+    for w in t.lower().split():
+        h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    v = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            v |= 1 << bit
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash64_matches_reference_loop(spark):
+    """Vectorized simhash64 is bit-identical to the scalar reference on a
+    corpus covering empties, whitespace-only, nulls, unicode, repeats."""
+    import random
+
+    from ocr_spark.operators.dedup import simhash64
+
+    r = random.Random(5)
+    vocab = ["alpha", "Beta", "GAMMA", "δelta", "ε", "x1", "22", "naïve", "a"]
+    texts = ["", "   ", None, "single", "repeat repeat repeat repeat"]
+    for _ in range(40):
+        texts.append(" ".join(r.choices(vocab, k=r.randint(1, 30))))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {r2.i: r2.s for r2 in df.select("i", simhash64(F.col("t")).alias("s")).collect()}
+    want = {i: _simhash64_reference(t) for i, t in enumerate(texts)}
+    assert got == want
+
+
+def test_knn_join_multiprobe_recovers_one_bit_straddlers(spark):
+    """A near-clone whose signature flips exactly ONE hyperplane sign is
+    invisible to the exact-bucket join but must be recovered by the
+    hamming-1 multi-probe (VERDICT r2 ask #3)."""
+    import random
+
+    import numpy as np
+
+    from ocr_spark.operators.similarity import hyperplanes
+
+    dim, h = 16, 6
+    pt = np.asarray(hyperplanes(dim, h), dtype=np.float64).T  # (d, h)
+
+    def sig_of(v):
+        bits = (np.asarray(v) @ pt) >= 0.0
+        return int(bits @ (1 << np.arange(h)))
+
+    r = random.Random(17)
+    corpus_rows, straddlers = [], []
+    next_id = 1000
+    for qi in range(30):
+        q = np.asarray([r.gauss(0, 1) for _ in range(dim)])
+        clone = q + 0.12 * np.asarray([r.gauss(0, 1) for _ in range(dim)])
+        d_ham = bin(sig_of(q) ^ sig_of(clone)).count("1")
+        corpus_rows.append((next_id, [float(x) for x in clone]))
+        if d_ham == 1:
+            straddlers.append((qi, next_id))
+        next_id += 1
+        corpus_rows.append((qi, [float(x) for x in q]))
+    assert straddlers, "seed must yield at least one 1-bit straddling clone"
+    qs = spark.createDataFrame(
+        [(i, v) for i, v in corpus_rows if i < 30], ["q_id", "embedding"]
+    )
+    corpus = spark.createDataFrame(corpus_rows, ["vec_id", "embedding"])
+
+    def hits(probe):
+        out = knn_join(qs, corpus, k=3, h=h, dim=dim, probe_hamming1=probe).collect()
+        return {(r2.q_id, r2.vec_id) for r2 in out}
+
+    exact_bucket, multi = hits(False), hits(True)
+    for pair in straddlers:
+        assert pair not in exact_bucket  # unfindable by construction
+        assert pair in multi  # cosine ~0.97 -> top-3 for its query
+    # note: exact_bucket is NOT a subset of multi — the wider candidate
+    # pool can displace weaker exact-bucket rows from the top-k, which is
+    # precisely the recall improvement.
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable_checkpoint_dir (df.checkpoint to a shared dir — the
+    cluster fault-tolerance mode) must produce the same clustering as the
+    default localCheckpoint mode."""
+    from ocr_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)] + [(100, 101), (101, 102)],
+        ["id_a", "id_b"],
+    )
+    local = {r.id: r.cluster for r in connected_components(edges).collect()}
+    reliable = {
+        r.id: r.cluster
+        for r in connected_components(
+            edges, reliable_checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local
+    assert set(local.values()) == {0, 100}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    from ocr_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+def test_shingle_cache_scope_releases(spark, docs):
+    from ocr_spark.operators import dedup as DD
+
+    base = len(DD._LIVE_CACHES)
+    with DD.shingle_cache_scope():
+        pairs = DD.minhash_near_dups(docs, jaccard_threshold=0.5)
+        assert len(DD._LIVE_CACHES) == base + 1
+        assert pairs.count() > 0  # consumed inside the scope
+    assert len(DD._LIVE_CACHES) == base
+
+
+def test_near_dup_dedup_releases_own_caches(spark, docs):
+    from ocr_spark.operators import dedup as DD
+
+    base = len(DD._LIVE_CACHES)
+    out = DD.near_dup_dedup(docs, jaccard_threshold=0.5)
+    assert len(DD._LIVE_CACHES) == base  # released before returning
+    kept = {r.doc_id for r in out.collect()}  # frame still consumable after
+    assert 0 in kept and 3 not in kept  # exact dup collapsed to min id
+
+
 def test_canonical_docs_keeps_min_id_with_cluster_size(spark):
     from ocr_spark.operators.dedup import canonical_docs
 
