@@ -126,6 +126,11 @@ def main() -> None:
     # IVF partition-pruning win: probe the materialized index (scans only
     # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
     # through the same numpy scoring path — the delta is pure pruning.
+    # The sf embeddings table (2k rows) is overhead-dominated, so the
+    # measurement uses a deterministic cluster-structured synthetic corpus
+    # (vec j of id = sin((1+id%8)*j) + 0.05*sin(id*j): 8 balanced natural
+    # clusters, ids 0..7 are one representative each), generated once
+    # JVM-side and cached like the bench transcripts.
     from pyspark.sql import functions as F  # noqa: E402
     from ocr_spark.operators.similarity import (  # noqa: E402
         cosine_scores_udf,
@@ -133,12 +138,22 @@ def main() -> None:
         ivf_write_index,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_ivf = int(os.environ.get("SPARK_GRAFT_IVF_N", "8000000"))
+    corpus_path = os.path.join(REPO, ".bench_cache", f"ivf_corpus_{n_ivf}.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        spark.range(n_ivf).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), j -> "
+                "cast(sin((1 + id % 8) * j) + 0.05 * sin(id * j) as float))"
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(corpus_path)
+    emb = spark.read.parquet(corpus_path)
     cents = [
         [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
     ]
-    ivf_path = os.path.join(REPO, ".bench_cache", f"ivf_index_sf{sf}")
+    ivf_path = os.path.join(REPO, ".bench_cache", f"ivf_index_{n_ivf}")
     if not os.path.exists(os.path.join(ivf_path, "_SUCCESS")):
         ivf_write_index(emb, ivf_path, cents)
     qvec = cents[0]

@@ -170,17 +170,27 @@ def pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
 
 def ivf_write_index(
     embeddings: DataFrame, path: str, centroids: List[List[float]],
-    vec_col: str = "embedding",
+    vec_col: str = "embedding", files_per_list: int = 16,
 ) -> None:
     """Materialize the IVF layout: the coarse-quantizer assignment becomes
     the PARTITION KEY of the stored table, so a probe query's
     ``ivf_list IN (...)`` filter prunes partitions at the scan — at
     corpus scale a 3-of-64-list probe reads ~5% of the bytes. (Iceberg
-    analog: ``PARTITIONED BY (ivf_list)``.)"""
+    analog: ``PARTITIONED BY (ivf_list)``.)
+
+    File layout is deliberate at both extremes: repartitioning on
+    (list, salt-of-vector) caps each list at ~``files_per_list`` compact
+    files — NOT writer-parallelism x lists small files (listing/open
+    overhead), and NOT one giant file per list (a 2-list probe would get
+    only 2 map tasks and leave the cluster idle). files_per_list should
+    be sized so n_probe x files_per_list >= cluster cores."""
+    salt = F.pmod(F.hash(F.col(vec_col)), F.lit(files_per_list))
     assigned = embeddings.withColumn(
         "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
     )
-    assigned.write.partitionBy("ivf_list").mode("overwrite").parquet(path)
+    assigned.repartition(
+        files_per_list * len(centroids), F.col("ivf_list"), salt
+    ).write.partitionBy("ivf_list").mode("overwrite").parquet(path)
 
 
 def ivf_topk_from_index(

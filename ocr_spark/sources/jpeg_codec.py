@@ -1,0 +1,542 @@
+"""Baseline JPEG (JFIF) codec — pure stdlib + numpy, no imaging libs.
+
+Covers the second major image kind for the multimodal binary-column
+story (reference analog: the image payloads the OCR service posts to
+its vision API, pdf_processing_service.py:43-67 resize/encode): a
+spec-level BASELINE sequential decoder (ITU-T T.81: DQT/DHT/SOF0/SOS
+parsing, canonical Huffman entropy decode with byte-unstuffing and
+restart markers, dequantize + dezigzag, 8x8 IDCT as one numpy
+matmul per block, chroma upsampling, JFIF YCbCr->RGB) and a matching
+encoder used by tests to synthesize fixtures (FDCT, quantize, RLE +
+Huffman). Encoder emits valid-but-simple canonical Huffman tables
+(fixed 4/8-bit code lengths) — decoders read table structure from DHT,
+so optimality is irrelevant for correctness.
+
+Execution shape: the codec runs per payload inside Arrow-batched
+``mapInPandas`` stages (sources/multimodal.py). The IDCT/color math is
+numpy; the Huffman bit loop is Python — documented as the swap-for-
+libjpeg point on clusters with real codec libs. Lossy parity: with the
+default Annex-K tables round-trips are approximate; with
+``quant="flat"`` (all-ones tables) error is FDCT/IDCT rounding only
+(+-2/sample), which is what the round-trip tests assert.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# Zigzag index -> raster index (ITU-T T.81 Figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1 quantization tables (quality ~50 reference)
+QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32,
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Orthonormal DCT-II basis: coef = D @ block @ D.T, block = D.T @ coef @ D
+_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _D[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """JPEG magnitude coding: (size, raw bits) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, bits: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (bits & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+def _simple_huffman(symbols: List[int], code_len: int) -> Tuple[bytes, Dict[int, Tuple[int, int]]]:
+    """A valid canonical table with every symbol at ``code_len`` bits.
+
+    Returns (DHT payload after the Tc/Th byte, symbol -> (code, len)).
+    Valid iff len(symbols) < 2**code_len (keeps the all-ones code free,
+    as the canonical JPEG table-building procedure guarantees)."""
+    assert len(symbols) < (1 << code_len)
+    bits = [0] * 16
+    bits[code_len - 1] = len(symbols)
+    enc = {s: (i, code_len) for i, s in enumerate(symbols)}
+    return bytes(bits) + bytes(symbols), enc
+
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_DC_TABLE_BYTES, _DC_ENC = _simple_huffman(_DC_SYMBOLS, 4)
+_AC_TABLE_BYTES, _AC_ENC = _simple_huffman(_AC_SYMBOLS, 8)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (bh, bw)."""
+    h, w = plane.shape
+    ph = (-h) % bh
+    pw = (-w) % bw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _encode_plane(
+    plane: np.ndarray, quant: np.ndarray, bw_: _BitWriter, pred: List[int],
+    comp_idx: int,
+) -> None:
+    """FDCT + quantize + entropy-code every 8x8 block of one padded plane
+    in raster order (non-interleaved path helper; pred is per-component
+    DC predictor state)."""
+    h, w = plane.shape
+    shifted = plane.astype(np.float64) - 128.0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = shifted[by : by + 8, bx : bx + 8]
+            coef = _D @ block @ _D.T
+            q = np.round(coef / quant).astype(np.int64)
+            zz = q.ravel()[ZIGZAG]
+            _encode_block(zz, bw_, pred, comp_idx)
+
+
+def _encode_block(zz: np.ndarray, bw_: _BitWriter, pred: List[int], ci: int) -> None:
+    diff = int(zz[0]) - pred[ci]
+    pred[ci] = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, n = _DC_ENC[size]
+    bw_.write(code, n)
+    if size:
+        bw_.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, n = _AC_ENC[0x00]  # EOB
+                bw_.write(code, n)
+                return
+            run += 1
+            if run == 16:
+                code, n = _AC_ENC[0xF0]  # ZRL
+                bw_.write(code, n)
+                run = 0
+            continue
+        size, bits = _magnitude(v)
+        code, n = _AC_ENC[(run << 4) | size]
+        bw_.write(code, n)
+        bw_.write(bits, size)
+        run = 0
+
+
+def encode_baseline_jpeg(
+    height: int, width: int, channels: int, raw, subsample: bool = False,
+    quant: str = "annex_k", restart_interval: int = 0,
+) -> bytes:
+    """Encode h*w*c 8-bit samples as a baseline JFIF JPEG.
+
+    channels 1 (grayscale) or 3 (RGB -> YCbCr). ``subsample=True`` emits
+    4:2:0 (2x2 luma sampling, chroma averaged over 2x2); else 4:4:4.
+    ``quant="flat"`` uses all-ones tables (near-lossless, for round-trip
+    tests); ``"annex_k"`` the standard tables. ``restart_interval`` > 0
+    emits DRI + RSTn markers every that many MCUs (exercises the
+    decoder's resynchronization path)."""
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width, channels)
+    if quant == "flat":
+        ql = qc = np.ones((8, 8), dtype=np.int64)
+    else:
+        ql, qc = QUANT_LUMA, QUANT_CHROMA
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        zz = table.ravel()[ZIGZAG].astype(np.uint8).tobytes()
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+
+    out += dqt(0, ql)
+    if channels == 3:
+        out += dqt(1, qc)
+
+    if channels == 1:
+        comps = [(1, 1, 1, 0)]
+    elif subsample:
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, (hs << 4) | vs, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+
+    def dht(tc: int, th: int, body: bytes) -> bytes:
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + len(body))
+            + bytes([(tc << 4) | th])
+            + body
+        )
+
+    out += dht(0, 0, _DC_TABLE_BYTES) + dht(1, 0, _AC_TABLE_BYTES)
+    if channels == 3:
+        out += dht(0, 1, _DC_TABLE_BYTES) + dht(1, 1, _AC_TABLE_BYTES)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    sos = bytes([len(comps)])
+    for cid, _hs, _vs, _tq in comps:
+        td_ta = 0 if cid == 1 else 0x11
+        sos += bytes([cid, td_ta])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # planes in component order
+    if channels == 1:
+        planes = [img[..., 0].astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            cb = _pad_to_blocks(cb, 2, 2).reshape(
+                (height + 1) // 2 * 2 // 2, 2, -1, 2
+            ).mean(axis=(1, 3))
+            cr = _pad_to_blocks(cr, 2, 2).reshape(
+                (height + 1) // 2 * 2 // 2, 2, -1, 2
+            ).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-width // mcu_w)
+    mcus_y = -(-height // mcu_h)
+    padded = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        target_h, target_w = mcus_y * 8 * vs, mcus_x * 8 * hs
+        p = _pad_to_blocks(plane, 8, 8)
+        p = np.pad(
+            p,
+            ((0, target_h - p.shape[0]), (0, target_w - p.shape[1])),
+            mode="edge",
+        )
+        padded.append(p - 128.0)
+
+    bw_ = _BitWriter()
+    pred = [0] * len(comps)
+    mcu_count = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                out += bw_.flush()  # byte-align (pad with 1s)
+                out += bytes([0xFF, 0xD0 + rst_n])
+                rst_n = (rst_n + 1) % 8
+                bw_ = _BitWriter()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                qtab = ql if tq == 0 else qc
+                for v in range(vs):
+                    for h_ in range(hs):
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + h_) * 8
+                        block = padded[ci][by : by + 8, bx : bx + 8]
+                        coef = _D @ block @ _D.T
+                        q = np.round(coef / qtab).astype(np.int64)
+                        _encode_block(q.ravel()[ZIGZAG], bw_, pred, ci)
+    out += bw_.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs FF00, stops at markers; restart
+    markers (FFD0-FFD7) are consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartPending()
+            else:
+                # real marker (EOI etc.) — spec: pad with 1s
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+    def restart(self) -> None:
+        """Byte-align, consume the RSTn marker, reset the bit buffer."""
+        self.acc = 0
+        self.nbits = 0
+        if not (
+            self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+class _RestartPending(Exception):
+    pass
+
+
+class _HuffTable:
+    """Canonical Huffman decode from DHT BITS/HUFFVAL: per length, the
+    first code and the symbol slice (T.81 Annex C procedure)."""
+
+    def __init__(self, bits: List[int], huffval: bytes) -> None:
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.val_ptr[length] = k
+                self.min_code[length] = code
+                self.max_code[length] = code + n - 1
+                code += n
+                k += n
+            code <<= 1
+        self.huffval = huffval
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.bit()
+        length = 1
+        while length <= 16:
+            if self.max_code[length] >= code >= self.min_code[length]:
+                return self.huffval[self.val_ptr[length] + code - self.min_code[length]]
+            code = (code << 1) | br.bit()
+            length += 1
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_baseline_jpeg(payload: bytes):
+    """Baseline sequential JPEG decode. Returns (height, width, channels,
+    bytearray h*w*c), the same convention as multimodal.decode_pixels.
+    Supports 8-bit baseline (SOF0), 1 or 3 components, any sampling
+    factors, restart intervals. Raises ValueError on progressive (SOF2)
+    or other unsupported variants."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    data = bytes(payload)
+    pos = 2
+    qtables: Dict[int, np.ndarray] = {}
+    htables: Dict[Tuple[int, int], _HuffTable] = {}
+    comps: List[Tuple[int, int, int, int]] = []
+    height = width = None
+    restart_interval = 0
+    scan_comps: List[Tuple[int, int, int]] = []
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = zz
+                qtables[tq] = tab.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                htables[(tc, th)] = _HuffTable(bits, seg[i + 17 : i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0x{marker:02x} unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
+                scan_comps.append((cs, tdta >> 4, tdta & 0xF))
+            scan_start = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if height is None or scan_start is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported component count {len(comps)}")
+
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    order = []  # (hs, vs, quant, dc table, ac table) in scan order
+    for cs, td, ta in scan_comps:
+        hs, vs, tq = by_id[cs]
+        order.append((hs, vs, qtables[tq], htables[(0, td)], htables[(1, ta)]))
+    hmax = max(o[0] for o in order)
+    vmax = max(o[1] for o in order)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * vs, mcus_x * 8 * hs)) for hs, vs, _q, _d, _a in order
+    ]
+
+    br = _BitReader(data, scan_start)
+    pred = [0] * len(order)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.restart()
+                pred = [0] * len(order)
+            mcu_count += 1
+            for ci, (hs, vs, qtab, dct, act) in enumerate(order):
+                for v in range(vs):
+                    for h_ in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        try:
+                            size = dct.decode(br)
+                            diff = _extend(br.bits(size), size) if size else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                rs = act.decode(br)
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += rs >> 4
+                                size = rs & 0xF
+                                if k > 63:
+                                    raise ValueError("AC run overflows block")
+                                zz[k] = _extend(br.bits(size), size)
+                                k += 1
+                        except _RestartPending:
+                            raise ValueError("unexpected restart marker mid-block")
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[ZIGZAG] = zz
+                        block = _D.T @ (coef.reshape(8, 8) * qtab) @ _D
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + h_) * 8
+                        planes[ci][by : by + 8, bx : bx + 8] = block
+    # upsample to full resolution, crop, level shift
+    full = []
+    for (hs, vs, _q, _d, _a), plane in zip(order, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(up[:height, :width] + 128.0)
+    if len(full) == 1:
+        out = full[0][..., None]
+    else:
+        out = _ycbcr_to_rgb(np.stack(full, axis=-1))
+    samples = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return height, width, len(full), bytearray(samples.tobytes())

@@ -6,15 +6,17 @@ Arrow-batched ``mapInPandas`` stages (one Python crossing per batch —
 the same execution shape as the text extraction pipeline).
 
 No imaging library ships in this container, so the codec layer is pure
-stdlib: ``decode_image_meta`` parses PNG/JPEG headers (struct
-unpacking), ``decode_pixels`` is a REAL spec-level PNG decoder (zlib
-IDAT inflate + per-scanline unfilter, all five filter types), and
-``synth_png`` a matching stdlib encoder for round-trip tests.
-``extract_features`` computes a deterministic byte-level feature vector
-standing in for a learned embedding, and ``decode_pixel_stats`` runs the
-real pixel decode inside the Arrow-batched stage (per-channel means) —
-swap in PIL/ffmpeg + a real encoder on a cluster with the libs for
-JPEG/video kinds.
+stdlib+numpy: ``decode_image_meta`` parses PNG/JPEG headers (struct
+unpacking), ``decode_pixels`` does REAL spec-level pixel decode for
+BOTH major image kinds — PNG (zlib IDAT inflate + per-scanline
+unfilter, all five filter types) and baseline JPEG (Huffman + IDCT,
+sources/jpeg_codec.py) — with ``synth_png`` /
+``jpeg_codec.encode_baseline_jpeg`` as matching encoders for
+round-trip tests. ``extract_features`` computes a deterministic
+byte-level feature vector standing in for a learned embedding, and
+``decode_pixel_stats`` runs the real pixel decode inside the
+Arrow-batched stage (per-channel means) — swap in PIL/ffmpeg on a
+cluster with the libs for progressive-JPEG/video kinds.
 """
 
 from __future__ import annotations
@@ -95,13 +97,23 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_pixels(payload: bytes):
-    """Full PNG pixel decode, pure Python (spec-level: zlib IDAT inflate +
-    per-scanline unfilter — PNG spec §9, filters None/Sub/Up/Average/
-    Paeth). Supports 8-bit depth, color types 0/2/4/6, no interlace.
+    """Full pixel decode for BOTH major image kinds, pure stdlib+numpy:
+
+    - PNG (spec-level: zlib IDAT inflate + per-scanline unfilter — PNG
+      spec §9, filters None/Sub/Up/Average/Paeth; 8-bit depth, color
+      types 0/2/4/6, no interlace);
+    - baseline JPEG (ITU-T T.81 sequential: Huffman entropy decode,
+      dequantize, numpy IDCT, chroma upsample, JFIF YCbCr->RGB — see
+      sources/jpeg_codec.py).
+
     Returns (height, width, channels, bytearray of h*w*c raw samples).
     """
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from ocr_spark.sources.jpeg_codec import decode_baseline_jpeg
+
+        return decode_baseline_jpeg(payload)
     if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
+        raise ValueError("not a PNG or JPEG payload")
     pos, n = 8, len(payload)
     width = height = None
     depth = ctype = interlace = None
@@ -230,7 +242,7 @@ def _pixel_stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 out["channels"].append(c)
                 out["channel_means"].append([float(m) for m in means])
                 out["decode_error"].append(None)
-            except (ValueError, zlib.error) as ex:
+            except (ValueError, zlib.error, struct.error, IndexError) as ex:
                 # D7 parity: a poisoned payload degrades to a null row with
                 # the error recorded, never kills the batch/task
                 out["height"].append(None)
@@ -302,7 +314,7 @@ def decode_and_resize(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     out["channels"].append(c)
                     out["pixels"].append(bytes(px))
                     out["decode_error"].append(None)
-                except (ValueError, zlib.error) as ex:
+                except (ValueError, zlib.error, struct.error, IndexError) as ex:
                     out["height"].append(None)
                     out["width"].append(None)
                     out["channels"].append(None)

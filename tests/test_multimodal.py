@@ -62,6 +62,100 @@ def test_decode_pixel_stats_spark(spark):
     assert out[99].decode_error is not None and out[99].channel_means is None
 
 
+def _rand_img(h, w, c, seed):
+    import numpy as np
+
+    return np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_jpeg_roundtrip_gray_and_rgb_flat_quant():
+    """Baseline JPEG decode vs the matching encoder with all-ones quant
+    tables: error bounded by FDCT/IDCT rounding (+-2/sample), on noise —
+    the hardest content for a DCT codec."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import decode_baseline_jpeg, encode_baseline_jpeg
+
+    for h, w, c, seed in [(24, 40, 1, 7), (16, 17, 3, 8), (8, 8, 3, 9), (9, 13, 1, 10)]:
+        img = _rand_img(h, w, c, seed)
+        payload = encode_baseline_jpeg(h, w, c, img.tobytes(), quant="flat")
+        hh, ww, cc, raw = decode_baseline_jpeg(payload)
+        assert (hh, ww, cc) == (h, w, c)
+        got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, c)
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_annex_k_and_420_subsampling_close_on_smooth_content():
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import decode_baseline_jpeg, encode_baseline_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [(yy * 4) % 256, (xx * 4) % 256, ((yy + xx) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for kwargs, tol in [
+        (dict(quant="annex_k"), 8.0),  # standard lossy tables
+        (dict(subsample=True, quant="flat"), 8.0),  # 4:2:0 chroma path
+    ]:
+        payload = encode_baseline_jpeg(32, 32, 3, smooth.tobytes(), **kwargs)
+        hh, ww, cc, raw = decode_baseline_jpeg(payload)
+        assert (hh, ww, cc) == (32, 32, 3)
+        got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(32, 32, 3)
+        assert np.abs(got.astype(float) - smooth.astype(float)).mean() < tol
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI + RSTn resynchronization: byte-aligned restart markers every N
+    MCUs, DC predictors reset — decode must match the no-restart path."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import decode_baseline_jpeg, encode_baseline_jpeg
+
+    img = _rand_img(40, 56, 3, 11)  # 5x7 = 35 MCUs at 4:4:4
+    payload = encode_baseline_jpeg(
+        40, 56, 3, img.tobytes(), quant="flat", restart_interval=4
+    )
+    assert b"\xff\xdd" in payload  # DRI emitted
+    hh, ww, cc, raw = decode_baseline_jpeg(payload)
+    got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(40, 56, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_header_meta_matches_codec():
+    from ocr_spark.sources.jpeg_codec import encode_baseline_jpeg
+
+    img = _rand_img(20, 31, 3, 3)
+    payload = encode_baseline_jpeg(20, 31, 3, img.tobytes())
+    assert decode_image_meta(payload) == ("jpeg", 31, 20)
+
+
+def test_decode_pixel_stats_handles_jpeg_kind(spark):
+    """decode_pixels dispatches on magic: the SAME Arrow-batched stage
+    decodes PNG and JPEG payloads side by side, and a truncated JPEG
+    degrades to a decode_error row."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import encode_baseline_jpeg
+    from ocr_spark.sources.multimodal import MEDIA_SCHEMA, decode_pixel_stats
+
+    img = _rand_img(16, 16, 3, 4)
+    jp = encode_baseline_jpeg(16, 16, 3, img.tobytes(), quant="flat")
+    rows = [
+        (0, "image", bytearray(jp), None),
+        (1, "image", bytearray(synth_png(16, 8, seed=1)), None),
+        (2, "image", bytearray(jp[: len(jp) // 2]), None),  # truncated JPEG
+    ]
+    out = {r.media_id: r for r in decode_pixel_stats(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()}
+    assert (out[0].height, out[0].width, out[0].channels) == (16, 16, 3)
+    want_means = img.reshape(-1, 3).mean(axis=0)
+    assert np.allclose(out[0].channel_means, want_means, atol=2.0)
+    assert out[1].decode_error is None  # PNG row unaffected
+    assert out[2].decode_error is not None and out[2].channel_means is None
+
+
 def test_byte_features_deterministic_normalized():
     f1 = byte_features(synth_png(32, 32, seed=2))
     f2 = byte_features(synth_png(32, 32, seed=2))
