@@ -219,13 +219,20 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     h: Optional[int] = 8,
     dim: int = 64,
+    probe_hamming1: bool = False,
 ) -> DataFrame:
     """Cosine near-duplicate pairs (id_a < id_b, cosine_sim >= threshold).
 
     ``h=None``: exact all-pairs (O(n^2) — small sets / the oracle path).
     ``h=8`` (default): candidate pairs share a random-hyperplane bucket —
     linear candidate generation at corpus scale (high-cosine pairs land
-    in the same bucket with probability (1 - theta/pi)^h)."""
+    in the same bucket with probability (1 - theta/pi)^h).
+
+    ``probe_hamming1=True``: one side of the self-join additionally
+    probes its h single-bit-flip buckets, so a true pair whose
+    signatures differ by exactly one hyperplane is still a candidate
+    (recall boost at x(h+1) cost on ONE side only; a pair is matched at
+    most twice — exact and mirror-flip — and distinct() collapses it)."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if h is None:
@@ -233,9 +240,24 @@ def embedding_near_dups(
     else:
         planes = hyperplanes(dim, h)
         sig = rh_signature_udf(planes)
-        a = a.withColumn("sig", sig(F.col("va")))
+        a = a.withColumn("sig0", sig(F.col("va")))
+        if probe_hamming1:
+            probes = F.array(
+                F.col("sig0"),
+                *[F.col("sig0").bitwiseXOR(F.lit(1 << i)) for i in range(h)],
+            )
+            a = a.withColumn("sig", F.explode(probes))
+        else:
+            a = a.withColumn("sig", F.col("sig0"))
         b = b.withColumn("sig", sig(F.col("vb")))
-        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+        pairs = (
+            a.select("id_a", "va", "sig")
+            .join(b, "sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "va", "vb")
+        )
+        if probe_hamming1:
+            pairs = pairs.distinct()
 
     return (
         pairs.withColumn("cosine_sim", pair_cosine_udf("va", "vb"))

@@ -324,6 +324,48 @@ def test_knn_join_multiprobe_recovers_one_bit_straddlers(spark):
     # precisely the recall improvement.
 
 
+def test_embedding_near_dups_multiprobe_recovers_straddlers(spark):
+    """Pair mining analog of the kNN multi-probe: near-clone pairs whose
+    signatures differ in exactly one hyperplane bit are invisible to the
+    exact-bucket self-join and recovered by probe_hamming1."""
+    import random
+
+    import numpy as np
+
+    from ocr_spark.operators.similarity import embedding_near_dups, hyperplanes
+
+    dim, h = 16, 6
+    pt = np.asarray(hyperplanes(dim, h), dtype=np.float64).T
+
+    def sig_of(v):
+        bits = (np.asarray(v) @ pt) >= 0.0
+        return int(bits @ (1 << np.arange(h)))
+
+    r = random.Random(23)
+    rows, straddlers = [], []
+    for i in range(40):
+        q = np.asarray([r.gauss(0, 1) for _ in range(dim)])
+        clone = q + 0.08 * np.asarray([r.gauss(0, 1) for _ in range(dim)])
+        rows.append((2 * i, [float(x) for x in q]))
+        rows.append((2 * i + 1, [float(x) for x in clone]))
+        if bin(sig_of(q) ^ sig_of(clone)).count("1") == 1:
+            straddlers.append((2 * i, 2 * i + 1))
+    assert straddlers, "seed must yield 1-bit straddling clone pairs"
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def mined(probe):
+        out = embedding_near_dups(
+            emb, threshold=0.9, h=h, dim=dim, probe_hamming1=probe
+        ).collect()
+        return {(r2.id_a, r2.id_b) for r2 in out}
+
+    exact_bucket, multi = mined(False), mined(True)
+    for pair in straddlers:
+        assert pair not in exact_bucket
+        assert pair in multi
+    assert exact_bucket <= multi  # pure candidate widening (no top-k cutoff)
+
+
 def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     """reliable_checkpoint_dir (df.checkpoint to a shared dir — the
     cluster fault-tolerance mode) must produce the same clustering as the

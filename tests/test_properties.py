@@ -87,3 +87,91 @@ def test_extract_turn_never_raises_and_metrics_nonnegative(s, tool):
     assert isinstance(r["clean_text"], str)
     for k in ("blocks_kept", "blocks_dropped", "parse_failures", "truncated_chars"):
         assert r[k] >= 0
+
+
+# --- JPEG codec properties (pure stdlib+numpy, no Spark session) ---
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_flat_roundtrip_bounded_error(h, w, c, seed):
+    """encode(flat quant, 4:4:4) -> decode recovers every sample within
+    the FDCT/IDCT rounding bound, for arbitrary sizes (incl.
+    non-multiples of the MCU) and both channel counts, on noise — the
+    hardest content for a DCT codec."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    payload = encode_baseline_jpeg(h, w, c, img.tobytes(), quant="flat")
+    hh, ww, cc, raw = decode_baseline_jpeg(payload)
+    assert (hh, ww, cc) == (h, w, c)
+    got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, c)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+
+
+@given(
+    st.integers(min_value=1, max_value=33),
+    st.integers(min_value=1, max_value=33),
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_420_constant_color_roundtrip(h, w, rgb):
+    """4:2:0: on a constant-color image the 2x2 chroma averaging is
+    lossless, so round-trip error is bounded by DCT rounding + the
+    YCbCr<->RGB conversion (no clipping pathologies; random noise is
+    excluded by design — chroma subsampling is lossy there and clipping
+    breaks any per-sample bound)."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.full((h, w, 3), rgb, dtype=np.uint8)
+    payload = encode_baseline_jpeg(h, w, 3, img.tobytes(), subsample=True, quant="flat")
+    hh, ww, cc, raw = decode_baseline_jpeg(payload)
+    assert (hh, ww, cc) == (h, w, 3)
+    got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3
+
+
+@given(st.integers(min_value=0, max_value=2**32 - 1), st.data())
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_never_hangs_or_crashes_on_truncation(seed, data):
+    """Truncating a valid stream at ANY byte must produce ValueError /
+    struct.error / IndexError (the poisoned-payload classes the Arrow
+    stage degrades on) or — for cuts inside entropy data, where the spec
+    pads with 1-bits — a decoded image of the declared dimensions. Never
+    another exception type and never an infinite loop."""
+    import struct
+
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    payload = encode_baseline_jpeg(8, 16, 3, img.tobytes(), quant="flat")
+    cut = data.draw(st.integers(min_value=0, max_value=len(payload) - 1))
+    try:
+        hh, ww, cc, raw = decode_baseline_jpeg(payload[:cut])
+        assert (hh, ww, cc) == (8, 16, 3)
+        assert len(raw) == 8 * 16 * 3
+    except (ValueError, struct.error, IndexError):
+        pass
