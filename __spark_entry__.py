@@ -698,6 +698,52 @@ def _q_tx_quality_filter(spark, sf_dir):
     return quality_filter(docs, "text").select("doc_id", "keep", "reason")
 
 
+def _q_dd_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (SIGMOD'03 local
+    fingerprinting) over documents — polynomial k-gram hash + sliding
+    w-window min, arithmetic-only, hash-verified against the identical
+    SQL formulation."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+_BM25_QUERY_TERMS = ["hash", "merge", "scan"]
+
+
+def _q_ret_bm25_scores(spark, sf_dir):
+    """BM25 scores for every document matching the probe terms — the
+    corpus-curation scorer (operators/retrieval.py), all built-in
+    expressions, hash-verified against a full SQL reimplementation.
+    Scores for ALL matching docs (no top-k cutoff) so last-ulp float
+    association differences cannot flip a limit boundary; the ranking
+    path (bm25_topk) is pytest-covered."""
+    from ocr_spark.operators import retrieval as RET
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = RET.bm25_index(docs, "text", "doc_id")
+    scored = (
+        idx.filter(F.col("term").isin(_BM25_QUERY_TERMS))
+        .withColumn("contrib", RET.bm25_score_col())
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("bm25_raw"))
+    )
+    return scored.select("doc_id", F.round("bm25_raw", 4).alias("bm25"))
+
+
+def _q_tr_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/val/test assignment (pure int64
+    multiplicative-hash arithmetic — the identical expression runs in
+    the oracle), summarized as per-(lang, split) counts."""
+    from ocr_spark.operators.training import stratified_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1159,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_connected_components": _q_dd_connected_components,
         "dd_canonical_corpus": _q_dd_canonical_corpus,
+        "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
         # -- ANN / similarity stack
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
@@ -1172,6 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality_filter": _q_tx_quality_filter,
         "ctx_window_assembly": _q_ctx_window_assembly,
         "pk_sequence_packing": _q_pk_sequence_packing,
+        "ret_bm25_scores": _q_ret_bm25_scores,
+        "tr_stratified_split": _q_tr_stratified_split,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
@@ -1196,15 +1245,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_distinct_list": _q_a4_distinct_list,
         "a7_ordered_dedup": _q_a7_ordered_dedup,
         "a8_sorted_id_sets": _q_a8_sorted_id_sets,
-        "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
-        "a10_ordered_collect": _q_a10_ordered_collect,
         "o1_topk_orders": _q_o1_topk_orders,
         "o3_argmax_per_group": _q_o3_argmax_per_group,
         "u1_union_all": _q_u1_union_all,
-        "u2_intersect_except": _q_u2_intersect_except,
-        "w_sessionize_agg": _q_w_sessionize_agg,
         "gm_gap_stats": _q_gm_gap_stats,
+        "w_sessionize_agg": _q_w_sessionize_agg,
         # ---- scored-window boundary is around here (~50) ----
+        "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
+        "a10_ordered_collect": _q_a10_ordered_collect,
+        "u2_intersect_except": _q_u2_intersect_except,
         "w_tumbling_window": _q_w_tumbling_window,
         "w_moving_avg": _q_w_moving_avg,
         "aj_asof_join": _q_aj_asof_join,
@@ -2093,6 +2142,64 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) "
             "AS BIGINT) AS bin_id, "
             "CAST(tokens AS BIGINT) AS tokens FROM t"
+        ),
+        "dd_winnow_fingerprints": """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS pos
+  FROM norm WHERE length(t) >= 5
+),
+h AS (
+  SELECT doc_id, pos,
+         (ascii(substr(t, CAST(pos AS INTEGER), 1))
+          + ascii(substr(t, CAST(pos AS INTEGER) + 1, 1)) * 257
+          + ascii(substr(t, CAST(pos AS INTEGER) + 2, 1)) * 66049
+          + ascii(substr(t, CAST(pos AS INTEGER) + 3, 1)) * 16974593
+          + ascii(substr(t, CAST(pos AS INTEGER) + 4, 1)) * 4362470401
+         ) % 1000000007 AS gh
+  FROM g
+),
+wmin AS (
+  SELECT doc_id,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+)
+SELECT DISTINCT doc_id, fp FROM wmin
+""",
+        "ret_bm25_scores": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((nd.n_docs - stats.df_t + 0.5) / (stats.df_t + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) ) AS bm25_raw
+  FROM tf JOIN dl USING (doc_id) JOIN stats USING (term), nd, ad
+  WHERE tf.term IN ('hash', 'merge', 'scan')
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
+""",
+        "tr_stratified_split": (
+            "WITH b AS (SELECT lang, "
+            "((doc_id * 2654435761) % 4294967296) % 1000 AS bucket "
+            "FROM documents) "
+            "SELECT lang, CASE WHEN bucket < 800 THEN 'train' "
+            "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split, "
+            "count(*) AS n FROM b GROUP BY lang, split"
         ),
         "tx_quality_filter": (
             f"WITH t AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tokens, "

@@ -390,6 +390,77 @@ def near_dup_dedup(
 _SIMHASH_T = T.LongType()
 
 
+# Winnowing (Schleimer/Wilkerson/Aiken SIGMOD'03, public algorithm)
+# polynomial-hash parameters: arithmetic-only, so the SAME expression is
+# reproducible in the DuckDB oracle (no engine hash function involved).
+_WINNOW_BASE = 257
+_WINNOW_MOD = 1_000_000_007
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: (id, fp) rows, fp = the minimum
+    rolling k-gram hash of each w-window over the normalized char
+    stream, deduplicated. The classic local fingerprinting scheme
+    (MOSS): any shared substring of length >= k + w - 1 between two
+    documents is guaranteed to share at least one fingerprint, so a
+    fingerprint equi-join finds copied passages at corpus scale without
+    pairwise comparison — the same inverted-index shape as
+    ``ngram_jaccard_pairs`` but with provable substring-match recall.
+
+    Everything is built-in expressions: normalize (lower + strip
+    non-alphanumeric), posexplode k-gram start positions, polynomial
+    hash as a closed-form sum of ``ascii(char) * B^j mod P`` (int64-safe:
+    max pre-mod sum ~5.4e11), sliding-window min as a ranking window
+    (one shuffle on the id), distinct. Tail windows (< w grams) are
+    included — selection is a superset of strict winnowing with
+    identical guarantees, mirrored exactly in the oracle twin."""
+    t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(F.col(id_col), t.alias("t")).filter(F.length("t") >= k)
+    g = base.select(
+        id_col,
+        "t",
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("pos"),
+    )
+    h = F.lit(0)
+    for j in range(k):
+        h = h + F.ascii(F.col("t").substr(F.col("pos") + j, F.lit(1))) * F.lit(
+            _WINNOW_BASE**j
+        )
+    hashed = g.select(id_col, "pos", (h % _WINNOW_MOD).alias("gh"))
+    wspec = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("fp", F.min("gh").over(wspec))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_match_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, w: int = 4, min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    copied-passage detection as a fingerprint inverted-index self-join
+    (hash/sort-merge plannable, AQE-skew-splittable, never O(n^2))."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
 _SIMHASH_CHUNK_WORDS = 1 << 17  # bounds the (words, 64) transient to ~32 MB
 
 

@@ -1,0 +1,144 @@
+"""Corpus retrieval scoring for training-data curation: TF-IDF / BM25.
+
+Quality-filtering a 100 TB pretraining corpus routinely needs "docs
+most similar to a seed set" (data selection à la DSIR) and "docs
+matching a probe query" (contamination / dedup-vs-eval checks). BM25
+is the standard lexical scorer for both. Everything here is built-in
+column expressions (split/explode/groupBy/join/window) — whole-stage
+codegen, no Python in the hot path, and the shuffles are exactly the
+term-stats aggregations:
+
+- one shuffle to build per-(doc, term) frequencies,
+- one broadcast-sized term-stats frame (vocabulary-bounded) joined
+  back to score.
+
+At corpus scale the index form (``bm25_index``) is the thing you
+materialize (partitioned by term bucket); ``bm25_topk`` then probes
+only the query's terms — the inverted-list read pattern, same as the
+IVF layout for embeddings (similarity.py).
+
+Tokenization is the ONE definition shared with the DuckDB oracle twin
+(lowercase, split on non-alphanumeric runs, drop empties) so the gate
+can hash-verify scores end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BM25 constants (standard Robertson/Sparck-Jones defaults)
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def terms_col(text_col) -> F.Column:
+    """Lowercased alphanumeric terms (empties dropped). Shared with the
+    oracle twin: DuckDB `string_split_regex(lower(x), '[^a-z0-9]+')`."""
+    return F.array_remove(F.split(F.lower(text_col), "[^a-z0-9]+"), "")
+
+
+def doc_term_freqs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, dl): term frequency + document length in terms.
+
+    One explode + one hash aggregation (map-side partial combine); dl is
+    carried through the groupBy via a window-free sum-over-doc trick:
+    tf summed per (doc, term), dl = total terms per doc joined from the
+    same exploded frame's per-doc count — Catalyst reuses the exchange."""
+    exploded = docs.select(
+        id_col, F.explode(terms_col(F.col(text_col))).alias("term")
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dl = exploded.groupBy(id_col).agg(F.count("*").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The materialized scoring index: (doc_id, term, tf, dl, df_t, n_docs,
+    avgdl). At 100 TB this is written ``partitionBy(term_bucket)`` so a
+    query's term probe prunes at the scan (the lexical analog of
+    ``ivf_write_index``)."""
+    tfs = doc_term_freqs(docs, text_col, id_col)
+    stats = tfs.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs = docs.count()
+    avgdl = tfs.select(id_col, "dl").distinct().agg(F.avg("dl")).collect()[0][0]
+    return (
+        tfs.join(F.broadcast(stats), "term")
+        .withColumn("n_docs", F.lit(n_docs))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+
+
+def bm25_score_col(k1: float = BM25_K1, b: float = BM25_B) -> F.Column:
+    """Per-(doc, term) BM25 contribution from index columns."""
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return idf * tf_part
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    The term IN-filter lands before the score join (and, over a
+    materialized term-partitioned index, prunes at the scan); the final
+    top-k is an aggregation + ordered limit, ties broken by id."""
+    terms = [t.lower() for t in query_terms]
+    idx = bm25_index(docs, text_col, id_col)
+    scored = (
+        idx.filter(F.col("term").isin(terms))
+        .withColumn("contrib", bm25_score_col(k1, b))
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+
+
+def tfidf_vectors(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tfidf) sparse vectors: ln(1+tf) * ln(N/df).
+    The classic curation feature for near-class detection / clustering."""
+    idx = bm25_index(docs, text_col, id_col)
+    return idx.select(
+        id_col,
+        "term",
+        (
+            F.log(F.lit(1.0) + F.col("tf"))
+            * F.log(F.col("n_docs") / F.col("df_t"))
+        ).alias("tfidf"),
+    )
+
+
+def bm25_write_index(
+    docs: DataFrame, path: str, n_term_buckets: int = 64,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Materialize the BM25 index partitioned by a term-hash bucket: a
+    query touching q terms reads at most q of ``n_term_buckets``
+    partitions (same pruning pattern as the IVF embedding index)."""
+    idx = bm25_index(docs, text_col, id_col).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets))
+    )
+    idx.repartition("term_bucket").write.partitionBy("term_bucket").mode(
+        "overwrite"
+    ).parquet(path)

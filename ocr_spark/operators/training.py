@@ -77,6 +77,53 @@ def pack_sequences(
     )
 
 
+# Knuth multiplicative-hash constant (2^32 / phi) — arithmetic on int64,
+# so the SAME expression runs in the DuckDB oracle (no engine-specific
+# hash function involved).
+_SPLIT_HASH_MULT = 2654435761
+_SPLIT_BUCKETS = 1000
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by pure id arithmetic.
+
+    bucket = (id * 2654435761) mod 2^32 mod 1000; cumulative-weight
+    thresholds map buckets to splits. Properties a 100 TB pipeline
+    needs and random sampling lacks:
+
+    - stateless + deterministic: any job (or rerun, or downstream
+      consumer) recomputes the same assignment from the id alone — no
+      persisted split table, no seed coordination across executors;
+    - stable under corpus growth: adding documents never reassigns
+      existing ones (contrast ``randomSplit``, which reshuffles
+      everything when the input changes);
+    - stratification is free: because the multiplicative hash is
+      uniform and independent of any class column, per-class split
+      proportions concentrate to the weights (asserted in pytest).
+
+    Pure int64 arithmetic (id*const < 2^63 for id < 3.4e9 — pre-mod ids
+    wider than that before multiplying), codegen-friendly, and exactly
+    reproducible in ANSI SQL for the oracle gate."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    bucket = F.pmod(
+        F.pmod(F.col(id_col).cast("long") * F.lit(_SPLIT_HASH_MULT), F.lit(1 << 32)),
+        F.lit(_SPLIT_BUCKETS),
+    )
+    expr = None
+    acc = 0.0
+    for w, name in zip(weights, names):
+        acc += w
+        cond = bucket < int(round(acc * _SPLIT_BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
 # quality_filter thresholds (documented rule; the oracle twin inlines the
 # same constants)
 MIN_TOKENS = 5

@@ -239,6 +239,61 @@ def test_connected_components_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's core guarantee: documents sharing a substring of
+    length >= k + w - 1 (= 8 at k=5, w=4) in the normalized stream share
+    at least one fingerprint; disjoint-alphabet docs share none."""
+    from ocr_spark.operators.dedup import winnow_fingerprints, winnow_match_pairs
+
+    shared = "thequickbrownfoxes"  # 18 chars >> k+w-1
+    docs = spark.createDataFrame(
+        [
+            (0, f"aaa {shared} bbb unrelated prefix"),
+            (1, f"zzz different start {shared} qqq"),
+            (2, "0123456789 0123456789 0123456789"),  # disjoint alphabet
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1]  # guaranteed shared fingerprint
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    pairs = {
+        (r.id_a, r.id_b): r.shared_fps
+        for r in winnow_match_pairs(docs, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_winnow_normalization_invariance(spark):
+    """Case/punctuation/whitespace changes don't alter fingerprints
+    (normalization strips to [a-z0-9] before hashing)."""
+    from ocr_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The Quick, Brown! Foxes jumped over it"),
+            (1, "thequickbrownfoxesJUMPED   over-it"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = {}
+    for r in winnow_fingerprints(docs).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] == fps[1]
+
+
+def test_winnow_short_docs_yield_nothing(spark):
+    from ocr_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(0, "abcd"), (1, ""), (2, None), (3, "ab c! d")], ["doc_id", "text"]
+    )
+    assert winnow_fingerprints(docs, k=5, w=4).count() == 0
+
+
 def _simhash64_reference(t):
     """The round-2 pure-Python SimHash loop, kept verbatim as the digest
     oracle for the vectorized rewrite (signatures must be bit-identical)."""

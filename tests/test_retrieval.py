@@ -1,0 +1,128 @@
+"""BM25/TF-IDF retrieval scoring + deterministic stratified split."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.retrieval import (
+    BM25_B,
+    BM25_K1,
+    bm25_index,
+    bm25_topk,
+    bm25_write_index,
+    tfidf_vectors,
+)
+from ocr_spark.operators.training import stratified_split
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffle partition shuffle spark"),
+        (1, "rare unicorn appears once in the corpus"),
+        (2, "spark spark spark spark spark spark spark spark spark spark"),
+        (3, "partition pruning and predicate pushdown in the scan"),
+        (4, "the the the the the the"),
+        (5, "unicorn unicorn sighting with spark"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_rare_term_dominates(spark, corpus):
+    """A query for a rare term must rank the docs containing it above
+    docs full of common terms (idf does its job)."""
+    top = bm25_topk(corpus, ["unicorn"], k=3).collect()
+    assert {t.doc_id for t in top[:2]} == {1, 5}
+    assert all(t.bm25 > 0 for t in top[:2])
+
+
+def test_bm25_tf_saturation(spark, corpus):
+    """BM25's k1 saturation: doc 2 (10x 'spark') must NOT beat doc 0
+    (2x 'spark', shorter is irrelevant here — saturation + length
+    normalization bound the spam advantage to a modest factor."""
+    top = {t.doc_id: t.bm25 for t in bm25_topk(corpus, ["spark"], k=6).collect()}
+    assert top[2] < top[0] * (BM25_K1 + 1)  # bounded, not linear in tf
+
+
+def test_bm25_matches_hand_formula(spark, corpus):
+    """Spot-check one (doc, term) score against the closed form."""
+    idx = bm25_index(corpus).collect()
+    n_docs = 6
+    dls = {r.doc_id: r.dl for r in idx}
+    avgdl = sum(dls.values()) / len(dls)
+    row = [r for r in idx if r.doc_id == 0 and r.term == "spark"][0]
+    idf = math.log((n_docs - row.df_t + 0.5) / (row.df_t + 0.5) + 1.0)
+    expect = idf * (row.tf * (BM25_K1 + 1)) / (
+        row.tf + BM25_K1 * (1 - BM25_B + BM25_B * row.dl / avgdl)
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(corpus, ["spark"], k=6).collect()
+    }[0]
+    assert abs(got - expect) < 1e-9
+
+
+def test_tfidf_sparse_vectors(spark, corpus):
+    out = {(r.doc_id, r.term): r.tfidf for r in tfidf_vectors(corpus).collect()}
+    # 'unicorn' appears in 2 of 6 docs: idf = ln(6/2) > 0
+    assert out[(1, "unicorn")] == pytest.approx(math.log(2.0) * math.log(3.0))
+    # a term present in every doc would have idf 0; 'spark' is in 3 of 6
+    assert out[(0, "spark")] > 0
+
+
+def test_bm25_index_scan_is_partition_pruned(spark, corpus, tmp_path):
+    """The materialized term-bucketed index must prune non-probed term
+    buckets at the scan, same pattern as the IVF embedding index."""
+    from ocr_spark.plans import checks
+
+    path = str(tmp_path / "bm25_idx")
+    bm25_write_index(corpus, path, n_term_buckets=8)
+    idx = spark.read.parquet(path)
+    probe = idx.filter(
+        F.col("term_bucket")
+        == F.pmod(F.xxhash64(F.lit("unicorn")), F.lit(8))
+    ).filter(F.col("term") == "unicorn")
+    plan = checks.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "term_bucket" in plan, plan[:1500]
+    assert {r.doc_id for r in probe.collect()} == {1, 5}
+
+
+def test_stratified_split_deterministic_and_stable(spark):
+    docs = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in stratified_split(docs).collect()}
+    b = {r.doc_id: r.split for r in stratified_split(docs).collect()}
+    assert a == b  # rerun-identical, no seed state
+    # growth-stable: a larger corpus never reassigns existing ids
+    bigger = spark.range(0, 40000).select(F.col("id").alias("doc_id"))
+    c = {r.doc_id: r.split for r in stratified_split(bigger).collect()}
+    assert all(c[k] == v for k, v in a.items())
+
+
+def test_stratified_split_proportions_per_class(spark):
+    """Within every class the split fractions concentrate to the weights
+    (the hash is independent of the class column)."""
+    docs = spark.range(0, 30000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("cls")
+    )
+    counts = {
+        (r.cls, r.split): r.n
+        for r in stratified_split(docs)
+        .groupBy("cls", "split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for cls in range(3):
+        total = sum(counts.get((cls, s), 0) for s in ("train", "val", "test"))
+        assert counts[(cls, "train")] / total == pytest.approx(0.8, abs=0.02)
+        assert counts[(cls, "val")] / total == pytest.approx(0.1, abs=0.02)
+        assert counts[(cls, "test")] / total == pytest.approx(0.1, abs=0.02)
+
+
+def test_stratified_split_custom_weights_and_validation(spark):
+    docs = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    out = stratified_split(docs, weights=(0.5, 0.5), names=("a", "b"))
+    got = {r.split for r in out.select("split").distinct().collect()}
+    assert got == {"a", "b"}
+    with pytest.raises(ValueError):
+        stratified_split(docs, weights=(0.5, 0.4))
