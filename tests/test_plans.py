@@ -198,6 +198,45 @@ def test_training_ops_shuffle_budget(spark):
     assert "rangepartitioning" not in checks.formatted_plan(packed).lower()
 
 
+def test_stratified_split_is_shuffle_free(spark):
+    """Split assignment is a stateless projection — zero exchanges, and
+    the arithmetic stays inside the scan's codegen stage."""
+    from ocr_spark.operators.training import stratified_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_split(docs, "doc_id")
+    assert checks.count_exchanges(out) == 0, checks.formatted_plan(out)[:1500]
+
+
+def test_winnow_fingerprints_shuffle_budget(spark):
+    """Winnowing = explode (no shuffle) + ONE window shuffle on the doc
+    id + distinct (one more exchange on (id, fp)); no range/global
+    sort anywhere."""
+    from ocr_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = winnow_fingerprints(docs)
+    plan = checks.formatted_plan(out)
+    assert checks.count_exchanges(out) <= 2, plan[:1500]
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_bm25_term_filter_reaches_probe(spark):
+    """The query-term IN filter must sit on the index before the score
+    aggregation (no post-aggregation filtering of the full term space),
+    and the broadcast of the vocabulary-sized term stats must happen."""
+    from ocr_spark.operators import retrieval as RET
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = RET.bm25_index(docs)
+    probed = idx.filter(F.col("term").isin(["hash", "scan"]))
+    plan = checks.formatted_plan(probed)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+    # the IN filter appears below the final projection, i.e. in a Filter
+    # node over the term column, not applied driver-side
+    assert "term" in plan and ("hash" in plan or "IN" in plan.upper()), plan[:1500]
+
+
 def test_runtime_bloom_filter_prunes_fact_side(spark):
     """Runtime row-level filtering: a selective dim join injects a bloom
     filter into the fact-side scan (might_contain on the join key) —
