@@ -441,11 +441,30 @@ def winnow_fingerprints(
 def winnow_match_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 5, w: int = 4, min_shared: int = 2,
+    max_doc_frac: Optional[float] = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     copied-passage detection as a fingerprint inverted-index self-join
-    (hash/sort-merge plannable, AQE-skew-splittable, never O(n^2))."""
+    (hash/sort-merge plannable, AQE-skew-splittable, never O(n^2)).
+
+    ``max_doc_frac``: when set, drop "stop fingerprints" present in more
+    than this fraction of documents before the self-join (standard
+    winnowing practice — boilerplate grams carry no copy signal and are
+    exactly the hot keys that quadratically inflate a self-join; at
+    corpus scale pass e.g. 0.01). Default ``None`` keeps every
+    fingerprint (exact pair semantics)."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    if max_doc_frac is not None:
+        n_docs_row = df.agg(
+            F.count("*").alias("_n_docs")
+        )
+        fp_df = fps.groupBy("fp").agg(F.count("*").alias("_fp_docs"))
+        fps = (
+            fps.join(F.broadcast(fp_df), "fp")
+            .crossJoin(F.broadcast(n_docs_row))
+            .filter(F.col("_fp_docs") <= F.col("_n_docs") * max_doc_frac)
+            .select(id_col, "fp")
+        )
     return (
         fps.alias("a")
         .join(

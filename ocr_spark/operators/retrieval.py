@@ -63,15 +63,23 @@ def bm25_index(
     """The materialized scoring index: (doc_id, term, tf, dl, df_t, n_docs,
     avgdl). At 100 TB this is written ``partitionBy(term_bucket)`` so a
     query's term probe prunes at the scan (the lexical analog of
-    ``ivf_write_index``)."""
+    ``ivf_write_index``).
+
+    Fully LAZY: corpus-level stats (n_docs, avgdl) are 1-row aggregate
+    frames broadcast-cross-joined into the plan — no driver ``count()``
+    / ``collect()`` round-trips, so the whole index is one declarative
+    plan Catalyst can schedule (and a write materializes end-to-end in
+    a single job)."""
     tfs = doc_term_freqs(docs, text_col, id_col)
     stats = tfs.groupBy("term").agg(F.count("*").alias("df_t"))
-    n_docs = docs.count()
-    avgdl = tfs.select(id_col, "dl").distinct().agg(F.avg("dl")).collect()[0][0]
+    n_docs_row = docs.agg(F.count("*").alias("n_docs"))
+    avgdl_row = (
+        tfs.select(id_col, "dl").distinct().agg(F.avg("dl").alias("avgdl"))
+    )
     return (
         tfs.join(F.broadcast(stats), "term")
-        .withColumn("n_docs", F.lit(n_docs))
-        .withColumn("avgdl", F.lit(float(avgdl)))
+        .crossJoin(F.broadcast(n_docs_row))
+        .crossJoin(F.broadcast(avgdl_row))
     )
 
 

@@ -267,6 +267,38 @@ def test_winnow_shared_substring_guarantee(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_winnow_stop_fingerprint_filter(spark):
+    """max_doc_frac drops boilerplate fingerprints shared by most of the
+    corpus (the self-join hot keys) while keeping rare copy signal."""
+    from ocr_spark.operators.dedup import winnow_match_pairs
+
+    boiler = "standardfooterboilerplatetext"
+    rare = "uniquecopiedpassagexyz"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} aaa {rare}"),
+            (1, f"{boiler} bbb {rare}"),
+            (2, f"{boiler} ccc distinct content here"),
+            (3, f"{boiler} ddd other words entirely"),
+            (4, f"{boiler} eee more filler material"),
+        ],
+        ["doc_id", "text"],
+    )
+    # without the filter every pair matches through the boilerplate
+    all_pairs = {
+        (r.id_a, r.id_b)
+        for r in winnow_match_pairs(docs, min_shared=1).collect()
+    }
+    assert (2, 3) in all_pairs  # boilerplate-only pair
+    # with the filter only the genuinely copied passage survives
+    filtered = {
+        (r.id_a, r.id_b)
+        for r in winnow_match_pairs(docs, min_shared=1, max_doc_frac=0.5).collect()
+    }
+    assert (0, 1) in filtered
+    assert (2, 3) not in filtered and (3, 4) not in filtered
+
+
 def test_winnow_normalization_invariance(spark):
     """Case/punctuation/whitespace changes don't alter fingerprints
     (normalization strips to [a-z0-9] before hashing)."""
