@@ -224,8 +224,16 @@ def test_decode_and_resize_spark(spark):
         synth_png,
     )
 
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import encode_baseline_jpeg
+
     rows = [(i, "image", bytearray(synth_png(12, 10, seed=i)), None) for i in range(4)]
     rows.append((9, "image", bytearray(b"junk"), None))
+    # a JPEG payload through the SAME fused decode+resize stage
+    jp_img = np.random.default_rng(2).integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    jp = encode_baseline_jpeg(10, 12, 3, jp_img.tobytes(), quant="flat")
+    rows.append((20, "image", bytearray(jp), None))
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r.media_id: r for r in decode_and_resize(df, 5, 6).collect()}
     for i in range(4):
@@ -233,4 +241,7 @@ def test_decode_and_resize_spark(spark):
         expect = bytes(resize_pixels(h, w, c, raw, 5, 6))
         assert bytes(out[i].pixels) == expect
         assert (out[i].height, out[i].width, out[i].channels) == (5, 6, 3)
+    h, w, c, raw = decode_pixels(jp)
+    assert (h, w, c) == (10, 12, 3)
+    assert bytes(out[20].pixels) == bytes(resize_pixels(h, w, c, raw, 5, 6))
     assert out[9].decode_error is not None and out[9].pixels is None
