@@ -306,12 +306,18 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        # old_cluster rides along so the convergence check is a cheap
+        # filter+count on the already-materialized checkpoint — not an
+        # extra join (and its shuffle) against the previous round.
         stepped = (
-            labels.join(nbr_min, labels.id == nbr_min.s, "left")
+            labels.select("id", F.col("cluster").alias("old_cluster"))
+            .join(nbr_min, F.col("id") == nbr_min.s, "left")
             .select(
                 "id",
+                "old_cluster",
                 F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
+                    F.col("old_cluster"),
+                    F.coalesce("nbr_cluster", F.col("old_cluster")),
                 ).alias("cluster"),
             )
         )
@@ -322,19 +328,17 @@ def connected_components(
             stepped.join(jump, stepped.cluster == jump.jid, "left")
             .select(
                 "id",
+                "old_cluster",
                 F.least(
                     F.col("cluster"), F.coalesce("jcluster", F.col("cluster"))
                 ).alias("cluster"),
             )
         )
         new_labels = _ckpt(new_labels)  # eager: truncates lineage AND materializes
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("cluster") != F.col("old_cluster")
+        ).count()
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             break
     else:
