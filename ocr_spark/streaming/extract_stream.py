@@ -259,6 +259,48 @@ def dedup_stream(extracted: DataFrame, watermark: str = "1 minute") -> DataFrame
     )
 
 
+def idempotent_parquet_sink(out_dir: str):
+    """foreachBatch writer with exactly-once semantics into a PLAIN
+    parquet directory (no transaction log — the stand-in for JDBC /
+    pre-merge Iceberg sinks where Spark's file-sink metadata log does
+    not apply).
+
+    Mechanism: every micro-batch writes to its own ``_batch_id=N``
+    partition with DYNAMIC partition overwrite. A batch replayed after
+    a crash (same batch_id — Spark's contract for foreachBatch
+    recovery) OVERWRITES exactly its own partition and nothing else, so
+    replays are idempotent by construction — no marker file ordering to
+    get wrong (a marker written after the data leaves a
+    crash-between-the-two window; overwrite-by-batch-partition has no
+    such window)."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return _write
+
+
+def run_available_now_idempotent(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Drain everything currently available through the idempotent
+    foreachBatch sink (exactly-once into a non-transactional target)."""
+    q = (
+        stream_df.writeStream.foreachBatch(idempotent_parquet_sink(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain everything currently available, then stop (the batch-like
     trigger used by tests and backfills)."""

@@ -182,6 +182,56 @@ def test_stream_restart_from_checkpoint_is_exactly_once(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_idempotent_foreach_batch_sink(spark, stream_dirs, tmp_path):
+    """Exactly-once into a plain parquet dir: replaying a batch with the
+    same batch_id (Spark's crash-recovery contract for foreachBatch)
+    overwrites its own partition instead of duplicating, and the drained
+    stream equals the batch pass."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.streaming.extract_stream import (
+        idempotent_parquet_sink,
+        run_available_now_idempotent,
+    )
+
+    out = str(tmp_path / "fb_out")
+    ckpt = str(tmp_path / "fb_ckpt")
+    stream = extract_stream(
+        stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1)
+    ).drop("spans", "records")
+    run_available_now_idempotent(stream, out, ckpt)
+
+    got = spark.read.parquet(out)
+    n_drained = got.count()
+    batch_ids = [r._batch_id for r in got.select("_batch_id").distinct().collect()]
+    assert len(batch_ids) >= 2  # files_per_trigger=1 -> multiple batches
+
+    # crash-replay simulation: re-deliver one batch's rows under its own id
+    sink = idempotent_parquet_sink(out)
+    replay = spark.read.parquet(out).filter(
+        F.col("_batch_id") == batch_ids[0]
+    ).drop("_batch_id")
+    sink(replay, batch_ids[0])
+    assert spark.read.parquet(out).count() == n_drained  # no duplicates
+
+    # content equality vs the batch pass (sentinel included — same input)
+    want = (
+        extract_transcripts(spark.read.parquet(stream_dirs["src"]))
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    got_pd = (
+        spark.read.parquet(out)
+        .select("conv_id", "turn_idx", "clean_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_pd, want)
+
+
 def test_stream_dedup_within_watermark(spark, stream_dirs):
     """Streaming exact dedup emits one row per distinct fingerprint of
     the drained input (state bounded by the watermark), matching the
