@@ -104,6 +104,11 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
             with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
                 for full in sorted(sources):
                     z.write(full, os.path.relpath(full, repo))
+            # mkstemp creates 0600; the published zip must stay readable
+            # by OTHER users' drivers sharing /tmp (the digest namespaces
+            # checkouts — a same-digest checkout skips the rebuild and
+            # addPyFiles this exact path)
+            os.chmod(tmp, 0o644)
             os.replace(tmp, zpath)
         except BaseException:
             if os.path.exists(tmp):

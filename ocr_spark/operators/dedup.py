@@ -281,9 +281,19 @@ def connected_components(
     storage with lineage truncated — fine single-JVM (this sandbox), but
     on a real cluster an executor loss after truncation is unrecoverable
     mid-job. Cluster runs should pass a reliable dir; results are
-    identical under both modes (pytest-asserted)."""
+    identical under both modes (pytest-asserted). The SparkContext
+    checkpoint directory is set for the duration of the call and the
+    prior value restored on exit (already-written checkpoint files stay
+    readable regardless of the current setting); note the setting is
+    process-global, so two CONCURRENT calls with different dirs in one
+    driver still race — serialize those."""
+    if max_iter < 1:
+        raise ValueError("max_iter must be >= 1")
     spark = edges.sparkSession
+    prev_ckpt_dir = None
     if reliable_checkpoint_dir is not None:
+        prev = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = prev.get() if prev.isDefined() else None
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
@@ -300,6 +310,15 @@ def connected_components(
         node_df = e.select(F.col("s").alias("id")).distinct()
     labels = _ckpt(node_df.select("id", F.col("id").alias("cluster")))
     e = e.persist()
+    try:
+        return _cc_loop(e, labels, _ckpt, max_iter)
+    finally:
+        e.unpersist(blocking=False)
+        if reliable_checkpoint_dir is not None and prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
+
+
+def _cc_loop(e: DataFrame, labels: DataFrame, _ckpt, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e.d == labels.id)
@@ -348,7 +367,6 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds "
             f"({changed} labels still changing); raise max_iter"
         )
-    e.unpersist(blocking=False)
     return labels.select("id", "cluster")
 
 
@@ -462,9 +480,13 @@ def winnow_match_pairs(
         n_docs_row = df.agg(
             F.count("*").alias("_n_docs")
         )
+        # fp_df is FINGERPRINT-cardinality sized (grows with corpus
+        # bytes) — a plain shuffle join on fp; only the 1-row corpus
+        # count is broadcast. Broadcasting fp_df would OOM at exactly
+        # the scale this filter exists for.
         fp_df = fps.groupBy("fp").agg(F.count("*").alias("_fp_docs"))
         fps = (
-            fps.join(F.broadcast(fp_df), "fp")
+            fps.join(fp_df, "fp")
             .crossJoin(F.broadcast(n_docs_row))
             .filter(F.col("_fp_docs") <= F.col("_n_docs") * max_doc_frac)
             .select(id_col, "fp")

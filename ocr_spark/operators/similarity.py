@@ -231,8 +231,10 @@ def embedding_near_dups(
     ``probe_hamming1=True``: one side of the self-join additionally
     probes its h single-bit-flip buckets, so a true pair whose
     signatures differ by exactly one hyperplane is still a candidate
-    (recall boost at x(h+1) cost on ONE side only; a pair is matched at
-    most twice — exact and mirror-flip — and distinct() collapses it)."""
+    (recall boost at x(h+1) cost on ONE side only). No dedup pass is
+    needed: the h+1 probe signatures of an a-row are pairwise distinct
+    and each b-row carries exactly one signature, so a given (a, b)
+    pair joins on at most one probe."""
     a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if h is None:
@@ -256,8 +258,6 @@ def embedding_near_dups(
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "va", "vb")
         )
-        if probe_hamming1:
-            pairs = pairs.distinct()
 
     return (
         pairs.withColumn("cosine_sim", pair_cosine_udf("va", "vb"))

@@ -145,24 +145,6 @@ def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
-def _encode_plane(
-    plane: np.ndarray, quant: np.ndarray, bw_: _BitWriter, pred: List[int],
-    comp_idx: int,
-) -> None:
-    """FDCT + quantize + entropy-code every 8x8 block of one padded plane
-    in raster order (non-interleaved path helper; pred is per-component
-    DC predictor state)."""
-    h, w = plane.shape
-    shifted = plane.astype(np.float64) - 128.0
-    for by in range(0, h, 8):
-        for bx in range(0, w, 8):
-            block = shifted[by : by + 8, bx : bx + 8]
-            coef = _D @ block @ _D.T
-            q = np.round(coef / quant).astype(np.int64)
-            zz = q.ravel()[ZIGZAG]
-            _encode_block(zz, bw_, pred, comp_idx)
-
-
 def _encode_block(zz: np.ndarray, bw_: _BitWriter, pred: List[int], ci: int) -> None:
     diff = int(zz[0]) - pred[ci]
     pred[ci] = int(zz[0])
@@ -473,14 +455,30 @@ def decode_baseline_jpeg(payload: bytes):
         pos += 2 + seg_len
     if height is None or scan_start is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if height == 0 or width == 0:
+        # T.81 allows height 0 with a later DNL marker; unsupported here,
+        # and a zero-area "success" would poison downstream stats (NaN
+        # channel means) instead of surfacing as a decode_error row.
+        raise ValueError("zero-area JPEG frame (DNL-deferred height unsupported)")
     if len(comps) not in (1, 3):
         raise ValueError(f"unsupported component count {len(comps)}")
 
     by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
     order = []  # (hs, vs, quant, dc table, ac table) in scan order
     for cs, td, ta in scan_comps:
+        # explicit lookups: a malformed stream referencing an undefined
+        # table/component must raise ValueError (the poisoned-payload
+        # class the Arrow stages degrade on), never KeyError
+        if cs not in by_id:
+            raise ValueError(f"SOS references undefined component id {cs}")
         hs, vs, tq = by_id[cs]
+        if tq not in qtables:
+            raise ValueError(f"undefined quantization table {tq}")
+        if (0, td) not in htables or (1, ta) not in htables:
+            raise ValueError(f"undefined Huffman table (dc={td}, ac={ta})")
         order.append((hs, vs, qtables[tq], htables[(0, td)], htables[(1, ta)]))
+    if any(o[0] < 1 or o[1] < 1 for o in order):
+        raise ValueError("sampling factors must be >= 1")
     hmax = max(o[0] for o in order)
     vmax = max(o[1] for o in order)
     mcus_x = -(-width // (8 * hmax))

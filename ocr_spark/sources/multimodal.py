@@ -133,6 +133,10 @@ def decode_pixels(payload: bytes):
         pos += 12 + clen  # len + tag + data + crc
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if width == 0 or height == 0:
+        # a zero-area "success" would yield NaN channel means downstream
+        # instead of a decode_error row
+        raise ValueError("zero-area PNG")
     if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
         raise ValueError(f"unsupported PNG (depth={depth} ctype={ctype} interlace={interlace})")
     channels = _PNG_CHANNELS[ctype]

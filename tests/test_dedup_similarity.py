@@ -480,6 +480,8 @@ def test_connected_components_raises_when_unconverged(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=1)
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)
 
 
 def test_shingle_cache_scope_releases(spark, docs):

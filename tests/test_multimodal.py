@@ -122,6 +122,54 @@ def test_jpeg_restart_interval_roundtrip():
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
 
 
+def test_jpeg_malformed_streams_raise_valueerror_not_keyerror():
+    """Streams referencing undefined tables/components or zero-area
+    frames must raise the poisoned-payload classes the Arrow stages
+    catch (ValueError/struct.error/IndexError), never KeyError."""
+    import struct as _struct
+
+    from ocr_spark.sources.jpeg_codec import decode_baseline_jpeg, encode_baseline_jpeg
+
+    img = _rand_img(8, 8, 1, 1)
+    good = encode_baseline_jpeg(8, 8, 1, img.tobytes(), quant="flat")
+
+    def segments(payload):
+        out, pos = [], 2
+        while pos + 4 <= len(payload):
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            seg_len = _struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+            out.append((marker, pos, 2 + seg_len))
+            pos += 2 + seg_len
+        return out
+
+    # drop ALL DQT and DHT segments -> undefined table references
+    for dropped_marker in (0xDB, 0xC4):
+        mutated = bytearray(good[:2])
+        for marker, pos, length in segments(good):
+            if marker != dropped_marker:
+                mutated += good[pos : pos + length]
+        tail_start = max(p + n for _m, p, n in segments(good))
+        mutated += good[tail_start:]
+        with pytest.raises((ValueError, _struct.error, IndexError)):
+            decode_baseline_jpeg(bytes(mutated))
+
+    # SOS referencing a component id absent from SOF
+    sos_at = good.find(b"\xff\xda")
+    mutated = bytearray(good)
+    mutated[sos_at + 5] = 99  # first scan component id
+    with pytest.raises((ValueError, _struct.error, IndexError)):
+        decode_baseline_jpeg(bytes(mutated))
+
+    # zero-area frame (SOF height patched to 0)
+    sof_at = good.find(b"\xff\xc0")
+    mutated = bytearray(good)
+    mutated[sof_at + 5 : sof_at + 7] = b"\x00\x00"
+    with pytest.raises(ValueError, match="zero-area"):
+        decode_baseline_jpeg(bytes(mutated))
+
+
 def test_jpeg_header_meta_matches_codec():
     from ocr_spark.sources.jpeg_codec import encode_baseline_jpeg
 
