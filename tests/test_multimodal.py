@@ -82,7 +82,7 @@ def test_jpeg_roundtrip_gray_and_rgb_flat_quant():
         hh, ww, cc, raw = decode_baseline_jpeg(payload)
         assert (hh, ww, cc) == (h, w, c)
         got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, c)
-        assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+        assert np.abs(got.astype(int) - img.astype(int)).max() <= (2 if c == 1 else 3)
 
 
 def test_jpeg_annex_k_and_420_subsampling_close_on_smooth_content():
@@ -119,7 +119,7 @@ def test_jpeg_restart_interval_roundtrip():
     assert b"\xff\xdd" in payload  # DRI emitted
     hh, ww, cc, raw = decode_baseline_jpeg(payload)
     got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(40, 56, 3)
-    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 3  # RGB bound
 
 
 def test_jpeg_malformed_streams_raise_valueerror_not_keyerror():

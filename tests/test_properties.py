@@ -115,7 +115,10 @@ def test_jpeg_flat_roundtrip_bounded_error(h, w, c, seed):
     hh, ww, cc, raw = decode_baseline_jpeg(payload)
     assert (hh, ww, cc) == (h, w, c)
     got = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, c)
-    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+    # gray: one rounding layer -> +-2. RGB: per-plane quantization error
+    # mixes through the inverse color matrix (|dR| <= |dY| + 1.402|dCr|),
+    # so the per-sample bound is +-3.
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= (2 if c == 1 else 3)
 
 
 @given(
