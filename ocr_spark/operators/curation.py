@@ -1,0 +1,70 @@
+"""End-to-end training-corpus curation: the composition a 100 TB
+pretraining pipeline runs between raw documents and tokenizer shards.
+
+One declarative chain over the engine's own operators:
+
+    quality_filter  ->  near_dup_dedup  ->  stratified_split  ->  pack_sequences
+
+Each stage is individually oracle-/pytest-verified (training.py,
+dedup.py); this module pins down the COMPOSITION semantics — what
+columns flow through, in what order the stages apply (filter before
+dedup: a near-dup cluster must not survive via a low-quality member;
+split after dedup: train/test leakage through near-duplicates is
+exactly what dedup-before-split prevents), and the end-to-end
+invariants (tests/test_curation.py):
+
+- every surviving document passes the quality rule,
+- no two surviving documents are near-duplicates at the dedup
+  threshold (canonical-per-cluster),
+- split assignment is the deterministic hash of doc_id (reproducible
+  across reruns and corpus growth),
+- packing bins are contiguous within each (split, shard).
+
+Scale shape: quality_filter is a stateless projection; dedup is the
+banded-LSH + log-round-components path; split adds no shuffle; packing
+shuffles once on the shard key. The output is written
+``partitionBy(split)`` so downstream training readers scan only their
+split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text_stats as TS
+from ocr_spark.operators.dedup import near_dup_dedup
+from ocr_spark.operators.training import (
+    pack_sequences,
+    quality_filter,
+    stratified_split,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.9,
+    token_budget: int = 2048,
+    shards: int = 16,
+    weights: tuple = (0.8, 0.1, 0.1),
+) -> DataFrame:
+    """Raw documents -> curated, deduplicated, split, packed corpus.
+
+    Returns the surviving documents with ``cluster_size`` (how many
+    near-dups this canonical doc absorbed), ``split``
+    (train/val/test), ``shard``/``bin_id``/``tokens`` (packing slot)."""
+    kept = quality_filter(docs, text_col).filter(F.col("keep")).drop("keep", "reason")
+    deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)
+    split = stratified_split(deduped, id_col, weights=weights)
+    return pack_sequences(
+        split, id_col, TS.token_count(F.col(text_col)), budget=token_budget,
+        shards=shards,
+    )
+
+
+def write_curated(df: DataFrame, path: str) -> None:
+    """Materialize the curated corpus partitioned by split (training
+    readers scan only their partition)."""
+    df.write.partitionBy("split").mode("overwrite").parquet(path)

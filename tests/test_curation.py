@@ -1,0 +1,82 @@
+"""End-to-end corpus curation: composition semantics + invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import curate_corpus, write_curated
+from ocr_spark.operators.dedup import minhash_near_dups, release_shingle_caches
+from ocr_spark.operators.training import MIN_TOKENS, quality_filter
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def curated(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # salt in some near-dup clones and junk rows so every stage has work
+    clones = docs.limit(20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat("text", F.lit(" tiny suffix")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    junk = spark.createDataFrame(
+        [(900000 + i, "x y", "en", "junk", 3) for i in range(5)],
+        docs.schema,
+    )
+    corpus = docs.unionByName(clones).unionByName(junk)
+    out = curate_corpus(corpus, jaccard_threshold=0.8, token_budget=512).persist()
+    out.count()
+    release_shingle_caches()
+    return {"corpus": corpus, "out": out}
+
+
+def test_quality_rule_enforced(spark, curated):
+    """No surviving doc violates the quality rule (junk rows gone)."""
+    out = curated["out"]
+    assert out.filter(F.col("doc_id") >= 900000).count() == 0
+    rechecked = quality_filter(out, "text")
+    assert rechecked.filter(~F.col("keep")).count() == 0
+
+
+def test_no_near_dups_survive(spark, curated):
+    """Canonical-per-cluster: the surviving set contains NO pair above
+    the dedup threshold (train/test leakage through near-dups is gone)."""
+    out = curated["out"]
+    pairs = minhash_near_dups(
+        out.select("doc_id", "text"), "text", "doc_id", 0.8
+    ).count()
+    release_shingle_caches()
+    assert pairs == 0
+    # and each absorbed clone is accounted for by its canonical's cluster_size
+    absorbed = curated["corpus"].count() - 5 - out.count()  # minus junk rows
+    extra = out.filter(F.col("cluster_size") > 1).agg(
+        F.sum(F.col("cluster_size") - 1)
+    ).collect()[0][0]
+    assert extra == absorbed
+
+
+def test_split_and_packing_shape(spark, curated):
+    out = curated["out"]
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # packing slots: tokens positive, bins start at 0 per (split-agnostic) shard
+    assert out.filter(F.col("tokens") < MIN_TOKENS).count() == 0
+    per_shard_min = out.groupBy("shard").agg(F.min("bin_id").alias("m")).collect()
+    assert all(r.m == 0 for r in per_shard_min)
+
+
+def test_write_partitioned_by_split(spark, curated, tmp_path):
+    path = str(tmp_path / "curated")
+    write_curated(curated["out"], path)
+    import glob
+
+    parts = {p.split("=")[-1] for p in glob.glob(path + "/split=*")}
+    got = spark.read.parquet(path)
+    assert parts <= {"train", "val", "test"}
+    assert got.count() == curated["out"].count()
+    # partition pruning: a split filter reads only its partition
+    from ocr_spark.plans import checks
+
+    probe = got.filter(F.col("split") == "train")
+    plan = checks.formatted_plan(probe)
+    assert "PartitionFilters" in plan and "split" in plan
