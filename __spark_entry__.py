@@ -54,25 +54,27 @@ SMOKE_CONVS = 120  # ~1k turns: entry() smoke scale
 QUERY_CONVS = 300  # ~2.5k turns: rows-only correctness scale
 
 _PYFILES_SENT: set = set()
+_PYFILES_DIR: str | None = None  # process-private mkdtemp, created lazily
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship ocr_spark to executors (the --py-files mechanism, inline) so
     pandas-UDF closures resolve regardless of the driver's cwd/session.
 
-    The zip path embeds a content hash of every source file, so an edit
-    to ocr_spark/ produces a fresh zip (a stale cached zip prepended to
-    executor sys.path would silently shadow new code); the hash also
-    namespaces checkouts sharing /tmp. The sent-set is keyed by
-    applicationId, which is stable per context and never reused after GC.
+    The zip lives in a PROCESS-PRIVATE mkdtemp directory (mode 0700) and
+    its name embeds a content hash of every source file, so an edit to
+    ocr_spark/ produces a fresh zip (a stale cached zip prepended to
+    executor sys.path would silently shadow new code). No path under a
+    shared world-writable directory is ever trusted via an exists()
+    check — loading executable code from a predictable /tmp name would
+    let any local user pre-plant a zip and run code in this driver. The
+    sent-set is keyed by applicationId, which is stable per context and
+    never reused after GC.
 
     Caveat: within ONE application, a second addPyFile after an edit
     ships the new zip but does NOT reload ocr_spark modules already
     imported by warm executor workers — in-session code edits need a
-    fresh SparkContext to take effect. The temp zip is built at a
-    mkstemp (per-process unique) path before the atomic os.replace, so
-    concurrent driver processes can never interleave writes into one
-    .tmp file.
+    fresh SparkContext to take effect.
     """
     import hashlib
     import tempfile
@@ -95,20 +97,16 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     key = (sc.applicationId, digest)
     if key in _PYFILES_SENT:
         return
-    zpath = os.path.join(tempfile.gettempdir(), f"ocr_spark_pyfiles_{digest}.zip")
-    if not os.path.exists(zpath):
-        fd, tmp = tempfile.mkstemp(
-            prefix=f"ocr_spark_pyfiles_{digest}_", suffix=".tmp"
-        )
+    global _PYFILES_DIR
+    if _PYFILES_DIR is None:
+        _PYFILES_DIR = tempfile.mkdtemp(prefix="ocr_spark_pyfiles_")  # 0700
+    zpath = os.path.join(_PYFILES_DIR, f"ocr_spark_{digest}.zip")
+    if not os.path.exists(zpath):  # private dir: only this process writes here
+        tmp = zpath + ".tmp"
         try:
-            with os.fdopen(fd, "wb") as fh, zipfile.ZipFile(fh, "w") as z:
+            with zipfile.ZipFile(tmp, "w") as z:
                 for full in sorted(sources):
                     z.write(full, os.path.relpath(full, repo))
-            # mkstemp creates 0600; the published zip must stay readable
-            # by OTHER users' drivers sharing /tmp (the digest namespaces
-            # checkouts — a same-digest checkout skips the rebuild and
-            # addPyFiles this exact path)
-            os.chmod(tmp, 0o644)
             os.replace(tmp, zpath)
         except BaseException:
             if os.path.exists(tmp):

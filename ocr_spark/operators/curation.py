@@ -58,9 +58,12 @@ def curate_corpus(
     kept = quality_filter(docs, text_col).filter(F.col("keep")).drop("keep", "reason")
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)
     split = stratified_split(deduped, id_col, weights=weights)
+    # pack per (split, shard): bins must never mix splits, or a reader
+    # scanning one split sees fragmented bins whose budget was consumed
+    # by documents it never reads
     return pack_sequences(
         split, id_col, TS.token_count(F.col(text_col)), budget=token_budget,
-        shards=shards,
+        shards=shards, extra_keys=("split",),
     )
 
 

@@ -281,19 +281,18 @@ def connected_components(
     storage with lineage truncated — fine single-JVM (this sandbox), but
     on a real cluster an executor loss after truncation is unrecoverable
     mid-job. Cluster runs should pass a reliable dir; results are
-    identical under both modes (pytest-asserted). The SparkContext
-    checkpoint directory is set for the duration of the call and the
-    prior value restored on exit (already-written checkpoint files stay
-    readable regardless of the current setting); note the setting is
-    process-global, so two CONCURRENT calls with different dirs in one
-    driver still race — serialize those."""
+    identical under both modes (pytest-asserted). CALLER-VISIBLE SIDE
+    EFFECT: ``setCheckpointDir`` is process-global and there is no API
+    to unset or faithfully restore it (the getter returns a
+    UUID-suffixed resolved path, so "restoring" it would nest), so the
+    directory REMAINS the SparkContext's checkpoint dir after this call
+    returns. Pass a stable, dedicated directory — not a temp dir that
+    gets deleted — and serialize concurrent calls that need different
+    dirs."""
     if max_iter < 1:
         raise ValueError("max_iter must be >= 1")
     spark = edges.sparkSession
-    prev_ckpt_dir = None
     if reliable_checkpoint_dir is not None:
-        prev = spark.sparkContext._jsc.sc().getCheckpointDir()
-        prev_ckpt_dir = prev.get() if prev.isDefined() else None
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
 
         def _ckpt(df: DataFrame) -> DataFrame:
@@ -314,8 +313,6 @@ def connected_components(
         return _cc_loop(e, labels, _ckpt, max_iter)
     finally:
         e.unpersist(blocking=False)
-        if reliable_checkpoint_dir is not None and prev_ckpt_dir is not None:
-            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def _cc_loop(e: DataFrame, labels: DataFrame, _ckpt, max_iter: int) -> DataFrame:

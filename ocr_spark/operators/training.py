@@ -56,17 +56,23 @@ def pack_sequences(
     token_col,
     budget: int,
     shards: int = 16,
+    extra_keys: tuple = (),
 ) -> DataFrame:
     """Assign each document a ``(shard, bin_id)`` packing slot.
 
     ``token_col`` may be a column name or Column expression of per-doc
     token counts. Deterministic: shard = id % shards, docs packed in id
     order within a shard, bin = floor(tokens-before-this-doc / budget).
+
+    ``extra_keys``: additional columns the packing window partitions on
+    (besides the shard) — e.g. ``("split",)`` so train/val/test bins
+    never mix and a reader of one split sees contiguous, fully-budgeted
+    bins (the curation composition requires this).
     """
     tokens = F.col(token_col) if isinstance(token_col, str) else token_col
     shard = (F.col(id_col) % shards).alias("shard")
     out = df.withColumn("shard", shard).withColumn("_tok", tokens)
-    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+    w = Window.partitionBy("shard", *extra_keys).orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, -1
     )
     cum_before = F.coalesce(F.sum("_tok").over(w), F.lit(0))

@@ -291,10 +291,19 @@ def run_available_now_idempotent(
 ):
     """Drain everything currently available through the idempotent
     foreachBatch sink (exactly-once into a non-transactional target)."""
+    return _drain(
+        stream_df.writeStream.foreachBatch(idempotent_parquet_sink(out_dir)),
+        checkpoint_dir,
+    )
+
+
+def _drain(writer, checkpoint_dir: str):
+    """Shared availableNow drain: one place owns the trigger/checkpoint/
+    await pattern so the plain and idempotent paths cannot diverge."""
     q = (
-        stream_df.writeStream.foreachBatch(idempotent_parquet_sink(out_dir))
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
+        .outputMode("append")
         .start()
     )
     q.awaitTermination()
@@ -304,13 +313,7 @@ def run_available_now_idempotent(
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
     """Drain everything currently available, then stop (the batch-like
     trigger used by tests and backfills)."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .outputMode("append")
-        .start()
+    return _drain(
+        stream_df.writeStream.format("parquet").option("path", out_dir),
+        checkpoint_dir,
     )
-    q.awaitTermination()
-    return q

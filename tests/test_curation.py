@@ -47,8 +47,14 @@ def test_no_near_dups_survive(spark, curated):
     ).count()
     release_shingle_caches()
     assert pairs == 0
-    # and each absorbed clone is accounted for by its canonical's cluster_size
-    absorbed = curated["corpus"].count() - 5 - out.count()  # minus junk rows
+    # and each absorbed clone is accounted for by its canonical's
+    # cluster_size; baseline = docs that survive the QUALITY stage (not a
+    # hardcoded count — a low-quality doc in the fixture would otherwise
+    # masquerade as a dedup-accounting failure)
+    quality_survivors = (
+        quality_filter(curated["corpus"], "text").filter(F.col("keep")).count()
+    )
+    absorbed = quality_survivors - out.count()
     extra = out.filter(F.col("cluster_size") > 1).agg(
         F.sum(F.col("cluster_size") - 1)
     ).collect()[0][0]
@@ -59,10 +65,15 @@ def test_split_and_packing_shape(spark, curated):
     out = curated["out"]
     splits = {r.split for r in out.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
-    # packing slots: tokens positive, bins start at 0 per (split-agnostic) shard
+    # packing slots: tokens positive, bins contiguous from 0 per
+    # (split, shard) — bins never mix splits
     assert out.filter(F.col("tokens") < MIN_TOKENS).count() == 0
-    per_shard_min = out.groupBy("shard").agg(F.min("bin_id").alias("m")).collect()
-    assert all(r.m == 0 for r in per_shard_min)
+    per_key = out.groupBy("split", "shard").agg(
+        F.min("bin_id").alias("lo"), F.max("bin_id").alias("hi"),
+        F.count_distinct("bin_id").alias("n"),
+    ).collect()
+    for r in per_key:
+        assert r.lo == 0 and r.n == r.hi + 1  # contiguous 0..hi within the key
 
 
 def test_write_partitioned_by_split(spark, curated, tmp_path):
