@@ -747,6 +747,107 @@ def _q_tr_stratified_split(spark, sf_dir):
     )
 
 
+# Eval-set construction for decontamination, ONE SQL expression valid in
+# both engines: every 13th document contributes a 90-char excerpt, so its
+# source document (and near-identical siblings) genuinely share 3-grams.
+_DECON_EVAL_FILTER = "doc_id % 13 = 5"
+_DECON_EVAL_TEXT = "substr(text, 11, 90)"
+
+
+def _q_dc_contamination_report(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram collision report of the
+    corpus vs a deterministic eval excerpt set (broadcast eval side,
+    hit-only output — operators/contamination.py)."""
+    from ocr_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.expr(_DECON_EVAL_FILTER)).select(
+        F.expr(_DECON_EVAL_TEXT).alias("text")
+    )
+    rep = contamination_report(docs, evalset, n=3, threshold=0.2)
+    return rep.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "n_hits",
+        "contamination_frac",
+        "contaminated",
+    )
+
+
+def _q_dc_decontaminate(spark, sf_dir):
+    """Decontaminated corpus summarized per source (anti-join of the
+    corpus against the flagged-id broadcast)."""
+    from ocr_spark.operators.contamination import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.expr(_DECON_EVAL_FILTER)).select(
+        F.expr(_DECON_EVAL_TEXT).alias("text")
+    )
+    kept = decontaminate(docs, evalset, n=3, threshold=0.2)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+# PII payload, ONE SQL expression valid in both engines: three quarters
+# of documents get typed PII planted (email / ip+card / ssn+phone), one
+# quarter stays clean — so counts, scrub output, and the zero case are
+# all exercised.
+_PII_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 40) "
+    "|| ' mail bob.smith+spam@example.co.uk now' "
+    "WHEN doc_id % 4 = 1 THEN 'server 192.168.001.254 port card "
+    "4111 1111 1111 1111 ' || substr(text, 1, 30) "
+    "WHEN doc_id % 4 = 2 THEN substr(text, 1, 35) "
+    "|| ' ssn 987-65-4320 call 555-123-4567 ok' "
+    "ELSE substr(text, 1, 50) END"
+)
+
+
+def _q_pii_scrub_report(spark, sf_dir):
+    """PII scrub + audit counts (operators/pii.py): typed-placeholder
+    redaction with per-kind counts attributed in scrub order, on a
+    payload with planted emails/cards/IPs and a clean third."""
+    from ocr_spark.operators.pii import pii_scrub_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_PAYLOAD_SQL).alias("text")
+    )
+    rep = pii_scrub_report(docs, "text")
+    cols = ["n_email", "n_card", "n_ssn", "n_phone", "n_ipv4", "n_pii"]
+    return rep.select(
+        "doc_id", "clean_text", *[F.col(c).cast("long").alias(c) for c in cols]
+    )
+
+
+def _q_tr_temperature_resample(spark, sf_dir):
+    """Temperature-resampled corpus (alpha=0.5, target 50%) summarized
+    per domain with the audit p_micro — deterministic multiplicative-
+    hash sampling, identical int64 arithmetic in the oracle
+    (operators/training.py)."""
+    from ocr_spark.operators.training import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = temperature_resample(
+        docs, "source", "doc_id", alpha=0.5, target_frac=0.5
+    )
+    return kept.groupBy("source", "p_micro").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+def _q_tx_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document: duplicate-line
+    fraction (array algebra, pre-explode) + top-bigram occupancy
+    (two-level map-side-combining aggregation) —
+    operators/training.py."""
+    from ocr_spark.operators.training import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "text", "doc_id").select(
+        "doc_id", "dup_line_frac", "top_bigram_frac",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+    )
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1224,6 +1325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_sequence_packing": _q_pk_sequence_packing,
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
+        "dc_contamination_report": _q_dc_contamination_report,
+        "dc_decontaminate": _q_dc_decontaminate,
+        "pii_scrub_report": _q_pii_scrub_report,
+        "tr_temperature_resample": _q_tr_temperature_resample,
+        "tx_repetition_stats": _q_tx_repetition_stats,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
@@ -1814,6 +1920,71 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
 """
 
 
+def _dd_grams_cte(
+    table: str, n: int = 3, distinct: bool = True, name: str = "dg"
+) -> str:
+    """DuckDB CTE pair producing ``(doc_id, grams)`` — word n-grams with
+    the SAME tokenization as ``contamination.word_ngrams_col`` (lowercase,
+    split on whitespace runs, empties dropped, short docs -> [])."""
+    tok = f"_tok_{name}"
+    inner = (
+        f"list_transform(range(1, len(toks) - {n - 2}), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+    if distinct:
+        inner = f"list_distinct({inner})"
+    return (
+        f"{tok} AS (SELECT doc_id, list_filter(string_split_regex("
+        f"lower(text), '\\s+'), x -> x <> '') AS toks FROM {table}), "
+        f"{name} AS (SELECT doc_id, CASE WHEN len(toks) >= {n} "
+        f"THEN {inner} ELSE [] END AS grams FROM {tok})"
+    )
+
+
+# Shared decontamination CTE prefix: corpus 3-grams (dg), eval 3-gram set
+# (evset), per-doc hit counts (h). Both dc_* oracles append their SELECT.
+_DECON_CTE_SQL = (
+    "WITH "
+    + _dd_grams_cte("documents", n=3, distinct=True, name="dg")
+    + ", ev AS (SELECT doc_id, "
+    + _DECON_EVAL_TEXT
+    + " AS text FROM documents WHERE "
+    + _DECON_EVAL_FILTER
+    + "), "
+    + _dd_grams_cte("ev", n=3, distinct=True, name="evg")
+    + ", evset AS (SELECT DISTINCT unnest(grams) AS gram FROM evg), "
+    "ex AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram "
+    "FROM dg), "
+    "h AS (SELECT doc_id, n_grams, count(*) AS n_hits FROM ex "
+    "JOIN evset USING (gram) GROUP BY doc_id, n_grams) "
+)
+
+
+def _pii_twin_sql() -> str:
+    """DuckDB twin of ``pii.pii_scrub_report`` — the SAME patterns from
+    ``PII_PATTERNS`` (dialect-portable by contract), counts attributed in
+    scrub order on progressively-scrubbed text."""
+    from ocr_spark.operators.pii import PII_PATTERNS
+
+    sql = f"WITH s0 AS (SELECT doc_id, {_PII_PAYLOAD_SQL} AS t0 FROM documents)"
+    names: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        carried = "".join(f"n_{k}, " for k in names)
+        sql += (
+            f", s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t{i - 1}, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t{i - 1}, '{pat}', '{repl}', 'g') AS t{i} "
+            f"FROM s{i - 1})"
+        )
+        names.append(name)
+    casts = ", ".join(f"CAST(n_{k} AS BIGINT) AS n_{k}" for k in names)
+    total = " + ".join(f"n_{k}" for k in names)
+    return (
+        sql + f" SELECT doc_id, t{len(names)} AS clean_text, {casts}, "
+        f"CAST({total} AS BIGINT) AS n_pii FROM s{len(names)}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     txt = "text"
     return {
@@ -2203,6 +2374,52 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "SELECT lang, CASE WHEN bucket < 800 THEN 'train' "
             "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split, "
             "count(*) AS n FROM b GROUP BY lang, split"
+        ),
+        "dc_contamination_report": _DECON_CTE_SQL + (
+            "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hits, "
+            "round(n_hits * 1.0 / n_grams, 4) AS contamination_frac, "
+            "n_hits * 1.0 / n_grams > 0.2 AS contaminated FROM h"
+        ),
+        "dc_decontaminate": _DECON_CTE_SQL + (
+            "SELECT source, count(*) AS n_kept FROM documents "
+            "WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
+            "GROUP BY source"
+        ),
+        "pii_scrub_report": _pii_twin_sql(),
+        "tr_temperature_resample": (
+            "WITH c AS (SELECT source, count(*) AS n_docs FROM documents "
+            "GROUP BY source), "
+            "t AS (SELECT sum(pow(n_docs, 0.5)) AS w_sum, "
+            "sum(n_docs) AS n_total FROM c), "
+            "p AS (SELECT source, CAST(round(least(1.0, "
+            "0.5 * n_total * pow(n_docs, 0.5) / w_sum / n_docs) "
+            "* 1000000) AS BIGINT) AS p_micro FROM c, t), "
+            "k AS (SELECT d.source, p_micro FROM documents d "
+            "JOIN p USING (source) WHERE "
+            "((d.doc_id * 2246822519 + 104729) % 4294967296) * 1000000 "
+            "// 4294967296 < p_micro) "
+            "SELECT source, p_micro, count(*) AS n_kept FROM k "
+            "GROUP BY source, p_micro"
+        ),
+        "tx_repetition_stats": (
+            "WITH l AS (SELECT doc_id, list_filter(list_transform("
+            "string_split(text, chr(10)), x -> trim(x)), x -> x <> '') "
+            "AS lines FROM documents), "
+            "d AS (SELECT doc_id, CASE WHEN len(lines) > 0 THEN "
+            "round((len(lines) - len(list_distinct(lines))) * 1.0 "
+            "/ len(lines), 4) ELSE 0.0 END AS dup_line_frac FROM l), "
+            + _dd_grams_cte("documents", n=2, distinct=False, name="bg")
+            + ", e AS (SELECT doc_id, unnest(grams) AS g FROM bg), "
+            "pg AS (SELECT doc_id, g, count(*) AS cnt FROM e "
+            "GROUP BY doc_id, g), "
+            "s AS (SELECT doc_id, round(max(cnt) * 1.0 / sum(cnt), 4) "
+            "AS top_bigram_frac, sum(cnt) AS n_bigrams FROM pg "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, d.dup_line_frac, "
+            "coalesce(s.top_bigram_frac, 0.0) AS top_bigram_frac, "
+            "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams "
+            "FROM d LEFT JOIN s USING (doc_id)"
         ),
         "tx_quality_filter": (
             f"WITH t AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tokens, "

@@ -1,0 +1,142 @@
+"""Benchmark decontamination: eval-set n-gram overlap detection.
+
+The training-corpus curation step the reference pipeline stops short
+of: before a corpus feeds a model, every document that shares long
+word n-grams with a held-out evaluation set must be found (reported)
+and removed (decontaminated), else eval scores measure memorization.
+The standard recipe (GPT-3 appendix C / PaLM / Llama reports) is
+exact word-n-gram collision: a document is contaminated when any (or
+more than a threshold fraction of) its n-grams also occur in the eval
+set.
+
+Spark-first shape — everything stays in whole-stage codegen:
+
+- n-gram generation is pure array algebra (``split`` -> ``transform``
+  over a ``sequence`` of offsets -> ``array_join`` of each ``slice``),
+  no UDF, no explode until the join needs rows;
+- the eval side is DISTINCT n-grams only — for real benchmarks that is
+  a few million strings, orders of magnitude under the corpus, so the
+  collision join is a **broadcast hash join** (no shuffle of the 100 TB
+  side). ``broadcast_eval=False`` falls back to a shuffled join for
+  pathological eval sets;
+- per-document totals come from ``array_distinct``/``size`` BEFORE the
+  explode, so the only aggregation after the join is over hit rows
+  (a tiny fraction of the corpus);
+- ``decontaminate`` is a LEFT ANTI join of the corpus against the
+  flagged ids — Spark's native anti-join, one broadcast probe.
+
+At 100 TB: one scan of the corpus, a broadcast of the eval n-gram
+set, a hit-only aggregation, and an anti-join against a flagged-id
+set small enough to broadcast too. No corpus shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NGRAM = 3
+DEFAULT_THRESHOLD = 0.0  # any collision flags the document
+
+
+def word_ngrams_col(
+    text_col, n: int = DEFAULT_NGRAM, distinct: bool = True
+) -> F.Column:
+    """Lowercase word n-grams of ``text_col`` as an array column
+    (DISTINCT by default; ``distinct=False`` keeps multiplicity, which
+    ``training.repetition_stats`` needs for frequency fractions).
+
+    Tokens are maximal runs of non-whitespace after lowercasing —
+    the same tokenization ``functions.text_stats.token_count`` uses, so
+    a document's n-gram total is consistent with its token count.
+    Pure array algebra (codegen); documents shorter than n grams yield
+    an empty array.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    m = F.size(toks) - (n - 1)
+    # sequence(1, 0) would generate DESCENDING [1, 0] — guard short docs
+    # to an explicit empty array instead.
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams) if distinct else grams
+
+
+def eval_ngram_set(
+    evalset: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """The eval side: one row per DISTINCT n-gram across the whole
+    eval set (column ``gram``). This is the frame that gets broadcast."""
+    return (
+        evalset.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_THRESHOLD,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination report vs the eval set.
+
+    Returns one row per document that has AT LEAST ONE colliding
+    n-gram: ``(id_col, n_grams, n_hits, contamination_frac,
+    contaminated)`` where ``n_grams`` counts the document's distinct
+    n-grams, ``n_hits`` how many of those occur anywhere in the eval
+    set, and ``contaminated`` is ``contamination_frac > threshold``
+    (with ``threshold=0.0``, any collision). Clean documents are NOT
+    in the output — at corpus scale the report must stay hit-sized.
+    """
+    grams = eval_ngram_set(evalset, eval_text_col, n)
+    if broadcast_eval:
+        grams = F.broadcast(grams)
+    doc_grams = docs.select(
+        F.col(id_col), word_ngrams_col(text_col, n).alias("_grams")
+    ).withColumn("n_grams", F.size("_grams"))
+    hits = (
+        doc_grams.select(id_col, "n_grams", F.explode("_grams").alias("gram"))
+        .join(grams, "gram")  # inner: hit rows only survive
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_hits"))  # _grams is distinct already
+    )
+    frac = F.col("n_hits") / F.col("n_grams")
+    return hits.select(
+        id_col,
+        "n_grams",
+        "n_hits",
+        F.round(frac, 4).alias("contamination_frac"),
+        (frac > threshold).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_THRESHOLD,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """The corpus minus contaminated documents (schema unchanged).
+
+    LEFT ANTI join against the flagged-id set — the flagged set is
+    hit-sized, so Spark broadcasts it and the corpus is never
+    shuffled."""
+    flagged = contamination_report(
+        docs, evalset, text_col, id_col, eval_text_col, n, threshold,
+        broadcast_eval,
+    ).filter(F.col("contaminated")).select(id_col)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -1,0 +1,76 @@
+"""PII detection and redaction over text columns.
+
+A corpus feeding model training has to scrub personally identifiable
+information; the reference handles credentials as structured lookups
+(classification_service.py) but has no free-text scrub stage. This
+module adds the standard regex family — emails, IPv4 addresses,
+SSN-shaped ids, payment-card-shaped numbers, US-style phone numbers —
+as pure ``regexp_replace`` / ``regexp_count`` column expressions:
+whole-stage codegen, no UDF, no shuffle (a stateless projection, the
+ideal 100 TB operator).
+
+The patterns deliberately use only regex constructs with identical
+semantics in Java regex (Spark) and RE2 (DuckDB) — character classes,
+bounded repetition, ``\\b`` word boundaries, alternation; no
+backreferences, no lookaround — so the oracle gate can run the SAME
+patterns. Scrub ORDER is part of the contract: longer/more-specific
+shapes first (card before phone before SSN) so a 16-digit card number
+is never half-eaten by the phone pattern.
+
+This is shape-based detection (high recall on well-formed PII, zero
+model inference); a production pipeline layers NER on top for names —
+out of scope here (no model weights in a pure-engine repo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (name, pattern, replacement) in scrub order. Patterns are dialect-
+# portable (Java + RE2); keep it that way — the oracle twin reuses them.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append one ``n_<kind>`` count column per PII pattern plus
+    ``n_pii`` (their sum). Detection only — text unchanged.
+
+    Counts follow scrub order on progressively-scrubbed text, so each
+    character span is attributed to exactly ONE kind (a card number is
+    counted as card, not also as two phone-shaped halves) and the
+    counts agree with what ``pii_scrub`` will actually replace."""
+    out = df
+    scrubbed = F.col(text_col)
+    total = F.lit(0)
+    for name, pat, repl in PII_PATTERNS:
+        cnt = F.regexp_count(scrubbed, F.lit(pat))
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + F.col(f"n_{name}")
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("n_pii", total)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Replace every PII match with its typed placeholder token
+    (``<EMAIL>``, ``<CARD>``, ...) in scrub order. ``out_col`` defaults
+    to overwriting ``text_col``. Stateless projection — codegen, no
+    shuffle."""
+    c = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
+def pii_scrub_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrubbed text plus per-kind counts — the audit frame a curation
+    run persists alongside the cleaned corpus."""
+    return pii_scrub(pii_counts(df, text_col), text_col, "clean_text")

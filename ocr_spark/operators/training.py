@@ -153,3 +153,155 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("reason", reason).withColumn(
         "keep", F.col("reason") == "ok"
     )
+
+
+# Independent multiplicative-hash stream for sampling decisions (distinct
+# constant + offset from stratified_split's, so resampling and splitting
+# are statistically independent of each other while both stay pure int64
+# arithmetic an ANSI-SQL oracle can reproduce).
+_SAMPLE_HASH_MULT = 2246822519
+_SAMPLE_HASH_OFFSET = 104729
+_P_MICRO_SCALE = 1_000_000
+
+
+def domain_keep_probs(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-domain keep probability for temperature resampling.
+
+    Multilingual/multi-domain training mixes are rebalanced by
+    TEMPERATURE sampling (the standard alpha-scaling recipe): target
+    mass per domain proportional to count_d^alpha (alpha < 1 flattens
+    the head, boosts the tail), total kept ~= target_frac of the
+    corpus.  p_d = min(1, target_total * count_d^alpha / sum_d'
+    count^alpha / count_d); a domain whose boosted quota exceeds its
+    size caps at 1 (upsampling is the consumer's repeat-factor, not a
+    filter's job), so the realized total can undershoot target_frac —
+    documented standard behavior.
+
+    Returns one row per domain: ``(domain_col, n_docs, p_micro)`` with
+    p quantized to integer MICRO-units (round(p*1e6)).  The
+    quantization makes the downstream keep decision pure int64
+    arithmetic and immune to last-ulp ``pow`` differences between
+    engines — a p within 1e-16 of a micro-unit boundary is the only
+    way the oracle could disagree, which real corpus counts never hit.
+
+    Scale: one map-side-combined count per domain (domain cardinality
+    is dim-sized), a single-row total joined by cross-broadcast, and a
+    broadcast join back in ``temperature_resample`` — the corpus
+    itself is never shuffled.
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum(F.pow("n_docs", F.lit(alpha))).alias("_w_sum"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        F.lit(target_frac)
+        * F.col("_n_total")
+        * F.pow("n_docs", F.lit(alpha))
+        / F.col("_w_sum")
+        / F.col("n_docs"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "p_micro", F.round(p * _P_MICRO_SCALE).cast("long")
+        )
+        .drop("_w_sum", "_n_total")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Deterministic temperature-resampled subset of the corpus.
+
+    Keep decision per document: an independent multiplicative-hash
+    bucket of the id, scaled to micro-units exactly in int64
+    (bucket * 1e6 / 2^32 < 2^52, no precision loss), compared against
+    the domain's ``p_micro``.  Same reproducibility properties as
+    ``stratified_split``: stateless, rerun-identical, growth-stable
+    (new documents never flip existing keep decisions), and exactly
+    reproducible in ANSI SQL for the oracle gate.
+
+    Output: the kept rows with ``p_micro`` appended (the audit column
+    a curation run persists). One broadcast join, zero corpus shuffle.
+    """
+    probs = domain_keep_probs(df, domain_col, alpha, target_frac)
+    bucket = F.pmod(
+        F.col(id_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)
+        + F.lit(_SAMPLE_HASH_OFFSET),
+        F.lit(1 << 32),
+    )
+    bucket_micro = F.floor(bucket * _P_MICRO_SCALE / F.lit(1 << 32))
+    return (
+        df.join(F.broadcast(probs.drop("n_docs")), domain_col)
+        .filter(bucket_micro < F.col("p_micro"))
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    - ``dup_line_frac``: fraction of non-empty (trimmed) lines that
+      are duplicates of another line in the same document — boilerplate
+      and template spam score high.  Pure array algebra
+      (split/trim/filter/array_distinct), computed BEFORE any explode.
+    - ``top_bigram_frac``: fraction of the document's word-bigram
+      occurrences taken by its single most frequent bigram — degenerate
+      repetition ("buy now buy now...") scores high.  Needs a per-doc
+      mode, so bigrams explode into a two-level aggregation keyed by
+      the document id: both group-bys partial-aggregate map-side, and
+      the shuffle key (doc id) is maximally spread — no skew, no
+      global state.
+    - ``n_bigrams``: occurrence count (multiplicity kept), the
+      denominator above.
+
+    Thresholding is the caller's policy (Gopher drops dup_line_frac >
+    0.30, top-2-gram > 0.20); this operator reports the signals so the
+    same frame serves filtering AND corpus QA dashboards.
+    """
+    from ocr_spark.operators.contamination import word_ngrams_col
+
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)), lambda t: t != ""
+    )
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))) / n_lines,
+    ).otherwise(F.lit(0.0))
+    grams = word_ngrams_col(text_col, n=2, distinct=False)
+    exploded = df.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 4).alias("dup_line_frac"),
+        F.explode_outer(grams).alias("_g"),
+    )
+    per_gram = exploded.groupBy(id_col, "dup_line_frac", "_g").agg(
+        F.count("*").alias("_cnt")
+    )
+    return per_gram.groupBy(id_col, "dup_line_frac").agg(
+        F.coalesce(
+            F.round(
+                F.max(F.when(F.col("_g").isNotNull(), F.col("_cnt")))
+                / F.sum(F.when(F.col("_g").isNotNull(), F.col("_cnt"))),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("top_bigram_frac"),
+        F.coalesce(
+            F.sum(F.when(F.col("_g").isNotNull(), F.col("_cnt"))), F.lit(0)
+        ).alias("n_bigrams"),
+    )

@@ -1,0 +1,192 @@
+"""Unit tests for the corpus-curation filter operators added in round 3:
+eval-set decontamination (operators/contamination.py), PII scrub
+(operators/pii.py), temperature resampling and repetition stats
+(operators/training.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.contamination import (
+    contamination_report,
+    decontaminate,
+    word_ngrams_col,
+)
+from ocr_spark.operators.pii import pii_counts, pii_scrub, pii_scrub_report
+from ocr_spark.operators.training import (
+    domain_keep_probs,
+    repetition_stats,
+    temperature_resample,
+)
+
+
+# ---------------------------------------------------------------- n-grams
+def test_word_ngrams_basic_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox"), (2, "one two"), (3, ""), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams_col("text", 3).alias("g")
+        ).collect()
+    }
+    assert rows[1] == ["the quick brown", "quick brown fox"]
+    # shorter than n -> EMPTY, never the descending-sequence artifact
+    assert rows[2] == []
+    assert rows[3] == []
+    assert rows[4] == []
+
+
+def test_word_ngrams_multiplicity(spark):
+    df = spark.createDataFrame([(1, "buy now buy now buy now")], ["doc_id", "text"])
+    dup = df.select(word_ngrams_col("text", 2, distinct=False).alias("g")).first()["g"]
+    dis = df.select(word_ngrams_col("text", 2).alias("g")).first()["g"]
+    assert len(dup) == 5 and len(dis) == 2
+    assert sorted(set(dup)) == sorted(dis)
+
+
+# ---------------------------------------------------------- decontamination
+@pytest.fixture(scope="module")
+def decon_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret benchmark answer is forty two exactly"),
+            (2, "completely unrelated text about spark partitions here"),
+            (3, "prefix words then the secret benchmark answer is hidden"),
+        ],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame(
+        [("the secret benchmark answer",)], ["text"]
+    )
+    return docs, evalset
+
+
+def test_contamination_report_flags_overlap_only(spark, decon_frames):
+    docs, evalset = decon_frames
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(docs, evalset, n=3).collect()
+    }
+    # eval "the secret benchmark answer" has 3-grams: "the secret benchmark",
+    # "secret benchmark answer" — both occur in docs 1 and 3
+    assert set(rep) == {1, 3}  # clean doc 2 absent (hit-only output)
+    assert rep[1]["n_hits"] == 2 and rep[3]["n_hits"] == 2
+    assert rep[1]["contaminated"] and rep[3]["contaminated"]
+    assert rep[1]["n_grams"] == 6  # 8 tokens -> 6 distinct 3-grams
+    assert rep[1]["contamination_frac"] == pytest.approx(2 / 6, abs=1e-4)
+
+
+def test_decontaminate_anti_join(spark, decon_frames):
+    docs, evalset = decon_frames
+    kept = decontaminate(docs, evalset, n=3)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    assert kept.columns == docs.columns  # schema unchanged
+
+
+def test_contamination_threshold(spark, decon_frames):
+    docs, evalset = decon_frames
+    # doc 1: frac = 2/6 = 0.333 -> NOT contaminated at threshold 0.5
+    rep = contamination_report(docs, evalset, n=3, threshold=0.5)
+    assert not any(r["contaminated"] for r in rep.collect())
+    assert decontaminate(docs, evalset, n=3, threshold=0.5).count() == 3
+
+
+# ------------------------------------------------------------------- PII
+def test_pii_scrub_each_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@mail.example.org today"),
+            (2, "card 4024 0071 5336 1885 expires soon"),
+            (3, "ssn 078-05-1120 on file"),
+            (4, "call 415-555-2671 or 415 555 2671"),
+            (5, "host 10.0.255.1 down"),
+            (6, "nothing sensitive here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in pii_scrub(df).collect()}
+    assert out[1] == "write to <EMAIL> today"
+    assert out[2] == "card <CARD> expires soon"
+    assert out[3] == "ssn <SSN> on file"
+    assert out[4] == "call <PHONE> or <PHONE>"
+    assert out[5] == "host <IP> down"
+    assert out[6] == "nothing sensitive here at all"
+
+
+def test_pii_counts_attribution_order(spark):
+    # a card number must be counted as ONE card, not as phone fragments;
+    # a scrubbed doc yields zero residual counts
+    df = spark.createDataFrame(
+        [(1, "pay 4024 0071 5336 1885 or phone 415-555-2671")],
+        ["doc_id", "text"],
+    )
+    r = pii_counts(df).first()
+    assert r["n_card"] == 1 and r["n_phone"] == 1 and r["n_pii"] == 2
+    rescrub = pii_counts(pii_scrub(df)).first()
+    assert rescrub["n_pii"] == 0
+
+
+def test_pii_scrub_report_columns(spark):
+    df = spark.createDataFrame([(1, "a@b.io and 1.2.3.4")], ["doc_id", "text"])
+    r = pii_scrub_report(df).first()
+    assert r["clean_text"] == "<EMAIL> and <IP>"
+    assert r["text"] == "a@b.io and 1.2.3.4"  # original preserved
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1 and r["n_pii"] == 2
+
+
+# ------------------------------------------------- temperature resampling
+@pytest.fixture(scope="module")
+def skewed_domains(spark):
+    # head domain 1000 docs, tail domain 40 docs
+    rows = [(i, "head") for i in range(1000)] + [
+        (10_000 + i, "tail") for i in range(40)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "source"])
+
+
+def test_temperature_flattens_head(spark, skewed_domains):
+    probs = {
+        r["source"]: r for r in domain_keep_probs(skewed_domains, alpha=0.5).collect()
+    }
+    # alpha<1 boosts the tail: tail keep-probability strictly higher
+    assert probs["tail"]["p_micro"] > probs["head"]["p_micro"]
+    assert probs["tail"]["p_micro"] <= 1_000_000  # capped at 1
+    kept = temperature_resample(skewed_domains, alpha=0.5, target_frac=0.5)
+    by = {r["source"]: r["n"] for r in kept.groupBy("source").agg(
+        F.count("*").alias("n")).collect()}
+    assert by["tail"] / 40 > by["head"] / 1000
+
+
+def test_temperature_resample_deterministic_and_growth_stable(
+    spark, skewed_domains
+):
+    a = sorted(r["doc_id"] for r in temperature_resample(skewed_domains).collect())
+    b = sorted(r["doc_id"] for r in temperature_resample(skewed_domains).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+# -------------------------------------------------------- repetition stats
+def test_repetition_stats_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique line one\nunique line two\nsame\nsame\nsame"),
+            (2, "buy now buy now buy now buy"),
+            (3, "all distinct words in this document right here"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # doc 1: 5 lines, 3 distinct -> dup fraction 2/5
+    assert out[1]["dup_line_frac"] == pytest.approx(0.4, abs=1e-4)
+    # doc 2: bigrams (buy now)x3 (now buy)x3 of 6 -> top frac 0.5
+    assert out[2]["top_bigram_frac"] == pytest.approx(0.5, abs=1e-4)
+    assert out[2]["n_bigrams"] == 6
+    # doc 3: all bigrams unique
+    assert out[3]["top_bigram_frac"] == pytest.approx(1 / 7, abs=1e-4)
+    assert out[3]["dup_line_frac"] == 0.0
+    # empty doc present with zeroed signals (explode_outer path)
+    assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0

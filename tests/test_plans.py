@@ -281,3 +281,38 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         .count()
     )
     assert n_filtered == n_plain  # pruning never changes the answer
+
+
+def test_contamination_join_broadcasts_eval_side(spark):
+    from ocr_spark.operators.contamination import contamination_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    evalset = docs.filter(F.col("doc_id") % 13 == 5).select(
+        F.expr("substr(text, 11, 90)").alias("text")
+    )
+    rep = contamination_report(docs, evalset, n=3)
+    # eval n-gram set broadcast: the corpus side is never shuffled by the
+    # join itself; the only exchange is the hit-only aggregation.
+    assert checks.has_broadcast_join(rep), checks.formatted_plan(rep)[:600]
+    assert not checks.has_sort_merge_join(rep)
+
+
+def test_pii_scrub_is_stateless_projection(spark):
+    from ocr_spark.operators.pii import pii_scrub_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = pii_scrub_report(docs, "text")
+    assert checks.count_exchanges(rep) == 0
+    assert checks.codegen_stage_count(rep) >= 1  # regex chain stays in codegen
+
+
+def test_temperature_resample_no_corpus_shuffle(spark):
+    from ocr_spark.operators.training import temperature_resample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = temperature_resample(docs, "source", "doc_id")
+    # the per-domain counts aggregate exchanges on the dim-sized side;
+    # the corpus joins those probabilities via BROADCAST (no corpus-side
+    # exchange from the join)
+    assert checks.has_broadcast_join(kept), checks.formatted_plan(kept)[:600]
+    assert not checks.has_sort_merge_join(kept)
