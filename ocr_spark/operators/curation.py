@@ -33,11 +33,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ocr_spark.functions import text_stats as TS
+from ocr_spark.operators.contamination import decontaminate
 from ocr_spark.operators.dedup import near_dup_dedup
+from ocr_spark.operators.pii import pii_scrub
 from ocr_spark.operators.training import (
     pack_sequences,
     quality_filter,
+    repetition_stats,
     stratified_split,
+    temperature_resample,
 )
 
 
@@ -49,14 +53,56 @@ def curate_corpus(
     token_budget: int = 2048,
     shards: int = 16,
     weights: tuple = (0.8, 0.1, 0.1),
+    scrub_pii: bool = False,
+    evalset: DataFrame | None = None,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    resample_alpha: float | None = None,
+    resample_target_frac: float = 0.5,
+    domain_col: str = "source",
 ) -> DataFrame:
     """Raw documents -> curated, deduplicated, split, packed corpus.
+
+    Opt-in stages slot into the chain in the order a real pretraining
+    pipeline applies them:
+
+    1. ``scrub_pii``: redact before anything hashes/fingerprints text —
+       a scrubbed and unscrubbed copy of the same document must not be
+       treated as distinct downstream;
+    2. quality + repetition filters (``max_dup_line_frac`` /
+       ``max_top_bigram_frac``, Gopher-style): cheap row-local drops
+       first, shrinking every later stage's input;
+    3. ``evalset``: benchmark decontamination BEFORE dedup, so an
+       eval-contaminated member can never elect itself canonical for a
+       near-dup cluster (the cluster survives through a clean sibling);
+    4. near-dup dedup, then ``resample_alpha``: temperature-rebalance
+       domains on the DEDUPED corpus (resampling before dedup would
+       re-skew whatever dedup removes);
+    5. split, then pack (split-pure bins).
 
     Returns the surviving documents with ``cluster_size`` (how many
     near-dups this canonical doc absorbed), ``split``
     (train/val/test), ``shard``/``bin_id``/``tokens`` (packing slot)."""
+    if scrub_pii:
+        docs = pii_scrub(docs, text_col)
     kept = quality_filter(docs, text_col).filter(F.col("keep")).drop("keep", "reason")
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        reps = repetition_stats(kept, text_col, id_col).select(
+            id_col, "dup_line_frac", "top_bigram_frac"
+        )
+        kept = kept.join(reps, id_col, "left")
+        if max_dup_line_frac is not None:
+            kept = kept.filter(F.col("dup_line_frac") <= max_dup_line_frac)
+        if max_top_bigram_frac is not None:
+            kept = kept.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
+        kept = kept.drop("dup_line_frac", "top_bigram_frac")
+    if evalset is not None:
+        kept = decontaminate(kept, evalset, text_col, id_col)
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)
+    if resample_alpha is not None:
+        deduped = temperature_resample(
+            deduped, domain_col, id_col, resample_alpha, resample_target_frac
+        ).drop("p_micro")
     split = stratified_split(deduped, id_col, weights=weights)
     # pack per (split, shard): bins must never mix splits, or a reader
     # scanning one split sees fragmented bins whose budget was consumed

@@ -1,0 +1,185 @@
+"""Audio-kind multimodal columns: spec-level WAV codec + windowed
+feature extraction as an Arrow-batched stage.
+
+Completes the multimodal column story (sources/multimodal.py covers
+image pixel decode and video frame sampling): audio payloads are
+opaque ``binary`` WAV (RIFF/PCM) blobs, decoded with pure
+stdlib+numpy — proper RIFF chunk walking (unknown chunks skipped, as
+real-world WAVs carry LIST/INFO blocks), 16-bit PCM to float32 in
+[-1, 1] — and featurized into the classic framing shape: one row per
+(media_id, window) with RMS energy, zero-crossing rate, and peak
+amplitude per non-overlapping window. ``synth_wav`` is the matching
+deterministic encoder for round-trip tests.
+
+Execution shape mirrors the image/video stages: ``mapInPandas`` with
+one Python crossing per Arrow batch, per-payload work fully
+vectorized in numpy (reshape into a (windows, samples) matrix, one
+reduction per feature — no per-sample Python). A corrupt payload
+degrades to a single null row with ``decode_error`` recorded (D7
+parity with the pixel stages), never killing the task. At 100 TB the
+stage is embarrassingly parallel: no shuffle, state = one payload.
+
+On a cluster with codec libs, swap ``decode_wav`` for an
+ffmpeg-backed decoder — the framing/feature plumbing is unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterator, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def synth_wav(
+    n_samples: int,
+    sample_rate: int = 16000,
+    channels: int = 1,
+    freq: float = 440.0,
+    amplitude: float = 0.8,
+    extra_chunk: bool = False,
+) -> bytes:
+    """Deterministic 16-bit PCM WAV: a pure sine at ``freq`` Hz (per
+    channel, identical), little-endian RIFF container. ``extra_chunk``
+    inserts a LIST chunk before ``data`` so decoders prove they walk
+    chunks instead of assuming a fixed 44-byte header."""
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    mono = amplitude * np.sin(2.0 * math.pi * freq * t)
+    pcm = np.clip(np.round(mono * 32767.0), -32768, 32767).astype("<i2")
+    frames = np.repeat(pcm, channels).tobytes()
+    chunks = b""
+    if extra_chunk:
+        info = b"INFOjunk padding"
+        chunks += b"LIST" + struct.pack("<I", len(info)) + info
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + chunks
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
+    """(sample_rate, channels, float32 samples shaped (n, channels) in
+    [-1, 1]) from a RIFF/PCM WAV payload. Walks chunks (skips LIST etc.,
+    word-aligned), validates PCM 16-bit."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i = 12
+    sample_rate = channels = bits = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"unsupported WAV format code {audio_fmt}")
+        elif cid == b"data":
+            data = body
+        i += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = len(data) // (2 * channels)
+    pcm = np.frombuffer(data[: n * 2 * channels], dtype="<i2")
+    samples = (pcm.astype(np.float32) / 32768.0).reshape(n, channels)
+    return int(sample_rate), int(channels), samples
+
+
+def decode_wav_meta(payload: bytes) -> Tuple[int, int, int]:
+    """(sample_rate, channels, n_samples) without materializing floats."""
+    sr, ch, samples = decode_wav(payload)
+    return sr, ch, samples.shape[0]
+
+
+def window_features(
+    samples: np.ndarray, window: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-window (rms, zero_crossing_rate, peak) over the mono mixdown
+    (channel mean), non-overlapping windows, trailing partial window
+    dropped. Fully vectorized: one reshape + one reduction per feature."""
+    mono = samples.mean(axis=1)
+    n_win = len(mono) // window
+    if n_win == 0:
+        z = np.zeros(0)
+        return z, z, z
+    m = mono[: n_win * window].reshape(n_win, window)
+    rms = np.sqrt((m * m).mean(axis=1))
+    # sign change between adjacent samples within the window; zeros count
+    # as positive so silence has ZCR 0
+    signs = np.where(m >= 0, 1, -1)
+    zcr = (signs[:, 1:] != signs[:, :-1]).mean(axis=1)
+    peak = np.abs(m).max(axis=1)
+    return rms, zcr, peak
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("rms", T.FloatType()),
+        T.StructField("zcr", T.FloatType()),
+        T.StructField("peak", T.FloatType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def audio_window_features(media: DataFrame, window: int = 400) -> DataFrame:
+    """Fan one audio row out to per-window feature rows (default 400
+    samples = 25 ms at 16 kHz, the standard speech framing). Arrow-
+    batched ``mapInPandas``; a corrupt payload yields ONE null row with
+    the error recorded instead of poisoning the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    sr, ch, samples = decode_wav(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    rms, zcr, peak = window_features(samples, window)
+                    for w in range(len(rms)):
+                        out["media_id"].append(mid)
+                        out["window_idx"].append(w)
+                        out["sample_rate"].append(sr)
+                        out["channels"].append(ch)
+                        out["rms"].append(float(rms[w]))
+                        out["zcr"].append(float(zcr[w]))
+                        out["peak"].append(float(peak[w]))
+                        out["decode_error"].append(None)
+                except (ValueError, struct.error, IndexError) as ex:
+                    out["media_id"].append(mid)
+                    out["window_idx"].append(None)
+                    out["sample_rate"].append(None)
+                    out["channels"].append(None)
+                    out["rms"].append(None)
+                    out["zcr"].append(None)
+                    out["peak"].append(None)
+                    out["decode_error"].append(str(ex))
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -1,0 +1,81 @@
+"""WAV codec round-trip + windowed audio features (sources/audio.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from ocr_spark.sources.audio import (
+    audio_window_features,
+    decode_wav,
+    decode_wav_meta,
+    synth_wav,
+    window_features,
+)
+
+
+def test_wav_round_trip_mono():
+    payload = synth_wav(1600, sample_rate=16000, freq=440.0, amplitude=0.5)
+    sr, ch, samples = decode_wav(payload)
+    assert (sr, ch) == (16000, 1)
+    assert samples.shape == (1600, 1)
+    t = np.arange(1600) / 16000
+    ref = 0.5 * np.sin(2 * math.pi * 440.0 * t)
+    # int16 quantization bound
+    assert np.abs(samples[:, 0] - ref).max() < 1.0 / 32768 + 1e-6
+
+
+def test_wav_chunk_walking_and_stereo():
+    payload = synth_wav(
+        800, sample_rate=8000, channels=2, extra_chunk=True
+    )
+    sr, ch, n = decode_wav_meta(payload)
+    assert (sr, ch, n) == (8000, 2, 800)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all, definitely")
+    with pytest.raises(ValueError):
+        decode_wav(b"")
+
+
+def test_window_features_on_known_sine():
+    # full-scale-0.5 sine: RMS = 0.5/sqrt(2); ZCR = 2*f/fs
+    payload = synth_wav(16000, sample_rate=16000, freq=1000.0, amplitude=0.5)
+    _, _, samples = decode_wav(payload)
+    rms, zcr, peak = window_features(samples, 400)
+    assert len(rms) == 40
+    assert rms.mean() == pytest.approx(0.5 / math.sqrt(2), rel=1e-3)
+    assert zcr.mean() == pytest.approx(2 * 1000.0 / 16000, rel=2e-2)
+    assert peak.max() == pytest.approx(0.5, abs=1e-3)
+
+
+def test_window_features_silence_and_short():
+    silent = np.zeros((1000, 1), dtype=np.float32)
+    rms, zcr, _ = window_features(silent, 400)
+    assert len(rms) == 2 and rms.max() == 0.0 and zcr.max() == 0.0
+    rms, _, _ = window_features(silent[:10], 400)  # shorter than one window
+    assert len(rms) == 0
+
+
+def test_audio_stage_fanout_and_error_rows(spark):
+    rows = [
+        (1, bytearray(synth_wav(1200, sample_rate=16000, freq=440.0))),
+        (2, bytearray(b"corrupt payload")),
+        (3, bytearray(synth_wav(400, sample_rate=8000, channels=2))),
+    ]
+    media = spark.createDataFrame(rows, "media_id: long, payload: binary")
+    out = audio_window_features(media, window=400).toPandas()
+    ok = out[out["decode_error"].isnull()]
+    bad = out[out["decode_error"].notnull()]
+    # id 1: 1200/400 = 3 windows; id 3: 400/400 = 1 window
+    assert sorted(ok.groupby("media_id").size().items()) == [(1, 3), (3, 1)]
+    assert list(bad["media_id"]) == [2]
+    assert bad["window_idx"].isnull().all()
+    # stage output matches the local numpy reference exactly
+    _, _, samples = decode_wav(bytes(rows[0][1]))
+    rms_ref, zcr_ref, _ = window_features(samples, 400)
+    got = ok[ok["media_id"] == 1].sort_values("window_idx")
+    assert np.allclose(got["rms"], rms_ref, atol=1e-6)
+    assert np.allclose(got["zcr"], zcr_ref, atol=1e-6)

@@ -91,3 +91,48 @@ def test_write_partitioned_by_split(spark, curated, tmp_path):
     probe = got.filter(F.col("split") == "train")
     plan = checks.formatted_plan(probe)
     assert "PartitionFilters" in plan and "split" in plan
+
+
+def test_full_stack_with_optional_stages(spark):
+    """All opt-in stages at once: PII scrubbed, repetitive and
+    contaminated docs dropped, domains rebalanced — invariants hold."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pii_doc = spark.createDataFrame(
+        [(800001,
+          "reach me at alice@corp.example.com about the merge strategy "
+          "for the scan operator and its partition layout today",
+          "en", "web", 100)],
+        docs.schema,
+    )
+    spam = spark.createDataFrame(
+        [(800002, " ".join(["buy now"] * 40), "en", "web", 280)],
+        docs.schema,
+    )
+    corpus = docs.unionByName(pii_doc).unionByName(spam)
+    evalset = docs.limit(3).select(F.expr("substr(text, 5, 80)").alias("text"))
+    out = curate_corpus(
+        corpus,
+        jaccard_threshold=0.8,
+        token_budget=512,
+        scrub_pii=True,
+        evalset=evalset,
+        max_top_bigram_frac=0.4,
+        resample_alpha=0.7,
+        resample_target_frac=0.9,
+    ).persist()
+    release_shingle_caches()
+    # PII scrubbed before any hashing stage
+    survivors_text = out.filter(F.col("doc_id") == 800001).collect()
+    for r in survivors_text:
+        assert "alice@corp.example.com" not in r["text"]
+        assert "<EMAIL>" in r["text"]
+    # repetition filter dropped the spam doc
+    assert out.filter(F.col("doc_id") == 800002).count() == 0
+    # decontamination: the 3 eval-source docs are gone
+    eval_ids = [r["doc_id"] for r in docs.limit(3).collect()]
+    assert out.filter(F.col("doc_id").isin(eval_ids)).count() == 0
+    # resampling kept a nonempty, strictly smaller corpus; packing intact
+    n = out.count()
+    assert 0 < n < corpus.count()
+    assert {"split", "shard", "bin_id", "tokens"} <= set(out.columns)
+    out.unpersist()
