@@ -848,6 +848,28 @@ def _q_tx_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_tr_length_buckets(spark, sf_dir):
+    """Quantile length bucketing (operators/training.py): exact
+    interpolated percentile thresholds (one corpus agg, broadcast back),
+    stateless bucket assignment — the padding-minimizing batch grouping."""
+    from ocr_spark.operators.training import length_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = length_buckets(docs, "text", n_buckets=4)
+    return out.select("doc_id", F.col("n_tok").cast("long").alias("n_tok"),
+                      F.col("bucket").cast("int").alias("bucket"))
+
+
+def _q_id_dense_seq(spark, sf_dir):
+    """Dense 0-based global sequence ids (operators/ids.py): range
+    exchange + per-partition offsets + mapInPandas running counter —
+    verified equal to the single-partition row_number() the oracle runs."""
+    from ocr_spark.operators.ids import assign_dense_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return assign_dense_ids(docs, "doc_id", num_partitions=7)
+
+
 def _q_tx_text_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
@@ -1330,6 +1352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_report": _q_pii_scrub_report,
         "tr_temperature_resample": _q_tr_temperature_resample,
         "tx_repetition_stats": _q_tx_repetition_stats,
+        "tr_length_buckets": _q_tr_length_buckets,
+        "id_dense_seq": _q_id_dense_seq,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
@@ -2420,6 +2444,20 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "coalesce(s.top_bigram_frac, 0.0) AS top_bigram_frac, "
             "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams "
             "FROM d LEFT JOIN s USING (doc_id)"
+        ),
+        "tr_length_buckets": (
+            f"WITH tok AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tok "
+            "FROM documents), "
+            "t AS (SELECT quantile_cont(n_tok, [0.25, 0.5, 0.75]) AS ths "
+            "FROM tok) "
+            "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+            "CAST(len(list_filter(ths, x -> n_tok > x)) AS INTEGER) AS bucket "
+            "FROM tok, t"
+        ),
+        "id_dense_seq": (
+            "SELECT doc_id, lang, "
+            "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id "
+            "FROM documents"
         ),
         "tx_quality_filter": (
             f"WITH t AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tokens, "

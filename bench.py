@@ -69,6 +69,10 @@ def main() -> None:
         "dd_canonical_corpus",
         "sim_knn_join",
         "sim_ivf_topk",
+        "dc_contamination_report",
+        "pii_scrub_report",
+        "tx_repetition_stats",
+        "tr_temperature_resample",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

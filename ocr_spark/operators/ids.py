@@ -1,0 +1,106 @@
+"""Dense global sequence ids without a global single-partition sort.
+
+A training corpus regularly needs a contiguous 0..N-1 ordering (shard
+row numbers, example indices for curriculum schedules, stable sample
+ids) keyed by some deterministic order. The naive
+``row_number() OVER (ORDER BY key)`` funnels the whole corpus through
+ONE partition — the canonical anti-pattern at 100 TB. This operator is
+the standard two-phase distributed shape instead:
+
+1. range-partition by the key (one range exchange — Spark samples the
+   key distribution, so partitions are balanced) and sort WITHIN each
+   partition;
+2. count rows per partition (an aggregation over ``n_partitions``
+   rows), cumulative-sum the counts into per-partition base offsets on
+   the driver (dim-sized: one long per partition);
+3. a ``mapInPandas`` pass adds ``base_offset + local_running_index`` —
+   partition-preserving, zero further shuffle, state = one counter.
+
+The result equals single-partition ``row_number`` exactly (the oracle
+gate verifies against that very SQL) because range partitions are
+totally ordered between themselves and sorted within. The order key
+must be unique (ties straddling a partition boundary would make the
+assignment partition-count-dependent) — order on a unique id or append
+one to the key.
+
+Correctness subtlety — why the input is pinned in the cache: Spark's
+``RangePartitioner`` SAMPLES the key distribution with a seed derived
+from the compiled RDD id, and the counting job and the numbering job
+compile the plan independently. Unpersisted, each job could sample
+DIFFERENT partition boundaries and the offsets would silently misalign.
+Persisting the range-partitioned frame makes both jobs read the same
+``InMemoryRelation`` — the partitioning is materialized exactly once
+(and a lost cached block recomputes through the SAME RDD lineage, so
+boundaries cannot drift mid-job). Call ``release_id_caches()`` when the
+numbered result has been materialized.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LIVE_CACHES: list = []
+
+
+def release_id_caches() -> int:
+    """Unpersist relations pinned by assign_dense_ids; returns count."""
+    n = len(_LIVE_CACHES)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist(blocking=False)
+    return n
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "seq_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the 0-based dense rank of ``order_col``
+    (which must be unique) — equal to
+    ``row_number() OVER (ORDER BY order_col) - 1`` but computed with a
+    range exchange + per-partition counting instead of a global sort
+    into one partition."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _LIVE_CACHES.append(ranged)
+    # per-partition counts -> base offsets (n_parts rows to the driver)
+    counts = (
+        ranged.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    sizes = {r["_pid"]: r["_n"] for r in counts}
+    offsets = {}
+    acc = 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    schema = T.StructType(
+        ranged.schema.fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def number(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = offsets[TaskContext.get().partitionId()]
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return ranged.mapInPandas(number, schema=schema)

@@ -249,6 +249,44 @@ def temperature_resample(
     )
 
 
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4,
+    token_col=None,
+) -> DataFrame:
+    """Quantile length bucketing: every document gets a ``bucket`` id
+    (0..n_buckets-1) by token count, thresholds = the EXACT interpolated
+    percentiles of the corpus (batching efficiency: composing training
+    batches from one length bucket minimizes padding waste).
+
+    Shape: one corpus aggregation produces the (n_buckets-1)-element
+    threshold array, broadcast back via a single-row cross join; the
+    assignment is a stateless array-filter expression — no second
+    shuffle, no sort. Exact percentiles (not approx) so the same
+    thresholds are reproducible in ANSI SQL for the oracle gate; swap
+    in ``percentile_approx`` at 100 TB if the exact pass's single-pass
+    sort-based aggregation becomes the bottleneck (the assignment logic
+    is unchanged).
+    """
+    tokens = (
+        TS.token_count(F.col(text_col))
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    toks = df.withColumn("n_tok", tokens)
+    ths = toks.agg(
+        F.percentile("n_tok", F.array(*[F.lit(f) for f in fracs])).alias("_ths")
+    )
+    bucket = F.size(F.filter(F.col("_ths"), lambda t: F.col("n_tok") > t))
+    return (
+        toks.crossJoin(F.broadcast(ths))
+        .withColumn("bucket", bucket.cast("int"))
+        .drop("_ths")
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -260,11 +298,13 @@ def repetition_stats(
       (split/trim/filter/array_distinct), computed BEFORE any explode.
     - ``top_bigram_frac``: fraction of the document's word-bigram
       occurrences taken by its single most frequent bigram — degenerate
-      repetition ("buy now buy now...") scores high.  Needs a per-doc
-      mode, so bigrams explode into a two-level aggregation keyed by
-      the document id: both group-bys partial-aggregate map-side, and
-      the shuffle key (doc id) is maximally spread — no skew, no
-      global state.
+      repetition ("buy now buy now...") scores high.  The per-doc mode
+      is computed ROW-LOCALLY: sort the bigram array and fold it with
+      ``F.aggregate`` tracking the longest equal-run — O(g log g) per
+      row inside codegen.  The naive alternative (explode + two
+      doc-keyed group-bys) shuffles ~2x the corpus' token volume; this
+      shape shuffles NOTHING — at 100 TB the whole operator is a
+      stateless projection.
     - ``n_bigrams``: occurrence count (multiplicity kept), the
       denominator above.
 
@@ -283,25 +323,32 @@ def repetition_stats(
         n_lines > 0,
         (n_lines - F.size(F.array_distinct(lines))) / n_lines,
     ).otherwise(F.lit(0.0))
-    grams = word_ngrams_col(text_col, n=2, distinct=False)
-    exploded = df.select(
+
+    def _run_fold(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    sorted_grams = F.sort_array(word_ngrams_col(text_col, n=2, distinct=False))
+    folded = F.aggregate(
+        sorted_grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        _run_fold,
+    )
+    n_bigrams = F.size(sorted_grams)
+    top_frac = F.when(
+        n_bigrams > 0, F.round(folded["best"] / n_bigrams, 4)
+    ).otherwise(F.lit(0.0))
+    return df.select(
         F.col(id_col),
         F.round(dup_line_frac, 4).alias("dup_line_frac"),
-        F.explode_outer(grams).alias("_g"),
-    )
-    per_gram = exploded.groupBy(id_col, "dup_line_frac", "_g").agg(
-        F.count("*").alias("_cnt")
-    )
-    return per_gram.groupBy(id_col, "dup_line_frac").agg(
-        F.coalesce(
-            F.round(
-                F.max(F.when(F.col("_g").isNotNull(), F.col("_cnt")))
-                / F.sum(F.when(F.col("_g").isNotNull(), F.col("_cnt"))),
-                4,
-            ),
-            F.lit(0.0),
-        ).alias("top_bigram_frac"),
-        F.coalesce(
-            F.sum(F.when(F.col("_g").isNotNull(), F.col("_cnt"))), F.lit(0)
-        ).alias("n_bigrams"),
+        top_frac.alias("top_bigram_frac"),
+        n_bigrams.cast("long").alias("n_bigrams"),
     )

@@ -61,13 +61,16 @@ N_FEATURES = 16
 
 
 def decode_image_meta(payload: bytes) -> Tuple[Optional[str], Optional[int], Optional[int]]:
-    """Parse (format, width, height) from PNG/JPEG headers. Pure struct
-    unpacking — no imaging library."""
+    """Parse (format, width, height) from PNG/JPEG/WAV headers. Pure
+    struct unpacking — no media library. WAV (an audio kind — decoded
+    for real by sources/audio.py) reports format only, null geometry."""
     if payload is None or len(payload) < 16:
         return None, None, None
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         w, h = struct.unpack(">II", payload[16:24])
         return "png", int(w), int(h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav", None, None
     if payload[:2] == b"\xff\xd8":  # JPEG: walk segments for SOF0/2
         i = 2
         while i + 9 < len(payload):

@@ -44,6 +44,7 @@ def main() -> int:
         )
 
     from ocr_spark.operators.dedup import release_shingle_caches
+    from ocr_spark.operators.ids import release_id_caches
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
@@ -51,6 +52,7 @@ def main() -> int:
         if only and name not in only:
             continue
         release_shingle_caches()  # dedup queries each pin one cached relation
+        release_id_caches()  # assign_dense_ids pins its range partitioning
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

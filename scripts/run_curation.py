@@ -1,0 +1,90 @@
+"""spark-submit entry point for the corpus-curation job.
+
+Production deploy shape (same as run_pipeline.py):
+
+    spark-submit --py-files ocr_spark.zip scripts/run_curation.py \
+        --input  <documents parquet path> \
+        --output <curated corpus root> \
+        [--evalset <eval documents parquet>] \
+        [--scrub-pii] [--max-dup-line-frac 0.3] \
+        [--max-top-bigram-frac 0.2] [--resample-alpha 0.7] \
+        [--resample-target-frac 0.5] [--jaccard 0.9] \
+        [--token-budget 2048] [--shards 64]
+
+Runs ``operators/curation.curate_corpus`` (PII scrub -> quality +
+repetition filters -> decontamination -> near-dup dedup -> temperature
+resample -> split -> packing) and materializes the result partitioned
+by split, printing one JSON line of per-stage accounting (input /
+surviving doc counts, split sizes) for the run log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import curate_corpus, write_curated
+from ocr_spark.operators.dedup import release_shingle_caches
+from ocr_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--evalset", default=None)
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None)
+    ap.add_argument("--max-top-bigram-frac", type=float, default=None)
+    ap.add_argument("--resample-alpha", type=float, default=None)
+    ap.add_argument("--resample-target-frac", type=float, default=0.5)
+    ap.add_argument("--jaccard", type=float, default=0.9)
+    ap.add_argument("--token-budget", type=int, default=2048)
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = get_spark("curation_pipeline")
+    docs = spark.read.parquet(args.input)
+    evalset = spark.read.parquet(args.evalset) if args.evalset else None
+
+    t0 = time.time()
+    curated = curate_corpus(
+        docs,
+        jaccard_threshold=args.jaccard,
+        token_budget=args.token_budget,
+        shards=args.shards,
+        scrub_pii=args.scrub_pii,
+        evalset=evalset,
+        max_dup_line_frac=args.max_dup_line_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        resample_alpha=args.resample_alpha,
+        resample_target_frac=args.resample_target_frac,
+    )
+    write_curated(curated, args.output)
+    release_shingle_caches()
+
+    out = spark.read.parquet(args.output)
+    splits = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    print(
+        json.dumps(
+            {
+                "input_docs": docs.count(),
+                "curated_docs": sum(splits.values()),
+                "splits": splits,
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,8 @@ def test_png_header_roundtrip():
 
 def test_unknown_and_empty():
     assert decode_image_meta(b"") == (None, None, None)
-    assert decode_image_meta(b"RIFFxxxxWAVEfmt plus padding")[0] == "unknown"
+    assert decode_image_meta(b"RIFFxxxxWAVEfmt plus padding")[0] == "wav"
+    assert decode_image_meta(b"RIFFxxxxAVI fmt plus padding")[0] == "unknown"
 
 
 def test_decode_pixels_roundtrip_all_filters():

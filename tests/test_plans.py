@@ -316,3 +316,13 @@ def test_temperature_resample_no_corpus_shuffle(spark):
     # exchange from the join)
     assert checks.has_broadcast_join(kept), checks.formatted_plan(kept)[:600]
     assert not checks.has_sort_merge_join(kept)
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    from ocr_spark.operators.training import repetition_stats
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = repetition_stats(docs, "text", "doc_id")
+    # per-doc bigram mode folds a sorted array row-locally — the naive
+    # explode+groupBy shape would shuffle ~2x the corpus token volume
+    assert checks.count_exchanges(out) == 0

@@ -254,3 +254,52 @@ def test_stream_dedup_within_watermark(spark, stream_dirs):
     got_fps = [r.fp for r in got.select("fp").collect()]
     assert len(got_fps) == len(set(got_fps))  # each fingerprint once
     assert set(got_fps) == batch_fps  # same distinct key set as batch
+
+
+def test_stream_stateless_curation_stages_match_batch(spark, tmp_path):
+    """PII scrub + quality filter + repetition stats are stateless
+    projections, so they run unchanged on a stream and equal the batch
+    result row-for-row — the shape a continuously-arriving curation
+    front-end uses before the stateful dedup stage."""
+    from ocr_spark.operators.pii import pii_scrub_report
+    from ocr_spark.operators.training import quality_filter, repetition_stats
+
+    rows = [
+        (1, "mail me at a@b.io\nsame line\nsame line", "en", "web", 40),
+        (2, " ".join(["buy now"] * 30), "en", "web", 230),
+        (3, "a perfectly ordinary document about spark plans", "en", "web", 47),
+        (4, "x", "en", "junk", 1),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    def stages(df):
+        scrubbed = pii_scrub_report(df, "text").select(
+            "doc_id", "clean_text", "n_pii"
+        )
+        quality = quality_filter(df, "text").select("doc_id", "keep", "reason")
+        reps = repetition_stats(df, "text", "doc_id")
+        return scrubbed.join(quality, "doc_id").join(reps, "doc_id")
+
+    batch = stages(spark.read.parquet(src)).toPandas()
+
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "cur_out")
+    ckpt = str(tmp_path / "cur_ckpt")
+    q = (
+        stages(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+
+    cols = sorted(batch.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        batch[cols].sort_values("doc_id").reset_index(drop=True),
+    )

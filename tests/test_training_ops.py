@@ -56,3 +56,61 @@ def test_quality_filter_reasons(spark):
     assert got[0] == (False, "too_short")
     assert got[1][0] is False  # first failing rule wins
     assert got[2] == (True, "ok")
+
+
+def test_length_buckets_quartiles(spark):
+    from ocr_spark.operators.training import length_buckets
+
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["bucket"] for r in length_buckets(df, "text").collect()}
+    # quartile thresholds of 1..12 (type-7 interpolation): 3.75, 6.5, 9.25
+    assert [out[i] for i in range(12)] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+
+def test_length_buckets_monotone_and_balanced(spark):
+    from ocr_spark.operators.training import length_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = length_buckets(docs, "text", n_buckets=4).select("n_tok", "bucket").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["n_tok"])
+    # monotone: every token count in bucket b <= every count in bucket b+1
+    for b in range(3):
+        if b in by_bucket and b + 1 in by_bucket:
+            assert max(by_bucket[b]) <= min(by_bucket[b + 1])
+    # roughly balanced quartiles
+    sizes = [len(v) for v in by_bucket.values()]
+    assert min(sizes) > 0.5 * max(sizes)
+
+
+def test_assign_dense_ids_matches_global_row_number(spark):
+    from ocr_spark.operators.ids import assign_dense_ids, release_id_caches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    for parts in (1, 3, 16):
+        got = assign_dense_ids(docs, "doc_id", num_partitions=parts).collect()
+        release_id_caches()
+        by_id = sorted((r["doc_id"], r["seq_id"]) for r in got)
+        assert [s for _, s in by_id] == list(range(n))  # dense 0..N-1 in id order
+
+
+def test_assign_dense_ids_nonmonotone_input(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.ids import assign_dense_ids, release_id_caches
+
+    # scrambled input order: seq must follow the ORDER column, not arrival
+    df = spark.range(200).select(
+        ((F.col("id") * 73) % 200).alias("key"), F.col("id").alias("orig")
+    )
+    got = assign_dense_ids(df, "key", num_partitions=5).collect()
+    release_id_caches()
+    assert sorted((r["key"], r["seq_id"]) for r in got) == [
+        (k, k) for k in range(200)
+    ]
