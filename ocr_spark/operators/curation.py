@@ -87,15 +87,13 @@ def curate_corpus(
         docs = pii_scrub(docs, text_col)
     kept = quality_filter(docs, text_col).filter(F.col("keep")).drop("keep", "reason")
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
-        reps = repetition_stats(kept, text_col, id_col).select(
-            id_col, "dup_line_frac", "top_bigram_frac"
-        )
-        kept = kept.join(reps, id_col, "left")
+        # append=True keeps this a stateless projection (no corpus join)
+        kept = repetition_stats(kept, text_col, id_col, append=True)
         if max_dup_line_frac is not None:
             kept = kept.filter(F.col("dup_line_frac") <= max_dup_line_frac)
         if max_top_bigram_frac is not None:
             kept = kept.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
-        kept = kept.drop("dup_line_frac", "top_bigram_frac")
+        kept = kept.drop("dup_line_frac", "top_bigram_frac", "n_bigrams")
     if evalset is not None:
         kept = decontaminate(kept, evalset, text_col, id_col)
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)

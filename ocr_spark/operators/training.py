@@ -222,21 +222,28 @@ def temperature_resample(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     target_frac: float = 0.5,
+    probs: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic temperature-resampled subset of the corpus.
 
     Keep decision per document: an independent multiplicative-hash
     bucket of the id, scaled to micro-units exactly in int64
     (bucket * 1e6 / 2^32 < 2^52, no precision loss), compared against
-    the domain's ``p_micro``.  Same reproducibility properties as
-    ``stratified_split``: stateless, rerun-identical, growth-stable
-    (new documents never flip existing keep decisions), and exactly
-    reproducible in ANSI SQL for the oracle gate.
+    the domain's ``p_micro``.  Rerun-identical and exactly reproducible
+    in ANSI SQL for the oracle gate. The HASH stream is growth-stable,
+    but by default ``p_micro`` is recomputed from the current corpus'
+    domain counts, so appending documents shifts probabilities and can
+    flip earlier keep decisions. An incremental build that needs the
+    stratified_split-style stability pins the probabilities instead:
+    persist ``domain_keep_probs(...)`` once and pass it as ``probs`` —
+    then existing decisions never change (at the cost of the realized
+    mix drifting from the target as the corpus grows).
 
     Output: the kept rows with ``p_micro`` appended (the audit column
     a curation run persists). One broadcast join, zero corpus shuffle.
     """
-    probs = domain_keep_probs(df, domain_col, alpha, target_frac)
+    if probs is None:
+        probs = domain_keep_probs(df, domain_col, alpha, target_frac)
     bucket = F.pmod(
         F.col(id_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)
         + F.lit(_SAMPLE_HASH_OFFSET),
@@ -288,7 +295,10 @@ def length_buckets(
 
 
 def repetition_stats(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    append: bool = False,
 ) -> DataFrame:
     """Gopher-style repetition signals per document.
 
@@ -346,9 +356,14 @@ def repetition_stats(
     top_frac = F.when(
         n_bigrams > 0, F.round(folded["best"] / n_bigrams, 4)
     ).otherwise(F.lit(0.0))
-    return df.select(
-        F.col(id_col),
+    cols = [
         F.round(dup_line_frac, 4).alias("dup_line_frac"),
         top_frac.alias("top_bigram_frac"),
         n_bigrams.cast("long").alias("n_bigrams"),
-    )
+    ]
+    if append:
+        # the whole operator is row-local: appending the signal columns
+        # keeps a downstream filter a stateless projection (joining the
+        # id-keyed report back would shuffle the corpus twice for nothing)
+        return df.select("*", *cols)
+    return df.select(F.col(id_col), *cols)

@@ -81,6 +81,11 @@ def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
     while i + 8 <= len(payload):
         cid = payload[i : i + 4]
         (clen,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if i + 8 + clen > len(payload):
+            # a chunk declaring more bytes than the payload holds must
+            # fail loudly — silently decoding the truncated prefix would
+            # emit normal-looking feature rows for corrupt audio
+            raise ValueError("truncated chunk body")
         body = payload[i + 8 : i + 8 + clen]
         if cid == b"fmt ":
             if clen < 16:
@@ -97,6 +102,8 @@ def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
         raise ValueError("missing fmt or data chunk")
     if bits != 16:
         raise ValueError(f"unsupported bit depth {bits}")
+    if channels < 1:
+        raise ValueError("fmt chunk declares zero channels")
     n = len(data) // (2 * channels)
     pcm = np.frombuffer(data[: n * 2 * channels], dtype="<i2")
     samples = (pcm.astype(np.float32) / 32768.0).reshape(n, channels)
@@ -104,7 +111,10 @@ def decode_wav(payload: bytes) -> Tuple[int, int, np.ndarray]:
 
 
 def decode_wav_meta(payload: bytes) -> Tuple[int, int, int]:
-    """(sample_rate, channels, n_samples) without materializing floats."""
+    """(sample_rate, channels, n_samples). Full header validation via
+    decode_wav (sample materialization included — payloads are
+    task-local; a pure header walk saves nothing measurable here, and
+    one validation path beats two drifting ones)."""
     sr, ch, samples = decode_wav(payload)
     return sr, ch, samples.shape[0]
 
@@ -148,7 +158,11 @@ def audio_window_features(media: DataFrame, window: int = 400) -> DataFrame:
     """Fan one audio row out to per-window feature rows (default 400
     samples = 25 ms at 16 kHz, the standard speech framing). Arrow-
     batched ``mapInPandas``; a corrupt payload yields ONE null row with
-    the error recorded instead of poisoning the batch."""
+    the error recorded instead of poisoning the batch. A VALID payload
+    shorter than one window also yields one marker row (null
+    window_idx/features, real sample_rate/channels, null decode_error)
+    — every input media_id appears in the output, so audits can
+    distinguish 'decoded, too short' from 'lost'."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -159,6 +173,16 @@ def audio_window_features(media: DataFrame, window: int = 400) -> DataFrame:
                         bytes(payload) if payload is not None else b""
                     )
                     rms, zcr, peak = window_features(samples, window)
+                    if len(rms) == 0:
+                        out["media_id"].append(mid)
+                        out["window_idx"].append(None)
+                        out["sample_rate"].append(sr)
+                        out["channels"].append(ch)
+                        out["rms"].append(None)
+                        out["zcr"].append(None)
+                        out["peak"].append(None)
+                        out["decode_error"].append(None)
+                        continue
                     for w in range(len(rms)):
                         out["media_id"].append(mid)
                         out["window_idx"].append(w)

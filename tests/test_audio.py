@@ -38,6 +38,17 @@ def test_wav_rejects_garbage():
         decode_wav(b"not audio at all, definitely")
     with pytest.raises(ValueError):
         decode_wav(b"")
+    # truncated chunk body must fail loudly, not decode a prefix
+    good = synth_wav(400)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(good[: len(good) - 100])
+    # zero-channel fmt header must not divide by zero
+    import struct as _s
+    zero_ch = bytearray(synth_wav(10))
+    fmt_at = zero_ch.find(b"fmt ")
+    zero_ch[fmt_at + 10 : fmt_at + 12] = _s.pack("<H", 0)
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(zero_ch))
 
 
 def test_window_features_on_known_sine():
@@ -64,15 +75,22 @@ def test_audio_stage_fanout_and_error_rows(spark):
         (1, bytearray(synth_wav(1200, sample_rate=16000, freq=440.0))),
         (2, bytearray(b"corrupt payload")),
         (3, bytearray(synth_wav(400, sample_rate=8000, channels=2))),
+        (4, bytearray(synth_wav(100, sample_rate=8000))),  # < one window
     ]
     media = spark.createDataFrame(rows, "media_id: long, payload: binary")
     out = audio_window_features(media, window=400).toPandas()
     ok = out[out["decode_error"].isnull()]
     bad = out[out["decode_error"].notnull()]
     # id 1: 1200/400 = 3 windows; id 3: 400/400 = 1 window
-    assert sorted(ok.groupby("media_id").size().items()) == [(1, 3), (3, 1)]
+    real = ok[ok["window_idx"].notnull()]
+    assert sorted(real.groupby("media_id").size().items()) == [(1, 3), (3, 1)]
     assert list(bad["media_id"]) == [2]
     assert bad["window_idx"].isnull().all()
+    # valid-but-short payload: one marker row (decoded meta, no windows,
+    # no error) so the media_id never silently disappears
+    short = ok[ok["media_id"] == 4]
+    assert len(short) == 1 and short["window_idx"].isnull().all()
+    assert short["sample_rate"].iloc[0] == 8000
     # stage output matches the local numpy reference exactly
     _, _, samples = decode_wav(bytes(rows[0][1]))
     rms_ref, zcr_ref, _ = window_features(samples, 400)

@@ -109,7 +109,8 @@ def test_full_stack_with_optional_stages(spark):
         docs.schema,
     )
     corpus = docs.unionByName(pii_doc).unionByName(spam)
-    evalset = docs.limit(3).select(F.expr("substr(text, 5, 80)").alias("text"))
+    eval_src = docs.orderBy("doc_id").limit(3)
+    evalset = eval_src.select(F.expr("substr(text, 5, 80)").alias("text"))
     out = curate_corpus(
         corpus,
         jaccard_threshold=0.8,
@@ -129,7 +130,7 @@ def test_full_stack_with_optional_stages(spark):
     # repetition filter dropped the spam doc
     assert out.filter(F.col("doc_id") == 800002).count() == 0
     # decontamination: the 3 eval-source docs are gone
-    eval_ids = [r["doc_id"] for r in docs.limit(3).collect()]
+    eval_ids = [r["doc_id"] for r in eval_src.collect()]
     assert out.filter(F.col("doc_id").isin(eval_ids)).count() == 0
     # resampling kept a nonempty, strictly smaller corpus; packing intact
     n = out.count()
