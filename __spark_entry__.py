@@ -848,6 +848,16 @@ def _q_tx_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_tx_top_bigrams(spark, sf_dir):
+    """Exact corpus top-50 bigrams (operators/retrieval.top_ngrams):
+    map-side-combined vocabulary counts + TakeOrdered top-k, ties
+    broken lexicographically — identical GROUP BY/ORDER BY/LIMIT twin."""
+    from ocr_spark.operators.retrieval import top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=50)
+
+
 def _q_tr_length_buckets(spark, sf_dir):
     """Quantile length bucketing (operators/training.py): exact
     interpolated percentile thresholds (one corpus agg, broadcast back),
@@ -1354,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_repetition_stats": _q_tx_repetition_stats,
         "tr_length_buckets": _q_tr_length_buckets,
         "id_dense_seq": _q_id_dense_seq,
+        "tx_top_bigrams": _q_tx_top_bigrams,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
@@ -2444,6 +2455,13 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "coalesce(s.top_bigram_frac, 0.0) AS top_bigram_frac, "
             "CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams "
             "FROM d LEFT JOIN s USING (doc_id)"
+        ),
+        "tx_top_bigrams": (
+            "WITH "
+            + _dd_grams_cte("documents", n=2, distinct=False, name="tb")
+            + ", e AS (SELECT unnest(grams) AS gram FROM tb) "
+            "SELECT gram, count(*) AS cnt FROM e GROUP BY gram "
+            "ORDER BY cnt DESC, gram LIMIT 50"
         ),
         "tr_length_buckets": (
             f"WITH tok AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tok "

@@ -150,3 +150,33 @@ def bm25_write_index(
     idx.repartition("term_bucket").write.partitionBy("term_bucket").mode(
         "overwrite"
     ).parquet(path)
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """Exact corpus-wide top-k most frequent word n-grams
+    (``gram, cnt``), ties broken lexicographically — the vocabulary
+    statistic a curation run reports (stop-list candidates, template
+    spam detection, tokenizer sanity checks).
+
+    Scale shape: explode -> groupBy(gram) partial-aggregates map-side,
+    so the shuffle carries vocabulary-sized partial counts, not the
+    corpus; the global top-k compiles to TakeOrderedAndProject (per-
+    partition heap + driver merge of k rows), never a full sort. Exact
+    is the right Spark answer here — a count-min sketch trades
+    accuracy for bounded memory the partial aggregation already
+    provides. Tokenization = ``contamination.word_ngrams_col`` (shared
+    with the oracle twin)."""
+    from ocr_spark.operators.contamination import word_ngrams_col
+
+    grams = word_ngrams_col(text_col, n, distinct=False)
+    counts = (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.desc("cnt"), "gram").limit(k)

@@ -126,3 +126,26 @@ def test_stratified_split_custom_weights_and_validation(spark):
     assert got == {"a", "b"}
     with pytest.raises(ValueError):
         stratified_split(docs, weights=(0.5, 0.4))
+
+
+def test_top_ngrams_exact_counts_and_ties(spark):
+    from ocr_spark.operators.retrieval import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "b a b a b"), (2, "a c a c"), (3, "zz yy")], ["doc_id", "text"]
+    )
+    # unigram counts: a=4, b=3, c=2, yy=1, zz=1 (tie broken lexicographically)
+    rows = top_ngrams(df, "text", n=1, k=5).collect()
+    assert [(r["gram"], r["cnt"]) for r in rows] == [
+        ("a", 4), ("b", 3), ("c", 2), ("yy", 1), ("zz", 1)
+    ]
+
+
+def test_top_ngrams_plan_is_take_ordered(spark):
+    from ocr_spark.operators.retrieval import top_ngrams
+    from ocr_spark.plans import checks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = top_ngrams(docs, "text", n=2, k=10)
+    # global top-k must compile to TakeOrdered (heap+merge), not a full sort
+    assert "TakeOrderedAndProject" in checks.executed_plan(out)
