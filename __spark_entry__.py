@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from ocr_spark.data import generate as G
 from ocr_spark.functions import text_stats as TS
+from ocr_spark.operators import lm_quality as LMQ
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
@@ -1313,6 +1314,51 @@ def _q_sim_knn_join(spark, sf_dir):
     )
 
 
+def _q_ic_table_roundtrip(spark, sf_dir):
+    """Hash-verified catalog-table round-trip (the Iceberg-shaped IO
+    surface, sources/catalog.py): transcripts built from orders are
+    written to a bucket-partitioned catalog table (CREATE TABLE USING +
+    dynamic INSERT OVERWRITE), read back via spark.table, and
+    aggregated; the oracle computes the same aggregate straight from the
+    parquet — equality proves the table round-trip is lossless,
+    including timestamps (epoch-compared)."""
+    from ocr_spark.sources import catalog as CAT
+
+    orders = _t(spark, sf_dir, "orders")
+    tr = orders.select(
+        F.col("o_orderkey").cast("string").alias("conv_id"),
+        (F.col("o_orderkey") % 3).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("o_orderpriority").alias("text"),
+        F.lit("plain").alias("tool"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    CAT.drop_table(spark, "ic_gate_rt")  # also clears a stale location
+    CAT.write_transcripts_table(spark, tr, "ic_gate_rt", n_buckets=8)
+    back = CAT.load_transcripts_table(spark, "ic_gate_rt")
+    return back.groupBy((F.col("conv_id").cast("long") % 10).alias("grp")).agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("turn_idx").cast("bigint").alias("sum_turn"),
+        F.max(F.unix_timestamp("ts")).alias("max_ts_epoch"),
+    )
+
+
+def _q_lm_trigram_ppl(spark, sf_dir):
+    """CCNet-style quality signal: char-trigram LM (add-k smoothed
+    conditional model, broadcastable by construction) trained on the
+    documents corpus and self-scored — per-document perplexity flags a
+    corpus's own outliers. Twin: the identical model in DuckDB SQL
+    (operators/lm_quality.py builds both from the same constants)."""
+    from ocr_spark.operators import lm_quality as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = LM.perplexity_scores(docs, docs)
+    return scored.select(
+        "doc_id", "n_trigrams", F.round("ppl", 3).alias("ppl")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -1365,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_length_buckets": _q_tr_length_buckets,
         "id_dense_seq": _q_id_dense_seq,
         "tx_top_bigrams": _q_tx_top_bigrams,
+        "lm_trigram_ppl": _q_lm_trigram_ppl,
+        "ic_table_roundtrip": _q_ic_table_roundtrip,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
@@ -2476,6 +2524,16 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "SELECT doc_id, lang, "
             "CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id "
             "FROM documents"
+        ),
+        "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
+        "ic_table_roundtrip": (
+            "SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp, "
+            "COUNT(*) AS n_turns, "
+            "CAST(SUM(LENGTH(o_orderpriority)) AS BIGINT) AS sum_chars, "
+            "CAST(SUM(o_orderkey % 3) AS BIGINT) AS sum_turn, "
+            "CAST(MAX(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) "
+            "AS max_ts_epoch "
+            "FROM orders GROUP BY 1"
         ),
         "tx_quality_filter": (
             f"WITH t AS (SELECT doc_id, {TS.token_count_sql(txt)} AS n_tokens, "

@@ -1,0 +1,240 @@
+"""Char-trigram LM perplexity scoring — the CCNet-style quality signal.
+
+Web-scale curation pipelines (CCNet, Gopher/MassiveText, RefinedWeb,
+FineWeb) rank documents by their perplexity under a small language model
+trained on a trusted corpus: low perplexity ~ fluent in-domain prose,
+high perplexity ~ boilerplate, gibberish, or wrong language. This module
+is that scorer re-expressed Spark-first: a character-trigram LM with
+add-k smoothing, trained and applied entirely with built-in
+``pyspark.sql.functions`` (codegen, no Python in the hot path).
+
+Why a CHAR-trigram model: after normalization the alphabet is exactly
+``a-z`` + space (27 symbols), so the model has at most 27^3 = 19,683
+rows and the context table at most 27^2 = 729 — both broadcast to every
+executor for the scoring join regardless of corpus size. Training is one
+explode + groupBy (map-side partial aggregation shrinks each partition's
+contribution to <=19,683 rows before the shuffle), scoring is two
+broadcast joins + one groupBy(doc) — the whole thing is one shuffle on
+the training side and one on the scoring side at any corpus scale.
+
+Model: P(c3 | c1 c2) = (count(c1c2c3) + k) / (count(c1c2·) + k·27),
+an unseen continuation of a seen context gets k / (count + k·27), and a
+wholly unseen context backs off to uniform 1/27. Perplexity of a
+document with trigram multiset T: exp(-(1/|T|) · sum log P).
+
+Every Spark expression has an ANSI-SQL twin built from the same
+constants (the oracle gate runs both; see __spark_entry__
+``lm_trigram_ppl``).
+
+Reference analog: the reference routes pages by a cheap text-quality
+score before the expensive path
+(/root/reference/app/services/pdf_processing_service.py:143-195); a
+perplexity gate is the corpus-scale generalization of that routing.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+V = 27  # |alphabet| after normalization: a-z + space
+DEFAULT_K = 0.1
+
+
+def normalize_for_lm(col) -> "F.Column":
+    """Lowercase, map every non-letter run to one space, trim — the
+    canonical 27-symbol alphabet both training and scoring share."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z]+", " "))
+
+
+def normalize_for_lm_sql(expr: str) -> str:
+    return f"trim(regexp_replace(lower({expr}), '[^a-z]+', ' ', 'g'))"
+
+
+def char_trigrams(col) -> "F.Column":
+    """Array of all character trigrams of ``col`` (empty when the string
+    is shorter than 3 — guarded because Spark's ``sequence(1, 0)``
+    counts DOWN, which would fabricate out-of-range indices)."""
+    n = F.length(col)
+    return F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.substring(col, i, 3)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_trigram_lm(
+    corpus: DataFrame, text_col: str = "text", k: float = DEFAULT_K
+) -> tuple[DataFrame, DataFrame]:
+    """Train the smoothed trigram LM; returns ``(model, backoff)``.
+
+    ``model``  — (tri, logp): log P(c3 | c1c2) for every observed trigram.
+    ``backoff``— (ctx, logp_unseen): log prob of an UNSEEN continuation
+    of an observed context c1c2 (the add-k floor for that context).
+
+    The context count is derived from the trigram counts themselves
+    (count(c1c2·) = sum over c3), so for every observed context the 27
+    continuation probabilities sum exactly to 1. Both outputs are at
+    most 27^3 / 27^2 rows — broadcastable at any training-corpus size.
+    """
+    tri_counts = (
+        corpus.select(
+            F.explode(char_trigrams(normalize_for_lm(F.col(text_col)))).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count("*").alias("cnt3"))
+    )
+    ctx_counts = (
+        tri_counts.groupBy(F.substring("tri", 1, 2).alias("ctx"))
+        .agg(F.sum("cnt3").alias("cnt2"))
+    )
+    model = (
+        tri_counts.join(
+            F.broadcast(ctx_counts),
+            F.substring(tri_counts["tri"], 1, 2) == ctx_counts["ctx"],
+        )
+        .select(
+            "tri",
+            F.log((F.col("cnt3") + F.lit(k)) / (F.col("cnt2") + F.lit(k * V))).alias("logp"),
+        )
+    )
+    backoff = ctx_counts.select(
+        "ctx",
+        F.log(F.lit(k) / (F.col("cnt2") + F.lit(k * V))).alias("logp_unseen"),
+    )
+    return model, backoff
+
+
+def score_perplexity(
+    docs: DataFrame,
+    model: DataFrame,
+    backoff: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under a trained model.
+
+    Output: (id_col, n_trigrams:bigint, ppl:double) — documents whose
+    normalized text has no trigram (< 3 letters) get n_trigrams = 0 and
+    NULL ppl. Plan shape: explode → partial-agg groupBy(doc, tri) →
+    two BROADCAST joins (model ≤ 19,683 rows, backoff ≤ 729) →
+    groupBy(doc). The only shuffles are keyed by (doc, tri) / doc, so
+    the scoring pass scales linearly with corpus size.
+    """
+    uniform = math.log(1.0 / V)
+    # explode_OUTER: a document with no trigram (< 3 letters) keeps one
+    # NULL-tri row, so it survives both aggregations and needs no
+    # distinct + re-join (which would add a shuffle and a sort-merge
+    # join keyed by document at corpus scale).
+    per_tri = (
+        docs.select(
+            F.col(id_col),
+            F.explode_outer(char_trigrams(normalize_for_lm(F.col(text_col)))).alias("tri"),
+        )
+        .groupBy(id_col, "tri")
+        .agg(F.count("*").alias("cnt"))
+    )
+    scored = (
+        per_tri.join(F.broadcast(model), "tri", "left")
+        .join(
+            F.broadcast(backoff),
+            F.substring(per_tri["tri"], 1, 2) == backoff["ctx"],
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "tri",
+            "cnt",
+            F.coalesce("logp", "logp_unseen", F.lit(uniform)).alias("lp"),
+        )
+    )
+    real = F.col("tri").isNotNull()
+    n = F.sum(F.when(real, F.col("cnt")).otherwise(F.lit(0)))
+    return scored.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_trigrams"),
+        F.exp(
+            -F.sum(F.when(real, F.col("cnt") * F.col("lp")).otherwise(F.lit(0.0)))
+            / F.nullif(n, F.lit(0))
+        ).alias("ppl"),
+    )
+
+
+def perplexity_scores(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = DEFAULT_K,
+) -> DataFrame:
+    """One-call train-on-A score-B (CCNet shape: A = trusted corpus,
+    B = the web crawl; self-scoring A=B flags a corpus's own outliers)."""
+    model, backoff = train_char_trigram_lm(train, text_col, k)
+    return score_perplexity(score, model, backoff, id_col, text_col)
+
+
+def ppl_buckets(scored: DataFrame, n_buckets: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """CCNet's head/middle/tail split: ntile over ascending perplexity
+    (bucket 1 = most fluent). NULL-ppl docs sort last (Spark NULLS LAST
+    ordering) so they land in the tail bucket. Note: ntile is a single
+    global ordering — for corpus-scale bucketing prefer fixed ppl
+    thresholds learned from `approxQuantile` on a sample; this exact
+    form is for reporting tiers, not a 10^12-row shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("ppl").asc_nulls_last(), F.col(id_col))
+    return scored.withColumn("ppl_bucket", F.ntile(n_buckets).over(w))
+
+
+# ---------------------------------------------------------------- SQL twins
+
+def trigram_ppl_sql(
+    docs_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = DEFAULT_K,
+    round_to: int = 3,
+) -> str:
+    """DuckDB twin of ``perplexity_scores(t, t)`` (self-scoring), built
+    from the same constants as the Spark path: same normalization, same
+    add-k conditional model, same backoff ladder. Output
+    (id, n_trigrams, ppl) with ppl rounded for float-stable hashing."""
+    norm = normalize_for_lm_sql(text_col)
+    uniform = f"ln(1.0 / {V})"
+    return f"""
+WITH nrm AS (
+  SELECT {id_col} AS id, {norm} AS s FROM {docs_table}
+),
+tri AS (
+  SELECT id, substring(s, i, 3) AS tri
+  FROM nrm, LATERAL unnest(generate_series(1, length(s) - 2)) AS t(i)
+  WHERE length(s) >= 3
+),
+tri_counts AS (SELECT tri, count(*) AS cnt3 FROM tri GROUP BY tri),
+ctx_counts AS (
+  SELECT substring(tri, 1, 2) AS ctx, sum(cnt3) AS cnt2
+  FROM tri_counts GROUP BY 1
+),
+model AS (
+  SELECT tri, ln((cnt3 + {k}) / (cnt2 + {k} * {V})) AS logp
+  FROM tri_counts JOIN ctx_counts ON substring(tri, 1, 2) = ctx
+),
+backoff AS (SELECT ctx, ln({k} / (cnt2 + {k} * {V})) AS logp_unseen FROM ctx_counts),
+per_tri AS (SELECT id, tri, count(*) AS cnt FROM tri GROUP BY id, tri),
+scored AS (
+  SELECT p.id, p.cnt,
+         coalesce(m.logp, b.logp_unseen, {uniform}) AS lp
+  FROM per_tri p
+  LEFT JOIN model m USING (tri)
+  LEFT JOIN backoff b ON substring(p.tri, 1, 2) = b.ctx
+),
+per_doc AS (
+  SELECT id, sum(cnt) AS n_trigrams, exp(-sum(cnt * lp) / sum(cnt)) AS ppl
+  FROM scored GROUP BY id
+)
+SELECT d.id AS {id_col},
+       CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       round(p.ppl, {round_to}) AS ppl
+FROM (SELECT DISTINCT {id_col} AS id FROM {docs_table}) d
+LEFT JOIN per_doc p USING (id)
+"""

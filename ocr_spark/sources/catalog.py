@@ -1,0 +1,242 @@
+"""Catalog-table IO — the Iceberg-shaped entry points.
+
+The north_rule runs this pipeline "over Iceberg tables of multi-turn
+conversation / agent transcripts" and checkpoints "per-partition
+completion markers with lineage + extraction metrics to Iceberg". This
+module is that surface, expressed strictly through Spark's
+catalog-agnostic table APIs so the SAME code runs against any catalog
+the cluster configures:
+
+- reads are ``spark.table(name)`` — whatever ``name`` resolves to
+  (an Iceberg catalog, Hive metastore, or the built-in session catalog)
+  supplies the scan; with Iceberg that adds snapshot isolation, hidden
+  partitioning and manifest-level pruning with zero code change here;
+- writes are ``CREATE TABLE ... USING <provider>`` + ``INSERT INTO`` /
+  dynamic ``INSERT OVERWRITE`` — exactly the SQL surface Iceberg's
+  Spark integration implements. On a cluster with the Iceberg runtime
+  jar + catalog config, ``provider="iceberg"`` is the only change (and
+  the explicit ``conv_bucket`` partition column can become the hidden
+  transform ``bucket(n, conv_id)`` in the DDL, invisible to writers).
+
+This sandbox has no Iceberg jar, so tests exercise the identical call
+paths against the built-in ``parquet`` provider of the session catalog —
+same DDL, same insert semantics, same partition pruning (plan-asserted
+``PartitionFilters`` in tests/test_catalog.py).
+
+Reference analog: the reference reads/writes operational SQL-Server
+tables through an app-level client (/root/reference/app/core/database.py);
+here the durable tables are catalog tables and the engine IS the client.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.checkpoint import bucket_col
+from ocr_spark.pipeline import TRANSCRIPT_SCHEMA
+
+DEFAULT_BUCKETS = 64
+
+
+def _ddl_columns(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def ensure_table(
+    spark: SparkSession,
+    name: str,
+    schema: T.StructType,
+    partition_cols: tuple[str, ...] = (),
+    provider: str = "parquet",
+) -> None:
+    """Idempotent CREATE TABLE IF NOT EXISTS with explicit schema.
+
+    The schema is always declared, never inferred from a first write —
+    at 10^12-turn scale silent drift must fail at the DDL, not corrupt
+    the table. Partition columns must be listed in ``schema``.
+    """
+    ddl = _ddl_columns(schema)
+    part = f" PARTITIONED BY ({', '.join(partition_cols)})" if partition_cols else ""
+    spark.sql(f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING {provider}{part}")
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS, plus removal of a stale managed location.
+
+    With a non-persistent (in-memory) session catalog, a table written by
+    a PREVIOUS process leaves its managed directory under the warehouse
+    while the new session's catalog has no entry for it — DROP alone is a
+    no-op and a subsequent CREATE fails with LOCATION_ALREADY_EXISTS.
+    A persistent metastore (or Iceberg catalog) never hits this branch:
+    the catalog entry exists, and DROP removes data + entry atomically.
+    Only plain (unqualified or default-namespace) names are handled."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    loc = os.path.join(wh, name.rsplit(".", 1)[-1].lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+
+
+def load_transcripts_table(spark: SparkSession, name: str) -> DataFrame:
+    """Transcripts scan from a catalog table (Iceberg in production).
+
+    Enforces the declared input contract (BASELINE input_hint): every
+    declared column must exist with the declared type. Extra columns
+    (e.g. a ``conv_bucket`` partition column) are dropped by the
+    projection, which also lets the scan prune them.
+    """
+    df = spark.table(name)
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in TRANSCRIPT_SCHEMA.fields:
+        if f.name not in have:
+            raise ValueError(f"table {name} is missing transcript column {f.name!r}")
+        if have[f.name] != f.dataType:
+            raise ValueError(
+                f"table {name} column {f.name!r} is {have[f.name].simpleString()}, "
+                f"expected {f.dataType.simpleString()}"
+            )
+    return df.select(*[f.name for f in TRANSCRIPT_SCHEMA.fields])
+
+
+def append_table(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """INSERT INTO by name-resolved position (insertInto is positional;
+    selecting in table column order makes it order-safe)."""
+    order = spark.table(name).columns
+    missing = [c for c in order if c not in df.columns]
+    if missing:
+        raise ValueError(f"append to {name}: dataframe missing columns {missing}")
+    df.select(*order).write.insertInto(name)
+
+
+def overwrite_partitions(spark: SparkSession, df: DataFrame, name: str) -> None:
+    """Dynamic INSERT OVERWRITE: only the partitions present in ``df``
+    are replaced — the idempotent-redo primitive (a replayed write of
+    the same partition replaces itself, never duplicates). Iceberg calls
+    this dynamic overwrite; the session catalog needs the conf flipped,
+    scoped here so callers keep their own setting."""
+    order = spark.table(name).columns
+    missing = [c for c in order if c not in df.columns]
+    if missing:
+        raise ValueError(f"overwrite of {name}: dataframe missing columns {missing}")
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.select(*order).write.mode("overwrite").insertInto(name)
+    finally:
+        spark.conf.set(key, prev)
+
+
+def write_transcripts_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    provider: str = "parquet",
+) -> None:
+    """Materialize transcripts as a catalog table partitioned by the
+    conversation bucket ``pmod(xxhash64(conv_id), n_buckets)`` — the
+    explicit-column analog of Iceberg's hidden ``bucket(n, conv_id)``
+    transform. Conversations stay atomic within a partition (conv-level
+    operators read whole conversations from one bucket) and the hash
+    spreads skewed conversations' SIBLINGS across buckets; within-bucket
+    skew is the extract stage's full-key repartition's job."""
+    schema = T.StructType(
+        TRANSCRIPT_SCHEMA.fields + [T.StructField("conv_bucket", T.IntegerType())]
+    )
+    ensure_table(spark, name, schema, ("conv_bucket",), provider)
+    overwrite_partitions(
+        spark, df.withColumn("conv_bucket", bucket_col(n_buckets)), name
+    )
+
+
+MARKER_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_bucket", T.IntegerType()),
+        T.StructField("rows_written", T.LongType()),
+        T.StructField("blocks_kept", T.LongType()),
+        T.StructField("blocks_dropped", T.LongType()),
+        T.StructField("parse_failures", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+    ]
+)
+
+
+def run_with_checkpoint_table(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    process,  # DataFrame -> DataFrame, must preserve conv_id
+    data_table: str,
+    marker_table: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    run_id: str | None = None,
+    provider: str = "parquet",
+) -> dict:
+    """The checkpoint/resume protocol (checkpoint.run_with_checkpoint)
+    against catalog tables — the production form the north_rule names:
+    markers + lineage metrics land in a table, not a directory.
+
+    Same crash-safety argument as the path version: the data write is a
+    dynamic partition overwrite (a redone bucket replaces itself), and a
+    bucket's marker row is appended only after the data write returned,
+    so a crash yields data-without-marker (redone idempotently on
+    resume), never marker-without-data. With ``provider="iceberg"``
+    both commits are additionally snapshot-atomic.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+
+    done: set[int] = set()
+    if spark.catalog.tableExists(marker_table):
+        done = {
+            r.conv_bucket
+            for r in spark.table(marker_table).select("conv_bucket").distinct().collect()
+        }
+
+    with_bucket = transcripts.withColumn("conv_bucket", bucket_col(n_buckets))
+    todo = with_bucket
+    if done:
+        todo = with_bucket.filter(~F.col("conv_bucket").isin(*sorted(done)))
+    if todo.isEmpty():
+        return {"processed_buckets": 0, "skipped_buckets": len(done), "run_id": run_id}
+
+    result = process(todo)
+    if "conv_bucket" not in result.columns:
+        result = result.withColumn("conv_bucket", bucket_col(n_buckets))
+
+    data_schema = T.StructType(
+        [f for f in result.schema.fields if f.name != "conv_bucket"]
+        + [T.StructField("conv_bucket", T.IntegerType())]
+    )
+    ensure_table(spark, data_table, data_schema, ("conv_bucket",), provider)
+    ensure_table(spark, marker_table, MARKER_SCHEMA, (), provider)
+    overwrite_partitions(spark, result, data_table)
+
+    written = spark.table(data_table)
+    if done:
+        written = written.filter(~F.col("conv_bucket").isin(*sorted(done)))
+    agg_cols = [F.count("*").alias("rows_written")]
+    for c in ("blocks_kept", "blocks_dropped", "parse_failures"):
+        agg_cols.append(
+            F.sum(c).alias(c) if c in written.columns else F.lit(None).cast("long").alias(c)
+        )
+    markers = (
+        written.groupBy("conv_bucket").agg(*agg_cols).withColumn("run_id", F.lit(run_id))
+    )
+    append_table(spark, markers, marker_table)
+
+    processed = spark.table(marker_table).filter(F.col("run_id") == run_id).count()
+    return {
+        "processed_buckets": processed,
+        "skipped_buckets": len(done),
+        "run_id": run_id,
+        "n_buckets": n_buckets,
+    }

@@ -1,0 +1,148 @@
+"""Catalog-table IO (sources/catalog.py): the Iceberg-shaped surface.
+
+In-sandbox the session catalog's parquet provider backs the tables; the
+call paths (DDL, INSERT INTO, dynamic INSERT OVERWRITE, spark.table) are
+the ones Iceberg's Spark integration implements, so these tests pin the
+exact semantics a cluster deploy relies on.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.pipeline import extract_transcripts, load_transcripts, write_transcripts
+from ocr_spark.sources import catalog
+
+
+@pytest.fixture()
+def transcripts(spark, small_corpus, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    sdf = spark.createDataFrame(small_corpus["transcripts"])
+    write_transcripts(sdf, path)
+    return load_transcripts(spark, path)
+
+
+def _drop(spark, *names):
+    for n in names:
+        catalog.drop_table(spark, n)
+
+
+def test_transcripts_table_roundtrip_lossless(spark, transcripts):
+    _drop(spark, "t_cat_rt")
+    catalog.write_transcripts_table(spark, transcripts, "t_cat_rt", n_buckets=8)
+    back = catalog.load_transcripts_table(spark, "t_cat_rt")
+    assert back.columns == transcripts.columns  # partition col projected away
+    a = sorted(map(tuple, transcripts.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+    _drop(spark, "t_cat_rt")
+
+
+def test_load_rejects_schema_drift(spark, transcripts):
+    _drop(spark, "t_cat_drift", "t_cat_miss")
+    transcripts.withColumn("turn_idx", F.col("turn_idx").cast("long")).write.saveAsTable(
+        "t_cat_drift"
+    )
+    with pytest.raises(ValueError, match="turn_idx"):
+        catalog.load_transcripts_table(spark, "t_cat_drift")
+    transcripts.drop("tool").write.saveAsTable("t_cat_miss")
+    with pytest.raises(ValueError, match="tool"):
+        catalog.load_transcripts_table(spark, "t_cat_miss")
+    _drop(spark, "t_cat_drift", "t_cat_miss")
+
+
+def test_partition_pruning_on_bucket(spark, transcripts):
+    """A bucket-filtered scan prunes at the partition level (the same
+    pruning an Iceberg bucket-transform scan does via manifests)."""
+    _drop(spark, "t_cat_prune")
+    catalog.write_transcripts_table(spark, transcripts, "t_cat_prune", n_buckets=8)
+    plan = (
+        spark.table("t_cat_prune")
+        .filter(F.col("conv_bucket") == 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "conv_bucket" in plan.split("PartitionFilters")[1][:120]
+    _drop(spark, "t_cat_prune")
+
+
+def test_overwrite_partitions_is_idempotent_and_scoped(spark, transcripts):
+    """Replaying a partition overwrite replaces the partition (no dup
+    rows) and leaves other partitions untouched; the session's
+    partitionOverwriteMode conf is restored afterwards."""
+    _drop(spark, "t_cat_ow")
+    catalog.write_transcripts_table(spark, transcripts, "t_cat_ow", n_buckets=4)
+    before = spark.table("t_cat_ow").count()
+    one_bucket = spark.table("t_cat_ow").filter(F.col("conv_bucket") == 1)
+    n1 = one_bucket.count()
+    assert 0 < n1 < before
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    catalog.overwrite_partitions(spark, one_bucket, "t_cat_ow")
+    catalog.overwrite_partitions(spark, one_bucket, "t_cat_ow")  # replay
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static") == prev
+    assert spark.table("t_cat_ow").count() == before
+    assert spark.table("t_cat_ow").filter(F.col("conv_bucket") == 1).count() == n1
+    _drop(spark, "t_cat_ow")
+
+
+def test_append_table_reorders_columns_and_rejects_missing(spark, transcripts):
+    _drop(spark, "t_cat_app")
+    catalog.ensure_table(spark, "t_cat_app", transcripts.schema, ())
+    shuffled = transcripts.select(*reversed(transcripts.columns))
+    catalog.append_table(spark, shuffled, "t_cat_app")
+    got = sorted(map(tuple, spark.table("t_cat_app").collect()))
+    assert got == sorted(map(tuple, transcripts.collect()))
+    with pytest.raises(ValueError, match="missing columns"):
+        catalog.append_table(spark, transcripts.drop("ts"), "t_cat_app")
+    _drop(spark, "t_cat_app")
+
+
+def test_checkpoint_table_resume_skips_completed_buckets(spark, transcripts):
+    """The table-backed checkpoint protocol: first run processes all
+    buckets; a rerun over the same input processes zero; markers carry
+    lineage metrics per bucket."""
+    _drop(spark, "t_cat_data", "t_cat_markers")
+    process = lambda df: extract_transcripts(df, repartition=4)
+    r1 = catalog.run_with_checkpoint_table(
+        spark, transcripts, process, "t_cat_data", "t_cat_markers", n_buckets=8
+    )
+    assert r1["processed_buckets"] > 0 and r1["skipped_buckets"] == 0
+    rows = spark.table("t_cat_data").count()
+    assert rows == transcripts.count()
+    markers = spark.table("t_cat_markers")
+    assert markers.agg(F.sum("rows_written")).first()[0] == rows
+    assert markers.filter(F.col("blocks_kept").isNull()).count() == 0
+
+    r2 = catalog.run_with_checkpoint_table(
+        spark, transcripts, process, "t_cat_data", "t_cat_markers", n_buckets=8
+    )
+    assert r2["processed_buckets"] == 0
+    assert r2["skipped_buckets"] == r1["processed_buckets"]
+    assert spark.table("t_cat_data").count() == rows  # no dup rows on rerun
+    _drop(spark, "t_cat_data", "t_cat_markers")
+
+
+def test_checkpoint_table_partial_resume(spark, transcripts):
+    """Simulate a crash after some buckets committed: seed markers for a
+    strict subset, rerun, and verify only the complement was processed."""
+    _drop(spark, "t_cat_pdata", "t_cat_pmarkers")
+    process = lambda df: extract_transcripts(df, repartition=4)
+    full = catalog.run_with_checkpoint_table(
+        spark, transcripts, process, "t_cat_pdata", "t_cat_pmarkers", n_buckets=8
+    )
+    total = full["processed_buckets"]
+    # wipe markers for half the buckets (crash-before-marker state)
+    kept = spark.table("t_cat_pmarkers").orderBy("conv_bucket").limit(total // 2)
+    kept_pdf = kept.toPandas()
+    _drop(spark, "t_cat_pmarkers")
+    catalog.ensure_table(spark, "t_cat_pmarkers", catalog.MARKER_SCHEMA, ())
+    catalog.append_table(
+        spark, spark.createDataFrame(kept_pdf, schema=catalog.MARKER_SCHEMA), "t_cat_pmarkers"
+    )
+    r = catalog.run_with_checkpoint_table(
+        spark, transcripts, process, "t_cat_pdata", "t_cat_pmarkers", n_buckets=8
+    )
+    assert r["skipped_buckets"] == total // 2
+    assert r["processed_buckets"] == total - total // 2
+    assert spark.table("t_cat_pdata").count() == transcripts.count()
+    _drop(spark, "t_cat_pdata", "t_cat_pmarkers")

@@ -1,0 +1,123 @@
+"""Char-trigram LM perplexity scorer (operators/lm_quality.py)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import lm_quality as LM
+
+SF = "/root/testdata/sf0.001"
+
+FLUENT = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "a quiet morning walk along the river bank under the old oak trees"),
+    (3, "the dog and the fox often meet near the old river in the morning"),
+    (4, "morning light over the quiet river makes the old bank glow softly"),
+]
+GIBBERISH = [(10, "zxqj vkwq pzxf qjzx wvkq xzpq jqzv kxwq")]
+SHORT = [(20, "ab"), (21, "  !! 9 ")]
+
+
+@pytest.fixture(scope="module")
+def fluent_df(spark):
+    return spark.createDataFrame(FLUENT, ["doc_id", "text"])
+
+
+def test_model_is_a_probability_distribution(spark, fluent_df):
+    """For every observed context the 27 continuation probabilities sum
+    to exactly 1: observed mass + (27 - n_observed) * unseen mass."""
+    model, backoff = LM.train_char_trigram_lm(fluent_df)
+    agg = (
+        model.groupBy(F.substring("tri", 1, 2).alias("ctx"))
+        .agg(
+            F.sum(F.exp("logp")).alias("seen_mass"),
+            F.count("*").alias("n_seen"),
+        )
+        .join(backoff, "ctx")
+        .select(
+            "ctx",
+            (
+                F.col("seen_mass")
+                + (F.lit(LM.V) - F.col("n_seen")) * F.exp("logp_unseen")
+            ).alias("total"),
+        )
+    )
+    for row in agg.collect():
+        assert abs(row["total"] - 1.0) < 1e-9, row
+
+
+def test_fluent_scores_lower_than_gibberish(spark, fluent_df):
+    probe = spark.createDataFrame(FLUENT[:1] + GIBBERISH, ["doc_id", "text"])
+    scored = {
+        r["doc_id"]: r["ppl"]
+        for r in LM.perplexity_scores(fluent_df, probe).collect()
+    }
+    assert scored[1] < scored[10]
+    # gibberish of unseen contexts approaches the uniform ceiling of 27
+    assert scored[10] > 20.0
+
+
+def test_short_docs_get_null_ppl(spark, fluent_df):
+    probe = spark.createDataFrame(SHORT, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in LM.perplexity_scores(fluent_df, probe).collect()}
+    assert rows[20]["n_trigrams"] == 0 and rows[20]["ppl"] is None
+    assert rows[21]["n_trigrams"] == 0 and rows[21]["ppl"] is None
+
+
+def test_perplexity_matches_hand_computation(spark):
+    """One-doc corpus 'abab' -> normalized trigrams {aba, bab}; verify
+    the smoothed conditional math end-to-end by hand."""
+    one = spark.createDataFrame([(1, "abab")], ["doc_id", "text"])
+    k, v = LM.DEFAULT_K, LM.V
+    # counts: aba:1, bab:1; contexts ab:1, ba:1
+    p_aba = (1 + k) / (1 + k * v)
+    p_bab = (1 + k) / (1 + k * v)
+    expect = math.exp(-(math.log(p_aba) + math.log(p_bab)) / 2)
+    got = LM.perplexity_scores(one, one).collect()[0]
+    assert got["n_trigrams"] == 2
+    assert abs(got["ppl"] - expect) < 1e-9
+
+
+def test_scoring_joins_are_broadcast(spark, fluent_df):
+    model, backoff = LM.train_char_trigram_lm(fluent_df)
+    plan = (
+        LM.score_perplexity(fluent_df, model, backoff)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_ppl_buckets_orders_fluency(spark, fluent_df):
+    probe = spark.createDataFrame(FLUENT[:1] + GIBBERISH + SHORT[:1], ["doc_id", "text"])
+    scored = LM.perplexity_scores(fluent_df, probe)
+    b = {r["doc_id"]: r["ppl_bucket"] for r in LM.ppl_buckets(scored).collect()}
+    assert b[1] < b[10]  # fluent in an earlier tier than gibberish
+    assert b[20] == 3  # NULL ppl lands in the tail
+
+
+def test_self_scoring_matches_duckdb_twin(spark):
+    """Full-pipeline parity with the SQL twin on real testdata."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], None if r["ppl"] is None else round(r["ppl"], 3))
+        for r in LM.perplexity_scores(docs, docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(LM.trigram_ppl_sql("documents")).fetchall()
+    }
+    assert set(got) == set(want)
+    for doc_id, (n_tri, ppl) in want.items():
+        gn, gp = got[doc_id]
+        assert gn == n_tri, doc_id
+        if ppl is None:
+            assert gp is None
+        else:
+            assert gp == pytest.approx(ppl, abs=2e-3), doc_id
