@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ocr_spark.data import generate as G
 from ocr_spark.functions import text_stats as TS
 from ocr_spark.operators import lm_quality as LMQ
+from ocr_spark.operators import snapshot as SNP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
@@ -1344,6 +1345,40 @@ def _q_ic_table_roundtrip(spark, sf_dir):
     )
 
 
+_SN_NEW_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text "
+    "FROM documents WHERE doc_id % 7 <> 0 "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+    "WHERE doc_id % 11 = 0"
+)
+
+
+def _q_sn_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/snapshot.py): old = the documents
+    corpus, new = a deterministic perturbation (every 7th doc removed,
+    every 5th changed, every 11th re-added under a new id) — the diff
+    labels each moved document added/removed/changed by fingerprint
+    comparison over a narrow (id, fp) full-outer join."""
+    from ocr_spark.operators import snapshot as SN
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return SN.snapshot_diff(docs, new)
+
+
 def _q_lm_trigram_ppl(spark, sf_dir):
     """CCNet-style quality signal: char-trigram LM (add-k smoothed
     conditional model, broadcastable by construction) trained on the
@@ -1412,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_dense_seq": _q_id_dense_seq,
         "tx_top_bigrams": _q_tx_top_bigrams,
         "lm_trigram_ppl": _q_lm_trigram_ppl,
+        "sn_snapshot_diff": _q_sn_snapshot_diff,
         "ic_table_roundtrip": _q_ic_table_roundtrip,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
@@ -2526,6 +2562,9 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "FROM documents"
         ),
         "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
+        "sn_snapshot_diff": SNP.snapshot_diff_sql(
+            "SELECT doc_id, text FROM documents", _SN_NEW_SQL
+        ),
         "ic_table_roundtrip": (
             "SELECT CAST(o_orderkey % 10 AS BIGINT) AS grp, "
             "COUNT(*) AS n_turns, "

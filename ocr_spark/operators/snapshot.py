@@ -1,0 +1,134 @@
+"""Corpus snapshot diff — added / removed / changed between two versions.
+
+Training corpora are rebuilt continuously (new crawls, re-extraction,
+policy filters); knowing exactly WHAT moved between snapshot A and
+snapshot B is how a pipeline audits drift, scopes incremental re-work
+(re-embed / re-dedup only the changed docs), and explains downstream
+metric shifts. This operator computes the per-document delta and its
+summary, Spark-first:
+
+- each side is first projected to ``(id, fingerprint)`` — the md5 of
+  normalized text (text_stats.fingerprint, the exact-dedup key) — so
+  the shuffle carries two narrow columns, never document bodies;
+- the diff is one full-outer join keyed by document id. That is the
+  minimal data movement for this semantics; when both snapshots are
+  stored bucketed by the id (sources/catalog.py tables), the join
+  plans with zero exchanges;
+- ``changed`` compares fingerprints, not text, so a 100 TB x 100 TB
+  diff moves ~32 bytes per document.
+
+With Iceberg table snapshots (sources/catalog.py), the two inputs are
+two point-in-time reads of the SAME table — this operator is then the
+content-level complement of Iceberg's file-level snapshot diff.
+
+Reference analog: the reference reprocesses documents when their stored
+classification is stale (/root/reference/app/services/
+classification_service.py:60-99, per-document upsert-or-skip); the
+snapshot diff is the corpus-scale generalization: compute the stale set
+declaratively, then reprocess only it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.text_stats import fingerprint
+
+ADDED = "added"
+REMOVED = "removed"
+CHANGED = "changed"
+UNCHANGED = "unchanged"
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Per-document delta between two corpus snapshots.
+
+    Output: (id_col, status) with status in {added, removed, changed}
+    (plus unchanged when ``include_unchanged``). Ids must be unique per
+    snapshot (enforce upstream with exact dedup); duplicate ids would
+    multiply join rows.
+    """
+    o = old.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp_old"))
+    n = new.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp_new"))
+    joined = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit(ADDED))
+        .when(F.col("fp_new").isNull(), F.lit(REMOVED))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit(CHANGED))
+        .otherwise(F.lit(UNCHANGED))
+    )
+    out = joined.select(F.col(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != UNCHANGED)
+    return out
+
+
+def snapshot_churn(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-level churn summary: one row per status with count and
+    share of the union universe — the number a corpus-release report
+    quotes ('4.2% changed, 1.1% removed')."""
+    d = snapshot_diff(old, new, id_col, text_col, include_unchanged=True)
+    counts = d.groupBy("status").agg(F.count("*").alias("n_docs"))
+    # global window over <= 4 rows (one per status) — trivially safe
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return counts.select(
+        "status", "n_docs", F.round(F.col("n_docs") / total, 6).alias("share")
+    )
+
+
+def incremental_targets(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The re-work set: full rows of ``new`` whose content is new or
+    changed since ``old`` — exactly what an incremental re-embed /
+    re-dedup / re-extract pass must process. Left-semi join keeps the
+    plan a filter over ``new`` (no row widening)."""
+    delta = snapshot_diff(old, new, id_col, text_col).filter(
+        F.col("status").isin(ADDED, CHANGED)
+    )
+    return new.join(delta.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------- SQL twin
+
+def snapshot_diff_sql(
+    old_sql: str,
+    new_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> str:
+    """DuckDB twin of ``snapshot_diff`` over two subqueries, built from
+    the same fingerprint definition (text_stats.fingerprint_sql)."""
+    from ocr_spark.functions.text_stats import fingerprint_sql
+
+    fp = fingerprint_sql(text_col)
+    where = "" if include_unchanged else " WHERE status <> 'unchanged'"
+    return f"""
+WITH o AS (SELECT {id_col} AS id, {fp} AS fp_old FROM ({old_sql})),
+n AS (SELECT {id_col} AS id, {fp} AS fp_new FROM ({new_sql})),
+j AS (
+  SELECT coalesce(o.id, n.id) AS id,
+         CASE WHEN o.id IS NULL THEN 'added'
+              WHEN n.id IS NULL THEN 'removed'
+              WHEN fp_old <> fp_new THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM o FULL OUTER JOIN n ON o.id = n.id
+)
+SELECT id AS {id_col}, status FROM j{where}
+"""

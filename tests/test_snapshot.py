@@ -1,0 +1,109 @@
+"""Corpus snapshot diff (operators/snapshot.py)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import snapshot as SN
+
+SF = "/root/testdata/sf0.001"
+
+OLD = [
+    (1, "alpha text one"),
+    (2, "bravo text two"),
+    (3, "charlie text three"),
+    (4, "delta text four"),
+]
+NEW = [
+    (2, "bravo text two"),          # unchanged
+    (3, "charlie text CHANGED"),    # changed
+    (4, "Delta   text  four "),     # fingerprint-equal (normalization)
+    (5, "echo text five"),          # added
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    return (
+        spark.createDataFrame(OLD, ["doc_id", "text"]),
+        spark.createDataFrame(NEW, ["doc_id", "text"]),
+    )
+
+
+def test_diff_statuses(spark, frames):
+    old, new = frames
+    got = {r["doc_id"]: r["status"] for r in SN.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 5: "added"}
+    # normalization makes doc 4 unchanged; include_unchanged surfaces it
+    full = {
+        r["doc_id"]: r["status"]
+        for r in SN.snapshot_diff(old, new, include_unchanged=True).collect()
+    }
+    assert full[2] == "unchanged" and full[4] == "unchanged"
+
+
+def test_churn_shares_sum_to_one(spark, frames):
+    old, new = frames
+    rows = SN.snapshot_churn(old, new).collect()
+    assert {r["status"] for r in rows} == {"added", "removed", "changed", "unchanged"}
+    assert sum(r["n_docs"] for r in rows) == 5  # union universe
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+
+
+def test_incremental_targets_keeps_new_rows(spark, frames):
+    old, new = frames
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in SN.incremental_targets(old, new).collect()
+    )
+    assert got == [(3, "charlie text CHANGED"), (5, "echo text five")]
+
+
+def test_diff_matches_duckdb_twin(spark):
+    """Parity on real testdata with a deterministic perturbation."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionAll(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    got = sorted((r["doc_id"], r["status"]) for r in SN.snapshot_diff(docs, new).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    new_sql = (
+        "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text "
+        "FROM documents WHERE doc_id % 7 <> 0 "
+        "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 11 = 0"
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            SN.snapshot_diff_sql("SELECT doc_id, text FROM documents", new_sql)
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_diff_join_carries_fingerprints_not_text(spark, frames):
+    """The exchange feeding the full-outer join must not carry the text
+    column — only (id, fingerprint)."""
+    old, new = frames
+    plan = (
+        SN.snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    join_part = plan.split("FullOuter")[0]
+    assert "text" not in join_part
