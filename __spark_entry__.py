@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from ocr_spark.data import generate as G
 from ocr_spark.functions import text_stats as TS
 from ocr_spark.operators import lm_quality as LMQ
+from ocr_spark.operators import quantize as QZO
 from ocr_spark.operators import snapshot as SNP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
@@ -1345,6 +1346,20 @@ def _q_ic_table_roundtrip(spark, sf_dir):
     )
 
 
+def _q_qt_quantized_topk(spark, sf_dir):
+    """Int8-quantized ANN (operators/quantize.py): corpus and query are
+    max-abs quantized in-engine, scored by exact-integer cosine (scales
+    cancel), top-15. Integer dots make the scores bit-identical to the
+    DuckDB twin — the quantized path hashes exactly, not approximately."""
+    from ocr_spark.operators import quantize as QZ
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    return QZ.quantized_topk(emb, qv, k=15).select(
+        "vec_id", F.round("qcos", 6).alias("qcos")
+    )
+
+
 _SN_NEW_SQL = (
     "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text "
     "FROM documents WHERE doc_id % 7 <> 0 "
@@ -1428,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "qt_quantized_topk": _q_qt_quantized_topk,
         # -- fuzzy scalar functions
         "fz_levenshtein": _q_fz_levenshtein,
         "fz_token_sort_scalar": _q_fz_token_sort_scalar,
@@ -2562,6 +2578,7 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "FROM documents"
         ),
         "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
+        "qt_quantized_topk": QZO.quantized_topk_sql("embeddings", 7, k=15),
         "sn_snapshot_diff": SNP.snapshot_diff_sql(
             "SELECT doc_id, text FROM documents", _SN_NEW_SQL
         ),

@@ -1,0 +1,161 @@
+"""Int8 embedding quantization — 4x footprint cut for the ANN stack.
+
+At 10^12-document scale the embedding table dominates storage and
+shuffle: a 768-dim float32 vector is 3 KB/row; the int8 form is 776 B
+(vector + one float scale). This module quantizes per-vector with a
+symmetric max-abs scale, entirely with built-in column expressions
+(whole-stage codegen — a quantization pass over the corpus is a pure
+projection: no Python, no shuffle), and scores quantized vectors with
+EXACT integer arithmetic:
+
+- q_i = round(x_i / s), s = max|x| / 127 — every component lands in
+  [-127, 127] by construction, no clamp needed;
+- cosine is scale-invariant, so quantized cosine needs no scale at all:
+  cos(qa, qb) = sum(qa_i*qb_i) / (sqrt(sum qa_i^2) * sqrt(sum qb_i^2)),
+  where every sum is exact int64 — the only float ops are one sqrt and
+  one divide (both correctly-rounded IEEE), making quantized scores
+  bit-identical across engines (the DuckDB twin hashes exactly);
+- reconstruction error is bounded per component: |x_i - q_i*s| <= s/2.
+
+Arithmetic is pinned to explicit casts (float -> double before divide,
+tinyint -> bigint before multiply) so Spark and the SQL twin cannot
+drift through implicit promotion differences.
+
+Reference analog: none (the reference has no vector path); this is the
+standard scale-path companion to operators/similarity.py — quantized
+arrays drop IVF partition bytes 4x with the same probe plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def maxabs_scale_col(vec_col) -> "F.Column":
+    """Per-vector symmetric scale s = max|x| / 127 (double; 0.0 for the
+    all-zero vector)."""
+    mx = F.array_max(F.transform(vec_col, lambda x: F.abs(x.cast("double"))))
+    return (mx / F.lit(127.0)).alias("q_scale")
+
+
+def quantize_col(vec_col, scale_col) -> "F.Column":
+    """array<tinyint> of round(x/s); the all-zero vector (s = 0) maps to
+    all-zero codes via the NULL-division guard."""
+    return F.transform(
+        vec_col,
+        lambda x: F.coalesce(
+            F.round(x.cast("double") / F.nullif(scale_col, F.lit(0.0))),
+            F.lit(0.0),
+        ).cast("tinyint"),
+    )
+
+
+def dequantize_col(q_col, scale_col) -> "F.Column":
+    return F.transform(q_col, lambda v: v.cast("double") * scale_col)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", keep_vec: bool = False
+) -> DataFrame:
+    """Add ``q_vec:array<tinyint>`` and ``q_scale:double``; drops the
+    float vector unless ``keep_vec`` (the point is the 4x cut)."""
+    scale = maxabs_scale_col(F.col(vec_col))
+    out = df.withColumn("q_scale", scale).withColumn(
+        "q_vec", quantize_col(F.col(vec_col), F.col("q_scale"))
+    )
+    return out if keep_vec else out.drop(vec_col)
+
+
+def int_dot_col(a, b) -> "F.Column":
+    """Exact int64 dot product of two int8 arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine_col(a, b) -> "F.Column":
+    """Cosine over int8 codes (scales cancel); NULL when either side is
+    the all-zero vector."""
+    na = F.sqrt(int_dot_col(a, a).cast("double"))
+    nb = F.sqrt(int_dot_col(b, b).cast("double"))
+    return int_dot_col(a, b).cast("double") / (F.nullif(na, F.lit(0.0)) * F.nullif(nb, F.lit(0.0)))
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by QUANTIZED cosine: corpus and query are both
+    quantized in-engine (same round semantics), scored with exact
+    integer dots. Output (id, qcos). The scan is a projection — the
+    only shuffle is the final top-k (TakeOrdered, partial per
+    partition)."""
+    q = quantize_embeddings(embeddings, vec_col, keep_vec=False)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qs = maxabs_scale_col(qlit)
+    qq = quantize_col(qlit, qs)
+    scored = q.select(
+        F.col(id_col), quantized_cosine_col(F.col("q_vec"), qq).alias("qcos")
+    )
+    return scored.orderBy(F.desc("qcos"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------- SQL twins
+
+def _sql_quantize(vec: str) -> tuple[str, str]:
+    """(scale_expr, quantized_list_expr) for a DuckDB list column."""
+    s = f"(list_max(list_transform({vec}, x -> abs(CAST(x AS DOUBLE)))) / 127.0)"
+    q = (
+        f"list_transform({vec}, x -> CAST(coalesce("
+        f"round(CAST(x AS DOUBLE) / nullif({s}, 0.0)), 0.0) AS TINYINT))"
+    )
+    return s, q
+
+
+def _sql_int_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)))"
+    )
+
+
+def quantized_topk_sql(
+    table: str,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of ``quantized_topk`` with the query vector taken
+    from row ``query_id`` of the same table (so the twin needs no
+    driver-side literal). Matches the Spark path bit-for-bit: same
+    round-half-away, same exact integer dots."""
+    _, q = _sql_quantize(vec_col)
+    dot = _sql_int_dot("c.q_vec", "qv.q_vec")
+    na = _sql_int_dot("c.q_vec", "c.q_vec")
+    nb = _sql_int_dot("qv.q_vec", "qv.q_vec")
+    return f"""
+WITH corpus AS (SELECT {id_col} AS id, {q} AS q_vec FROM {table}),
+qv AS (SELECT q_vec FROM corpus WHERE id = {query_id}),
+scored AS (
+  SELECT c.id,
+         CAST({dot} AS DOUBLE)
+           / (nullif(sqrt(CAST({na} AS DOUBLE)), 0.0)
+              * nullif(sqrt(CAST({nb} AS DOUBLE)), 0.0)) AS qcos
+  FROM corpus c, qv
+),
+topk AS (
+  SELECT id, qcos FROM scored
+  ORDER BY qcos DESC NULLS LAST, id LIMIT {k}
+)
+SELECT id AS {id_col}, round(qcos, {round_to}) AS qcos FROM topk
+"""
