@@ -171,6 +171,7 @@ def pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
 def ivf_write_index(
     embeddings: DataFrame, path: str, centroids: List[List[float]],
     vec_col: str = "embedding", files_per_list: int = 16,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF layout: the coarse-quantizer assignment becomes
     the PARTITION KEY of the stored table, so a probe query's
@@ -183,14 +184,23 @@ def ivf_write_index(
     files — NOT writer-parallelism x lists small files (listing/open
     overhead), and NOT one giant file per list (a 2-list probe would get
     only 2 map tasks and leave the cluster idle). files_per_list should
-    be sized so n_probe x files_per_list >= cluster cores."""
+    be sized so n_probe x files_per_list >= cluster cores.
+
+    ``quantize=True`` stores int8 codes + per-vector scale instead of
+    the float vector (operators/quantize.py): ~4x fewer index bytes per
+    probe with identical plan shape; scoring uses the codes directly
+    (cosine is invariant to the per-vector scale)."""
     salt = F.pmod(F.hash(F.col(vec_col)), F.lit(files_per_list))
     assigned = embeddings.withColumn(
         "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
-    )
+    ).withColumn("_salt", salt)
+    if quantize:
+        from ocr_spark.operators.quantize import quantize_embeddings
+
+        assigned = quantize_embeddings(assigned, vec_col)
     assigned.repartition(
-        files_per_list * len(centroids), F.col("ivf_list"), salt
-    ).write.partitionBy("ivf_list").mode("overwrite").parquet(path)
+        files_per_list * len(centroids), F.col("ivf_list"), F.col("_salt")
+    ).drop("_salt").write.partitionBy("ivf_list").mode("overwrite").parquet(path)
 
 
 def ivf_topk_from_index(
@@ -199,15 +209,18 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Probe a materialized IVF index: scan ONLY the n_probe partitions
-    nearest the query (partition pruning does the list selection)."""
+    nearest the query (partition pruning does the list selection).
+    A quantized index (written with ``quantize=True``) is detected by
+    its ``q_vec`` column and scored on the int8 codes directly — the
+    per-vector scale cancels out of cosine, so no dequantization pass."""
     c = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(list(query_vec), dtype=np.float64)
     probe = np.argsort(((c - q) ** 2).sum(axis=1))[:n_probe].tolist()
-    cand = spark.read.parquet(path).filter(
-        F.col("ivf_list").isin([int(p) for p in probe])
-    )
+    stored = spark.read.parquet(path)
+    score_col = vec_col if vec_col in stored.columns else "q_vec"
+    cand = stored.filter(F.col("ivf_list").isin([int(p) for p in probe]))
     scored = cand.select(
-        F.col(id_col), cosine_scores_udf(query_vec)(F.col(vec_col)).alias("cosine_sim")
+        F.col(id_col), cosine_scores_udf(query_vec)(F.col(score_col)).alias("cosine_sim")
     )
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 

@@ -218,6 +218,37 @@ def test_ivf_index_scan_is_partition_pruned(spark, emb, tmp_path):
     assert got == ref
 
 
+def test_ivf_quantized_index_prunes_and_agrees(spark, emb, tmp_path):
+    """quantize=True stores int8 codes + scale instead of the float
+    vector (4x fewer bytes per probed partition); the probe must still
+    partition-prune and its top-k must agree with the float index on
+    the real embeddings (quantization error only)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import ivf_topk_from_index, ivf_write_index
+    from ocr_spark.plans import checks
+
+    cents = [[float(x) for x in r.embedding] for r in emb.orderBy("vec_id").limit(6).collect()]
+    qvec = cents[2]
+    path = str(tmp_path / "ivf_q")
+    ivf_write_index(emb, path, cents, quantize=True)
+
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns
+    assert dict(stored.dtypes)["q_vec"] == "array<tinyint>"
+    assert "q_scale" in stored.columns
+
+    out = ivf_topk_from_index(spark, path, qvec, cents, k=10, n_probe=2)
+    plan = checks.formatted_plan(out)
+    assert "PartitionFilters" in plan and "ivf_list" in plan, plan[:1500]
+
+    fpath = str(tmp_path / "ivf_f")
+    ivf_write_index(emb, fpath, cents)
+    ref = {r.vec_id for r in ivf_topk_from_index(spark, fpath, qvec, cents, k=10, n_probe=2).collect()}
+    got = {r.vec_id for r in out.collect()}
+    assert len(got & ref) >= 8  # recall@10 >= 0.8 vs the float index
+
+
 def test_connected_components_shapes(spark):
     from ocr_spark.operators.dedup import connected_components
 
