@@ -1300,6 +1300,31 @@ def _q_dd_minhash_exact_clones(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _q_dd_incremental_clones(spark, sf_dir):
+    """Incremental-admission dedup on a provable-recall fixture: the
+    batch holds exact clones of corpus docs (+1000000, every 3rd) and
+    second clones (+2000000, every 5th) that duplicate both the corpus
+    and the earlier batch copy. At threshold ~1 the REAL banded-LSH
+    incremental path must emit exactly the identical-shingle-set pairs
+    under the admission ordering rule (corpus targets always, batch
+    targets only earlier ids), which the oracle computes by shingle-set
+    equality."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") % 2 == 0  # half-size fixture: gate cost, not scale
+    )
+    inc = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    )
+    return DD.incremental_near_dups(
+        docs, inc, jaccard_threshold=0.9999
+    ).select("new_id", "dup_of", "dup_side", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_dd_simhash_neardups(spark, sf_dir):
     _ensure_pyfiles(spark)
     return DD.simhash_near_dups(_dup_corpus(spark, sf_dir), "text", "doc_id", 6)
@@ -1437,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_connected_components": _q_dd_connected_components,
         "dd_canonical_corpus": _q_dd_canonical_corpus,
+        "dd_incremental_clones": _q_dd_incremental_clones,
         "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
         # -- ANN / similarity stack
         "sim_cosine_topk": _q_sim_cosine_topk,
@@ -2602,6 +2628,35 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "SELECT doc_id, reason = 'ok' AS keep, reason FROM r"
         ),
         "dd_ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dd_incremental_clones": """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0),
+allc AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '') AS words
+  FROM allc
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN [words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                    for i in range(0, len(words) - 2)]
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+),
+d AS (SELECT doc_id, list_sort(list_distinct(sh)) AS sh FROM g)
+SELECT n.doc_id AS new_id, t.doc_id AS dup_of,
+       CASE WHEN t.doc_id < 1000000 THEN 'corpus' ELSE 'batch' END AS dup_side,
+       CAST(1 AS DOUBLE) AS jaccard
+FROM d n JOIN d t
+  ON n.sh = t.sh
+ AND n.doc_id >= 1000000
+ AND (t.doc_id < 1000000 OR t.doc_id < n.doc_id)
+""",
         "dd_minhash_exact_clones": """
 WITH corpus AS (SELECT doc_id, text FROM documents
                 UNION ALL

@@ -406,6 +406,142 @@ def near_dup_dedup(
         return canonical_docs(df, pairs.select("id_a", "id_b"), id_col)
 
 
+def _band_hash_expr(bands: int = N_BANDS, k: int = N_MINHASH) -> F.Column:
+    """Banded LSH bucket array over a ``minhash`` column (one xxhash64
+    per band over that band's signature rows)."""
+    rows_per_band = k // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at("minhash", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def incremental_near_dups(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    existing_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup check for a NEW batch against an already-deduped corpus.
+
+    A continuously-growing corpus must not re-dedup 100 TB to admit a
+    1 GB crawl increment. This operator flags each incoming document
+    that near-duplicates (a) any corpus document or (b) an EARLIER
+    (smaller-id) document of the same batch — so admitting the
+    non-flagged rows keeps the corpus near-dup-free. Corpus-vs-corpus
+    pairs are never generated (the corpus is deduped by invariant).
+
+    Output: (new_id, dup_of, dup_side in {'corpus','batch'}, jaccard).
+    Ids must be unique across corpus + batch.
+
+    Scale shape: pass ``existing_sigs`` — the stored (id, minhash)
+    signature table maintained across increments (append the admitted
+    batch's signatures after each run) — and the corpus side does NO
+    text work at all during candidate generation; verification
+    recomputes shingles only for the candidate dup targets (a semi-join
+    subset on the order of the batch size, not the corpus).
+    """
+    in_sh = _persist_shingles(
+        incoming.select(id_col, shingles_col(text_col).alias("sh"))
+    )
+    in_sigs = (
+        in_sh.select(id_col, F.explode("sh").alias("shingle"))
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+        .select(id_col, F.array(*[f"h{i}" for i in range(N_MINHASH)]).alias("minhash"))
+    )
+    ex_sigs = (
+        existing_sigs
+        if existing_sigs is not None
+        else minhash_signature(existing, text_col, id_col)
+    )
+    band = _band_hash_expr()
+    b_new = in_sigs.select(
+        F.col(id_col).alias("new_id"), F.posexplode(band).alias("band", "bucket")
+    )
+    b_tgt = ex_sigs.select(
+        F.col(id_col).alias("dup_of"),
+        F.lit("corpus").alias("dup_side"),
+        F.posexplode(band).alias("band", "bucket"),
+    ).unionByName(
+        in_sigs.select(
+            F.col(id_col).alias("dup_of"),
+            F.lit("batch").alias("dup_side"),
+            F.posexplode(band).alias("band", "bucket"),
+        )
+    )
+    cand = _persist_shingles(  # small (pairs), reused by two consumers below
+        b_new.join(b_tgt, ["band", "bucket"])
+        .filter(
+            (F.col("dup_side") == "corpus") | (F.col("dup_of") < F.col("new_id"))
+        )
+        .select("new_id", "dup_of", "dup_side")
+        .distinct()
+    )
+    # verify on exact shingle jaccard; corpus shingles only for candidates
+    tgt_ids = cand.filter(F.col("dup_side") == "corpus").select(
+        F.col("dup_of").alias(id_col)
+    ).distinct()
+    ex_cand_sh = existing.join(tgt_ids, id_col, "left_semi").select(
+        id_col, shingles_col(text_col).alias("sh")
+    )
+    tgt_sh = ex_cand_sh.unionByName(in_sh)
+    return (
+        cand.join(
+            in_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_new")),
+            "new_id",
+        )
+        .join(
+            tgt_sh.select(F.col(id_col).alias("dup_of"), F.col("sh").alias("sh_old")),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_new", "sh_old"))
+            / F.size(F.array_union("sh_new", "sh_old")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "dup_of", "dup_side", "jaccard")
+    )
+
+
+def incremental_admit(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    existing_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """The admitted rows of ``incoming``: everything not flagged by
+    ``incremental_near_dups`` (anti-join on the flagged id set). The
+    caches the pair query registers are scoped here: the admitted frame
+    is checkpointed eagerly so the caller needs no cache management."""
+    with shingle_cache_scope():
+        dups = incremental_near_dups(
+            existing, incoming, text_col, id_col, jaccard_threshold, existing_sigs
+        )
+        admitted = incoming.join(
+            dups.select(F.col("new_id").alias(id_col)).distinct(), id_col, "left_anti"
+        )
+        return admitted.localCheckpoint(eager=True)
+
+
 _SIMHASH_T = T.LongType()
 
 

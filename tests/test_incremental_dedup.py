@@ -1,0 +1,88 @@
+"""Incremental near-dup admission (dedup.incremental_near_dups/_admit)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import dedup as DD
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog by the river"),
+    (2, "pack my box with five dozen liquor jugs before the market opens"),
+    (3, "sphinx of black quartz judge my vow said the old professor"),
+]
+BATCH = [
+    # near-clone of corpus doc 1 (one word changed at the end)
+    (101, "the quick brown fox jumps over the lazy dog by the stream"),
+    # novel document
+    (102, "completely unrelated treatise on the thermodynamics of small stars"),
+    # exact clone of novel batch doc 102 (later id -> flagged vs 102)
+    (103, "completely unrelated treatise on the thermodynamics of small stars"),
+    # novel
+    (104, "another novel text about gardening tomatoes in coastal climates"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    ex = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    inc = spark.createDataFrame(BATCH, ["doc_id", "text"])
+    return ex, inc
+
+
+def test_flags_corpus_and_batch_dups(spark, frames):
+    ex, inc = frames
+    with DD.shingle_cache_scope():
+        rows = DD.incremental_near_dups(ex, inc, jaccard_threshold=0.6).collect()
+    flagged = {(r["new_id"], r["dup_of"], r["dup_side"]) for r in rows}
+    assert (101, 1, "corpus") in flagged
+    assert (103, 102, "batch") in flagged
+    # the earlier batch copy and the novel docs are never flagged
+    assert all(r["new_id"] not in (102, 104) for r in rows)
+    # ordering rule: no batch pair points forward
+    for r in rows:
+        if r["dup_side"] == "batch":
+            assert r["dup_of"] < r["new_id"]
+
+
+def test_admit_keeps_novel_and_first_copy(spark, frames):
+    ex, inc = frames
+    admitted = {r["doc_id"] for r in DD.incremental_admit(ex, inc, jaccard_threshold=0.6).collect()}
+    assert admitted == {102, 104}
+    assert DD.release_shingle_caches() == 0  # admit released its own
+
+
+def test_precomputed_signature_table_gives_same_result(spark, frames):
+    """The scale path: corpus side driven by a stored (id, minhash)
+    table — results must match the recompute-from-text path."""
+    ex, inc = frames
+    sigs = DD.minhash_signature(ex).localCheckpoint(eager=True)
+    with DD.shingle_cache_scope():
+        a = sorted(
+            (r["new_id"], r["dup_of"], r["dup_side"])
+            for r in DD.incremental_near_dups(ex, inc, jaccard_threshold=0.6).collect()
+        )
+        b = sorted(
+            (r["new_id"], r["dup_of"], r["dup_side"])
+            for r in DD.incremental_near_dups(
+                ex, inc, jaccard_threshold=0.6, existing_sigs=sigs
+            ).collect()
+        )
+    assert a == b and len(a) > 0
+
+
+def test_candidates_come_from_stored_sigs_not_corpus_text(spark, frames):
+    """With existing_sigs supplied, candidate generation must be driven
+    by the stored signature table, never the corpus text (the 100 TB
+    side does no text work): replacing every corpus text with garbage
+    still surfaces the corpus candidate via its stored signature."""
+    ex, inc = frames
+    sigs = DD.minhash_signature(ex).localCheckpoint(eager=True)
+    garbage_ex = ex.select("doc_id", F.lit("unused").alias("text"))
+    with DD.shingle_cache_scope():
+        rows = DD.incremental_near_dups(
+            garbage_ex, inc, existing_sigs=sigs, jaccard_threshold=0.0
+        ).collect()
+    corpus_pairs = {
+        (r["new_id"], r["dup_of"]) for r in rows if r["dup_side"] == "corpus"
+    }
+    assert (101, 1) in corpus_pairs
