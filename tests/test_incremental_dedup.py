@@ -46,6 +46,7 @@ def test_flags_corpus_and_batch_dups(spark, frames):
 
 def test_admit_keeps_novel_and_first_copy(spark, frames):
     ex, inc = frames
+    DD.release_shingle_caches()  # drain residue from other test modules
     admitted = {r["doc_id"] for r in DD.incremental_admit(ex, inc, jaccard_threshold=0.6).collect()}
     assert admitted == {102, 104}
     assert DD.release_shingle_caches() == 0  # admit released its own
