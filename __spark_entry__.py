@@ -1094,6 +1094,31 @@ def _q_ex_plain_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_markdown_sql_twin(spark, sf_dir):
+    """Hash-verified markdown-kind extraction: the REAL regex line kernel
+    (extract/markdown.py — fences, headings, quotes, bullets, inline
+    markers, tables, HRs) vs a line-enumerating DuckDB twin over the
+    same word pieces (see _MD_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.expr(_MD_PAYLOAD_SQL).alias("text"),
+        F.lit("markdown").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        F.concat_ws(",", F.expr("transform(spans, s -> s.kind)")).alias("kinds"),
+    )
+
+
 def _q_ex_pdf_sql_twin(spark, sf_dir):
     """Hash-verified pdf_layout-kind extraction: the real bbox parser +
     reading-order sort vs a SQL twin of the same grammar (restricted
@@ -1452,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_plain_sql_twin": _q_ex_plain_sql_twin,
         "ex_html_sql_twin": _q_ex_html_sql_twin,
         "ex_pdf_sql_twin": _q_ex_pdf_sql_twin,
+        "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
@@ -1559,6 +1585,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # plain-kind payload over documents: leading/trailing ws, CRLF, lone CR,
 # tabs, 4-blank-line runs, and every-7th row whitespace-only (degenerate).
+# markdown twin fixture: every formatting construct of the markdown
+# kernel (extract/markdown.py spec) over data-dependent word pieces from
+# documents.text (pure [a-z ] at every SF, min length 44 >= the 42-char
+# piece window). Even ids add a fenced code section (verbatim-keep +
+# empty-code-line drop), ids % 3 == 0 add a table row + separator.
+_MD_W1 = "substr(text, 1, 16)"
+_MD_W2 = "substr(text, 18, 14)"
+_MD_W3 = "upper(substr(text, 33, 10))"
+_MD_PAYLOAD_SQL = (
+    f"'## ' || {_MD_W1} || chr(10) || chr(10)"
+    f" || 'Intro **' || {_MD_W2} || '** see [' || {_MD_W1}"
+    " || '](http://example.com/x) now.' || chr(10)"
+    f" || '- item *' || {_MD_W3} || '* done' || chr(10)"
+    f" || '1. first ~~' || {_MD_W1} || '~~ kept' || chr(10)"
+    f" || '> quoted `' || {_MD_W2} || '` words' || chr(10)"
+    " || '---' || chr(10)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '```python' || chr(10)"
+    f" || '    print(' || {_MD_W3} || ')' || chr(10) || chr(10)"
+    " || '```' || chr(10) ELSE '' END"
+    f" || CASE WHEN doc_id % 3 = 0 THEN '| ' || {_MD_W1} || ' | ' || {_MD_W2}"
+    " || ' |' || chr(10) || '|---|---|' || chr(10) ELSE '' END"
+    f" || 'tail ' || {_MD_W2}"
+)
+
 _PLAIN_PAYLOAD_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN '  ' || chr(9) || chr(10) || ' ' "
     "ELSE '  ' || substr(text, 1, 60) || chr(13) || chr(10) || chr(9) || chr(9) "
@@ -1589,6 +1639,42 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
        ELSE length(rtrim(payload, {_WS_CHARS})) END AS INTEGER) AS span_end,
   CAST(CASE WHEN clean_text = '' THEN 0 ELSE 1 END AS INTEGER) AS blocks_kept
 FROM c
+"""
+
+# DuckDB twin of the markdown line spec: the fixture's line structure is
+# known (same _MD_PAYLOAD_SQL), so each kept line's expected transform
+# result is expressed directly over the same word pieces; the Spark side
+# runs the REAL regex kernel over the assembled payload.
+_MD_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 2 = 0) AS has_code, (doc_id % 3 = 0) AS has_table
+           FROM documents),
+lines AS (
+  SELECT doc_id, 1 AS ord, 'heading' AS kind, {_canon_sql('w1')} AS txt,
+         true AS incl FROM d
+  UNION ALL SELECT doc_id, 2, 'text',
+    {_canon_sql("'Intro ' || w2 || ' see ' || w1 || ' now.'")}, true FROM d
+  UNION ALL SELECT doc_id, 3, 'text',
+    {_canon_sql("'item ' || w3 || ' done'")}, true FROM d
+  UNION ALL SELECT doc_id, 4, 'text',
+    {_canon_sql("'first ' || w1 || ' kept'")}, true FROM d
+  UNION ALL SELECT doc_id, 5, 'text',
+    {_canon_sql("'quoted ' || w2 || ' words'")}, true FROM d
+  UNION ALL SELECT doc_id, 6, 'code', '    print(' || w3 || ')', has_code FROM d
+  UNION ALL SELECT doc_id, 7, 'text',
+    {_canon_sql("replace('| ' || w1 || ' | ' || w2 || ' |', '|', ' ')")},
+    has_table FROM d
+  UNION ALL SELECT doc_id, 8, 'text',
+    {_canon_sql("'tail ' || w2")}, true FROM d),
+k AS (SELECT * FROM lines WHERE incl)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+  string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
+  CAST(count(*) AS INTEGER) AS blocks_kept,
+  CAST(2 + CASE WHEN d.has_code THEN 3 ELSE 0 END
+         + CASE WHEN d.has_table THEN 1 ELSE 0 END AS INTEGER) AS blocks_dropped,
+  string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
+FROM k JOIN d ON k.doc_id = d.doc_id
+GROUP BY k.doc_id, d.has_code, d.has_table
 """
 
 # records-kind payload over customer: both grammar formats, [] credential,
@@ -2717,6 +2803,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_plain_sql_twin": _PLAIN_TWIN_SQL,
         "ex_html_sql_twin": _HTML_TWIN_SQL,
         "ex_pdf_sql_twin": _PDF_TWIN_SQL,
+        "ex_markdown_sql_twin": _MD_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),

@@ -194,22 +194,54 @@ def _plain_payload(r: random.Random) -> str:
     return body
 
 
+def _markdown_payload(r: random.Random) -> str:
+    """Markdown turn: headings, emphasis, links, quotes, lists, fences,
+    tables, HRs in random composition (exercises extract/markdown.py)."""
+    lines = [f"{'#' * r.randint(1, 3)} {_sentence(r, 2, 6)}"]
+    for _ in range(r.randint(2, 6)):
+        roll = r.random()
+        if roll < 0.2:
+            lines.append(f"- {_sentence(r, 2, 8)} **{_name(r)}**")
+        elif roll < 0.35:
+            lines.append(f"{r.randint(1, 9)}. *{_sentence(r, 2, 5)}*")
+        elif roll < 0.5:
+            lines.append(f"> {_sentence(r, 3, 10)}")
+        elif roll < 0.6:
+            lines.append(f"See [{_sentence(r, 1, 3)}](http://example.com/{r.randint(1, 99)}).")
+        elif roll < 0.7:
+            lines.extend(["```", f"result = f({r.randint(0, 99)})", "```"])
+        elif roll < 0.78:
+            lines.append("---")
+        elif roll < 0.86:
+            lines.extend([f"| {_name(r)} | {r.randint(0, 9)} |", "|---|---|"])
+        else:
+            lines.append(_sentence(r, 4, 14))
+    return "\n".join(lines)
+
+
 _BUILDERS = {
     "html": _html_payload,
     "pdf_layout": _pdf_payload,
     "records": _records_payload,
     "plain": _plain_payload,
+    "markdown": _markdown_payload,
 }
 
 
-def gen_conv(conv_seq: int, seed: int = 42, skew_factor: int = 50) -> List[Dict]:
-    """All turns of one conversation; pure function of (conv_seq, seed)."""
+def gen_conv(conv_seq: int, seed: int = 42, skew_factor: int = 50,
+             tools: List[str] | None = None) -> List[Dict]:
+    """All turns of one conversation; pure function of (conv_seq, seed).
+
+    ``tools`` overrides the payload-kind mix (default TOOLS — the
+    default is pinned so every existing fixture/bench corpus is
+    byte-stable; pass e.g. ``TOOLS + ["markdown"]`` to opt in)."""
     size = conv_size(conv_seq, skew_factor)
     cid = conv_id_of(conv_seq)
+    kinds = tools or TOOLS
     rows = []
     for turn_idx in range(size):
         r = random.Random((seed << 20) ^ (conv_seq << 8) ^ turn_idx)
-        tool = r.choice(TOOLS)
+        tool = r.choice(kinds)
         rows.append(
             {
                 "conv_id": cid,
@@ -223,14 +255,15 @@ def gen_conv(conv_seq: int, seed: int = 42, skew_factor: int = 50) -> List[Dict]
     return rows
 
 
-def gen_transcripts_pdf(n_convs: int, seed: int = 42, skew_factor: int = 50, shuffle: bool = True):
+def gen_transcripts_pdf(n_convs: int, seed: int = 42, skew_factor: int = 50, shuffle: bool = True,
+                        tools: List[str] | None = None):
     """Driver-side pandas build (tests / small fixtures); rows pre-shuffled
     so stable-ordering logic is actually exercised (FIXTURES.md §1)."""
     import pandas as pd
 
     rows: List[Dict] = []
     for c in range(n_convs):
-        rows.extend(gen_conv(c, seed, skew_factor))
+        rows.extend(gen_conv(c, seed, skew_factor, tools))
     if shuffle:
         random.Random(seed).shuffle(rows)
     df = pd.DataFrame(rows)

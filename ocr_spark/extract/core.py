@@ -26,6 +26,9 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
                     (classification_service.py:182-242)
 - ``plain``      -> whitespace/unicode canonicalization only
                     (classification_service.py:244-260 analog)
+- ``markdown``   -> formatting strip, fences kept as code blocks
+                    (rebuild extension for agent transcripts; see
+                    extract/markdown.py)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -36,6 +39,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from .html_blocks import extract_html
+from .markdown import extract_markdown
 from .normalize import canonicalize
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
 from .pdf_layout import extract_pdf_layout
@@ -53,6 +57,7 @@ KIND_HTML = "html"
 KIND_PDF = "pdf_layout"
 KIND_RECORDS = "records"
 KIND_PLAIN = "plain"
+KIND_MARKDOWN = "markdown"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -87,7 +92,11 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
     if len(payload) > MAX_PAYLOAD_CHARS:
         truncated_chars = len(payload) - MAX_PAYLOAD_CHARS
         payload = payload[:MAX_PAYLOAD_CHARS]
-    kind = tool if tool in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN) else KIND_PLAIN
+    kind = (
+        tool
+        if tool in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN)
+        else KIND_PLAIN
+    )
 
     records: List[Record] = []
     field_employee: Optional[str] = None
@@ -99,6 +108,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
     elif kind == KIND_PDF:
         clean, spans, kept, parse_failures = extract_pdf_layout(payload)
         dropped = parse_failures
+    elif kind == KIND_MARKDOWN:
+        clean, spans, kept, dropped = extract_markdown(payload)
     elif kind == KIND_RECORDS:
         clean, spans, kept, dropped, records = _extract_records(payload)
         field_employee = extract_field_employee(payload)

@@ -1,0 +1,114 @@
+"""Markdown main-content extraction (the ``markdown`` payload kind).
+
+Agent transcripts carry a lot of markdown — assistant answers, tool
+READMEs, docs pasted into context. This kernel strips markdown
+*formatting* while keeping the content, the exact analog of the HTML
+boilerplate strip for the markup family the reference never handled
+(reference analog: the per-kind dispatch of
+data_extraction_service.py:71-78; this kind is a rebuild extension).
+
+Deterministic line-based spec (shared verbatim by the Spark pipeline and
+the DuckDB SQL twin ``ex_markdown_sql_twin`` in ``__spark_entry__``):
+
+1. A line whose lstrip starts with three backticks toggles fenced-code
+   mode and is dropped.
+2. Inside a fence, lines are kept VERBATIM minus trailing whitespace
+   (indentation preserved — code structure is content); empty code
+   lines are dropped. Span kind ``code``. An unclosed fence runs to the
+   end of the payload.
+3. Outside a fence, a horizontal rule (``---``/``***``/``___``, 3+) or
+   a table-separator line (``|`` then only ``| - : space``) is dropped.
+4. Every other line is transformed in this fixed order:
+   blockquote markers stripped -> ATX heading marker stripped (span
+   kind becomes ``heading``) -> one bullet / ordered-list marker
+   stripped -> images ``![alt](url)`` -> alt -> links ``[txt](url)`` ->
+   txt -> ``~~s~~``/``**b**``/``*i*`` markers unwrapped -> backticks
+   removed -> pipes become spaces (table rows) -> ``canonicalize``.
+   Non-empty results are kept (kind ``heading``/``text``), empty ones
+   dropped.
+
+Underscore emphasis (``_x_``/``__x__``) is deliberately NOT stripped:
+in agent transcripts underscores are overwhelmingly identifiers
+(``snake_case``), and RE2 (the DuckDB twin's engine) has no lookaround
+to disambiguate — so both sides agree by leaving underscores alone.
+
+Spans index the RAW payload: one ``(line_start, line_end, kind)`` per
+kept line, end excluding the newline (a CR from CRLF input stays inside
+the span; the cleaned text never contains it).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .normalize import canonicalize
+
+Span = Tuple[int, int, str]
+
+_FENCE = re.compile(r"^[ \t]*```")
+_HR = re.compile(r"^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t\r]*$")
+_TABLE_SEP = re.compile(r"^[ \t]*\|[ \t\r:|\-]*$")
+_QUOTE = re.compile(r"^([ \t]*>[ \t]?)+")
+_HEADING = re.compile(r"^[ \t]*#{1,6}[ \t]+")
+_BULLET = re.compile(r"^[ \t]*[-*+][ \t]+")
+_ORDERED = re.compile(r"^[ \t]*[0-9]+[.)][ \t]+")
+_IMAGE = re.compile(r"!\[([^\]]*)\]\(([^()]*)\)")
+_LINK = re.compile(r"\[([^\]]*)\]\(([^()]*)\)")
+_STRIKE = re.compile(r"~~([^~]+)~~")
+_BOLD = re.compile(r"\*\*([^*]+)\*\*")
+_ITALIC = re.compile(r"\*([^*]+)\*")
+
+
+def extract_markdown(payload: str) -> Tuple[str, List[Span], int, int]:
+    """Extract markdown main content.
+
+    Returns ``(clean_text, spans, lines_kept, lines_dropped)`` — the
+    ``extract_turn`` block contract (kept/dropped are the block
+    metrics, one block per source line).
+    """
+    out: List[str] = []
+    spans: List[Span] = []
+    kept = dropped = 0
+    in_code = False
+    pos = 0
+    for line in payload.split("\n"):
+        start, end = pos, pos + len(line)
+        pos = end + 1
+        if _FENCE.match(line):
+            in_code = not in_code
+            dropped += 1
+            continue
+        if in_code:
+            code = line.rstrip(" \t\r")
+            if code:
+                out.append(code)
+                spans.append((start, end, "code"))
+                kept += 1
+            else:
+                dropped += 1
+            continue
+        if _HR.match(line) or _TABLE_SEP.match(line):
+            dropped += 1
+            continue
+        body = _QUOTE.sub("", line, count=1)
+        m = _HEADING.match(body)
+        kind = "heading" if m else "text"
+        if m:
+            body = body[m.end():]
+        body = _BULLET.sub("", body, count=1)
+        body = _ORDERED.sub("", body, count=1)
+        body = _IMAGE.sub(r"\1", body)
+        body = _LINK.sub(r"\1", body)
+        body = _STRIKE.sub(r"\1", body)
+        body = _BOLD.sub(r"\1", body)
+        body = _ITALIC.sub(r"\1", body)
+        body = body.replace("`", "").replace("|", " ")
+        clean = canonicalize(body)
+        if clean:
+            out.append(clean)
+            spans.append((start, end, kind))
+            kept += 1
+        else:
+            dropped += 1
+    return "\n".join(out), spans, kept, dropped

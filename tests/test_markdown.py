@@ -1,0 +1,112 @@
+"""Markdown extraction kernel (extract/markdown.py) + pipeline dispatch."""
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.markdown import extract_markdown
+
+
+def test_pipeline_golden_with_markdown_mix(spark):
+    """End-to-end: the distributed pipeline over a markdown-inclusive
+    corpus equals the row-by-row golden oracle (north_rule invariant
+    extends to the new kind)."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(12, seed=7, skew_factor=5, tools=TOOLS + ["markdown"])
+    assert (corpus["tool"] == "markdown").any()
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_transcripts(tdf, repartition=5).orderBy("conv_id", "turn_idx").collect()
+    golden = golden_extraction_rows(corpus)
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
+        assert got.blocks_kept == exp["blocks_kept"]
+        assert got.blocks_dropped == exp["blocks_dropped"]
+
+
+def test_heading_bullet_quote_strip():
+    clean, spans, kept, dropped = extract_markdown(
+        "# Title here\n\n- item one\n1. item two\n> quoted words"
+    )
+    assert clean == "Title here\nitem one\nitem two\nquoted words"
+    assert [k for _, _, k in spans] == ["heading", "text", "text", "text"]
+    assert kept == 4 and dropped == 1  # the blank line
+
+
+def test_inline_markers_unwrapped():
+    clean, _, _, _ = extract_markdown(
+        "Intro **bold** and *ital* and ~~gone~~ and `code` end."
+    )
+    assert clean == "Intro bold and ital and gone and code end."
+
+
+def test_links_and_images_keep_text():
+    clean, _, _, _ = extract_markdown(
+        "See [the docs](http://example.com/a) and ![alt text](img.png)."
+    )
+    assert clean == "See the docs and alt text."
+
+
+def test_underscores_never_touched():
+    clean, _, _, _ = extract_markdown("call snake_case_fn and _private_ too")
+    assert clean == "call snake_case_fn and _private_ too"
+
+
+def test_fenced_code_verbatim_with_indentation():
+    payload = "before\n```python\n    def f():\n        return 1\n\n```\nafter"
+    clean, spans, kept, dropped = extract_markdown(payload)
+    assert clean == "before\n    def f():\n        return 1\nafter"
+    assert [k for _, _, k in spans] == ["text", "code", "code", "text"]
+    # fences x2 + the empty code line
+    assert kept == 4 and dropped == 3
+
+
+def test_unclosed_fence_runs_to_end():
+    clean, spans, _, _ = extract_markdown("```\ncode a\ncode b")
+    assert clean == "code a\ncode b"
+    assert all(k == "code" for _, _, k in spans)
+
+
+def test_hr_and_table_separator_dropped_table_rows_kept():
+    clean, _, kept, dropped = extract_markdown(
+        "---\n| colA | colB |\n|---|---|\n| v1 | v2 |\n***"
+    )
+    assert clean == "colA colB\nv1 v2"
+    assert kept == 2 and dropped == 3
+
+
+def test_hr_vs_bullet_vs_bold_line():
+    # '- x' is a bullet, '---' an HR, '***bold***' is content
+    clean, _, _, _ = extract_markdown("- x\n---\n***bold***")
+    assert clean == "x\nbold"
+
+
+def test_spans_index_raw_payload():
+    payload = "# T\nbody line"
+    _, spans, _, _ = extract_markdown(payload)
+    assert spans == [(0, 3, "heading"), (4, 13, "text")]
+    assert payload[spans[1][0]:spans[1][1]] == "body line"
+
+
+def test_crlf_payload():
+    clean, spans, _, _ = extract_markdown("# T\r\n---\r\nbody\r\n")
+    assert clean == "T\nbody"
+    assert [k for _, _, k in spans] == ["heading", "text"]
+
+
+def test_nested_quote_heading():
+    clean, spans, _, _ = extract_markdown("> > ## deep quote")
+    assert clean == "deep quote"
+    assert spans[0][2] == "heading"
+
+
+def test_extract_turn_dispatch():
+    res = extract_turn("# H\n- b", "markdown")
+    assert res["clean_text"] == "H\nb"
+    assert res["blocks_kept"] == 2
+    assert res["records"] == [] and res["company_id"] == 1
+
+
+def test_unknown_kind_still_degrades_to_plain():
+    assert extract_turn("**x**", "mystery")["clean_text"] == "**x**"
