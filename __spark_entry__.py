@@ -696,6 +696,40 @@ def _q_pk_sequence_packing(spark, sf_dir):
     )
 
 
+# Gopher-rules twin fixture: CASE payload steering each doc into one
+# published failure mode (short / lorem+brace / all-bullets / ellipsis
+# lines / symbol spam) or the stopword-rich pass path; word/line stats
+# stay data-dependent on documents.text.
+_GQ_PAYLOAD_SQL = (
+    "CASE doc_id % 6"
+    " WHEN 1 THEN substr(text, 1, 30)"
+    " WHEN 2 THEN text || ' lorem ipsum { x'"
+    " WHEN 3 THEN '- one two' || chr(10) || '- three four' || chr(10) || '- five six'"
+    " WHEN 4 THEN 'alpha beta...' || chr(10) || 'gamma delta...' || chr(10) || 'epsilon zeta'"
+    " WHEN 5 THEN text || ' ' || repeat('# ', 12)"
+    " ELSE text || ' the dogs and cats have fun with that' END"
+)
+
+_GQ_COLS = [
+    "n_words", "n_lines", "stop_hits", "words_ok", "mean_wl_ok", "symbol_ok",
+    "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok", "no_lorem", "no_brace",
+    "keep",
+]
+
+
+def _q_tx_gopher_flags(spark, sf_dir):
+    """Gopher/C4 document-quality rule flags (training.gopher_quality_flags)
+    vs a DuckDB twin that recomputes every rule generically with list
+    lambdas — integer-arithmetic thresholds, so verdicts match exactly."""
+    from ocr_spark.operators.training import gopher_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    fixed = docs.select("doc_id", F.expr(_GQ_PAYLOAD_SQL).alias("text"))
+    return gopher_quality_flags(fixed).select(
+        F.col("doc_id").cast("long").alias("doc_id"), *_GQ_COLS
+    )
+
+
 def _q_tx_quality_filter(spark, sf_dir):
     # keep/drop verdict, first-failing-rule reason (operators/training.py)
     from ocr_spark.operators.training import quality_filter
@@ -1502,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis + training-data ops
         "tx_text_stats": _q_tx_text_stats,
         "tx_quality_filter": _q_tx_quality_filter,
+        "tx_gopher_flags": _q_tx_gopher_flags,
         "ctx_window_assembly": _q_ctx_window_assembly,
         "pk_sequence_packing": _q_pk_sequence_packing,
         "ret_bm25_scores": _q_ret_bm25_scores,
@@ -1640,6 +1675,61 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
   CAST(CASE WHEN clean_text = '' THEN 0 ELSE 1 END AS INTEGER) AS blocks_kept
 FROM c
 """
+
+# DuckDB twin of the Gopher/C4 quality rules: generic recompute with
+# list lambdas over the same CASE-steered payload (no enumeration — the
+# oracle re-derives every count). All thresholds are the cross-multiplied
+# integer forms of training.gopher_quality_flags.
+_GOPHER_TWIN_SQL = rf"""
+WITH p AS (SELECT doc_id, {_GQ_PAYLOAD_SQL} AS t FROM documents),
+s AS (SELECT doc_id, t,
+    string_split_regex(trim(t), '\s+') AS words,
+    string_split(t, chr(10)) AS lines,
+    length(t) - length(replace(t, '#', '')) AS n_hash,
+    (length(t) - length(replace(t, '...', ''))) // 3
+      + (length(t) - length(replace(t, '…', ''))) AS n_ell
+  FROM p),
+m AS (SELECT doc_id, t, n_hash, n_ell,
+    CASE WHEN trim(t) = '' THEN 0 ELSE len(words) END AS n_words,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0) AS total_chars,
+    len(lines) AS n_lines,
+    len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*([-*•]|[0-9]+[.)])[ \t]'))) AS n_bullet,
+    len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)[ \t]*$'))) AS n_ell_end,
+    len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+    CAST(regexp_matches(lower(t), '\bthe\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bbe\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bto\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bof\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\band\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bthat\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bhave\b') AS INT)
+      + CAST(regexp_matches(lower(t), '\bwith\b') AS INT) AS stop_hits
+  FROM s)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_words AS INTEGER) AS n_words,
+  CAST(n_lines AS INTEGER) AS n_lines,
+  CAST(stop_hits AS INTEGER) AS stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS words_ok,
+  (3 * n_words <= total_chars AND total_chars <= 10 * n_words) AS mean_wl_ok,
+  (10 * (n_hash + n_ell) <= n_words) AS symbol_ok,
+  (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+  (10 * n_ell_end <= 3 * n_lines) AS ellipsis_ok,
+  (5 * n_alpha >= 4 * n_words) AS alpha_ok,
+  (stop_hits >= 2) AS stop_ok,
+  (NOT contains(lower(t), 'lorem ipsum')) AS no_lorem,
+  (NOT contains(t, '{{')) AS no_brace,
+  ((n_words >= 50 AND n_words <= 100000)
+   AND (3 * n_words <= total_chars AND total_chars <= 10 * n_words)
+   AND (10 * (n_hash + n_ell) <= n_words)
+   AND (10 * n_bullet <= 9 * n_lines)
+   AND (10 * n_ell_end <= 3 * n_lines)
+   AND (5 * n_alpha >= 4 * n_words)
+   AND (stop_hits >= 2)
+   AND (NOT contains(lower(t), 'lorem ipsum'))
+   AND (NOT contains(t, '{{'))) AS keep
+FROM m
+"""
+
 
 # DuckDB twin of the markdown line spec: the fixture's line structure is
 # known (same _MD_PAYLOAD_SQL), so each kept line's expected transform
@@ -2713,6 +2803,7 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "FROM t) "
             "SELECT doc_id, reason = 'ok' AS keep, reason FROM r"
         ),
+        "tx_gopher_flags": _GOPHER_TWIN_SQL,
         "dd_ngram_jaccard": _NGRAM_JACCARD_SQL,
         "dd_incremental_clones": """
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),

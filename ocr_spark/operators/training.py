@@ -155,6 +155,88 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1) + two C4 rules (Raffel et al. 2020):
+# published filter set, reimplemented as pure INTEGER-arithmetic column
+# expressions so the DuckDB oracle reproduces every verdict exactly (no
+# float-division divergence between engines). Thresholds are the
+# published ones, encoded as cross-multiplied integer comparisons.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_LINE_RE = r"^[ \t]*([-*•]|[0-9]+[.)])[ \t]"
+_ELLIPSIS_END_RE = r"(\.\.\.|…)[ \t]*$"
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher/C4 rule verdicts + overall ``keep``.
+
+    Rules (each its own boolean column, so downstream can re-weight
+    instead of hard-dropping):
+
+    - ``words_ok``:    50 <= word count <= 100k
+    - ``mean_wl_ok``:  3 <= mean word length <= 10      (3n <= chars <= 10n)
+    - ``symbol_ok``:   (#'#' + #'...') / words <= 0.1   (10*sym <= n)
+    - ``bullet_ok``:   bullet-started lines <= 90%      (10*b <= 9*lines)
+    - ``ellipsis_ok``: '...'-ended lines <= 30%         (10*e <= 3*lines)
+    - ``alpha_ok``:    words containing a letter >= 80% (5*a >= 4*n)
+    - ``stop_ok``:     >= 2 distinct required stopwords present
+    - ``no_lorem``:    no 'lorem ipsum'   (C4)
+    - ``no_brace``:    no '{'             (C4)
+
+    Stateless projection — whole-stage codegen, zero shuffle; verified
+    against the DuckDB twin ``tx_gopher_flags``.
+    """
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
+    total_chars = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+        + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(_BULLET_LINE_RE)))
+    n_ell_end = F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_RE)))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.lower(c).rlike(rf"\b{sw}\b").cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    out = (
+        df.withColumn("n_words", n_words.cast("int"))
+        .withColumn("n_lines", n_lines.cast("int"))
+        .withColumn("stop_hits", stop_hits.cast("int"))
+        .withColumn(
+            "words_ok",
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        )
+        .withColumn(
+            "mean_wl_ok",
+            (3 * n_words <= total_chars) & (total_chars <= 10 * n_words),
+        )
+        .withColumn("symbol_ok", 10 * (n_hash + n_ell) <= n_words)
+        .withColumn("bullet_ok", 10 * n_bullet <= 9 * n_lines)
+        .withColumn("ellipsis_ok", 10 * n_ell_end <= 3 * n_lines)
+        .withColumn("alpha_ok", 5 * n_alpha >= 4 * n_words)
+        .withColumn("stop_ok", F.col("stop_hits") >= 2)
+        .withColumn("no_lorem", ~F.lower(c).contains("lorem ipsum"))
+        .withColumn("no_brace", ~c.contains("{"))
+    )
+    rule_cols = [
+        "words_ok", "mean_wl_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stop_ok", "no_lorem", "no_brace",
+    ]
+    keep = None
+    for rc in rule_cols:
+        keep = F.col(rc) if keep is None else keep & F.col(rc)
+    return out.withColumn("keep", keep)
+
+
 # Independent multiplicative-hash stream for sampling decisions (distinct
 # constant + offset from stratified_split's, so resampling and splitting
 # are statistically independent of each other while both stay pure int64

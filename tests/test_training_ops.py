@@ -114,3 +114,47 @@ def test_assign_dense_ids_nonmonotone_input(spark):
     assert sorted((r["key"], r["seq_id"]) for r in got) == [
         (k, k) for k in range(200)
     ]
+
+
+def test_gopher_flags_rule_targeting(spark):
+    """Each crafted document trips exactly the intended Gopher/C4 rule."""
+    from ocr_spark.operators.training import gopher_quality_flags
+
+    good = ("word " * 60).strip() + " the cat and dog"
+    cases = [
+        ("pass", good),
+        ("short", "only four words here the and"),
+        ("lorem", good + " lorem ipsum"),
+        ("brace", good + " {"),
+        ("bullets", "- a b\n- c d\n- e f"),
+        ("ellipsis", "alpha beta...\ngamma delta...\nepsilon zeta"),
+        ("symbols", good + " " + "# " * 12),
+        ("longwords", ("supercalifragilistic " * 60).strip() + " the and"),
+        ("nonalpha", ("123 456 " * 40).strip() + " the and"),
+        ("nostop", ("word " * 60).strip()),
+    ]
+    df = spark.createDataFrame(cases, ["case", "text"])
+    rows = {r["case"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows["pass"]["keep"]
+    assert not rows["short"]["words_ok"] and not rows["short"]["keep"]
+    assert not rows["lorem"]["no_lorem"] and rows["lorem"]["words_ok"]
+    assert not rows["brace"]["no_brace"]
+    assert not rows["bullets"]["bullet_ok"]
+    assert not rows["ellipsis"]["ellipsis_ok"]
+    assert not rows["symbols"]["symbol_ok"]
+    assert not rows["longwords"]["mean_wl_ok"]
+    assert not rows["nonalpha"]["alpha_ok"]
+    assert not rows["nostop"]["stop_ok"] and rows["nostop"]["n_words"] == 60
+
+
+def test_gopher_flags_empty_and_unicode(spark):
+    from ocr_spark.operators.training import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [("e", ""), ("w", "   "), ("u", "voilà the café and résumé ends…")],
+        ["case", "text"],
+    )
+    rows = {r["case"]: r for r in gopher_quality_flags(df).collect()}
+    assert rows["e"]["n_words"] == 0 and not rows["e"]["keep"]
+    assert rows["w"]["n_words"] == 0
+    assert rows["u"]["n_words"] == 6  # unicode ellipsis counted, words intact
