@@ -37,6 +37,7 @@ from ocr_spark.operators.contamination import decontaminate
 from ocr_spark.operators.dedup import near_dup_dedup
 from ocr_spark.operators.pii import pii_scrub
 from ocr_spark.operators.training import (
+    gopher_quality_flags,
     pack_sequences,
     quality_filter,
     repetition_stats,
@@ -55,6 +56,7 @@ def curate_corpus(
     weights: tuple = (0.8, 0.1, 0.1),
     scrub_pii: bool = False,
     evalset: DataFrame | None = None,
+    gopher_rules: bool = False,
     max_dup_line_frac: float | None = None,
     max_top_bigram_frac: float | None = None,
     resample_alpha: float | None = None,
@@ -86,6 +88,15 @@ def curate_corpus(
     if scrub_pii:
         docs = pii_scrub(docs, text_col)
     kept = quality_filter(docs, text_col).filter(F.col("keep")).drop("keep", "reason")
+    if gopher_rules:
+        # full published rule set after the cheap 3-rule screen; both are
+        # stateless projections, so stage order only affects readability
+        kept = gopher_quality_flags(kept, text_col).filter(F.col("keep"))
+        kept = kept.drop(
+            "n_words", "n_lines", "stop_hits", "words_ok", "mean_wl_ok",
+            "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok",
+            "no_lorem", "no_brace", "keep",
+        )
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
         # append=True keeps this a stateless projection (no corpus join)
         kept = repetition_stats(kept, text_col, id_col, append=True)

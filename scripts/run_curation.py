@@ -40,6 +40,7 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--evalset", default=None)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--gopher-rules", action="store_true")
     ap.add_argument("--max-dup-line-frac", type=float, default=None)
     ap.add_argument("--max-top-bigram-frac", type=float, default=None)
     ap.add_argument("--resample-alpha", type=float, default=None)
@@ -60,6 +61,7 @@ def main() -> None:
         token_budget=args.token_budget,
         shards=args.shards,
         scrub_pii=args.scrub_pii,
+        gopher_rules=args.gopher_rules,
         evalset=evalset,
         max_dup_line_frac=args.max_dup_line_frac,
         max_top_bigram_frac=args.max_top_bigram_frac,

@@ -137,3 +137,25 @@ def test_full_stack_with_optional_stages(spark):
     assert 0 < n < corpus.count()
     assert {"split", "shard", "bin_id", "tokens"} <= set(out.columns)
     out.unpersist()
+
+
+def test_gopher_stage_opt_in(spark):
+    """gopher_rules=True drops rule violators the cheap screen passes,
+    and the flag columns never leak into the curated output."""
+    from ocr_spark.operators.curation import curate_corpus
+
+    good = ("alpha beta gamma delta " * 15).strip() + " the end and done"
+    rows = [
+        (1, good, "web"),
+        (2, good + " second copy distinct words here the and", "web"),
+        (3, good + " lorem ipsum", "web"),  # passes 3-rule screen, fails C4
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    base = curate_corpus(docs, jaccard_threshold=0.95, token_budget=512)
+    strict = curate_corpus(
+        docs, jaccard_threshold=0.95, token_budget=512, gopher_rules=True
+    )
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+    out = strict.collect()
+    assert {r["doc_id"] for r in out} == {1, 2}
+    assert "no_lorem" not in strict.columns and "keep" not in strict.columns
