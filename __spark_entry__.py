@@ -1153,6 +1153,32 @@ def _q_ex_markdown_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_json_sql_twin(spark, sf_dir):
+    """Hash-verified json_tool-kind extraction: the REAL recursive-descent
+    JSON parser (extract/json_payload.py — document-order string values,
+    empty-value drop, invalid-JSON plain degrade) vs a value-enumerating
+    DuckDB twin (see _JS_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_JS_PAYLOAD_SQL).alias("text"),
+        F.lit("json_tool").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        "parse_failures",
+        F.try_element_at("spans", F.lit(1))["kind"].alias("first_kind"),
+    )
+
+
 def _q_ex_pdf_sql_twin(spark, sf_dir):
     """Hash-verified pdf_layout-kind extraction: the real bbox parser +
     reading-order sort vs a SQL twin of the same grammar (restricted
@@ -1512,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_html_sql_twin": _q_ex_html_sql_twin,
         "ex_pdf_sql_twin": _q_ex_pdf_sql_twin,
         "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
+        "ex_json_sql_twin": _q_ex_json_sql_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
@@ -1620,6 +1647,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # plain-kind payload over documents: leading/trailing ws, CRLF, lone CR,
 # tabs, 4-blank-line runs, and every-7th row whitespace-only (degenerate).
+# json_tool twin fixture: nested objects/arrays with string values in
+# document order, an empty value (dropped), non-string leaves (skipped),
+# a parity-dependent extra field, and an invalid-JSON case exercising
+# the plain-degrade path. No backslashes anywhere: Spark processes
+# escape sequences in SQL string literals, DuckDB does not — escape
+# handling is covered by pytest instead (test_json_payload).
+_JS_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 5 = 4 THEN '{broken ' || substr(text, 1, 12)"
+    " ELSE '{\"status\": \"ok\", \"text\": \"' || substr(text, 1, 16)"
+    " || '\", \"meta\": {\"note\": \"' || substr(text, 18, 14)"
+    " || '\", \"empty\": \"\", \"n\": 42, \"flag\": true}, \"items\": [\"'"
+    " || upper(substr(text, 33, 10)) || '\", 7]'"
+    " || CASE WHEN doc_id % 2 = 1 THEN ', \"extra\": \"' || substr(text, 18, 14)"
+    " || ' tail\"' ELSE '' END"
+    " || '}' END"
+)
+
 # markdown twin fixture: every formatting construct of the markdown
 # kernel (extract/markdown.py spec) over data-dependent word pieces from
 # documents.text (pure [a-z ] at every SF, min length 44 >= the 42-char
@@ -1675,6 +1719,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
   CAST(CASE WHEN clean_text = '' THEN 0 ELSE 1 END AS INTEGER) AS blocks_kept
 FROM c
 """
+
+# DuckDB twin of the json_tool kind: the fixture's value structure is
+# known (same _JS_PAYLOAD_SQL), so expected string values are enumerated
+# in document order; the Spark side runs the REAL recursive-descent
+# parser over the assembled payload.
+_JS_BAD_EXPR = _canon_sql("'" + "{broken ' || substr(text, 1, 12)")
+
+_JS_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3, text,
+                  (doc_id % 5 = 4) AS bad, (doc_id % 2 = 1) AS extra
+           FROM documents),
+vals AS (
+  SELECT doc_id, 1 AS ord, 'ok' AS v, NOT bad AS incl FROM d
+  UNION ALL SELECT doc_id, 2, {_canon_sql('w1')}, NOT bad FROM d
+  UNION ALL SELECT doc_id, 3, {_canon_sql('w2')}, NOT bad FROM d
+  UNION ALL SELECT doc_id, 4, {_canon_sql('w3')}, NOT bad FROM d
+  UNION ALL SELECT doc_id, 5, {_canon_sql("w2 || ' tail'")}, NOT bad AND extra FROM d
+  UNION ALL SELECT doc_id, 6, {_JS_BAD_EXPR}, bad FROM d),
+k AS (SELECT * FROM vals WHERE incl)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+  string_agg(k.v, chr(10) ORDER BY k.ord) AS clean_text,
+  CAST(count(*) AS INTEGER) AS blocks_kept,
+  CAST(CASE WHEN d.bad THEN 0 ELSE 1 END AS INTEGER) AS blocks_dropped,
+  CAST(CASE WHEN d.bad THEN 1 ELSE 0 END AS INTEGER) AS parse_failures,
+  CASE WHEN d.bad THEN 'plain' ELSE 'json_string' END AS first_kind
+FROM k JOIN d ON k.doc_id = d.doc_id
+GROUP BY k.doc_id, d.bad
+"""
+
 
 # DuckDB twin of the Gopher/C4 quality rules: generic recompute with
 # list lambdas over the same CASE-steered payload (no enumeration — the
@@ -2895,6 +2968,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_html_sql_twin": _HTML_TWIN_SQL,
         "ex_pdf_sql_twin": _PDF_TWIN_SQL,
         "ex_markdown_sql_twin": _MD_TWIN_SQL,
+        "ex_json_sql_twin": _JS_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),

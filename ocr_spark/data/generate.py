@@ -219,12 +219,33 @@ def _markdown_payload(r: random.Random) -> str:
     return "\n".join(lines)
 
 
+def _json_payload(r: random.Random) -> str:
+    """JSON tool-output turn; ~10% invalid to exercise the degrade path."""
+    import json as _json
+
+    if r.random() < 0.1:
+        return "{broken " + _sentence(r, 2, 5)
+    doc = {
+        "status": r.choice(["ok", "error", ""]),
+        "result": {
+            "text": _sentence(r, 3, 20),
+            "items": [_sentence(r, 1, 4) for _ in range(r.randint(0, 3))]
+            + [r.randint(0, 99), r.random() < 0.5],
+        },
+        "n": r.randint(0, 9),
+    }
+    if r.random() < 0.3:
+        doc["note"] = f"line one\nand {_name(r)} été"
+    return _json.dumps(doc)
+
+
 _BUILDERS = {
     "html": _html_payload,
     "pdf_layout": _pdf_payload,
     "records": _records_payload,
     "plain": _plain_payload,
     "markdown": _markdown_payload,
+    "json_tool": _json_payload,
 }
 
 

@@ -29,6 +29,9 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
 - ``markdown``   -> formatting strip, fences kept as code blocks
                     (rebuild extension for agent transcripts; see
                     extract/markdown.py)
+- ``json_tool``  -> string-value extraction from JSON tool outputs with
+                    literal-offset spans; invalid JSON degrades to plain
+                    with parse_failures=1 (see extract/json_payload.py)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -39,6 +42,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from .html_blocks import extract_html
+from .json_payload import extract_json_tool
 from .markdown import extract_markdown
 from .normalize import canonicalize
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
@@ -58,6 +62,7 @@ KIND_PDF = "pdf_layout"
 KIND_RECORDS = "records"
 KIND_PLAIN = "plain"
 KIND_MARKDOWN = "markdown"
+KIND_JSON = "json_tool"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -94,7 +99,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         payload = payload[:MAX_PAYLOAD_CHARS]
     kind = (
         tool
-        if tool in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN)
+        if tool
+        in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN, KIND_JSON)
         else KIND_PLAIN
     )
 
@@ -110,6 +116,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         dropped = parse_failures
     elif kind == KIND_MARKDOWN:
         clean, spans, kept, dropped = extract_markdown(payload)
+    elif kind == KIND_JSON:
+        clean, spans, kept, dropped, parse_failures = extract_json_tool(payload)
     elif kind == KIND_RECORDS:
         clean, spans, kept, dropped, records = _extract_records(payload)
         field_employee = extract_field_employee(payload)

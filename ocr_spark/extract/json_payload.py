@@ -1,0 +1,204 @@
+"""JSON tool-output extraction (the ``json_tool`` payload kind).
+
+Agent transcripts' tool turns carry JSON payloads (tool results, API
+responses). The text worth training on is the STRING VALUES; structure,
+keys, numbers, and booleans are transport. This kernel extracts every
+string value in document order with char-offset provenance into the raw
+payload — which stdlib ``json`` cannot provide, hence the small
+recursive-descent parser below (value-for-value equivalent to
+``json.loads`` on valid input; property-tested in
+``tests/test_json_payload.py``).
+
+Spec (shared by the Spark pipeline and the ``ex_json_sql_twin`` oracle):
+
+- Valid JSON: depth-first, document-order walk; each string VALUE is
+  unescaped, ``canonicalize``d, and kept if non-empty (span kind
+  ``json_string``, covering the raw literal including its quotes);
+  empty-after-canonicalization values count as dropped blocks. Object
+  keys are never extracted.
+- Invalid JSON (or trailing garbage): degrade to the ``plain``
+  extraction of the whole payload with ``parse_failures = 1`` — the
+  same warn-and-degrade posture as unknown payload kinds
+  (reference analog: data_extraction_service.py:71-78).
+
+Reference analog: the reference pulls fields out of its OCR/DB JSON
+responses row by row (data_extraction_service.py:95-170); here the
+whole payload family is handled as a first-class extraction kind.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from .normalize import canonicalize
+
+Span = Tuple[int, int, str]
+
+_WS = " \t\n\r"
+_ESCAPES = {
+    '"': '"', "\\": "\\", "/": "/", "b": "\b",
+    "f": "\f", "n": "\n", "r": "\r", "t": "\t",
+}
+
+
+class _JErr(Exception):
+    pass
+
+
+def _skip_ws(s: str, i: int) -> int:
+    n = len(s)
+    while i < n and s[i] in _WS:
+        i += 1
+    return i
+
+
+def _parse_string(s: str, i: int) -> Tuple[str, int]:
+    """Parse a string literal starting at the opening quote ``s[i]``.
+    Returns (unescaped value, index just past the closing quote)."""
+    if i >= len(s) or s[i] != '"':
+        raise _JErr("expected string")
+    out: List[str] = []
+    i += 1
+    n = len(s)
+    while True:
+        if i >= n:
+            raise _JErr("unterminated string")
+        ch = s[i]
+        if ch == '"':
+            return "".join(out), i + 1
+        if ch == "\\":
+            if i + 1 >= n:
+                raise _JErr("bad escape")
+            esc = s[i + 1]
+            if esc in _ESCAPES:
+                out.append(_ESCAPES[esc])
+                i += 2
+            elif esc == "u":
+                if i + 6 > n:
+                    raise _JErr("bad \\u")
+                try:
+                    cp = int(s[i + 2:i + 6], 16)
+                except ValueError:
+                    raise _JErr("bad \\u") from None
+                i += 6
+                # combine a valid surrogate pair; keep lone surrogates
+                # as-is (json.loads semantics)
+                if 0xD800 <= cp <= 0xDBFF and s[i:i + 2] == "\\u":
+                    try:
+                        lo = int(s[i + 2:i + 6], 16)
+                    except ValueError:
+                        lo = -1
+                    if 0xDC00 <= lo <= 0xDFFF:
+                        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                        i += 6
+                out.append(chr(cp))
+            else:
+                raise _JErr("bad escape")
+        elif ch in "\n\r":
+            raise _JErr("control char in string")
+        else:
+            out.append(ch)
+            i += 1
+
+
+def _parse_number(s: str, i: int) -> int:
+    j = i
+    n = len(s)
+    while j < n and s[j] in "+-0123456789.eE":
+        j += 1
+    if j == i:
+        raise _JErr("expected value")
+    try:
+        float(s[i:j])
+    except ValueError:
+        raise _JErr("bad number") from None
+    return j
+
+
+def _parse_value(s: str, i: int, strings: List[Tuple[str, int, int]]) -> int:
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise _JErr("unexpected end")
+    ch = s[i]
+    if ch == "{":
+        i = _skip_ws(s, i + 1)
+        if i < len(s) and s[i] == "}":
+            return i + 1
+        while True:
+            i = _skip_ws(s, i)
+            _, i = _parse_string(s, i)  # key: parsed, never collected
+            i = _skip_ws(s, i)
+            if i >= len(s) or s[i] != ":":
+                raise _JErr("expected :")
+            i = _parse_value(s, i + 1, strings)
+            i = _skip_ws(s, i)
+            if i < len(s) and s[i] == ",":
+                i += 1
+                continue
+            if i < len(s) and s[i] == "}":
+                return i + 1
+            raise _JErr("expected , or }")
+    if ch == "[":
+        i = _skip_ws(s, i + 1)
+        if i < len(s) and s[i] == "]":
+            return i + 1
+        while True:
+            i = _parse_value(s, i, strings)
+            i = _skip_ws(s, i)
+            if i < len(s) and s[i] == ",":
+                i += 1
+                continue
+            if i < len(s) and s[i] == "]":
+                return i + 1
+            raise _JErr("expected , or ]")
+    if ch == '"':
+        start = i
+        val, i = _parse_string(s, i)
+        strings.append((val, start, i))
+        return i
+    for lit in ("true", "false", "null"):
+        if s.startswith(lit, i):
+            return i + len(lit)
+    return _parse_number(s, i)
+
+
+def parse_json_strings(payload: str):
+    """Returns ``(ok, [(value, start, end), ...])`` — every string VALUE
+    in document order, spans covering the raw literal incl. quotes."""
+    strings: List[Tuple[str, int, int]] = []
+    try:
+        i = _parse_value(payload, 0, strings)
+        if _skip_ws(payload, i) != len(payload):
+            raise _JErr("trailing garbage")
+    except (_JErr, RecursionError):
+        return False, []
+    return True, strings
+
+
+def extract_json_tool(payload: str) -> Tuple[str, List[Span], int, int, int]:
+    """Extract JSON string values.
+
+    Returns ``(clean_text, spans, kept, dropped, parse_failures)``;
+    on invalid JSON falls back to plain-extraction semantics with
+    ``parse_failures = 1``.
+    """
+    ok, strings = parse_json_strings(payload)
+    if not ok:
+        clean = canonicalize(payload)
+        if not clean:
+            return "", [], 0, 0, 1
+        start = len(payload) - len(payload.lstrip())
+        end = len(payload.rstrip())
+        return clean, [(start, end, "plain")], 1, 0, 1
+    out: List[str] = []
+    spans: List[Span] = []
+    kept = dropped = 0
+    for val, start, end in strings:
+        clean = canonicalize(val)
+        if clean:
+            out.append(clean)
+            spans.append((start, end, "json_string"))
+            kept += 1
+        else:
+            dropped += 1
+    return "\n".join(out), spans, kept, dropped, 0

@@ -1,0 +1,120 @@
+"""JSON tool-output extraction (extract/json_payload.py)."""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.json_payload import extract_json_tool, parse_json_strings
+
+
+def test_string_values_in_document_order():
+    payload = '{"status": "ok", "result": {"text": "hello world", "items": ["a b", 42, true], "note": ""}, "n": 7}'
+    clean, spans, kept, dropped, failures = extract_json_tool(payload)
+    assert clean == "ok\nhello world\na b"
+    assert kept == 3 and dropped == 1 and failures == 0  # "" dropped
+    assert all(k == "json_string" for _, _, k in spans)
+
+
+def test_spans_cover_raw_literals_with_quotes():
+    payload = '["first", "sec\\nond"]'
+    _, spans, _, _, _ = extract_json_tool(payload)
+    assert payload[spans[0][0]:spans[0][1]] == '"first"'
+    assert payload[spans[1][0]:spans[1][1]] == '"sec\\nond"'
+
+
+def test_keys_never_extracted():
+    clean, _, kept, _, _ = extract_json_tool('{"secret_key": 1, "other": 2}')
+    assert clean == "" and kept == 0
+
+
+def test_escapes_unescaped_before_canonicalize():
+    clean, _, _, _, _ = extract_json_tool('{"a": "line\\none", "b": "q\\"q", "c": "\\u0041\\u00e9"}')
+    assert clean == "line\none\nq\"q\nAé"
+
+
+def test_surrogate_pair_combined():
+    clean, _, _, _, _ = extract_json_tool('"\\ud83d\\ude00"')
+    assert clean == "\U0001f600"
+
+
+def test_invalid_json_degrades_to_plain():
+    clean, spans, kept, dropped, failures = extract_json_tool("  not json at all  ")
+    assert failures == 1 and kept == 1
+    assert clean == "not json at all"
+    assert spans[0][2] == "plain"
+
+
+def test_trailing_garbage_is_invalid():
+    ok, _ = parse_json_strings('{"a": 1} extra')
+    assert not ok
+
+
+def test_empty_invalid_payload():
+    assert extract_json_tool("   ") == ("", [], 0, 0, 1)
+
+
+def test_extract_turn_dispatch_json():
+    res = extract_turn('{"msg": "tool says hi"}', "json_tool")
+    assert res["clean_text"] == "tool says hi"
+    assert res["parse_failures"] == 0
+    assert res["spans"][0][2] == "json_string"
+
+
+_json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(-10**6, 10**6)
+    | st.floats(allow_nan=False, allow_infinity=False, width=32)
+    | st.text(max_size=12),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=6), children, max_size=4),
+    max_leaves=12,
+)
+
+
+def _collect_strings(v, out):
+    if isinstance(v, str):
+        out.append(v)
+    elif isinstance(v, list):
+        for x in v:
+            _collect_strings(x, out)
+    elif isinstance(v, dict):
+        for x in v.values():  # dict preserves insertion = document order
+            _collect_strings(x, out)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_json_values)
+def test_parser_equivalent_to_json_loads(value):
+    """On any json.dumps output the hand parser accepts and extracts
+    exactly the string VALUES json.loads would see, in document order."""
+    payload = json.dumps(value)
+    ok, strings = parse_json_strings(payload)
+    assert ok
+    expected: list = []
+    _collect_strings(json.loads(payload), expected)
+    assert [s for s, _, _ in strings] == expected
+    # every span re-parses to its own value
+    for s, a, b in strings:
+        assert json.loads(payload[a:b]) == s
+
+
+def test_pipeline_golden_with_json_mix(spark):
+    """Distributed pipeline over a json_tool-inclusive corpus equals the
+    row-by-row golden oracle (escapes, unicode, invalid payloads)."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(14, seed=11, skew_factor=5, tools=TOOLS + ["json_tool"])
+    assert (corpus["tool"] == "json_tool").any()
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_transcripts(tdf, repartition=5).orderBy("conv_id", "turn_idx").collect()
+    golden = golden_extraction_rows(corpus)
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
+        assert got.parse_failures == exp["parse_failures"]
