@@ -28,6 +28,7 @@ whole payload family is handled as a first-class extraction kind.
 
 from __future__ import annotations
 
+import re
 from typing import List, Tuple
 
 from .normalize import canonicalize
@@ -35,6 +36,9 @@ from .normalize import canonicalize
 Span = Tuple[int, int, str]
 
 _WS = " \t\n\r"
+# raw control chars are illegal inside JSON strings (json.loads strict
+# default); checked per bulk chunk at C speed, not per character
+_CTRL = re.compile(r"[\x00-\x1f]")
 _ESCAPES = {
     '"': '"', "\\": "\\", "/": "/", "b": "\b",
     "f": "\f", "n": "\n", "r": "\r", "t": "\t",
@@ -54,51 +58,59 @@ def _skip_ws(s: str, i: int) -> int:
 
 def _parse_string(s: str, i: int) -> Tuple[str, int]:
     """Parse a string literal starting at the opening quote ``s[i]``.
-    Returns (unescaped value, index just past the closing quote)."""
+    Returns (unescaped value, index just past the closing quote).
+
+    Hot path is bulk ``str.find`` chunking between escapes — O(chars)
+    C-level work, not O(chars) Python bytecode, so a megabyte tool
+    payload doesn't bottleneck the Arrow stage."""
     if i >= len(s) or s[i] != '"':
         raise _JErr("expected string")
     out: List[str] = []
     i += 1
     n = len(s)
     while True:
-        if i >= n:
+        q = s.find('"', i)
+        if q < 0:
             raise _JErr("unterminated string")
-        ch = s[i]
-        if ch == '"':
-            return "".join(out), i + 1
-        if ch == "\\":
-            if i + 1 >= n:
-                raise _JErr("bad escape")
-            esc = s[i + 1]
-            if esc in _ESCAPES:
-                out.append(_ESCAPES[esc])
-                i += 2
-            elif esc == "u":
-                if i + 6 > n:
-                    raise _JErr("bad \\u")
-                try:
-                    cp = int(s[i + 2:i + 6], 16)
-                except ValueError:
-                    raise _JErr("bad \\u") from None
-                i += 6
-                # combine a valid surrogate pair; keep lone surrogates
-                # as-is (json.loads semantics)
-                if 0xD800 <= cp <= 0xDBFF and s[i:i + 2] == "\\u":
-                    try:
-                        lo = int(s[i + 2:i + 6], 16)
-                    except ValueError:
-                        lo = -1
-                    if 0xDC00 <= lo <= 0xDFFF:
-                        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
-                        i += 6
-                out.append(chr(cp))
-            else:
-                raise _JErr("bad escape")
-        elif ch in "\n\r":
+        b = s.find("\\", i)
+        if b < 0 or b > q:
+            chunk = s[i:q]
+            if _CTRL.search(chunk):
+                raise _JErr("control char in string")
+            out.append(chunk)
+            return "".join(out), q + 1
+        chunk = s[i:b]
+        if _CTRL.search(chunk):
             raise _JErr("control char in string")
+        out.append(chunk)
+        i = b
+        if i + 1 >= n:
+            raise _JErr("bad escape")
+        esc = s[i + 1]
+        if esc in _ESCAPES:
+            out.append(_ESCAPES[esc])
+            i += 2
+        elif esc == "u":
+            if i + 6 > n:
+                raise _JErr("bad \\u")
+            try:
+                cp = int(s[i + 2:i + 6], 16)
+            except ValueError:
+                raise _JErr("bad \\u") from None
+            i += 6
+            # combine a valid surrogate pair; keep lone surrogates
+            # as-is (json.loads semantics)
+            if 0xD800 <= cp <= 0xDBFF and s[i:i + 2] == "\\u":
+                try:
+                    lo = int(s[i + 2:i + 6], 16)
+                except ValueError:
+                    lo = -1
+                if 0xDC00 <= lo <= 0xDFFF:
+                    cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                    i += 6
+            out.append(chr(cp))
         else:
-            out.append(ch)
-            i += 1
+            raise _JErr("bad escape")
 
 
 def _parse_number(s: str, i: int) -> int:

@@ -118,3 +118,10 @@ def test_pipeline_golden_with_json_mix(spark):
         assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
         assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
         assert got.parse_failures == exp["parse_failures"]
+
+
+def test_raw_control_chars_rejected_like_json_loads():
+    ok, _ = parse_json_strings('"a\tb"')
+    assert not ok  # json.loads strict mode rejects raw control chars too
+    ok, _ = parse_json_strings('"a\\tb"')
+    assert ok
