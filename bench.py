@@ -127,6 +127,27 @@ def main() -> None:
     times["ex_classify_pipeline"] = round(t_cls, 3)
     extracted_cached.unpersist(blocking=False)
 
+    # all-kinds extraction: the same stage over a corpus that includes
+    # the markdown and json_tool kernels (opt-in generator mix) —
+    # throughput row for the round-3 extraction extensions.
+    n_mixed = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_CONVS", "50000"))
+    mpath = os.path.join(REPO, ".bench_cache", f"transcripts_mixed_{n_mixed}.parquet")
+    if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
+        from ocr_spark.data.generate import TOOLS
+
+        gen_transcripts_df(
+            spark, n_mixed, tools=TOOLS + ["markdown", "json_tool"]
+        ).write.mode("overwrite").parquet(mpath)
+    mixed = spark.read.parquet(mpath)
+    n_mixed_turns = mixed.count()
+    t_mx = None
+    for _ in range(TRIALS):
+        t0 = time.time()
+        materialize(extract_transcripts(mixed))
+        dt = time.time() - t0
+        t_mx = dt if t_mx is None or dt < t_mx else t_mx
+    times["ex_extract_all_kinds"] = round(t_mx, 3)
+
     # IVF partition-pruning win: probe the materialized index (scans only
     # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
     # through the same numpy scoring path — the delta is pure pruning.
@@ -191,6 +212,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "bench_turns": n_turns,
+        "mixed_turns": n_mixed_turns,
         "extract_throughput_turns_per_sec": round(n_turns / t_extract, 1),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "headliner_trials_best_of": TRIALS,

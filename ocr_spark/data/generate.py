@@ -293,7 +293,8 @@ def gen_transcripts_pdf(n_convs: int, seed: int = 42, skew_factor: int = 50, shu
 
 
 def gen_transcripts_df(spark, n_convs: int, seed: int = 42, skew_factor: int = 50,
-                       parallelism: int | None = None):
+                       parallelism: int | None = None,
+                       tools: List[str] | None = None):
     """Distributed build for bench-scale corpora: ``spark.range(n_convs)``
     -> one task per conv-id slice -> ``mapInPandas`` expanding each conv_seq
     into its turns via the same pure ``gen_conv``. Row-identical to
@@ -317,7 +318,7 @@ def gen_transcripts_df(spark, n_convs: int, seed: int = 42, skew_factor: int = 5
         for pdf in batches:
             rows = []
             for conv_seq in pdf["id"]:
-                rows.extend(gen_conv(int(conv_seq), seed, skew_factor))
+                rows.extend(gen_conv(int(conv_seq), seed, skew_factor, tools))
             out = pd.DataFrame(rows)
             out["turn_idx"] = out["turn_idx"].astype("int32")
             yield out
