@@ -80,7 +80,39 @@ def test_html_spans_are_ordered_and_in_bounds(s):
         assert kind in ("block", "block_relaxed")
 
 
-@given(text_strategy, st.sampled_from(["html", "pdf_layout", "records", "plain", "junk"]))
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_markdown_spans_and_kinds(s):
+    from ocr_spark.extract.markdown import extract_markdown
+
+    payload = f"# head\n{s}\n```\n{s}\n```\n- tail"
+    clean, spans, kept, dropped = extract_markdown(payload)
+    assert kept == len(spans)
+    prev_end = -1
+    for start, end, kind in spans:
+        assert 0 <= start <= end <= len(payload)
+        assert start > prev_end  # one span per line, strictly forward
+        prev_end = end
+        assert kind in ("heading", "code", "text")
+    assert kept + dropped == payload.count("\n") + 1
+    # determinism
+    assert extract_markdown(payload) == (clean, spans, kept, dropped)
+
+
+@given(text_strategy)
+@settings(max_examples=150, deadline=None)
+def test_json_tool_never_raises_and_degrades(s):
+    from ocr_spark.extract.json_payload import extract_json_tool
+
+    clean, spans, kept, dropped, failures = extract_json_tool(s)
+    assert failures in (0, 1)
+    assert kept == len(spans)
+    for start, end, kind in spans:
+        assert 0 <= start <= end <= len(s)
+        assert kind in ("json_string", "plain")
+
+
+@given(text_strategy, st.sampled_from(["html", "pdf_layout", "records", "plain", "markdown", "json_tool", "junk"]))
 @settings(max_examples=200, deadline=None)
 def test_extract_turn_never_raises_and_metrics_nonnegative(s, tool):
     r = extract_turn(s, tool)
