@@ -194,16 +194,20 @@ def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         raise ValueError(f"unknown transcripts format: {fmt!r}")
 
 
-def extraction_metrics(extracted: DataFrame) -> DataFrame:
+def extraction_metrics(extracted: DataFrame, by_kind: bool = False) -> DataFrame:
     """Lineage/metrics rollup per conversation bucket (north_rule: lineage +
-    extraction metrics — blocks kept/dropped, parse failures)."""
-    return (
-        extracted.groupBy(F.pmod(F.xxhash64("conv_id"), F.lit(64)).alias("conv_bucket"))
-        .agg(
-            F.count("*").alias("turns"),
-            F.sum("blocks_kept").alias("blocks_kept"),
-            F.sum("blocks_dropped").alias("blocks_dropped"),
-            F.sum("parse_failures").alias("parse_failures"),
-            F.sum("truncated_chars").alias("truncated_chars"),
-        )
+    extraction metrics — blocks kept/dropped, parse failures).
+
+    ``by_kind=True`` additionally groups by the payload kind (``tool``),
+    so a run report shows which kernel dropped blocks or failed parses —
+    one map-side-combined shuffle either way."""
+    keys = [F.pmod(F.xxhash64("conv_id"), F.lit(64)).alias("conv_bucket")]
+    if by_kind:
+        keys.append(F.col("tool"))
+    return extracted.groupBy(*keys).agg(
+        F.count("*").alias("turns"),
+        F.sum("blocks_kept").alias("blocks_kept"),
+        F.sum("blocks_dropped").alias("blocks_dropped"),
+        F.sum("parse_failures").alias("parse_failures"),
+        F.sum("truncated_chars").alias("truncated_chars"),
     )

@@ -133,3 +133,18 @@ def test_transcripts_roundtrip_all_formats(spark, small_corpus, tmp_path):
             baseline = rows
         else:
             assert rows == baseline, f"{fmt} diverged"
+
+
+def test_metrics_rollup_by_kind(spark, small_corpus, extracted):
+    m = extraction_metrics(extracted, by_kind=True).collect()
+    assert {r.tool for r in m} == set(small_corpus["transcripts"]["tool"])
+    golden = golden_extraction_rows(small_corpus["transcripts"])
+    assert sum(r.blocks_kept for r in m) == sum(g["blocks_kept"] for g in golden)
+    # per-kind turn counts reconcile with the corpus
+    from collections import Counter
+
+    want = Counter(small_corpus["transcripts"]["tool"])
+    got = Counter()
+    for r in m:
+        got[r.tool] += r.turns
+    assert got == want
