@@ -1153,6 +1153,35 @@ def _q_ex_markdown_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_code_spans_twin(spark, sf_dir):
+    """Hash-verified span CONSUMPTION: slice_spans joins extraction
+    output back to the raw corpus and substring-slices heading/code
+    spans JVM-side. The markdown fixture's piece widths are constant
+    (w1=16, w2=14, w3=10 chars at every SF), so the oracle pins the
+    exact start/end offsets AND the raw snippets."""
+    _ensure_pyfiles(spark)
+    from ocr_spark.pipeline import slice_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.expr(_MD_PAYLOAD_SQL).alias("text"),
+        F.lit("markdown").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    sliced = slice_spans(corpus, extract_transcripts(corpus), kinds=("heading", "code"))
+    return sliced.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "span_idx",
+        "kind",
+        "start",
+        "end",
+        "snippet",
+    )
+
+
 def _q_ex_json_sql_twin(spark, sf_dir):
     """Hash-verified json_tool-kind extraction: the REAL recursive-descent
     JSON parser (extract/json_payload.py — document-order string values,
@@ -1539,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_pdf_sql_twin": _q_ex_pdf_sql_twin,
         "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
         "ex_json_sql_twin": _q_ex_json_sql_twin,
+        "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
@@ -1719,6 +1749,24 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
   CAST(CASE WHEN clean_text = '' THEN 0 ELSE 1 END AS INTEGER) AS blocks_kept
 FROM c
 """
+
+# DuckDB twin of slice_spans over the markdown fixture: every line
+# length is constant (w1/w2/w3 are full-width substrs at every SF), so
+# the heading span is [0,19) on every doc and the code span is
+# [202,223) on even docs — derivation in the line-length comment below.
+# L1 '## '+w1=19, L2 empty=0, L3=74, L4=24, L5=34, L6=31, L7 '---'=3;
+# 7 newlines -> even-doc fence starts at 192, '```python'+LF = 10 ->
+# code line spans [202, 202+21).
+_CODE_SPANS_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W3} AS w3,
+                  (doc_id % 2 = 0) AS has_code FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 0 AS span_idx, 'heading' AS kind,
+       0 AS start, 19 AS "end", '## ' || w1 AS snippet FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 1, 'code', 202, 223,
+       '    print(' || w3 || ')' FROM d WHERE has_code
+"""
+
 
 # DuckDB twin of the json_tool kind: the fixture's value structure is
 # known (same _JS_PAYLOAD_SQL), so expected string values are enumerated
@@ -2969,6 +3017,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_pdf_sql_twin": _PDF_TWIN_SQL,
         "ex_markdown_sql_twin": _MD_TWIN_SQL,
         "ex_json_sql_twin": _JS_TWIN_SQL,
+        "ex_code_spans_twin": _CODE_SPANS_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),

@@ -194,6 +194,50 @@ def write_transcripts(df: DataFrame, path: str, fmt: str = "parquet") -> None:
         raise ValueError(f"unknown transcripts format: {fmt!r}")
 
 
+def slice_spans(
+    transcripts: DataFrame, extracted: DataFrame, kinds: tuple = ()
+) -> DataFrame:
+    """Materialize raw-payload snippets from extraction spans.
+
+    The north_rule's extraction contract is (clean text + char-offset
+    spans per turn); this is the operator that CONSUMES the spans —
+    join the extracted frame back to its source on (conv_id, turn_idx)
+    and slice the raw text with JVM ``substring``. ``kinds`` restricts
+    to specific span kinds BEFORE the explode (e.g. ``("code",)`` for a
+    code-only corpus out of markdown turns), so fan-out is bounded by
+    matching spans only.
+
+    Scale: both inputs hash-partition on the same equi-join key; the
+    raw text never flows through Python. Turns with no matching span
+    are filtered before the join, so the join's left side shrinks to
+    span-bearing turns.
+    """
+    ex = extracted.select("conv_id", "turn_idx", "spans")
+    if kinds:
+        klist = list(kinds)
+        ex = ex.withColumn(
+            "spans", F.filter("spans", lambda s: s["kind"].isin(klist))
+        )
+    ex = ex.filter(F.size("spans") > 0)
+    joined = ex.join(
+        transcripts.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
+    )
+    return joined.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.posexplode("spans").alias("span_idx", "s"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.expr("substring(text, s.start + 1, s.end - s.start)").alias("snippet"),
+    )
+
+
 def extraction_metrics(extracted: DataFrame, by_kind: bool = False) -> DataFrame:
     """Lineage/metrics rollup per conversation bucket (north_rule: lineage +
     extraction metrics — blocks kept/dropped, parse failures).

@@ -110,3 +110,35 @@ def test_extract_turn_dispatch():
 
 def test_unknown_kind_still_degrades_to_plain():
     assert extract_turn("**x**", "mystery")["clean_text"] == "**x**"
+
+
+def test_slice_spans_roundtrip_mixed_corpus(spark):
+    """slice_spans snippets equal payload[start:end] from the golden
+    oracle for every span, across all six kinds."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, slice_spans
+
+    corpus = gen_transcripts_pdf(10, seed=13, skew_factor=5,
+                                 tools=TOOLS + ["markdown", "json_tool"])
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    got = {
+        (r.conv_id, r.turn_idx, r.span_idx): (r.kind, r.start, r.end, r.snippet)
+        for r in slice_spans(tdf, extract_transcripts(tdf)).collect()
+    }
+    texts = {(t.conv_id, t.turn_idx): (t.text or "") for t in corpus.itertuples()}
+    want = {}
+    for g in golden_extraction_rows(corpus):
+        raw = texts[(g["conv_id"], g["turn_idx"])]
+        for i, (s, e, k) in enumerate(g["spans"]):
+            want[(g["conv_id"], g["turn_idx"], i)] = (k, s, e, raw[s:e])
+    assert got == want and len(want) > 0
+
+
+def test_slice_spans_kind_filter(spark):
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, slice_spans
+
+    rows = [("c1", 0, "user", "# h\n```\ncode here\n```\nbody", "markdown", None)]
+    tdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    out = slice_spans(tdf, extract_transcripts(tdf), kinds=("code",)).collect()
+    assert [(r.span_idx, r.kind, r.snippet) for r in out] == [(0, "code", "code here")]
