@@ -1612,6 +1612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
+        # unique-semantics twins ahead of the rows-only block so every
+        # hash-verifiable rule lands inside the driver's ~50-entry window
+        "j8_hints_twin": _q_j8_hints_twin,
+        "j9_conditional_override": _q_j9_conditional_override,
         "ex_extract_turns": _q_ex_extract_turns,
         "ex_classify_records": _q_ex_classify_records,
         "dd_minhash_neardups": _q_dd_minhash_neardups,
@@ -1621,8 +1625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_left_outer_default": _q_j2_left_outer_default,
         "j3_semi_distinct": _q_j3_semi_distinct,
         "j4_coalesce_cascade": _q_j4_coalesce_cascade,
-        "j8_hints_twin": _q_j8_hints_twin,
-        "j9_conditional_override": _q_j9_conditional_override,
         "j10_anti_join": _q_j10_anti_join,
         "j11_semi_join": _q_j11_semi_join,
         "f1_key_filter_projection": _q_f1_key_filter_projection,
