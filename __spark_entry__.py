@@ -1153,6 +1153,36 @@ def _q_ex_markdown_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_dispatch_twin(spark, sf_dir):
+    """Hash-verified KIND DISPATCH (S1): one corpus whose tool column
+    routes each doc to a different kernel by doc_id parity — plain /
+    markdown / json_tool — extracted in one pass through the real
+    dispatch; the oracle composes the three per-kind twins."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.expr(
+            f"CASE doc_id % 3 WHEN 0 THEN {_PLAIN_PAYLOAD_SQL}"
+            f" WHEN 1 THEN {_MD_PAYLOAD_SQL} ELSE {_JS_PAYLOAD_SQL} END"
+        ).alias("text"),
+        F.expr(
+            "CASE doc_id % 3 WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'"
+            " ELSE 'json_tool' END"
+        ).alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "tool",
+        "clean_text",
+        "blocks_kept",
+    )
+
+
 def _q_ex_code_spans_twin(spark, sf_dir):
     """Hash-verified span CONSUMPTION: slice_spans joins extraction
     output back to the raw corpus and substring-slices heading/code
@@ -1569,6 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
         "ex_json_sql_twin": _q_ex_json_sql_twin,
         "ex_code_spans_twin": _q_ex_code_spans_twin,
+        "ex_dispatch_twin": _q_ex_dispatch_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
@@ -1889,6 +1920,21 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
 FROM k JOIN d ON k.doc_id = d.doc_id
 GROUP BY k.doc_id, d.has_code, d.has_table
 """
+
+
+# DuckDB twin of the kind dispatch: compose the three per-kind twins,
+# each filtered to the parity class the Spark corpus routes to it.
+_DISPATCH_TWIN_SQL = f"""
+SELECT doc_id, 'plain' AS tool, clean_text, blocks_kept
+FROM ({_PLAIN_TWIN_SQL}) WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'markdown', clean_text, blocks_kept
+FROM ({_MD_TWIN_SQL}) WHERE doc_id % 3 = 1
+UNION ALL
+SELECT doc_id, 'json_tool', clean_text, blocks_kept
+FROM ({_JS_TWIN_SQL}) WHERE doc_id % 3 = 2
+"""
+
 
 # records-kind payload over customer: both grammar formats, [] credential,
 # whitespace-variant separators, an unmatched noise line, an empty payload,
@@ -3020,6 +3066,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_markdown_sql_twin": _MD_TWIN_SQL,
         "ex_json_sql_twin": _JS_TWIN_SQL,
         "ex_code_spans_twin": _CODE_SPANS_TWIN_SQL,
+        "ex_dispatch_twin": _DISPATCH_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),
