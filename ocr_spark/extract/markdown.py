@@ -53,6 +53,10 @@ _QUOTE = re.compile(r"^([ \t]*>[ \t]?)+")
 _HEADING = re.compile(r"^[ \t]*#{1,6}[ \t]+")
 _BULLET = re.compile(r"^[ \t]*[-*+][ \t]+")
 _ORDERED = re.compile(r"^[ \t]*[0-9]+[.)][ \t]+")
+# every inline construct the sub-chain below can rewrite contains one of
+# these four characters; most prose lines contain none, so one C-level
+# search gates five regex subs + the backtick strip (exact semantics)
+_INLINE_ANY = re.compile(r"[\[*~`]")
 _IMAGE = re.compile(r"!\[([^\]]*)\]\(([^()]*)\)")
 _LINK = re.compile(r"\[([^\]]*)\]\(([^()]*)\)")
 _STRIKE = re.compile(r"~~([^~]+)~~")
@@ -98,12 +102,15 @@ def extract_markdown(payload: str) -> Tuple[str, List[Span], int, int]:
             body = body[m.end():]
         body = _BULLET.sub("", body, count=1)
         body = _ORDERED.sub("", body, count=1)
-        body = _IMAGE.sub(r"\1", body)
-        body = _LINK.sub(r"\1", body)
-        body = _STRIKE.sub(r"\1", body)
-        body = _BOLD.sub(r"\1", body)
-        body = _ITALIC.sub(r"\1", body)
-        body = body.replace("`", "").replace("|", " ")
+        if _INLINE_ANY.search(body):
+            body = _IMAGE.sub(r"\1", body)
+            body = _LINK.sub(r"\1", body)
+            body = _STRIKE.sub(r"\1", body)
+            body = _BOLD.sub(r"\1", body)
+            body = _ITALIC.sub(r"\1", body)
+            body = body.replace("`", "")
+        if "|" in body:
+            body = body.replace("|", " ")
         clean = canonicalize(body)
         if clean:
             out.append(clean)
