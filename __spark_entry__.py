@@ -710,23 +710,16 @@ _GQ_PAYLOAD_SQL = (
     " ELSE text || ' the dogs and cats have fun with that' END"
 )
 
-_GQ_COLS = [
-    "n_words", "n_lines", "stop_hits", "words_ok", "mean_wl_ok", "symbol_ok",
-    "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok", "no_lorem", "no_brace",
-    "keep",
-]
-
-
 def _q_tx_gopher_flags(spark, sf_dir):
     """Gopher/C4 document-quality rule flags (training.gopher_quality_flags)
     vs a DuckDB twin that recomputes every rule generically with list
     lambdas — integer-arithmetic thresholds, so verdicts match exactly."""
-    from ocr_spark.operators.training import gopher_quality_flags
+    from ocr_spark.operators.training import GOPHER_FLAG_COLS, gopher_quality_flags
 
     docs = _t(spark, sf_dir, "documents")
     fixed = docs.select("doc_id", F.expr(_GQ_PAYLOAD_SQL).alias("text"))
     return gopher_quality_flags(fixed).select(
-        F.col("doc_id").cast("long").alias("doc_id"), *_GQ_COLS
+        F.col("doc_id").cast("long").alias("doc_id"), *GOPHER_FLAG_COLS
     )
 
 
@@ -1835,9 +1828,10 @@ GROUP BY k.doc_id, d.bad
 # oracle re-derives every count). All thresholds are the cross-multiplied
 # integer forms of training.gopher_quality_flags.
 _GOPHER_TWIN_SQL = rf"""
-WITH p AS (SELECT doc_id, {_GQ_PAYLOAD_SQL} AS t FROM documents),
+WITH p AS (SELECT doc_id,
+           replace({_GQ_PAYLOAD_SQL}, chr(13), '') AS t FROM documents),
 s AS (SELECT doc_id, t,
-    string_split_regex(trim(t), '\s+') AS words,
+    string_split_regex(trim(t), '[ \t\n\f\x0b]+') AS words,
     string_split(t, chr(10)) AS lines,
     length(t) - length(replace(t, '#', '')) AS n_hash,
     (length(t) - length(replace(t, '...', ''))) // 3

@@ -44,7 +44,7 @@ from typing import Dict, List, Optional, Tuple
 from .html_blocks import extract_html
 from .json_payload import extract_json_tool
 from .markdown import extract_markdown
-from .normalize import canonicalize
+from .normalize import canonicalize, plain_block
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
 from .pdf_layout import extract_pdf_layout
 
@@ -66,12 +66,7 @@ KIND_JSON = "json_tool"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
-    clean = canonicalize(payload)
-    if not clean:
-        return "", [], 0, 0
-    start = len(payload) - len(payload.lstrip())
-    end = len(payload.rstrip())
-    return clean, [(start, end, "plain")], 1, 0
+    return plain_block(payload)
 
 
 def _extract_records(payload: str) -> Tuple[str, List[Span], int, int, List[Record]]:

@@ -15,7 +15,11 @@ Spec (shared by the Spark pipeline and the ``ex_json_sql_twin`` oracle):
   unescaped, ``canonicalize``d, and kept if non-empty (span kind
   ``json_string``, covering the raw literal including its quotes);
   empty-after-canonicalization values count as dropped blocks. Object
-  keys are never extracted.
+  keys are never extracted. One deliberate divergence from
+  ``json.loads``: a LONE surrogate ``\\uD800``-``\\uDFFF`` escape is
+  rejected (degrade path) instead of emitted — an unpaired surrogate
+  is unencodable by Arrow and would kill the whole batch, violating
+  the per-row failure isolation the pipeline guarantees.
 - Invalid JSON (or trailing garbage): degrade to the ``plain``
   extraction of the whole payload with ``parse_failures = 1`` — the
   same warn-and-degrade posture as unknown payload kinds
@@ -31,7 +35,7 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
-from .normalize import canonicalize
+from .normalize import canonicalize, plain_block
 
 Span = Tuple[int, int, str]
 
@@ -39,6 +43,10 @@ _WS = " \t\n\r"
 # raw control chars are illegal inside JSON strings (json.loads strict
 # default); checked per bulk chunk at C speed, not per character
 _CTRL = re.compile(r"[\x00-\x1f]")
+_HEX4 = re.compile(r"[0-9a-fA-F]{4}")
+# strict JSON number grammar — float() alone is too lenient (it accepts
+# '+1', '01', '.5', '1.' which json.loads rejects; those must DEGRADE)
+_NUMBER = re.compile(r"-?(?:0|[1-9][0-9]*)(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?")
 _ESCAPES = {
     '"': '"', "\\": "\\", "/": "/", "b": "\b",
     "f": "\f", "n": "\n", "r": "\r", "t": "\t",
@@ -91,40 +99,32 @@ def _parse_string(s: str, i: int) -> Tuple[str, int]:
             out.append(_ESCAPES[esc])
             i += 2
         elif esc == "u":
-            if i + 6 > n:
+            if i + 6 > n or not _HEX4.fullmatch(s[i + 2:i + 6]):
                 raise _JErr("bad \\u")
-            try:
-                cp = int(s[i + 2:i + 6], 16)
-            except ValueError:
-                raise _JErr("bad \\u") from None
+            cp = int(s[i + 2:i + 6], 16)
             i += 6
-            # combine a valid surrogate pair; keep lone surrogates
-            # as-is (json.loads semantics)
-            if 0xD800 <= cp <= 0xDBFF and s[i:i + 2] == "\\u":
-                try:
+            # combine a valid surrogate pair; a LONE surrogate is
+            # rejected (Arrow-unencodable — see module docstring)
+            if 0xD800 <= cp <= 0xDBFF:
+                lo = -1
+                if s[i:i + 2] == "\\u" and _HEX4.fullmatch(s[i + 2:i + 6]):
                     lo = int(s[i + 2:i + 6], 16)
-                except ValueError:
-                    lo = -1
-                if 0xDC00 <= lo <= 0xDFFF:
-                    cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
-                    i += 6
+                if not 0xDC00 <= lo <= 0xDFFF:
+                    raise _JErr("lone surrogate")
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                i += 6
+            elif 0xDC00 <= cp <= 0xDFFF:
+                raise _JErr("lone surrogate")
             out.append(chr(cp))
         else:
             raise _JErr("bad escape")
 
 
 def _parse_number(s: str, i: int) -> int:
-    j = i
-    n = len(s)
-    while j < n and s[j] in "+-0123456789.eE":
-        j += 1
-    if j == i:
+    m = _NUMBER.match(s, i)
+    if not m or m.end() == i:
         raise _JErr("expected value")
-    try:
-        float(s[i:j])
-    except ValueError:
-        raise _JErr("bad number") from None
-    return j
+    return m.end()
 
 
 def _parse_value(s: str, i: int, strings: List[Tuple[str, int, int]]) -> int:
@@ -196,12 +196,8 @@ def extract_json_tool(payload: str) -> Tuple[str, List[Span], int, int, int]:
     """
     ok, strings = parse_json_strings(payload)
     if not ok:
-        clean = canonicalize(payload)
-        if not clean:
-            return "", [], 0, 0, 1
-        start = len(payload) - len(payload.lstrip())
-        end = len(payload.rstrip())
-        return clean, [(start, end, "plain")], 1, 0, 1
+        clean, spans, kept, dropped = plain_block(payload)
+        return clean, spans, kept, dropped, 1
     out: List[str] = []
     spans: List[Span] = []
     kept = dropped = 0

@@ -62,6 +62,19 @@ def canonicalize(text: str) -> str:
     return t.strip()
 
 
+def plain_block(text: str):
+    """The plain-kind extraction semantic: canonicalized payload as one
+    block spanning the non-whitespace extent of the raw text. Shared by
+    core._extract_plain and the json_tool invalid-JSON degrade path so
+    the two can never diverge. Returns (clean, spans, kept, dropped)."""
+    clean = canonicalize(text)
+    if not clean:
+        return "", [], 0, 0
+    start = len(text) - len(text.lstrip())
+    end = len(text.rstrip())
+    return clean, [(start, end, "plain")], 1, 0
+
+
 def collapse_ws(text: str) -> str:
     """Collapse all whitespace runs (incl. newlines) to single spaces."""
     if text is None:

@@ -37,6 +37,7 @@ from ocr_spark.operators.contamination import decontaminate
 from ocr_spark.operators.dedup import near_dup_dedup
 from ocr_spark.operators.pii import pii_scrub
 from ocr_spark.operators.training import (
+    GOPHER_FLAG_COLS,
     gopher_quality_flags,
     pack_sequences,
     quality_filter,
@@ -92,11 +93,7 @@ def curate_corpus(
         # full published rule set after the cheap 3-rule screen; both are
         # stateless projections, so stage order only affects readability
         kept = gopher_quality_flags(kept, text_col).filter(F.col("keep"))
-        kept = kept.drop(
-            "n_words", "n_lines", "stop_hits", "words_ok", "mean_wl_ok",
-            "symbol_ok", "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok",
-            "no_lorem", "no_brace", "keep",
-        )
+        kept = kept.drop(*GOPHER_FLAG_COLS)
     if max_dup_line_frac is not None or max_top_bigram_frac is not None:
         # append=True keeps this a stateless projection (no corpus join)
         kept = repetition_stats(kept, text_col, id_col, append=True)

@@ -166,6 +166,15 @@ GOPHER_MAX_WORDS = 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 _BULLET_LINE_RE = r"^[ \t]*([-*•]|[0-9]+[.)])[ \t]"
 _ELLIPSIS_END_RE = r"(\.\.\.|…)[ \t]*$"
+# explicit whitespace class instead of \s: Java's \s includes \x0B and
+# RE2's does not, so \s-based splits silently diverge between the Spark
+# side and the DuckDB twin; the class below means the same thing to both
+_WORD_SPLIT_RE = "[ \\t\\n\\f\\x0b]+"
+GOPHER_FLAG_COLS = (
+    "n_words", "n_lines", "stop_hits", "words_ok", "mean_wl_ok", "symbol_ok",
+    "bullet_ok", "ellipsis_ok", "alpha_ok", "stop_ok", "no_lorem", "no_brace",
+    "keep",
+)
 
 
 def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -185,10 +194,14 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``no_brace``:    no '{'             (C4)
 
     Stateless projection — whole-stage codegen, zero shuffle; verified
-    against the DuckDB twin ``tx_gopher_flags``.
+    against the DuckDB twin ``tx_gopher_flags``. CRs are stripped first
+    (CRLF text would otherwise trip Java-vs-RE2 ``$`` semantics in the
+    line rules) and word-splitting uses an explicit whitespace class —
+    both mirrored in the twin, so verdicts match on ANY input, not just
+    the LF-only fixture.
     """
-    c = F.col(text_col)
-    words = F.split(F.trim(c), r"\s+")
+    c = F.replace(F.col(text_col), F.lit("\r"), F.lit(""))
+    words = F.split(F.trim(c), _WORD_SPLIT_RE)
     n_words = F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(words))
     total_chars = F.aggregate(
         F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
@@ -227,10 +240,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("no_lorem", ~F.lower(c).contains("lorem ipsum"))
         .withColumn("no_brace", ~c.contains("{"))
     )
-    rule_cols = [
-        "words_ok", "mean_wl_ok", "symbol_ok", "bullet_ok",
-        "ellipsis_ok", "alpha_ok", "stop_ok", "no_lorem", "no_brace",
-    ]
+    rule_cols = [rc for rc in GOPHER_FLAG_COLS if rc.endswith("_ok") or rc.startswith("no_")]
     keep = None
     for rc in rule_cols:
         keep = F.col(rc) if keep is None else keep & F.col(rc)

@@ -125,3 +125,25 @@ def test_raw_control_chars_rejected_like_json_loads():
     assert not ok  # json.loads strict mode rejects raw control chars too
     ok, _ = parse_json_strings('"a\\tb"')
     assert ok
+
+
+def test_lone_surrogate_degrades_not_crashes():
+    """A lone \\uD800 escape is valid to json.loads but Arrow cannot
+    encode the result — the parser must degrade, never emit it."""
+    for bad in ('"\\ud800"', '"\\udc00"', '{"a": "x\\ud83dx"}'):
+        ok, _ = parse_json_strings(bad)
+        assert not ok, bad
+    clean, _, _, _, failures = extract_json_tool('{"a": "\\ud800"}')
+    assert failures == 1
+    clean.encode("utf-8")  # must always be Arrow-encodable
+
+
+def test_strict_number_and_hex_grammar():
+    """Leniency classes json.loads rejects must degrade, not parse."""
+    for bad in ('{"a": +1}', '{"a": 01}', '{"a": .5}', '{"a": 1.}',
+                '"\\u+12f"', '"\\u 123"', '"\\u1_2f"'):
+        ok, _ = parse_json_strings(bad)
+        assert not ok, bad
+    for good in ('{"a": -0.5e+3}', '{"a": 0}', '"\\u012f"'):
+        ok, _ = parse_json_strings(good)
+        assert ok, good

@@ -158,3 +158,22 @@ def test_gopher_flags_empty_and_unicode(spark):
     assert rows["e"]["n_words"] == 0 and not rows["e"]["keep"]
     assert rows["w"]["n_words"] == 0
     assert rows["u"]["n_words"] == 6  # unicode ellipsis counted, words intact
+
+
+def test_gopher_flags_crlf_invariant(spark):
+    """CRLF text must produce the SAME verdicts as its LF twin (the
+    DuckDB oracle strips CRs identically), and \\x0b must not change
+    word counts between engines' regex dialects."""
+    from ocr_spark.operators.training import gopher_quality_flags
+
+    lf = "wait...\nok the and " + ("word " * 60).strip()
+    crlf = lf.replace("\n", "\r\n")
+    vt = lf + " a\x0bb"
+    df = spark.createDataFrame(
+        [("lf", lf), ("crlf", crlf), ("vt", vt)], ["case", "text"]
+    )
+    rows = {r["case"]: r for r in gopher_quality_flags(df).collect()}
+    lf_row, crlf_row = rows["lf"], rows["crlf"]
+    for c in ("n_words", "n_lines", "ellipsis_ok", "keep"):
+        assert lf_row[c] == crlf_row[c], c
+    assert rows["vt"]["n_words"] == lf_row["n_words"] + 2  # a, b split on VT
