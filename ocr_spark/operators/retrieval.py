@@ -24,6 +24,7 @@ can hash-verify scores end-to-end.
 
 from __future__ import annotations
 
+import re
 from typing import List, Sequence
 
 from pyspark.sql import DataFrame
@@ -57,6 +58,19 @@ def doc_term_freqs(
     return tf.join(dl, id_col)
 
 
+def _term_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shared index core: (doc_id, term, tf, dl, df_t, n_docs). The
+    avgdl pass (a corpus-scale distinct + aggregate) lives only in
+    ``bm25_index`` — TF-IDF callers never need it and Catalyst cannot
+    prune an already-cross-joined 1-row aggregate away."""
+    tfs = doc_term_freqs(docs, text_col, id_col)
+    stats = tfs.groupBy("term").agg(F.count("*").alias("df_t"))
+    n_docs_row = docs.agg(F.count("*").alias("n_docs"))
+    return tfs.join(F.broadcast(stats), "term").crossJoin(F.broadcast(n_docs_row))
+
+
 def bm25_index(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -70,17 +84,11 @@ def bm25_index(
     / ``collect()`` round-trips, so the whole index is one declarative
     plan Catalyst can schedule (and a write materializes end-to-end in
     a single job)."""
-    tfs = doc_term_freqs(docs, text_col, id_col)
-    stats = tfs.groupBy("term").agg(F.count("*").alias("df_t"))
-    n_docs_row = docs.agg(F.count("*").alias("n_docs"))
+    core = _term_stats(docs, text_col, id_col)
     avgdl_row = (
-        tfs.select(id_col, "dl").distinct().agg(F.avg("dl").alias("avgdl"))
+        core.select(id_col, "dl").distinct().agg(F.avg("dl").alias("avgdl"))
     )
-    return (
-        tfs.join(F.broadcast(stats), "term")
-        .crossJoin(F.broadcast(n_docs_row))
-        .crossJoin(F.broadcast(avgdl_row))
-    )
+    return core.crossJoin(F.broadcast(avgdl_row))
 
 
 def bm25_score_col(k1: float = BM25_K1, b: float = BM25_B) -> F.Column:
@@ -109,8 +117,12 @@ def bm25_topk(
 
     The term IN-filter lands before the score join (and, over a
     materialized term-partitioned index, prunes at the scan); the final
-    top-k is an aggregation + ordered limit, ties broken by id."""
-    terms = [t.lower() for t in query_terms]
+    top-k is an aggregation + ordered limit, ties broken by id. Query
+    strings pass through the SAME tokenization that built the index —
+    'hash-join' or 'merge scan' would otherwise match nothing."""
+    terms = [
+        t for q in query_terms for t in re.split(r"[^a-z0-9]+", q.lower()) if t
+    ]
     idx = bm25_index(docs, text_col, id_col)
     scored = (
         idx.filter(F.col("term").isin(terms))
@@ -125,8 +137,10 @@ def tfidf_vectors(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, term, tfidf) sparse vectors: ln(1+tf) * ln(N/df).
-    The classic curation feature for near-class detection / clustering."""
-    idx = bm25_index(docs, text_col, id_col)
+    The classic curation feature for near-class detection / clustering.
+    Built on the avgdl-free index core — BM25's corpus-scale avgdl pass
+    would otherwise run and be discarded on every materialization."""
+    idx = _term_stats(docs, text_col, id_col)
     return idx.select(
         id_col,
         "term",

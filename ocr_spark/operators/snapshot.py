@@ -55,13 +55,25 @@ def snapshot_diff(
     snapshot (enforce upstream with exact dedup); duplicate ids would
     multiply join rows.
     """
-    o = old.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp_old"))
-    n = new.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp_new"))
+    # presence is tracked with explicit flags, NOT fingerprint nullness:
+    # a doc with NULL text has a NULL fingerprint, and keying on that
+    # would report 'added' for an id present in both snapshots (and
+    # diverge from the SQL twin, which keys on id presence)
+    o = old.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_old"),
+        F.lit(True).alias("in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fp_new"),
+        F.lit(True).alias("in_new"),
+    )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("fp_old").isNull(), F.lit(ADDED))
-        .when(F.col("fp_new").isNull(), F.lit(REMOVED))
-        .when(F.col("fp_old") != F.col("fp_new"), F.lit(CHANGED))
+        F.when(F.col("in_old").isNull(), F.lit(ADDED))
+        .when(F.col("in_new").isNull(), F.lit(REMOVED))
+        .when(~F.col("fp_old").eqNullSafe(F.col("fp_new")), F.lit(CHANGED))
         .otherwise(F.lit(UNCHANGED))
     )
     out = joined.select(F.col(id_col), status.alias("status"))
@@ -126,7 +138,7 @@ j AS (
   SELECT coalesce(o.id, n.id) AS id,
          CASE WHEN o.id IS NULL THEN 'added'
               WHEN n.id IS NULL THEN 'removed'
-              WHEN fp_old <> fp_new THEN 'changed'
+              WHEN fp_old IS DISTINCT FROM fp_new THEN 'changed'
               ELSE 'unchanged' END AS status
   FROM o FULL OUTER JOIN n ON o.id = n.id
 )

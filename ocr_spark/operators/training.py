@@ -90,6 +90,22 @@ _SPLIT_HASH_MULT = 2654435761
 _SPLIT_BUCKETS = 1000
 
 
+def _hash_bucket_2_32(id_expr, mult: int, offset: int = 0):
+    """``(id * mult + offset) mod 2^32`` in overflow-safe int64 splits.
+
+    The naive single multiply exceeds int64 once id >= ~4.1e9 and Spark
+    4's default ANSI mode throws ARITHMETIC_OVERFLOW — a hard job
+    failure at the 10^12-document scale these operators advertise. The
+    16-bit split below never exceeds 2^49 and produces BIT-IDENTICAL
+    values to the naive form for every id < 2^32 (so fixtures and the
+    plain-multiply DuckDB twins are unchanged); for larger ids it hashes
+    ``id mod 2^32``, which is a definition, not an overflow."""
+    a = F.pmod(id_expr.cast("long"), F.lit(1 << 32))
+    lo = a * F.lit(mult & 0xFFFF) + F.lit(offset)
+    hi = F.pmod(a * F.lit(mult >> 16), F.lit(1 << 32)) * F.lit(1 << 16)
+    return F.pmod(lo + F.pmod(hi, F.lit(1 << 32)), F.lit(1 << 32))
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -112,13 +128,14 @@ def stratified_split(
       uniform and independent of any class column, per-class split
       proportions concentrate to the weights (asserted in pytest).
 
-    Pure int64 arithmetic (id*const < 2^63 for id < 3.4e9 — pre-mod ids
-    wider than that before multiplying), codegen-friendly, and exactly
-    reproducible in ANSI SQL for the oracle gate."""
+    Pure int64 arithmetic via the overflow-safe split multiply
+    (``_hash_bucket_2_32`` — no id bound, ANSI-mode safe), codegen-
+    friendly, and exactly reproducible in ANSI SQL for the oracle gate
+    (bit-identical to the plain multiply the twin uses for id < 2^32)."""
     if abs(sum(weights) - 1.0) > 1e-9:
         raise ValueError("weights must sum to 1")
     bucket = F.pmod(
-        F.pmod(F.col(id_col).cast("long") * F.lit(_SPLIT_HASH_MULT), F.lit(1 << 32)),
+        _hash_bucket_2_32(F.col(id_col), _SPLIT_HASH_MULT),
         F.lit(_SPLIT_BUCKETS),
     )
     expr = None
@@ -336,14 +353,18 @@ def temperature_resample(
     """
     if probs is None:
         probs = domain_keep_probs(df, domain_col, alpha, target_frac)
-    bucket = F.pmod(
-        F.col(id_col).cast("long") * F.lit(_SAMPLE_HASH_MULT)
-        + F.lit(_SAMPLE_HASH_OFFSET),
-        F.lit(1 << 32),
+    bucket = _hash_bucket_2_32(
+        F.col(id_col), _SAMPLE_HASH_MULT, _SAMPLE_HASH_OFFSET
     )
     bucket_micro = F.floor(bucket * _P_MICRO_SCALE / F.lit(1 << 32))
+    # LEFT join: with a pinned probs table, a domain that appeared after
+    # the pin would vanish entirely under an inner join (silent data
+    # loss in the documented incremental mode). Unseen domains pass
+    # through un-resampled (p_micro = 1e6 = keep-all) — the conservative
+    # default; re-pin probs to fold them into the target mix.
     return (
-        df.join(F.broadcast(probs.drop("n_docs")), domain_col)
+        df.join(F.broadcast(probs.drop("n_docs")), domain_col, "left")
+        .withColumn("p_micro", F.coalesce("p_micro", F.lit(_P_MICRO_SCALE)))
         .filter(bucket_micro < F.col("p_micro"))
     )
 

@@ -220,9 +220,13 @@ def run_with_checkpoint_table(
     ensure_table(spark, marker_table, MARKER_SCHEMA, (), provider)
     overwrite_partitions(spark, result, data_table)
 
-    written = spark.table(data_table)
-    if done:
-        written = written.filter(~F.col("conv_bucket").isin(*sorted(done)))
+    # Markers are restricted to the buckets THIS run actually processed
+    # (semi-join on the input's bucket set): the data table may carry
+    # stale buckets from a prior crashed run whose input this run does
+    # not cover — marking those would admit unvalidated output forever.
+    written = spark.table(data_table).join(
+        todo.select("conv_bucket").distinct(), "conv_bucket", "semi"
+    )
     agg_cols = [F.count("*").alias("rows_written")]
     for c in ("blocks_kept", "blocks_dropped", "parse_failures"):
         agg_cols.append(

@@ -146,3 +146,44 @@ def test_checkpoint_table_partial_resume(spark, transcripts):
     assert r["processed_buckets"] == total - total // 2
     assert spark.table("t_cat_pdata").count() == transcripts.count()
     _drop(spark, "t_cat_pdata", "t_cat_pmarkers")
+
+
+def test_stale_crashed_buckets_never_get_markers(spark, transcripts):
+    """Crash window: run 1 wrote DATA for buckets its run never marked,
+    then run 2 resumes with an input covering only SOME buckets. Markers
+    may appear only for run 2's own buckets — marking the stale ones
+    would admit unvalidated output forever (review fix)."""
+    from ocr_spark.checkpoint import bucket_col
+
+    def process(df):
+        return extract_transcripts(df)
+
+    with_bucket = transcripts.withColumn("conv_bucket", bucket_col(8))
+    buckets = sorted(
+        r["conv_bucket"] for r in with_bucket.select("conv_bucket").distinct().collect()
+    )
+    assert len(buckets) >= 3
+    half = buckets[: len(buckets) // 2]
+
+    # simulate run 1's crash: full data written, NO markers
+    full = process(with_bucket).withColumn("conv_bucket", bucket_col(8))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [f for f in full.schema.fields if f.name != "conv_bucket"]
+        + [T.StructField("conv_bucket", T.IntegerType())]
+    )
+    catalog.ensure_table(spark, "t_stale_data", schema, ("conv_bucket",), "parquet")
+    catalog.overwrite_partitions(spark, full, "t_stale_data")
+
+    # run 2: input covers only `half` of the buckets
+    narrow = with_bucket.filter(F.col("conv_bucket").isin(half)).drop("conv_bucket")
+    r = catalog.run_with_checkpoint_table(
+        spark, narrow, process, "t_stale_data", "t_stale_markers", n_buckets=8
+    )
+    marked = {
+        row["conv_bucket"] for row in spark.table("t_stale_markers").collect()
+    }
+    assert marked == set(half)
+    assert r["processed_buckets"] == len(half)
+    _drop(spark, "t_stale_data", "t_stale_markers")

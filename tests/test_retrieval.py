@@ -149,3 +149,18 @@ def test_top_ngrams_plan_is_take_ordered(spark):
     out = top_ngrams(docs, "text", n=2, k=10)
     # global top-k must compile to TakeOrdered (heap+merge), not a full sort
     assert "TakeOrderedAndProject" in checks.executed_plan(out)
+
+
+def test_bm25_topk_tokenizes_query_strings(spark):
+    """'hash-join' / multi-word query strings must split into index
+    terms instead of silently matching nothing (review fix)."""
+    from ocr_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "hash join beats nested loop"), (2, "merge scan wins"),
+         (3, "unrelated text entirely")],
+        ["doc_id", "text"],
+    )
+    top = bm25_topk(docs, ["hash-join", "merge scan"], k=2).collect()
+    assert {r["doc_id"] for r in top} == {1, 2}
+    assert all(r["bm25"] > 0 for r in top)

@@ -107,3 +107,16 @@ def test_diff_join_carries_fingerprints_not_text(spark, frames):
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     join_part = plan.split("FullOuter")[0]
     assert "text" not in join_part
+
+
+def test_null_text_presence_not_misread_as_added(spark):
+    """An id present in both snapshots must never be added/removed just
+    because its text (hence fingerprint) is NULL (review fix)."""
+    from ocr_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "same"), (3, None)],
+                                ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "hello"), (2, "same"), (3, None)],
+                                ["doc_id", "text"])
+    out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "changed"}  # 2 unchanged, 3 NULL==NULL unchanged

@@ -177,3 +177,47 @@ def test_gopher_flags_crlf_invariant(spark):
     for c in ("n_words", "n_lines", "ellipsis_ok", "keep"):
         assert lf_row[c] == crlf_row[c], c
     assert rows["vt"]["n_words"] == lf_row["n_words"] + 2  # a, b split on VT
+
+
+def test_resample_pinned_probs_passes_unseen_domain(spark):
+    """A domain that appears AFTER probs were pinned must pass through
+    (p=1), never silently vanish (review fix: inner->left join)."""
+    from ocr_spark.operators.training import domain_keep_probs, temperature_resample
+
+    base = spark.createDataFrame(
+        [(i, "web") for i in range(40)] + [(i + 100, "books") for i in range(40)],
+        ["doc_id", "source"],
+    )
+    pinned = domain_keep_probs(base, alpha=0.5, target_frac=0.5).localCheckpoint()
+    grown = base.union(
+        spark.createDataFrame([(i + 1000, "forums") for i in range(20)],
+                              ["doc_id", "source"])
+    )
+    out = temperature_resample(grown, probs=pinned).collect()
+    forums = [r for r in out if r["source"] == "forums"]
+    assert len(forums) == 20  # all kept, p_micro defaulted
+    assert all(r["p_micro"] == 1_000_000 for r in forums)
+
+
+def test_hash_bucket_overflow_safe_and_identical(spark):
+    """Split-multiply hash: bit-identical to the naive form for small
+    ids, and no ANSI overflow at ids past 4.1e9."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import (
+        _SAMPLE_HASH_MULT, _SAMPLE_HASH_OFFSET, _hash_bucket_2_32,
+    )
+
+    small = spark.range(0, 5000, 37).select(F.col("id"))
+    rows = small.select(
+        "id",
+        _hash_bucket_2_32(F.col("id"), _SAMPLE_HASH_MULT, _SAMPLE_HASH_OFFSET).alias("split"),
+        F.pmod(F.col("id") * F.lit(_SAMPLE_HASH_MULT) + F.lit(_SAMPLE_HASH_OFFSET),
+               F.lit(1 << 32)).alias("naive"),
+    ).collect()
+    assert all(r["split"] == r["naive"] for r in rows)
+    big = spark.createDataFrame([(5_000_000_000,), (10**12,)], ["id"])
+    vals = big.select(
+        _hash_bucket_2_32(F.col("id"), _SAMPLE_HASH_MULT, _SAMPLE_HASH_OFFSET).alias("b")
+    ).collect()  # naive form would raise ARITHMETIC_OVERFLOW under ANSI
+    assert all(0 <= r["b"] < (1 << 32) for r in vals)
