@@ -1730,10 +1730,10 @@ _MD_W2 = "substr(text, 18, 14)"
 _MD_W3 = "upper(substr(text, 33, 10))"
 _MD_PAYLOAD_SQL = (
     f"'## ' || {_MD_W1} || chr(10) || chr(10)"
-    f" || 'Intro **' || {_MD_W2} || '** see [' || {_MD_W1}"
+    f" || 'Intro **q' || {_MD_W2} || 'q** see [' || {_MD_W1}"
     " || '](http://example.com/x) now.' || chr(10)"
-    f" || '- item *' || {_MD_W3} || '* done' || chr(10)"
-    f" || '1. first ~~' || {_MD_W1} || '~~ kept' || chr(10)"
+    f" || '- item *q' || {_MD_W3} || 'q* done' || chr(10)"
+    f" || '1. first ~~q' || {_MD_W1} || 'q~~ kept' || chr(10)"
     f" || '> quoted `' || {_MD_W2} || '` words' || chr(10)"
     " || '---' || chr(10)"
     " || CASE WHEN doc_id % 2 = 0 THEN '```python' || chr(10)"
@@ -1779,17 +1779,17 @@ FROM c
 # DuckDB twin of slice_spans over the markdown fixture: every line
 # length is constant (w1/w2/w3 are full-width substrs at every SF), so
 # the heading span is [0,19) on every doc and the code span is
-# [202,223) on even docs — derivation in the line-length comment below.
-# L1 '## '+w1=19, L2 empty=0, L3=74, L4=24, L5=34, L6=31, L7 '---'=3;
-# 7 newlines -> even-doc fence starts at 192, '```python'+LF = 10 ->
-# code line spans [202, 202+21).
+# [208,229) on even docs — derivation in the line-length comment below.
+# L1 '## '+w1=19, L2 empty=0, L3=76, L4=26, L5=36, L6=31, L7 '---'=3;
+# 7 newlines -> even-doc fence starts at 198, '```python'+LF = 10 ->
+# code line spans [208, 208+21).
 _CODE_SPANS_TWIN_SQL = f"""
 WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W3} AS w3,
                   (doc_id % 2 = 0) AS has_code FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, 0 AS span_idx, 'heading' AS kind,
        0 AS start, 19 AS "end", '## ' || w1 AS snippet FROM d
 UNION ALL
-SELECT CAST(doc_id AS BIGINT), 1, 'code', 202, 223,
+SELECT CAST(doc_id AS BIGINT), 1, 'code', 208, 229,
        '    print(' || w3 || ')' FROM d WHERE has_code
 """
 
@@ -1891,11 +1891,11 @@ lines AS (
   SELECT doc_id, 1 AS ord, 'heading' AS kind, {_canon_sql('w1')} AS txt,
          true AS incl FROM d
   UNION ALL SELECT doc_id, 2, 'text',
-    {_canon_sql("'Intro ' || w2 || ' see ' || w1 || ' now.'")}, true FROM d
+    {_canon_sql("'Intro q' || w2 || 'q see ' || w1 || ' now.'")}, true FROM d
   UNION ALL SELECT doc_id, 3, 'text',
-    {_canon_sql("'item ' || w3 || ' done'")}, true FROM d
+    {_canon_sql("'item q' || w3 || 'q done'")}, true FROM d
   UNION ALL SELECT doc_id, 4, 'text',
-    {_canon_sql("'first ' || w1 || ' kept'")}, true FROM d
+    {_canon_sql("'first q' || w1 || 'q kept'")}, true FROM d
   UNION ALL SELECT doc_id, 5, 'text',
     {_canon_sql("'quoted ' || w2 || ' words'")}, true FROM d
   UNION ALL SELECT doc_id, 6, 'code', '    print(' || w3 || ')', has_code FROM d
@@ -1904,15 +1904,17 @@ lines AS (
     has_table FROM d
   UNION ALL SELECT doc_id, 8, 'text',
     {_canon_sql("'tail ' || w2")}, true FROM d),
-k AS (SELECT * FROM lines WHERE incl)
+k AS (SELECT * FROM lines WHERE incl AND txt <> ''),
+tot AS (SELECT doc_id,
+          8 + CASE WHEN has_code THEN 4 ELSE 0 END
+            + CASE WHEN has_table THEN 2 ELSE 0 END AS n_lines FROM d)
 SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
   CAST(count(*) AS INTEGER) AS blocks_kept,
-  CAST(2 + CASE WHEN d.has_code THEN 3 ELSE 0 END
-         + CASE WHEN d.has_table THEN 1 ELSE 0 END AS INTEGER) AS blocks_dropped,
+  CAST(any_value(t.n_lines) - count(*) AS INTEGER) AS blocks_dropped,
   string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
-FROM k JOIN d ON k.doc_id = d.doc_id
-GROUP BY k.doc_id, d.has_code, d.has_table
+FROM k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
 """
 
 

@@ -32,9 +32,17 @@ in agent transcripts underscores are overwhelmingly identifiers
 (``snake_case``), and RE2 (the DuckDB twin's engine) has no lookaround
 to disambiguate — so both sides agree by leaving underscores alone.
 
-Spans index the RAW payload: one ``(line_start, line_end, kind)`` per
-kept line, end excluding the newline (a CR from CRLF input stays inside
-the span; the cleaned text never contains it).
+Emphasis unwrapping follows CommonMark's flanking intuition: a marker
+pair only unwraps when the content touches it (``*ital*`` yes;
+``2 * 3 * 4``, ``*args and **kwargs`` no) — agent transcripts are full
+of multiplication, globs, and varargs that must survive verbatim.
+Closed ATX headings (``## Title ##``) lose the trailing hash run; link
+URLs may contain one level of parentheses (Wikipedia-style).
+
+Lines are split on ``\\r\\n``, lone ``\\r``, or ``\\n`` with offsets
+tracked into the RAW payload: one ``(line_start, line_end, kind)`` per
+kept line, end excluding the terminator, so every clean-text line maps
+to exactly one span and the cleaned text never contains a CR.
 """
 
 from __future__ import annotations
@@ -46,22 +54,28 @@ from .normalize import canonicalize
 
 Span = Tuple[int, int, str]
 
+_LINE_END = re.compile(r"\r\n|\r|\n")
 _FENCE = re.compile(r"^[ \t]*```")
-_HR = re.compile(r"^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t\r]*$")
-_TABLE_SEP = re.compile(r"^[ \t]*\|[ \t\r:|\-]*$")
+_HR = re.compile(r"^[ \t]*(-{3,}|\*{3,}|_{3,})[ \t]*$")
+_TABLE_SEP = re.compile(r"^[ \t]*\|[ \t:|\-]*$")
 _QUOTE = re.compile(r"^([ \t]*>[ \t]?)+")
 _HEADING = re.compile(r"^[ \t]*#{1,6}[ \t]+")
+_ATX_CLOSE = re.compile(r"[ \t]+#+[ \t]*$")
 _BULLET = re.compile(r"^[ \t]*[-*+][ \t]+")
 _ORDERED = re.compile(r"^[ \t]*[0-9]+[.)][ \t]+")
 # every inline construct the sub-chain below can rewrite contains one of
 # these four characters; most prose lines contain none, so one C-level
 # search gates five regex subs + the backtick strip (exact semantics)
 _INLINE_ANY = re.compile(r"[\[*~`]")
-_IMAGE = re.compile(r"!\[([^\]]*)\]\(([^()]*)\)")
-_LINK = re.compile(r"\[([^\]]*)\]\(([^()]*)\)")
-_STRIKE = re.compile(r"~~([^~]+)~~")
-_BOLD = re.compile(r"\*\*([^*]+)\*\*")
-_ITALIC = re.compile(r"\*([^*]+)\*")
+# URL part tolerates one nesting level of parens (Wikipedia-style)
+_URL = r"(?:[^()]|\([^()]*\))*"
+_IMAGE = re.compile(rf"!\[([^\]]*)\]\({_URL}\)")
+_LINK = re.compile(rf"\[([^\]]*)\]\({_URL}\)")
+# flanking rules: the marker pair unwraps only when content touches it,
+# so bare operators / globs / *args survive (CommonMark intuition)
+_STRIKE = re.compile(r"~~(?=\S)([^~]+?)(?<=\S)~~")
+_BOLD = re.compile(r"\*\*(?=\S)([^*]+?)(?<=\S)\*\*")
+_ITALIC = re.compile(r"\*(?=\S)([^*]+?)(?<=\S)\*")
 
 
 def extract_markdown(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -75,10 +89,16 @@ def extract_markdown(payload: str) -> Tuple[str, List[Span], int, int]:
     spans: List[Span] = []
     kept = dropped = 0
     in_code = False
-    pos = 0
-    for line in payload.split("\n"):
-        start, end = pos, pos + len(line)
-        pos = end + 1
+    i = 0
+    n = len(payload)
+    while i <= n:
+        m = _LINE_END.search(payload, i)
+        if m:
+            start, end, nxt = i, m.start(), m.end()
+        else:
+            start, end, nxt = i, n, n + 1
+        line = payload[start:end]
+        i = nxt
         if _FENCE.match(line):
             in_code = not in_code
             dropped += 1
@@ -96,10 +116,10 @@ def extract_markdown(payload: str) -> Tuple[str, List[Span], int, int]:
             dropped += 1
             continue
         body = _QUOTE.sub("", line, count=1)
-        m = _HEADING.match(body)
-        kind = "heading" if m else "text"
-        if m:
-            body = body[m.end():]
+        hm = _HEADING.match(body)
+        kind = "heading" if hm else "text"
+        if hm:
+            body = _ATX_CLOSE.sub("", body[hm.end():])
         body = _BULLET.sub("", body, count=1)
         body = _ORDERED.sub("", body, count=1)
         if _INLINE_ANY.search(body):

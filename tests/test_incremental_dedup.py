@@ -22,6 +22,13 @@ BATCH = [
 ]
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drain_cache_residue(spark):
+    """Other modules legitimately leave registered shingle caches; every
+    cache-count assertion in THIS module must start from zero."""
+    DD.release_shingle_caches()
+
+
 @pytest.fixture(scope="module")
 def frames(spark):
     ex = spark.createDataFrame(CORPUS, ["doc_id", "text"])
@@ -46,7 +53,6 @@ def test_flags_corpus_and_batch_dups(spark, frames):
 
 def test_admit_keeps_novel_and_first_copy(spark, frames):
     ex, inc = frames
-    DD.release_shingle_caches()  # drain residue from other test modules
     admitted = {r["doc_id"] for r in DD.incremental_admit(ex, inc, jaccard_threshold=0.6).collect()}
     assert admitted == {102, 104}
     assert DD.release_shingle_caches() == 0  # admit released its own

@@ -142,3 +142,34 @@ def test_slice_spans_kind_filter(spark):
     tdf = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
     out = slice_spans(tdf, extract_transcripts(tdf), kinds=("code",)).collect()
     assert [(r.span_idx, r.kind, r.snippet) for r in out] == [(0, "code", "code here")]
+
+
+def test_operators_and_varargs_survive():
+    """Flanking rules: bare asterisks are operators/globs, not emphasis."""
+    assert extract_markdown("compute 2 * 3 * 4 result")[0] == "compute 2 * 3 * 4 result"
+    assert extract_markdown("use *args and **kwargs here")[0] == "use *args and **kwargs here"
+    assert extract_markdown("real *emphasis* works")[0] == "real emphasis works"
+
+
+def test_parenthesized_url_stripped():
+    clean, _, _, _ = extract_markdown(
+        "see [x](http://en.wikipedia.org/wiki/Foo_(bar)) end"
+    )
+    assert clean == "see x end"
+
+
+def test_closed_atx_heading():
+    clean, spans, _, _ = extract_markdown("## Title ##")
+    assert clean == "Title" and spans[0][2] == "heading"
+
+
+def test_lone_cr_is_a_line_separator_with_aligned_spans():
+    payload = "alpha\rbeta\ngamma"
+    clean, spans, kept, _ = extract_markdown(payload)
+    assert clean == "alpha\nbeta\ngamma" and kept == 3 == len(spans)
+    assert [payload[s:e] for s, e, _ in spans] == ["alpha", "beta", "gamma"]
+
+
+def test_cr_never_leaks_from_fences():
+    clean, _, _, _ = extract_markdown("```\ncode a\rcode b\n```")
+    assert "\r" not in clean and clean == "code a\ncode b"

@@ -94,7 +94,9 @@ def test_markdown_spans_and_kinds(s):
         assert start > prev_end  # one span per line, strictly forward
         prev_end = end
         assert kind in ("heading", "code", "text")
-    assert kept + dropped == payload.count("\n") + 1
+    from ocr_spark.extract.markdown import _LINE_END
+
+    assert kept + dropped == len(_LINE_END.findall(payload)) + 1
     # determinism
     assert extract_markdown(payload) == (clean, spans, kept, dropped)
 
