@@ -326,3 +326,19 @@ def test_repetition_stats_is_shuffle_free(spark):
     # per-doc bigram mode folds a sorted array row-locally — the naive
     # explode+groupBy shape would shuffle ~2x the corpus token volume
     assert checks.count_exchanges(out) == 0
+
+
+def test_slice_spans_is_jvm_only_over_materialized_extraction(spark, small_corpus, tmp_path):
+    """Over a stored extraction table, span slicing must be pure JVM —
+    no Python eval node anywhere in the plan (raw text never crosses
+    the Arrow boundary)."""
+    from ocr_spark.pipeline import extract_transcripts, slice_spans
+
+    transcripts = spark.createDataFrame(small_corpus["transcripts"])
+    ex_path = str(tmp_path / "extracted.parquet")
+    extract_transcripts(transcripts).write.parquet(ex_path)
+    stored = spark.read.parquet(ex_path)
+    sliced = slice_spans(transcripts, stored, kinds=("record", "plain"))
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan, plan[:500]
+    assert sliced.count() > 0
