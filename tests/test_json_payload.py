@@ -147,3 +147,9 @@ def test_strict_number_and_hex_grammar():
     for good in ('{"a": -0.5e+3}', '{"a": 0}', '"\\u012f"'):
         ok, _ = parse_json_strings(good)
         assert ok, good
+
+
+def test_deep_nesting_degrades_not_crashes():
+    deep = "[" * 50000 + "]" * 50000
+    clean, _, _, _, failures = extract_json_tool(deep)
+    assert failures == 1  # RecursionError caught -> plain degrade
