@@ -1522,6 +1522,73 @@ def _q_qt_quantized_topk(spark, sf_dir):
     )
 
 
+def _q_emb_hashed_vectors(spark, sf_dir):
+    """Feature-hashed embeddings (operators/embed.py, hashing trick —
+    Weinberger et al. ICML'09): 64-dim signed token-count vectors from
+    raw text, pure int64 arithmetic (polynomial token hash shared with
+    the oracle), hash-verified exactly — the no-model text->vector stage
+    that feeds the ANN stack."""
+    from ocr_spark.operators import embed as EMB
+
+    docs = _t(spark, sf_dir, "documents")
+    return EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+
+
+def _q_emb_hashed_ann(spark, sf_dir):
+    """End-to-end text -> hashed embedding -> cosine scores against one
+    document's vector (doc_id=7): the self-contained similarity-search
+    composition. Dots/norms are exact-integer-in-double, so the scores
+    hash bit-identically against the DuckDB reimplementation."""
+    from ocr_spark.operators import embed as EMB
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    q = emb.filter(F.col("doc_id") == 7).select(F.col("embedding").alias("qvec"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                EMB.cosine_to_query_col(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cosine_emb"),
+        )
+        .filter(F.col("cosine_emb").isNotNull())
+    )
+
+
+# Feature-hashed embedding construction, DuckDB formulation — the identical
+# arithmetic to operators/embed.py (polynomial token hash, independent sign
+# hash, signed bucket counts, dense 64-dim assembly via grid left-join).
+_EMB_CTE_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+              for i in range(1, length(tok) + 1)]),
+           (acc, c) -> (acc * 257 + c) % 1000000007) AS h
+  FROM tok
+),
+sb AS (
+  SELECT doc_id, h % 64 AS bucket,
+         CAST(sum(1 - 2 * (((h * 48271) % 1000000007) % 2)) AS BIGINT) AS v
+  FROM th GROUP BY doc_id, bucket
+),
+grid AS (SELECT doc_id, unnest(range(0, 64)) AS i FROM documents),
+dense AS (
+  SELECT g.doc_id, g.i, CAST(coalesce(sb.v, 0) AS BIGINT) AS v
+  FROM grid g LEFT JOIN sb ON sb.doc_id = g.doc_id AND sb.bucket = g.i
+),
+emb AS (SELECT doc_id, list(v ORDER BY i) AS embedding FROM dense GROUP BY doc_id)
+"""
+
+
 _SN_NEW_SQL = (
     "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text "
     "FROM documents WHERE doc_id % 7 <> 0 "
@@ -1611,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "qt_quantized_topk": _q_qt_quantized_topk,
+        "emb_hashed_vectors": _q_emb_hashed_vectors,
+        "emb_hashed_ann": _q_emb_hashed_ann,
         # -- fuzzy scalar functions
         "fz_levenshtein": _q_fz_levenshtein,
         "fz_token_sort_scalar": _q_fz_token_sort_scalar,
@@ -2946,6 +3015,21 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
         ),
         "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
         "qt_quantized_topk": QZO.quantized_topk_sql("embeddings", 7, k=15),
+        "emb_hashed_vectors": _EMB_CTE_SQL + "SELECT doc_id, embedding FROM emb",
+        "emb_hashed_ann": _EMB_CTE_SQL
+        + """
+, q AS (SELECT embedding AS qv FROM emb WHERE doc_id = 7),
+scored AS (
+  SELECT e.doc_id,
+    list_sum([CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+              * CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) for i in range(1, 65)]) AS dot,
+    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding])) AS n1,
+    sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.qv])) AS n2
+  FROM emb e, q
+)
+SELECT doc_id, round(dot / (n1 * n2), 4) AS cosine_emb
+FROM scored WHERE n1 > 0 AND n2 > 0
+""",
         "sn_snapshot_diff": SNP.snapshot_diff_sql(
             "SELECT doc_id, text FROM documents", _SN_NEW_SQL
         ),

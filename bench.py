@@ -127,6 +127,7 @@ def main() -> None:
         "pii_scrub_report",
         "tx_repetition_stats",
         "tr_temperature_resample",
+        "emb_hashed_ann",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1,0 +1,146 @@
+"""Feature-hashed text embeddings (the hashing trick).
+
+Turns raw text into a fixed-dimension dense vector with NO external
+model: each token is hashed to a bucket, a second hash picks a sign,
+and the vector is the signed token-count per bucket (optionally
+L2-normalized). This is the classic feature-hashing construction
+(Weinberger et al., "Feature Hashing for Large Scale Multitask
+Learning", ICML 2009): sign-hashing makes the estimator unbiased and
+inner products concentrate around the true (kernel) inner product, so
+hashed embeddings compose directly with the ANN stack in
+``operators/similarity.py`` (cosine_topk / IVF / LSH) and the near-dup
+stack in ``operators/dedup.py`` — a fully self-contained
+text -> embedding -> similarity pipeline.
+
+Why it scales: everything is built-in column expressions (split /
+explode / aggregate / map_from_entries) — whole-stage codegen, no
+Python anywhere — and the only shuffles are two map-side-combining
+aggregations keyed by (doc, bucket) then (doc). Per-doc state is
+bounded by ``dim`` regardless of document length, so executor memory
+is flat at 100 TB; the output column is exactly the ``array`` shape
+``similarity.py`` consumes (and that `ivf_write_index` partitions by
+list for scan-pruned probes).
+
+Determinism / portability: the token hash is a polynomial fold
+``h = (h * 257 + ascii(ch)) % (1e9+7)`` — pure int64 arithmetic,
+identical to the DuckDB oracle twin's formulation (list_reduce), so
+the gate hash-verifies the embeddings end-to-end (`emb_hashed_vectors`,
+`emb_hashed_ann` in `__spark_entry__.py`). Same portable-arithmetic
+discipline as `dedup.winnow_fingerprints` and
+`training.stratified_split`.
+
+Reference parity note: the reference repo has no embedding stage (its
+similarity need is met by an external API); this operator is part of
+the training-data toolkit built on top of the extraction engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.retrieval import terms_col
+
+# Shared with the DuckDB oracle twin — change in both places or the gate
+# hash-verifies the drift immediately.
+EMBED_HASH_BASE = 257
+EMBED_HASH_MOD = 1_000_000_007
+EMBED_SIGN_MULT = 48271  # MINSTD multiplier for the independent sign hash
+
+
+def token_hash_col(tok: Column) -> Column:
+    """Polynomial string hash, int64-exact: fold (h*257 + code) % (1e9+7).
+
+    Max intermediate: (1e9+6)*257 + 255 < 2.6e11 — no int64 overflow.
+    Tokens are lowercase alphanumeric (see ``retrieval.terms_col``), so
+    ``ascii`` is single-byte-safe by construction.
+    """
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(EMBED_HASH_BASE) + c) % F.lit(EMBED_HASH_MOD),
+    )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    normalize: bool = False,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """(id, embedding): feature-hashed signed token counts per document.
+
+    bucket = h % dim; sign = +1/-1 from an independent multiplicative
+    hash of h (NOT h % 2, which would correlate with bucket parity for
+    even ``dim``). Raw output is ``array<long>`` (exact integers — the
+    form the oracle twin hash-verifies); ``normalize=True`` L2-scales to
+    ``array<double>`` (zero vectors stay zero, never NaN).
+
+    Documents with no tokens get the zero vector (ids are preserved via
+    a left join, so the output has exactly one row per input row).
+    """
+    if dim <= 0:
+        raise ValueError("dim must be >= 1")
+    toks = df.select(id_col, F.explode(terms_col(F.col(text_col))).alias("tok"))
+    h = token_hash_col(F.col("tok"))
+    bucketed = toks.select(
+        id_col,
+        (h % F.lit(dim)).alias("bucket"),
+        (
+            F.lit(1)
+            - F.lit(2) * (((h * F.lit(EMBED_SIGN_MULT)) % F.lit(EMBED_HASH_MOD)) % 2)
+        )
+        .cast("long")
+        .alias("sign"),
+    )
+    sums = bucketed.groupBy(id_col, "bucket").agg(F.sum("sign").alias("v"))
+    maps = sums.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0).cast("long")),
+    )
+    out = (
+        df.select(id_col)
+        .join(maps, id_col, "left")
+        .select(id_col, dense.alias(out_col))
+    )
+    if not normalize:
+        return out
+    vec = F.col(out_col)
+    norm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    unit = F.when(norm > 0, F.transform(vec, lambda x: x.cast("double") / norm)).otherwise(
+        F.transform(vec, lambda x: F.lit(0.0))
+    )
+    return out.select(id_col, unit.alias(out_col))
+
+
+def cosine_to_query_col(vec: Column, qvec: Column) -> Column:
+    """Cosine between two integer-valued embedding columns, computed in
+    double. Dot and squared norms of int64 components are exact in
+    double (< 2^53 for any realistic dim/count), and IEEE sqrt/divide
+    are correctly rounded — so the result is bit-identical across
+    engines, which is what lets the ANN gate query hash-verify."""
+    dot = F.aggregate(
+        F.zip_with(vec, qvec, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    n2 = F.sqrt(
+        F.aggregate(qvec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(None))

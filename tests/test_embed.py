@@ -1,0 +1,125 @@
+"""operators/embed — feature-hashed embeddings: exact agreement with a
+pure-Python reference of the same arithmetic, zero-token handling,
+normalization, and composition with the similarity stack."""
+
+import math
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import embed as E
+
+DOCS = [
+    "key agg row scan slow fast table",
+    "one",
+    "",
+    "  !!??  ",
+    "punct!! mixed, 123 tokens-and dashes",
+    "UPPER Case Words Here Now",
+    "repeat repeat repeat token",
+]
+
+
+def _ref_embed(text: str, dim: int):
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    vec = [0] * dim
+    for t in toks:
+        h = 0
+        for ch in t:
+            h = (h * E.EMBED_HASH_BASE + ord(ch)) % E.EMBED_HASH_MOD
+        b = h % dim
+        s = 1 - 2 * (((h * E.EMBED_SIGN_MULT) % E.EMBED_HASH_MOD) % 2)
+        vec[b] += s
+    return vec
+
+
+def _docs_df(spark):
+    pdf = pd.DataFrame({"doc_id": range(len(DOCS)), "text": DOCS})
+    return spark.createDataFrame(pdf)
+
+
+def test_matches_pure_python_reference_exactly(spark):
+    dim = 16
+    out = E.hashed_embedding(_docs_df(spark), dim=dim)
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    assert len(got) == len(DOCS)
+    for i, text in enumerate(DOCS):
+        assert got[i] == _ref_embed(text, dim), f"doc {i}: {text!r}"
+
+
+def test_tokenless_doc_gets_zero_vector_and_keeps_its_row(spark):
+    out = E.hashed_embedding(_docs_df(spark), dim=8)
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    assert got[2] == [0] * 8  # empty string
+    assert got[3] == [0] * 8  # punctuation only
+
+
+def test_repeated_token_accumulates_signed_count(spark):
+    dim = 16
+    out = E.hashed_embedding(_docs_df(spark), dim=dim)
+    got = {r["doc_id"]: r["embedding"] for r in out.collect()}
+    ref_one = _ref_embed("repeat", dim)
+    bucket = next(i for i, v in enumerate(ref_one) if v != 0)
+    # "repeat repeat repeat token": repeat's bucket holds 3x its sign
+    assert got[6][bucket] == 3 * ref_one[bucket] + (
+        _ref_embed("token", dim)[bucket] if _ref_embed("token", dim)[bucket] else 0
+    )
+
+
+def test_normalized_vectors_are_unit_or_zero(spark):
+    out = E.hashed_embedding(_docs_df(spark), dim=16, normalize=True)
+    for r in out.collect():
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert not any(math.isnan(x) for x in r["embedding"])
+        if any(x != 0 for x in r["embedding"]):
+            assert abs(n - 1.0) < 1e-12
+        else:
+            assert n == 0.0
+
+
+def test_identical_docs_have_cosine_one(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 1, 2], "text": ["alpha beta gamma", "alpha beta gamma", "zzz"]}
+    )
+    emb = E.hashed_embedding(spark.createDataFrame(pdf), dim=32)
+    q = emb.filter(F.col("doc_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "doc_id",
+        E.cosine_to_query_col(F.col("embedding"), F.col("qvec")).alias("cos"),
+    )
+    got = {r["doc_id"]: r["cos"] for r in scored.collect()}
+    assert got[0] == pytest.approx(1.0, abs=1e-12)
+    assert got[1] == pytest.approx(1.0, abs=1e-12)
+    assert got[2] < 1.0
+
+
+def test_composes_with_cosine_topk(spark):
+    from ocr_spark.operators import similarity as S
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            "text": [
+                "shared tokens here indeed",
+                "shared tokens here indeed",
+                "totally different words appear",
+                "shared tokens",
+            ],
+        }
+    )
+    emb = E.hashed_embedding(
+        spark.createDataFrame(pdf), dim=32, normalize=True
+    ).withColumnRenamed("doc_id", "vec_id")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = S.cosine_topk(emb, qvec, k=2, vec_col="embedding", id_col="vec_id")
+    ids = [r["vec_id"] for r in top.collect()]
+    assert ids == [0, 1]  # the exact clone ranks before everything else
+
+
+def test_dim_validation():
+    with pytest.raises(ValueError):
+        E.hashed_embedding(None, dim=0)
