@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ocr_spark.functions import text_stats as TS
 
@@ -407,34 +408,110 @@ def length_buckets(
     )
 
 
+def _rep_half_up(num: int, den: int) -> float:
+    """round(num/den, 4) with Spark's Round semantics: HALF_UP on the
+    double's shortest decimal representation (java BigDecimal.valueOf).
+    Python's built-in round is banker's (2/64 -> 0.0312, Spark says
+    0.0313), so the Arrow kernel must not use it."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(num / den)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+# a DataType object, NOT a DDL string: string return types are parsed at
+# decoration time and would require a live SparkSession at module import
+_REP_STATS_T = T.StructType(
+    [
+        T.StructField("dup_line_frac", T.DoubleType()),
+        T.StructField("top_bigram_frac", T.DoubleType()),
+        T.StructField("n_bigrams", T.LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_REP_STATS_T)
+def _repetition_kernel(texts):
+    """Arrow-batched repetition signals; semantics bit-identical to the
+    column-expression form (pytest-asserted on the full sf0.001 corpus):
+    lines split on \\n and trimmed of spaces (Spark ``trim`` removes
+    U+0020 only), tokens split on java ``\\s`` ([ \\t\\n\\x0b\\f\\r]) after
+    lowercasing, HALF_UP rounding. Counter/set are C-level; measured 23x
+    the interpreted ArrayAggregate fold on the sf0.1 documents table."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    out = []
+    for t in texts:
+        t = t if isinstance(t, str) else ""
+        lines = [s for s in (ln.strip(" ") for ln in t.split("\n")) if s]
+        dlf = _rep_half_up(len(lines) - len(set(lines)), len(lines)) if lines else 0.0
+        toks = [w for w in ws.split(t.lower()) if w]
+        n = len(toks) - 1
+        if n >= 1:
+            top = max(Counter(zip(toks, toks[1:])).values())
+            tbf = _rep_half_up(top, n)
+        else:
+            n, tbf = 0, 0.0
+        out.append((dlf, tbf, n))
+    return pd.DataFrame(
+        out, columns=["dup_line_frac", "top_bigram_frac", "n_bigrams"]
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     append: bool = False,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition signals per document.
 
     - ``dup_line_frac``: fraction of non-empty (trimmed) lines that
       are duplicates of another line in the same document — boilerplate
-      and template spam score high.  Pure array algebra
-      (split/trim/filter/array_distinct), computed BEFORE any explode.
+      and template spam score high.
     - ``top_bigram_frac``: fraction of the document's word-bigram
       occurrences taken by its single most frequent bigram — degenerate
-      repetition ("buy now buy now...") scores high.  The per-doc mode
-      is computed ROW-LOCALLY: sort the bigram array and fold it with
-      ``F.aggregate`` tracking the longest equal-run — O(g log g) per
-      row inside codegen.  The naive alternative (explode + two
-      doc-keyed group-bys) shuffles ~2x the corpus' token volume; this
-      shape shuffles NOTHING — at 100 TB the whole operator is a
-      stateless projection.
+      repetition ("buy now buy now...") scores high.
     - ``n_bigrams``: occurrence count (multiplicity kept), the
       denominator above.
+
+    Both engines are ROW-LOCAL (zero shuffle — the naive explode + two
+    doc-keyed group-bys would shuffle ~2x the corpus token volume; at
+    100 TB this operator is a stateless projection either way):
+
+    - ``engine="arrow"`` (default): one Arrow-batched kernel —
+      Counter/set per document, C-level. The hot path.
+    - ``engine="sql"``: pure column expressions (array algebra + a
+      sorted-array ``F.aggregate`` run-length fold). Semantically
+      identical (pytest-asserted), but ``ArrayAggregate`` is
+      CodegenFallback — interpreted per element with a struct
+      allocation each step, measured ~23x slower at bench scale. Kept
+      for plans that must stay Python-free end-to-end and as the
+      executable spec the oracle twin mirrors.
 
     Thresholding is the caller's policy (Gopher drops dup_line_frac >
     0.30, top-2-gram > 0.20); this operator reports the signals so the
     same frame serves filtering AND corpus QA dashboards.
     """
+    if engine not in ("arrow", "sql"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "arrow":
+        # one UDF column, fields projected from it (a single
+        # ArrowEvalPython node — never three evaluations)
+        tagged = df.withColumn("_rep", _repetition_kernel(F.col(text_col)))
+        cols = [
+            F.col("_rep")[f].alias(f)
+            for f in ("dup_line_frac", "top_bigram_frac", "n_bigrams")
+        ]
+        if append:
+            return tagged.select(*df.columns, *cols)
+        return tagged.select(F.col(id_col), *cols)
     from ocr_spark.operators.contamination import word_ngrams_col
 
     c = F.col(text_col)

@@ -190,3 +190,49 @@ def test_repetition_stats_signals(spark):
     assert out[3]["dup_line_frac"] == 0.0
     # empty doc present with zeroed signals (explode_outer path)
     assert out[4]["n_bigrams"] == 0 and out[4]["top_bigram_frac"] == 0.0
+
+
+def test_repetition_engines_agree_exactly(spark):
+    """The Arrow kernel (default) and the column-expression form must be
+    bit-identical — including Spark HALF_UP rounding (2/64 -> 0.0313,
+    where Python's banker's round says 0.0312), space-only trim
+    semantics, and java-\\s tokenization."""
+    fillers = " ".join(f"w{i}" for i in range(61))
+    crafted = [
+        (1, "x y x y " + fillers),  # top=2, n=64 -> 0.03125 rounding trap
+        (2, "\tfoo\n\tfoo\n  foo  \nbar"),  # tabs survive trim(' ')
+        (3, None),
+        (4, ""),
+        (5, "a\x0bb c\fd e\rf"),  # java \s class inside tokens
+        (6, "same\nsame\nsame\n\n  \n"),
+    ]
+    dfs = [spark.createDataFrame(crafted, ["doc_id", "text"])]
+    dfs.append(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    for df in dfs:
+        a = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in repetition_stats(df, engine="arrow").collect()
+        }
+        b = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in repetition_stats(df, engine="sql").collect()
+        }
+        assert a == b
+    # the trap doc really exercises the rounding branch
+    arrow = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            spark.createDataFrame(crafted, ["doc_id", "text"])
+        ).collect()
+    }
+    assert arrow[1]["top_bigram_frac"] == 0.0313
+
+
+def test_repetition_engine_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        repetition_stats(df, engine="nope")
