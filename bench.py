@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
 import __spark_entry__ as E  # noqa: E402
 from ocr_spark.data.generate import gen_transcripts_df  # noqa: E402
 from ocr_spark.operators.classify import classify_pipeline  # noqa: E402
@@ -34,6 +38,16 @@ from ocr_spark.pipeline import extract_transcripts  # noqa: E402
 from ocr_spark.session import get_spark  # noqa: E402
 
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+@F.pandas_udf(T.LongType())
+def _warm_workers(s: pd.Series) -> pd.Series:
+    """Untimed warm-up body: forks every Python worker with numpy/pandas
+    imported so the first timed pandas-UDF query measures the operator,
+    not the one-time worker spawn (~15 s at 32 procs on this VM)."""
+    import numpy as np
+
+    return s + int(np.int64(0))
 BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "200000"))  # ~1.7M turns
 
 
@@ -139,18 +153,9 @@ def main() -> None:
     # the one-time worker fork+import (~15 s at 32 procs on this
     # bandwidth-throttled VM; on a real cluster executors pay it once at
     # startup, never per query).
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as _F
-
-    @_F.pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        import numpy as _np
-
-        return s + int(_np.int64(0))
-
     materialize(
         spark.range(0, 100000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-        .select(_warm(_F.col("id")).alias("v"))
+        .select(_warm_workers(F.col("id")).alias("v"))
     )
 
     # Best-of-2 per relational headliner (adaptive extras on high spread):
@@ -218,7 +223,6 @@ def main() -> None:
     # (vec j of id = sin((1+id%8)*j) + 0.05*sin(id*j): 8 balanced natural
     # clusters, ids 0..7 are one representative each), generated once
     # JVM-side and cached like the bench transcripts.
-    from pyspark.sql import functions as F  # noqa: E402
     from ocr_spark.operators.similarity import (  # noqa: E402
         cosine_scores_udf,
         ivf_topk_from_index,
