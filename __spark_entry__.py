@@ -47,6 +47,7 @@ from ocr_spark.data import generate as G
 from ocr_spark.functions import text_stats as TS
 from ocr_spark.operators import lm_quality as LMQ
 from ocr_spark.operators import quantize as QZO
+from ocr_spark.operators import tokenizer as TKZO
 from ocr_spark.operators import snapshot as SNP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
@@ -1556,6 +1557,50 @@ def _q_emb_hashed_ann(spark, sf_dir):
     )
 
 
+# Fixed BPE merge table for the gate twins: trained once with
+# tokenizer.train_local on the sf0.001 documents vocabulary (24 merges,
+# deterministic — max weight, lexicographic tie-break). A constant so the
+# DuckDB twin can embed the identical table as a literal MAP.
+_BPE_DEMO_MERGES = [
+    ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"), ("a", "n"), ("c", "an"),
+    ("s", "can"), ("c", "o"), ("co", "lu"), ("colu", "m"), ("colum", "n"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("d", "er"), ("or", "der"),
+    ("or", "t"), ("s", "ort"),
+]
+
+_BPE_WORDS_CTE = (
+    "SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9]+'), x -> x <> '')) AS word FROM documents"
+)
+
+
+def _q_tok_bpe_encode(spark, sf_dir):
+    """Learned-BPE encode of the corpus vocabulary (operators/
+    tokenizer.py): lowest-rank-pair fold to fixpoint per word, Arrow
+    kernel — hash-verified against an independent DuckDB recursive-CTE
+    reimplementation of the same spec (only the merge table is
+    shared)."""
+    from ocr_spark.operators import tokenizer as TKZ
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = TKZ.word_vocabulary(docs, "text").select("word")
+    enc = TKZ.bpe_encode_word_udf(_BPE_DEMO_MERGES)
+    return vocab.select("word", enc(F.col("word")).alias("bpe_tokens"))
+
+
+def _q_tok_bpe_counts(spark, sf_dir):
+    """Exact per-document token count under the learned tokenizer — the
+    budget column sequence packing consumes; binds the BPE kernel to the
+    documents table end-to-end."""
+    from ocr_spark.operators import tokenizer as TKZ
+
+    docs = _t(spark, sf_dir, "documents")
+    return TKZ.bpe_token_count(docs, _BPE_DEMO_MERGES, "text").select(
+        "doc_id", "bpe_token_count"
+    )
+
+
 # Feature-hashed embedding construction, DuckDB formulation — the identical
 # arithmetic to operators/embed.py (polynomial token hash, independent sign
 # hash, signed bucket counts, dense 64-dim assembly via grid left-join).
@@ -1680,6 +1725,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
         "emb_hashed_ann": _q_emb_hashed_ann,
+        # -- learned tokenizer
+        "tok_bpe_encode": _q_tok_bpe_encode,
+        "tok_bpe_counts": _q_tok_bpe_counts,
         # -- fuzzy scalar functions
         "fz_levenshtein": _q_fz_levenshtein,
         "fz_token_sort_scalar": _q_fz_token_sort_scalar,
@@ -3015,6 +3063,19 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
         ),
         "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
         "qt_quantized_topk": QZO.quantized_topk_sql("embeddings", 7, k=15),
+        "tok_bpe_encode": TKZO.bpe_encode_sql(_BPE_DEMO_MERGES, _BPE_WORDS_CTE),
+        "tok_bpe_counts": (
+            "WITH tok AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word "
+            "FROM documents), "
+            "wl AS (SELECT word, len(bpe_tokens) AS n FROM ("
+            + TKZO.bpe_encode_sql(_BPE_DEMO_MERGES, _BPE_WORDS_CTE)
+            + ") ), "
+            "per AS (SELECT tok.doc_id, sum(wl.n) AS c FROM tok "
+            "JOIN wl USING (word) GROUP BY tok.doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(per.c, 0) AS BIGINT) AS bpe_token_count "
+            "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
+        ),
         "emb_hashed_vectors": _EMB_CTE_SQL + "SELECT doc_id, embedding FROM emb",
         "emb_hashed_ann": _EMB_CTE_SQL
         + """

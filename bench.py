@@ -215,6 +215,18 @@ def main() -> None:
     t_mx = timed_best(lambda: materialize(extract_transcripts(mixed)), TRIALS)
     times["ex_extract_all_kinds"] = round(t_mx, 3)
 
+    # learned-BPE token counting over the full transcripts corpus (the
+    # token-budget column a packing stage consumes) — Arrow kernel with a
+    # per-batch word cache, row-local / shuffle-free
+    from ocr_spark.operators.tokenizer import bpe_token_count  # noqa: E402
+
+    bpe_counted = bpe_token_count(
+        transcripts, E._BPE_DEMO_MERGES, text_col="text"
+    ).select("bpe_token_count")
+    times["tok_bpe_transcripts"] = round(
+        timed_best(lambda: materialize(bpe_counted), TRIALS), 3
+    )
+
     # IVF partition-pruning win: probe the materialized index (scans only
     # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
     # through the same numpy scoring path — the delta is pure pruning.

@@ -1,0 +1,350 @@
+"""Byte-pair-encoding tokenizer: distributed training + Arrow encode.
+
+A training-data pipeline needs REAL token budgets (sequence packing,
+context assembly, per-doc token counts) — the BPE-ish regex count in
+``functions/text_stats.py`` approximates them; this module learns an
+actual merge table from the corpus and encodes with it.
+
+The executable spec (implemented identically three ways — the Spark
+fold used by distributed training, the Python kernel used by encode,
+and the DuckDB recursive-CTE oracle twin):
+
+- **Words**: lowercase alphanumeric tokens (``retrieval.terms_col`` —
+  the engine-wide tokenization). BPE is applied per word; merges never
+  cross word boundaries (subword-nmt / GPT-2 convention).
+- **Merge application** for one pair (x, y): a single left-to-right
+  fold over the symbol list — append s, except when the last symbol
+  equals x and s == y, replace the last symbol with xy. This is the
+  leftmost non-overlapping occurrence merge (runs of a repeated symbol
+  merge pairwise from the left: "aaaa" -> [aa, aa], "aaa" -> [aa, a]);
+  a merge can never create a fresh occurrence of the SAME pair
+  (xy == x is impossible), so one fold merges the pair exhaustively.
+- **Training**: on the (word, weight) vocabulary table, repeat
+  n_merges times: count adjacent symbol pairs weighted by word count;
+  the most frequent pair wins, ties broken by lexicographically
+  smallest (x, y); apply its fold to every word. Training on the
+  DEDUPLICATED vocabulary (not the corpus) is the classic construction
+  and the scale story: the iterating table is vocabulary-bounded
+  (Heaps' law — millions of rows at 100 TB, not trillions), produced
+  by one corpus-wide map-side-combining count.
+- **Encoding** a word: repeatedly find the present pair with the
+  LOWEST merge rank and apply its fold; stop when no adjacent pair has
+  a rank. Deterministic for any rank table.
+
+Distributed training runs a driver loop like ``dedup.connected_
+components``: each iteration is one small aggregation (pair counts,
+vocabulary-sized) + one fold projection, with the vocabulary persisted
+and the previous round released — per-iteration lineage depth stays
+constant. The argmax row collected per round is ONE row (an aggregate,
+not data). Encoding is one Arrow-batched kernel with an LRU-less
+per-batch word cache (Zipfian corpora hit it constantly), no shuffle.
+
+Verification: Spark training == pure-Python reference training (exact
+merge list) and Spark encode == reference encode in tests/
+test_tokenizer.py (plus a hypothesis property: concatenating a word's
+tokens reproduces the word); the encode kernel is hash-verified at the
+gate against an independent DuckDB recursive-CTE reimplementation
+(`tok_bpe_encode` in `__spark_entry__.py`) over the corpus vocabulary.
+
+Reference parity note: the reference repo counts tokens only for API
+cost accounting (no trainable tokenizer); this module is part of the
+training-data toolkit layered on the extraction engine.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ocr_spark.operators.retrieval import terms_col
+
+Pair = Tuple[str, str]
+
+
+# ---------------------------------------------------------------- pure spec
+
+
+def merge_fold(syms: List[str], x: str, y: str) -> List[str]:
+    """One left-to-right fold merging every non-overlapping (x, y)."""
+    out: List[str] = []
+    for s in syms:
+        if out and out[-1] == x and s == y:
+            out[-1] = x + y
+        else:
+            out.append(s)
+    return out
+
+
+def encode_word(word: str, ranks: Dict[Pair, int]) -> List[str]:
+    """Encode one word: lowest-rank present pair, fold, repeat."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best: Optional[Pair] = None
+        best_rank = len(ranks)
+        for p in zip(syms, syms[1:]):
+            r = ranks.get(p)
+            if r is not None and r < best_rank:
+                best, best_rank = p, r
+        if best is None:
+            break
+        syms = merge_fold(syms, best[0], best[1])
+    return syms
+
+
+def train_local(word_weights: Dict[str, int], n_merges: int) -> List[Pair]:
+    """Pure-Python reference trainer over a (word -> weight) vocabulary.
+
+    The spec the distributed trainer must reproduce exactly (asserted
+    in tests); fine for driver-side use on small fixtures.
+    """
+    vocab: List[Tuple[List[str], int]] = [
+        (list(w), c) for w, c in sorted(word_weights.items()) if w
+    ]
+    merges: List[Pair] = []
+    for _ in range(n_merges):
+        counts: Dict[Pair, int] = {}
+        for syms, c in vocab:
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = [(merge_fold(s, best[0], best[1]), c) for s, c in vocab]
+    return merges
+
+
+# ------------------------------------------------------------ Spark training
+
+
+def _fold_col(syms, x: str, y: str):
+    """The merge fold as a Spark column expression over an array column."""
+    merged = F.lit(x + y)
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == F.lit(x)) & (s == F.lit(y)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _chars_col(word):
+    return F.transform(
+        F.sequence(F.lit(1), F.length(word)), lambda i: word.substr(i, F.lit(1))
+    )
+
+
+def word_vocabulary(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, weight): the deduplicated corpus vocabulary with counts —
+    ONE map-side-combining aggregation over the corpus; everything the
+    trainer iterates on afterwards is vocabulary-sized."""
+    return (
+        df.select(F.explode(terms_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    vocab: Optional[DataFrame] = None,
+) -> List[Pair]:
+    """Learn ``n_merges`` BPE merges from the corpus, distributed.
+
+    Driver loop over the persisted vocabulary table (see module
+    docstring): per round, a pair-count aggregation (tie-broken
+    deterministically: max weight, then lexicographically smallest
+    pair — partitioning-independent) and one fold projection. Collect
+    traffic is ONE aggregate row per round.
+    """
+    spark = df.sparkSession
+    v = vocab if vocab is not None else word_vocabulary(df, text_col)
+    cur = v.select(_chars_col(F.col("word")).alias("syms"), "weight")
+    cur = cur.persist()
+    cur.count()
+    merges: List[Pair] = []
+    try:
+        for _ in range(n_merges):
+            pairs = cur.filter(F.size("syms") >= 2).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at("syms", i),
+                            F.lit(" "),
+                            F.element_at("syms", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+                F.col("weight"),
+            )
+            top = (
+                pairs.groupBy("pair")
+                .agg(F.sum("weight").alias("cnt"))
+                # joined-string order == (x, y) tuple order: components are
+                # alphanumeric and ' ' sorts below every alnum char
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            x, y = top[0]["pair"].split(" ")
+            merges.append((x, y))
+            nxt = cur.select(_fold_col(F.col("syms"), x, y).alias("syms"), "weight")
+            nxt = nxt.persist()
+            nxt.count()  # materialize before releasing the previous round
+            cur.unpersist(blocking=False)
+            cur = nxt
+    finally:
+        cur.unpersist(blocking=False)
+    return merges
+
+
+# ------------------------------------------------------------- Arrow encode
+
+
+def bpe_encode_word_udf(merges: Sequence[Pair]):
+    """pandas UDF: word -> its BPE token array (per-batch word cache)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc(words: pd.Series) -> pd.Series:
+        cache: Dict[str, List[str]] = {}
+
+        def one(w):
+            if not isinstance(w, str) or not w:
+                return []
+            hit = cache.get(w)
+            if hit is None:
+                hit = cache[w] = encode_word(w, ranks)
+            return hit
+
+        return words.map(one)
+
+    return enc
+
+
+def bpe_tokens(
+    df: DataFrame,
+    merges: Sequence[Pair],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append the document's BPE token array (word order preserved,
+    per-word encodes concatenated). Row-local: one Arrow stage over the
+    word array, zero shuffle."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def enc_doc(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"[^a-z0-9]+")
+        cache: Dict[str, List[str]] = {}
+
+        def one(t):
+            if not isinstance(t, str) or not t:
+                return []
+            out: List[str] = []
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = encode_word(w, ranks)
+                out.extend(hit)
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, enc_doc(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: Sequence[Pair],
+    text_col: str = "text",
+    out_col: str = "bpe_token_count",
+) -> DataFrame:
+    """Exact learned-tokenizer token count per document — the budget
+    column ``training.pack_sequences`` / ``assemble_context`` should be
+    fed at curation time."""
+    tagged = bpe_tokens(df, merges, text_col, out_col="_bpe_toks")
+    return tagged.select(
+        *df.columns, F.size("_bpe_toks").cast("long").alias(out_col)
+    )
+
+
+# ----------------------------------------------------------- oracle SQL twin
+
+
+def bpe_encode_sql(
+    merges: Sequence[Pair], words_cte: str, word_col: str = "word"
+) -> str:
+    """DuckDB recursive-CTE reimplementation of the encode spec, for the
+    oracle gate: per word, repeatedly apply the lowest-rank present
+    pair's fold (string accumulator with a unit separator — symbols are
+    alphanumeric so the separator never collides). Only the merge TABLE
+    is shared with the Spark side; the algorithm is written
+    independently in SQL."""
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    for x, y in merges:
+        if not (x + y).isalnum():
+            raise ValueError(f"non-alphanumeric merge symbol: {(x, y)!r}")
+    pair_keys = ", ".join(f"'{x} {y}': {i}" for i, (x, y) in enumerate(merges))
+    pair_list = ", ".join(f"'{x} {y}'" for x, y in merges)
+    return f"""
+WITH RECURSIVE
+bpe_words AS ({words_cte}),
+bpe_init AS (
+  SELECT {word_col} AS w,
+         [substr({word_col}, CAST(i AS INTEGER), 1)
+          for i in range(1, length({word_col}) + 1)] AS syms,
+         0 AS step
+  FROM bpe_words WHERE length({word_col}) >= 1
+),
+bpe_enc AS (
+  SELECT w, syms, step FROM bpe_init
+  UNION ALL
+  SELECT w,
+    string_split(
+      list_reduce(
+        list_prepend(CAST('' AS VARCHAR), syms),
+        (acc, s) -> CASE
+          WHEN s = string_split([{pair_list}][br + 1], ' ')[2]
+               AND (acc = string_split([{pair_list}][br + 1], ' ')[1]
+                    OR ends_with(acc, chr(31) || string_split([{pair_list}][br + 1], ' ')[1]))
+          THEN substr(acc, 1,
+                      length(acc) - length(string_split([{pair_list}][br + 1], ' ')[1]))
+               || string_split([{pair_list}][br + 1], ' ')[1]
+               || string_split([{pair_list}][br + 1], ' ')[2]
+          ELSE CASE WHEN acc = '' THEN s ELSE acc || chr(31) || s END
+        END),
+      chr(31)) AS syms,
+    step + 1
+  FROM (
+    SELECT w, syms, step,
+      list_min([map_extract(MAP {{{pair_keys}}}, syms[i] || ' ' || syms[i+1])[1]
+                for i in range(1, len(syms))]) AS br
+    FROM bpe_enc
+  ) WHERE br IS NOT NULL
+),
+bpe_final AS (
+  SELECT w, syms,
+         row_number() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+  FROM bpe_enc
+)
+SELECT w AS {word_col}, syms AS bpe_tokens FROM bpe_final WHERE rn = 1
+"""

@@ -1,0 +1,153 @@
+"""operators/tokenizer — BPE: fold/encode spec units, distributed
+training == pure-Python reference, Arrow encode == reference, and a
+hypothesis cross-engine property (DuckDB recursive-CTE twin == Python
+kernel on random words/merges)."""
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ocr_spark.operators import tokenizer as TK
+
+# classic Sennrich-style toy vocabulary
+TOY = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_merge_fold_runs_merge_pairwise_from_left():
+    assert TK.merge_fold(list("aaa"), "a", "a") == ["aa", "a"]
+    assert TK.merge_fold(list("aaaa"), "a", "a") == ["aa", "aa"]
+    assert TK.merge_fold(list("aaaaa"), "a", "a") == ["aa", "aa", "a"]
+    assert TK.merge_fold(list("abab"), "a", "b") == ["ab", "ab"]
+    assert TK.merge_fold(["x"], "a", "b") == ["x"]
+    assert TK.merge_fold([], "a", "b") == []
+
+
+def test_merge_fold_never_merges_into_merged_symbol():
+    # after (a,b)->ab, a following b must NOT attach to the new ab
+    assert TK.merge_fold(list("abb"), "a", "b") == ["ab", "b"]
+
+
+def test_encode_word_lowest_rank_first():
+    ranks = {("e", "r"): 0, ("l", "o"): 1, ("lo", "w"): 2}
+    assert TK.encode_word("lower", ranks) == ["low", "er"]
+    assert TK.encode_word("low", ranks) == ["low"]
+    assert TK.encode_word("newer", ranks) == ["n", "e", "w", "er"]
+    assert TK.encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert TK.encode_word("", ranks) == []
+
+
+def test_encode_word_revisits_earlier_ranks():
+    # merging a later-rank pair can create an occurrence of an
+    # earlier-rank pair; encode must pick it up
+    ranks = {("a", "bc"): 0, ("b", "c"): 1}
+    assert TK.encode_word("abc", ranks) == ["abc"]
+
+
+def test_train_local_toy_vocabulary():
+    merges = TK.train_local(TOY, 4)
+    # est: 9 (newest+widest), lo: 7 (low+lower) — classic first merges
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("l", "o")
+    assert merges[3] == ("lo", "w")
+
+
+def test_train_local_tie_break_lexicographic():
+    merges = TK.train_local({"ab": 1, "cd": 1}, 1)
+    assert merges == [("a", "b")]
+
+
+def test_spark_train_matches_reference(spark):
+    texts = [
+        "low lower newest widest",
+        "newest newest low widest newest",
+        "the window column sort order",
+        "scan scan the sorted column order",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"text": texts}))
+    got = TK.bpe_train(df, "text", n_merges=12)
+    wc = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    assert got == TK.train_local(wc, 12)
+
+
+def test_arrow_encode_matches_reference(spark):
+    merges = TK.train_local(TOY, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    texts = ["low lower newest", "", "widest wide west", "LOW! (newest)"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in TK.bpe_tokens(df, merges, "text").collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        ref = []
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                ref.extend(TK.encode_word(w, ranks))
+        assert out[i] == ref, f"doc {i}"
+
+
+def test_token_count_column(spark):
+    merges = TK.train_local(TOY, 6)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["newest low", ""]})
+    )
+    got = {
+        r["doc_id"]: r["bpe_token_count"]
+        for r in TK.bpe_token_count(df, merges, "text").collect()
+    }
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert got[0] == len(TK.encode_word("newest", ranks)) + len(
+        TK.encode_word("low", ranks)
+    )
+    assert got[1] == 0
+
+
+def test_encode_sql_rejects_unsafe_symbols():
+    with pytest.raises(ValueError):
+        TK.bpe_encode_sql([("a", "b'")], "SELECT 'x' AS word")
+    with pytest.raises(ValueError):
+        TK.bpe_encode_sql([], "SELECT 'x' AS word")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="ab0", min_size=1, max_size=10), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+def test_duckdb_twin_matches_python_encode(words, n_merges):
+    """Cross-engine property: the recursive-CTE SQL reimplementation and
+    the Python kernel agree on arbitrary words and learned merges."""
+    wc = {}
+    for w in words:
+        wc[w] = wc.get(w, 0) + 1
+    merges = TK.train_local(wc, n_merges)
+    if not merges:
+        return
+    ranks = {p: i for i, p in enumerate(merges)}
+    uniq = sorted(set(words))
+    cte = " UNION ALL ".join(f"SELECT '{w}' AS word" for w in uniq)
+    con = duckdb.connect()
+    got = dict(con.execute(TK.bpe_encode_sql(merges, cte)).fetchall())
+    for w in uniq:
+        assert got[w] == TK.encode_word(w, ranks), (w, merges)
+
+
+@settings(max_examples=50, deadline=None)
+@given(word=st.text(alphabet="abc01", min_size=0, max_size=16))
+def test_encode_concat_roundtrip(word):
+    merges = [("a", "b"), ("ab", "c"), ("0", "1"), ("a", "a"), ("aa", "aa")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = TK.encode_word(word, ranks)
+    assert "".join(toks) == word
+    assert all(toks)  # never an empty symbol
