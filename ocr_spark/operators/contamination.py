@@ -55,13 +55,20 @@ def word_ngrams_col(
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
     m = F.size(toks) - (n - 1)
-    # sequence(1, 0) would generate DESCENDING [1, 0] — guard short docs
-    # to an explicit empty array instead.
+    # arrays_zip of n shifted slices, NOT transform(sequence, i ->
+    # slice(toks, i, n)): a lambda that references `toks` re-evaluates the
+    # whole regex tokenization once PER GRAM POSITION (O(text^2) per doc —
+    # measured 5s for the sf0.1 documents table vs 0.2s for this shape,
+    # which evaluates the tokenization n times per doc total).
+    slices = [
+        F.slice(toks, i + 1, F.greatest(m, F.lit(0))).alias(f"_s{i}")
+        for i in range(n)
+    ]
     grams = F.when(
         m >= 1,
         F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            F.arrays_zip(*slices),
+            lambda e: F.concat_ws(" ", *[e[f"_s{i}"] for i in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams) if distinct else grams
