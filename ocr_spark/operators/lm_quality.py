@@ -78,12 +78,19 @@ def train_char_trigram_lm(
     continuation probabilities sum exactly to 1. Both outputs are at
     most 27^3 / 27^2 rows — broadcastable at any training-corpus size.
     """
+    # normalization lands in its own column BEFORE the trigram transform:
+    # passed inline, the lambda would re-run the regex once per trigram
+    # position (O(text^2) per document)
     tri_counts = (
-        corpus.select(
-            F.explode(char_trigrams(normalize_for_lm(F.col(text_col)))).alias("tri")
-        )
+        corpus.select(normalize_for_lm(F.col(text_col)).alias("_lmnorm"))
+        .select(F.explode(char_trigrams(F.col("_lmnorm"))).alias("tri"))
         .groupBy("tri")
         .agg(F.count("*").alias("cnt3"))
+        # <= 27^3 rows, but its lineage is the full corpus explode: pin it
+        # so materializing model AND backoff scans the corpus once, not
+        # twice. The pin is the model itself — it lives as long as the
+        # returned frames do.
+        .persist()
     )
     ctx_counts = (
         tri_counts.groupBy(F.substring("tri", 1, 2).alias("ctx"))
@@ -129,8 +136,11 @@ def score_perplexity(
     # join keyed by document at corpus scale).
     per_tri = (
         docs.select(
+            F.col(id_col), normalize_for_lm(F.col(text_col)).alias("_lmnorm")
+        )
+        .select(
             F.col(id_col),
-            F.explode_outer(char_trigrams(normalize_for_lm(F.col(text_col)))).alias("tri"),
+            F.explode_outer(char_trigrams(F.col("_lmnorm"))).alias("tri"),
         )
         .groupBy(id_col, "tri")
         .agg(F.count("*").alias("cnt"))
