@@ -778,6 +778,18 @@ def _q_tr_stratified_split(spark, sf_dir):
     )
 
 
+def _q_tr_source_cap(spark, sf_dir):
+    """Per-source document quota (C4/RefinedWeb per-domain cap): keep at
+    most 25 docs per source by (n_chars, doc_id) order. Spark runs the
+    skew-safe two-phase salted top-k; the oracle is the plain single
+    window — provably identical output (the union of per-bucket top-k
+    contains the global top-k)."""
+    from ocr_spark.operators.training import per_source_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return per_source_cap(docs, cap=25, source_col="source", order_col="n_chars")
+
+
 # Eval-set construction for decontamination, ONE SQL expression valid in
 # both engines: every 13th document contributes a 90-char excerpt, so its
 # source document (and near-identical siblings) genuinely share 3-grams.
@@ -1024,6 +1036,49 @@ def _q_sim_ivf_topk(spark, sf_dir):
     qvec = cents[0]  # vec_id 0 doubles as the query
     out = SIM.ivf_topk(emb, qvec, k=10, n_probe=3, centroids=cents)
     return out.select("vec_id", F.round("cosine_sim", 4).alias("cosine_sim"))
+
+
+def _q_sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup (cluster-assign -> within-cluster cosine -> drop
+    dominated) hash-verified end-to-end: fixed coarse centroids (first
+    4 corpus vectors) make the assignment SQL-expressible, and the
+    clone corpus guarantees every (x, x+1000000) pair sits in one
+    cluster at cosine exactly 1.0, so the dominated set provably
+    contains every clone."""
+    _ensure_pyfiles(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    kept = SIM.semantic_dedup(
+        _dup_embeddings(spark, sf_dir), cents, threshold=0.95
+    )
+    return kept.select("vec_id", F.col("sem_cluster").cast("int").alias("sem_cluster"))
+
+
+def _q_dd_scrub_ngrams(spark, sf_dir):
+    """Exact duplicated-5-gram span scrubbing (ExactSubstr-style, Lee et
+    al. 2021) over a corpus where every document carries the same
+    10-token boilerplate tail — the duplicated-gram inventory, span
+    coverage, and reassembled text are all hash-verified against a
+    DuckDB twin that groups by the gram STRING (vs this implementation's
+    xxhash64 inventory: a hash/string mismatch would surface here)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            "text", F.lit(" the quick brown fox jumps over the lazy dog tail")
+        ).alias("text"),
+    )
+    out = DD.scrub_duplicate_ngrams(corpus, "text", "doc_id", k=5)
+    return out.select(
+        "doc_id",
+        "scrubbed_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
 
 
 def _q_fz_token_sort_scalar(spark, sf_dir):
@@ -1717,11 +1772,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_canonical_corpus": _q_dd_canonical_corpus,
         "dd_incremental_clones": _q_dd_incremental_clones,
         "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
+        "dd_scrub_ngrams": _q_dd_scrub_ngrams,
         # -- ANN / similarity stack
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_cosine_pairs": _q_sim_cosine_pairs,
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
+        "sim_semantic_dedup": _q_sim_semantic_dedup,
         "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
         "emb_hashed_ann": _q_emb_hashed_ann,
@@ -1739,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_sequence_packing": _q_pk_sequence_packing,
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
+        "tr_source_cap": _q_tr_source_cap,
         "dc_contamination_report": _q_dc_contamination_report,
         "dc_decontaminate": _q_dc_decontaminate,
         "pii_scrub_report": _q_pii_scrub_report,
@@ -2499,6 +2557,70 @@ LIMIT 10
 """
 
 
+_SEMANTIC_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 4),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+    FROM corpus e, cents c) WHERE rn = 1),
+dom AS (
+  SELECT DISTINCT b.vec_id
+  FROM corpus a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON ab.cid = aa.cid
+  JOIN corpus b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+SELECT e.vec_id, CAST(aa.cid AS INTEGER) AS sem_cluster
+FROM corpus e JOIN assign aa ON e.vec_id = aa.vec_id
+WHERE e.vec_id NOT IN (SELECT vec_id FROM dom)
+"""
+
+
+# duplicated-5-gram scrub twin: grams grouped by the gram STRING (the
+# Spark implementation inventories xxhash64(gram) — final scrubbed text
+# must agree); boilerplate tail makes cross-document duplication certain
+_SCRUB_NGRAMS_SQL = """
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' the quick brown fox jumps over the lazy dog tail' AS text
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM corpus),
+g AS (
+  SELECT doc_id, i AS gpos, array_to_string(w[i+1:i+5], ' ') AS gram
+  FROM t, unnest(range(0, greatest(len(w) - 4, 0))) AS r(i)),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, unnest(generate_series(g.gpos, g.gpos + 4)) AS pos
+  FROM g JOIN dup USING (gram)),
+tok AS (
+  SELECT doc_id, i AS pos, w[i+1] AS tok
+  FROM t, unnest(range(0, len(w))) AS r(i)),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+  WHERE cov.pos IS NULL),
+re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, coalesce(re.scrubbed_text, '') AS scrubbed_text,
+       len(t.w) AS n_tokens,
+       len(t.w) - coalesce(re.n_kept, 0) AS n_removed
+FROM t LEFT JOIN re USING (doc_id)
+"""
+
+
 _DUP_CORPUS_SQL = (
     "(SELECT doc_id, text FROM documents "
     "UNION ALL "
@@ -2994,6 +3116,12 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split, "
             "count(*) AS n FROM b GROUP BY lang, split"
         ),
+        "tr_source_cap": (
+            "SELECT doc_id, source, n_chars FROM ("
+            "SELECT doc_id, source, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars, doc_id) AS rn FROM documents) WHERE rn <= 25"
+        ),
         "dc_contamination_report": _DECON_CTE_SQL + (
             "SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_hits, "
             "round(n_hits * 1.0 / n_grams, 4) AS contamination_frac, "
@@ -3192,6 +3320,8 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         ),
         "sim_knn_join": _knn_join_sql(),
         "sim_ivf_topk": _IVF_TOPK_SQL,
+        "sim_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "dd_scrub_ngrams": _SCRUB_NGRAMS_SQL,
         "fz_token_sort_scalar": (
             "WITH t AS (SELECT p_partkey, array_to_string(list_sort("
             "string_split(upper(p_name), ' ')), ' ') AS cand FROM part), "

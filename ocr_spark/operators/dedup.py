@@ -806,3 +806,109 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def scrub_duplicate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact duplicated-n-gram span scrubbing — substring-level dedup at
+    fixed word-gram granularity (the relational re-expression of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021; their suffix-array ExactSubstr pass removes byte spans,
+    this removes every token covered by a k-token gram that occurs
+    ``min_count``-or-more times across the corpus, within- and
+    cross-document occurrences both counted).
+
+    Returns ``(id_col, scrubbed_text, n_tokens, n_removed)`` for EVERY
+    input document (unchanged docs included; docs shorter than k tokens
+    are never scrubbed). Tokens are maximal non-whitespace runs,
+    case-preserving; the scrubbed text is the kept tokens joined by
+    single spaces.
+
+    Scale shape: tokens stay as one array per doc (no explode) until the
+    gram inventory; gram occurrence counting is explode -> xxhash64 ->
+    partial-count hash agg (map-side combine keeps the shuffle at one
+    (hash, count) pair per distinct gram per task); duplicated hashes
+    join back to the gram rows; covered token positions explode a
+    k-long sequence per duplicated occurrence and distinct; reassembly
+    is one sort-free ``array_sort(collect_list(struct(pos, tok)))`` per
+    doc. Every shuffle key is a long or (id, int) pair — no text moves
+    except the final reassembly. Collision caveat: two distinct grams
+    sharing an xxhash64 value would cross-mark each other; at 2^64 that
+    needs ~10^9 distinct grams for a ~1e-2 birthday chance of ONE
+    collision corpus-wide, acceptable for a scrubbing pass (the oracle
+    twin groups by the gram string itself and hash-matches this
+    implementation at test scale).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_w"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LIVE_CACHES.append(base)
+
+    # gram at 0-based start i covers tokens [i, i+k-1]; shifted-slices
+    # zip (contamination.word_ngrams_col's shape) so the tokenization is
+    # not re-evaluated per gram position
+    m = F.size("_w") - (k - 1)
+    slices = [
+        F.slice("_w", i + 1, F.greatest(m, F.lit(0))).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    grams = F.when(
+        m >= 1,
+        F.transform(
+            F.arrays_zip(*slices),
+            lambda e: F.concat_ws(" ", *[e[f"_s{i}"] for i in range(k)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = base.select(
+        F.col(id_col), F.posexplode_outer(grams).alias("_gpos", "_gram")
+    ).select(id_col, "_gpos", F.xxhash64("_gram").alias("_gh"))
+
+    dup_hashes = (
+        gram_rows.filter(F.col("_gpos").isNotNull())
+        .groupBy("_gh")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("_gh")
+    )
+    covered = (
+        gram_rows.join(dup_hashes, "_gh")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("_gpos"), F.col("_gpos") + (k - 1))).alias(
+                "_pos"
+            ),
+        )
+        .distinct()
+    )
+
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode_outer("_w").alias("_pos", "_tok")
+    )
+    kept = tok_rows.filter(F.col("_pos").isNotNull()).join(
+        covered, [id_col, "_pos"], "left_anti"
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    sizes = base.select(F.col(id_col), F.size("_w").alias("n_tokens"))
+    return (
+        sizes.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -389,3 +389,54 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(qid_col, cid_col, "cosine_sim", "rank")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): a coarse k-means assignment restricts the
+    near-duplicate search to WITHIN-cluster pairs, then a document is
+    dropped when its cluster holds a cosine->=threshold neighbor with a
+    smaller id (deterministic keeper — the paper keeps one arbitrary
+    member per epsilon-group; min-id makes the choice reproducible and
+    oracle-expressible). Returns the KEPT rows with their ``sem_cluster``
+    column appended (schema = input + sem_cluster).
+
+    Scale shape: the assignment is one shuffle-free numpy matmul per
+    Arrow batch (``ivf_assign_udf``); the pair search is an equi-join on
+    the cluster id (hash-plannable, AQE-skew-splittable) scored by the
+    vectorized ``pair_cosine_udf``; the drop is one broadcast-able
+    LEFT ANTI join. Within-cluster work is quadratic in CLUSTER
+    population, so k must grow with the corpus (the paper uses ~50k
+    clusters for 5B embeddings) — size k so n/k stays ~10^4; for a
+    pathological giant cluster, pre-bucket its pairs with
+    ``embedding_near_dups``' hyperplane LSH instead of the plain
+    cluster join.
+    """
+    assigned = embeddings.withColumn(
+        "sem_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+    )
+    a = assigned.select(
+        F.col("sem_cluster").alias("_c"),
+        F.col(id_col).alias("_ia"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("sem_cluster").alias("_c"),
+        F.col(id_col).alias("_ib"),
+        F.col(vec_col).alias("_vb"),
+    )
+    dominated = (
+        a.join(b, "_c")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("_cs", pair_cosine_udf(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cs") >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti")

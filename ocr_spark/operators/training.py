@@ -557,3 +557,51 @@ def repetition_stats(
         # id-keyed report back would shuffle the corpus twice for nothing)
         return df.select("*", *cols)
     return df.select(F.col(id_col), *cols)
+
+
+def per_source_cap(
+    df: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic per-source document quota — the C4/RefinedWeb-style
+    per-domain cap: keep at most ``cap`` documents per source, preferring
+    ``order_col`` ascending (quality rank, perplexity, ...), ties and the
+    default order broken by ``id_col``. Schema unchanged.
+
+    Scale shape — two-phase top-k so a skewed source (one domain holding
+    10% of a 100 TB crawl) never pins a single window task:
+
+    phase 1 salts each source into ``salt_buckets`` hash buckets and
+    takes the per-(source, salt) top-``cap`` — every task sorts at most
+    its bucket; phase 2 re-ranks the <= cap x salt_buckets survivors per
+    source, which is cap-bounded and tiny. The union of per-bucket
+    top-``cap`` provably contains the global per-source top-``cap``
+    (any row in the true top-cap is in the top-cap of its own bucket),
+    so the two-phase result is exactly the single-window result —
+    asserted in tests/test_training_ops.py.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    order = (
+        [F.col(order_col).asc(), F.col(id_col).asc()]
+        if order_col
+        else [F.col(id_col).asc()]
+    )
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(*order)
+    local = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= cap)
+        .drop("_salt", "_r")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(*order)
+    return (
+        local.withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= cap)
+        .drop("_r")
+    )

@@ -546,3 +546,101 @@ def test_canonical_docs_keeps_min_id_with_cluster_size(spark):
     out = {r.doc_id: r.cluster_size for r in canonical_docs(docs, pairs).collect()}
     # components: {0,3,5} -> keep 0, {1,4} -> keep 1, singletons 2
     assert out == {0: 3, 1: 2, 2: 1}
+
+
+def test_scrub_duplicate_ngrams_known_fixture(spark):
+    """Hand-built corpus: docs 1/2 share an interior 5-gram run, doc 3 is
+    unique, doc 4 is shorter than k (never scrubbed), doc 5 is empty."""
+    from ocr_spark.operators.dedup import (
+        release_shingle_caches,
+        scrub_duplicate_ngrams,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 toks -> 2 dup 5-grams
+    rows = [
+        (1, f"one unique prefix {shared} own tail one"),
+        (2, f"two other start {shared} two ending here"),
+        (3, "three totally different words nothing shared at all clearly"),
+        (4, "tiny doc here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_ngrams(df, "text", "doc_id", k=5).collect()
+    }
+    release_shingle_caches()
+    # the shared 6 tokens are covered in docs 1 and 2; their doc-specific
+    # grams straddle the boundary and stay unique
+    assert out[1]["scrubbed_text"] == "one unique prefix own tail one"
+    assert out[2]["scrubbed_text"] == "two other start two ending here"
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    assert out[3]["scrubbed_text"].startswith("three totally")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["scrubbed_text"] == "tiny doc here" and out[4]["n_removed"] == 0
+    assert out[5]["scrubbed_text"] == "" and out[5]["n_tokens"] == 0
+
+
+def test_scrub_counts_within_document_repeats(spark):
+    """min_count occurrences are counted within ONE document too."""
+    from ocr_spark.operators.dedup import (
+        release_shingle_caches,
+        scrub_duplicate_ngrams,
+    )
+
+    rep = "a b c d e"
+    df = spark.createDataFrame(
+        [(1, f"{rep} x {rep} y"), (2, "totally unrelated words all different")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_duplicate_ngrams(df, "text", "doc_id", k=5).collect()
+    }
+    release_shingle_caches()
+    assert out[1]["scrubbed_text"] == "x y"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["n_removed"] == 0
+
+
+def test_semantic_dedup_drops_within_cluster_clones(spark):
+    """Exact clones land in one cluster and the larger id is dropped;
+    near-orthogonal members of the same cluster survive; cluster ids
+    match brute-force argmin assignment."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    cents = [list(map(float, v)) for v in rng.normal(size=(3, 8))]
+    base = rng.normal(size=(6, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 100, [float(x) for x in v]))  # exact clone
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semantic_dedup(df, cents, threshold=0.999).collect()
+    kept_ids = {r["vec_id"] for r in kept}
+    # every clone (i+100) must be dominated by its original i
+    assert kept_ids == {0, 1, 2, 3, 4, 5}
+    # assignments match brute-force nearest centroid
+    c = np.asarray(cents)
+    for r in kept:
+        d = ((np.asarray(r["embedding"]) - c) ** 2).sum(axis=1)
+        assert r["sem_cluster"] == int(np.argmin(d))
+
+
+def test_semantic_dedup_keeps_cross_cluster_duplicates(spark):
+    """SemDeDup only searches within clusters: a >= threshold pair split
+    across two clusters is NOT deduplicated (the documented trade-off)."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    # centroids on +x and -x; two identical vectors placed so argmin
+    # differs: impossible for identical vectors — so instead use two
+    # high-cosine (not identical) vectors straddling the boundary
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    df = spark.createDataFrame(
+        [(1, [0.001, 1.0]), (2, [-0.001, 1.0])], ["vec_id", "embedding"]
+    )
+    kept = {r["vec_id"] for r in semantic_dedup(df, cents, threshold=0.9).collect()}
+    assert kept == {1, 2}  # cosine ~0.999996 but different clusters

@@ -221,3 +221,40 @@ def test_hash_bucket_overflow_safe_and_identical(spark):
         _hash_bucket_2_32(F.col("id"), _SAMPLE_HASH_MULT, _SAMPLE_HASH_OFFSET).alias("b")
     ).collect()  # naive form would raise ARITHMETIC_OVERFLOW under ANSI
     assert all(0 <= r["b"] < (1 << 32) for r in vals)
+
+
+def test_per_source_cap_equals_single_window(spark):
+    """The skew-safe two-phase salted top-k returns EXACTLY the plain
+    single-window top-k, per source, under the same deterministic order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import per_source_cap
+
+    rows = [
+        (i, f"src{i % 3}", (i * 37) % 11) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "rank"])
+    got = per_source_cap(
+        df, cap=7, source_col="source", order_col="rank", salt_buckets=5
+    )
+    w = Window.partitionBy("source").orderBy(F.col("rank").asc(), F.col("doc_id").asc())
+    want = (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 7)
+        .drop("_r")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # per-source counts respect the cap
+    counts = {r["source"]: r["n"] for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in counts.values())
+
+
+def test_per_source_cap_under_capacity_sources_survive_whole(spark):
+    from ocr_spark.operators.training import per_source_cap
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    got = per_source_cap(df, cap=10, source_col="source")
+    assert got.count() == 3
