@@ -1057,6 +1057,22 @@ def _q_sim_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id", F.col("sem_cluster").cast("int").alias("sem_cluster"))
 
 
+def _q_km_lloyd_assign(spark, sf_dir):
+    """Iterative DataFrame-native Lloyd's k-means (2 iterations from the
+    fixed first-4-vectors seed), hash-verified against an UNROLLED
+    DuckDB twin (assign -> per-(cluster, dim) mean -> reassign). The
+    iterative loop's driver round-trip is k x d floats per round; the
+    corpus shuffles only (cluster, dim, partial-sum) rows."""
+    _ensure_pyfiles(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out, _ = SIM.kmeans_lloyd(emb, cents, n_iter=2)
+    return out.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
 def _q_dd_scrub_ngrams(spark, sf_dir):
     """Exact duplicated-5-gram span scrubbing (ExactSubstr-style, Lee et
     al. 2021) over a corpus where every document carries the same
@@ -1779,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
+        "km_lloyd_assign": _q_km_lloyd_assign,
         "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
         "emb_hashed_ann": _q_emb_hashed_ann,
@@ -2557,6 +2574,31 @@ LIMIT 10
 """
 
 
+_KMEANS_LLOYD_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       FROM embeddings WHERE vec_id < 4),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c0.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, c0.cv), c0.cid) AS rn
+    FROM e, c0) WHERE rn = 1),
+m1 AS (
+  SELECT a1.cid, i AS dim, avg(e.v[i+1]) AS mv
+  FROM a1 JOIN e USING (vec_id), unnest(range(0, len(e.v))) AS r(i)
+  GROUP BY a1.cid, i),
+c1 AS (SELECT cid, list(mv ORDER BY dim) AS cv FROM m1 GROUP BY cid),
+c1f AS (SELECT c0.cid, coalesce(c1.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN c1 USING (cid))
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, c.cv), c.cid) AS rn
+  FROM e, c1f c) WHERE rn = 1
+"""
+
+
 _SEMANTIC_DEDUP_SQL = """
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3321,6 +3363,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "sim_knn_join": _knn_join_sql(),
         "sim_ivf_topk": _IVF_TOPK_SQL,
         "sim_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "km_lloyd_assign": _KMEANS_LLOYD_SQL,
         "dd_scrub_ngrams": _SCRUB_NGRAMS_SQL,
         "fz_token_sort_scalar": (
             "WITH t AS (SELECT p_partkey, array_to_string(list_sort("

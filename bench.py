@@ -135,6 +135,8 @@ def main() -> None:
         "dd_simhash_neardups",
         "dd_connected_components",
         "dd_canonical_corpus",
+        "dd_scrub_ngrams",
+        "sim_semantic_dedup",
         "sim_knn_join",
         "sim_ivf_topk",
         "dc_contamination_report",

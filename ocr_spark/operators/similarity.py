@@ -440,3 +440,56 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dominated, id_col, "left_anti")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    init_centroids: List[List[float]],
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Lloyd's k-means in pure DataFrame algebra — the canonical
+    iterative cluster workload, built without pyspark.ml so every step
+    is an inspectable relational plan (and SQL-twin-verifiable).
+
+    Per iteration: (1) assignment is the shuffle-free numpy argmin UDF
+    (one matmul per Arrow batch against the broadcast k x d centroid
+    matrix); (2) new centroids are ONE map-side-combined aggregate —
+    posexplode(vector) -> groupBy(cluster, dim) -> avg — whose result is
+    exactly k x d rows, collected to the driver and re-broadcast. The
+    per-iteration driver traffic is k x d floats; the corpus is scanned
+    once per iteration and never shuffled on anything wider than
+    (cluster_id, dim_idx). An empty cluster keeps its previous centroid
+    (deterministic; no reseeding).
+
+    Returns ``(assignments, centroids)``: the final per-row assignment
+    DataFrame ``(id_col, cluster)`` and the final centroid list. Iterate
+    with a persisted input at corpus scale — each round re-reads ``df``.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    k = len(init_centroids)
+    cents = [list(map(float, c)) for c in init_centroids]
+    vec_d = F.col(vec_col).cast(T.ArrayType(T.DoubleType()))
+    for _ in range(n_iter - 1):
+        assigned = df.select(
+            ivf_assign_udf(cents)(F.col(vec_col)).alias("cluster"),
+            F.posexplode(vec_d).alias("dim", "val"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "dim")
+            .agg(F.avg("val").alias("mv"))
+            .collect()
+        )
+        new = {c: list(cents[c]) for c in range(k)}  # empty keeps previous
+        by_c: dict = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["mv"]
+        for c, dims in by_c.items():
+            new[c] = [dims[i] for i in range(len(dims))]
+        cents = [new[c] for c in range(k)]
+    out = df.select(
+        F.col(id_col), ivf_assign_udf(cents)(F.col(vec_col)).alias("cluster")
+    )
+    return out, cents

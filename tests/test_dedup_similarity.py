@@ -644,3 +644,49 @@ def test_semantic_dedup_keeps_cross_cluster_duplicates(spark):
     )
     kept = {r["vec_id"] for r in semantic_dedup(df, cents, threshold=0.9).collect()}
     assert kept == {1, 2}  # cosine ~0.999996 but different clusters
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark):
+    """3-iteration DataFrame k-means == plain-numpy Lloyd on the same
+    seed: identical assignments AND centroids (to float tolerance)."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(120, 6)) + np.repeat(
+        rng.normal(scale=4.0, size=(4, 6)), 30, axis=0
+    )
+    init = [list(map(float, v)) for v in x[:4]]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        ["vec_id", "embedding"],
+    )
+    out, cents = kmeans_lloyd(df, init, n_iter=3)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+
+    c = np.asarray(init)
+    for _ in range(2):  # n_iter - 1 mean updates
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for j in range(4):
+            if (a == j).any():
+                c[j] = x[a == j].mean(axis=0)
+    final = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert got == {i: int(final[i]) for i in range(len(x))}
+    assert np.allclose(np.asarray(cents), c, atol=1e-9)
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
+    """A centroid that captures no points keeps its previous position
+    instead of collapsing to NaN or being dropped."""
+    from ocr_spark.operators.similarity import kmeans_lloyd
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.1]), (1, [0.0, -0.1]), (2, [0.2, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    far = [100.0, 100.0]
+    out, cents = kmeans_lloyd(df, [[0.0, 0.0], far], n_iter=3)
+    assert cents[1] == far
+    assert {r["cluster"] for r in out.collect()} == {0}

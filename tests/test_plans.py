@@ -342,3 +342,34 @@ def test_slice_spans_is_jvm_only_over_materialized_extraction(spark, small_corpu
     plan = sliced._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan, plan[:500]
     assert sliced.count() > 0
+
+
+def test_scrub_ngrams_is_pure_jvm(spark):
+    """Duplicated-gram scrubbing must plan with NO Python stage (it is
+    built-in split/explode/hash/agg/join algebra end-to-end) and no
+    nested-loop pair shape."""
+    from ocr_spark.operators.dedup import release_shingle_caches, scrub_duplicate_ngrams
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = scrub_duplicate_ngrams(docs, "text", "doc_id", k=5)
+    plan = checks.formatted_plan(out)
+    release_shingle_caches()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """The within-cluster pair search must be an equi-join on the
+    cluster id (hash/SMJ-plannable), never a nested loop, with the
+    assignment and scoring as Arrow-batched numpy stages."""
+    from ocr_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(64)] for i in range(4)]
+    out = semantic_dedup(emb, cents, threshold=0.95)
+    plan = checks.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" in plan
