@@ -778,6 +778,22 @@ def _q_tr_stratified_split(spark, sf_dir):
     )
 
 
+def _q_tr_chunk_documents(spark, sf_dir):
+    """Overlapping char-window chunking (240-char chunks, 40 overlap) —
+    row-local sequence/explode/substr algebra, twin = the identical
+    arithmetic in SQL. Start offsets, indices, and chunk text all
+    hash-verified."""
+    from ocr_spark.operators.training import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_chars=240, overlap=40).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        "chunk_text",
+    )
+
+
 def _q_tr_source_cap(spark, sf_dir):
     """Per-source document quota (C4/RefinedWeb per-domain cap): keep at
     most 25 docs per source by (n_chars, doc_id) order. Spark runs the
@@ -1379,6 +1395,27 @@ def _q_ex_records_parse_twin(spark, sf_dir):
     )
 
 
+def _q_ex_records_udtf_twin(spark, sf_dir):
+    """The native Python UDTF surface (§2.11, Spark 4 ``@udtf``) parsed
+    against the SAME SQL grammar twin as ex_records_parse_twin: a
+    1-row -> N-rows lateral join through the Arrow UDTF channel must
+    produce the identical record set the vectorized kernel produces."""
+    from ocr_spark.functions.records_udtf import parse_records_lateral
+
+    _ensure_pyfiles(spark)
+    corpus = _records_corpus(spark, sf_dir).select(
+        F.col("conv_id").cast("long").alias("conv"), "text"
+    )
+    out = parse_records_lateral(corpus, "text", keys=("conv",))
+    return out.select(
+        "conv",
+        F.col("record_idx").cast("int").alias("record_idx"),
+        F.col("name").alias("Name"),
+        F.col("credential_ocr").alias("Credential_OCR"),
+        F.col("signature").alias("Signature"),
+    )
+
+
 def _q_ex_records_meta_twin(spark, sf_dir):
     """Hash-verified per-turn extraction output: clean_text (canonicalized
     matched lines), record/parse-failure metrics, field-employee header,
@@ -1777,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_dispatch_twin": _q_ex_dispatch_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
+        "ex_records_udtf_twin": _q_ex_records_udtf_twin,
         "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
         "ex_fuzzy_cascade_twin": _q_ex_fuzzy_cascade_twin,
@@ -1814,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
         "tr_source_cap": _q_tr_source_cap,
+        "tr_chunk_documents": _q_tr_chunk_documents,
         "dc_contamination_report": _q_dc_contamination_report,
         "dc_decontaminate": _q_dc_decontaminate,
         "pii_scrub_report": _q_pii_scrub_report,
@@ -3158,6 +3197,15 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split, "
             "count(*) AS n FROM b GROUP BY lang, split"
         ),
+        "tr_chunk_documents": (
+            "WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents), "
+            "c AS (SELECT doc_id, text, "
+            "greatest(CAST(ceil((n - 40) * 1.0 / 200) AS INTEGER), 1) AS nc FROM t) "
+            "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, "
+            "CAST(i * 200 AS BIGINT) AS chunk_start, "
+            "substring(text, i * 200 + 1, 240) AS chunk_text "
+            "FROM c, unnest(range(0, nc)) AS r(i)"
+        ),
         "tr_source_cap": (
             "SELECT doc_id, source, n_chars FROM ("
             "SELECT doc_id, source, n_chars, "
@@ -3382,6 +3430,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "ex_code_spans_twin": _CODE_SPANS_TWIN_SQL,
         "ex_dispatch_twin": _DISPATCH_TWIN_SQL,
         "ex_records_parse_twin": _REC_PARSE_TWIN_SQL,
+        "ex_records_udtf_twin": _REC_PARSE_TWIN_SQL,
         "ex_records_meta_twin": _REC_META_TWIN_SQL,
         "ex_classify_sql_twin": _classify_twin_sql(),
         "ex_fuzzy_cascade_twin": _FZ_CASCADE_TWIN_SQL,

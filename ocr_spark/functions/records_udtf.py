@@ -1,0 +1,60 @@
+"""Native Python UDTF surface for the record parser (SURVEY §2.11).
+
+The pipeline's production path keeps the parser vectorized (Arrow batch
+-> ``array<struct>`` -> ``posexplode``, extract/core.py) because a
+pandas-UDF-plus-explode pipelines better; this module exposes the SAME
+grammar (extract/parse_records.py — reference semantics
+classification_service.py:182-242) as a first-class Spark 4 Python
+UDTF, the 1-row -> N-rows API a SQL user would reach for:
+
+    SELECT t.conv_id, r.* FROM transcripts t,
+    LATERAL parse_records_udtf(t.clean_text) r
+
+Arrow-optimized (``useArrow=True``): rows stream through the same Arrow
+channel as the batch path. Parity with the vectorized path is asserted
+in tests/test_records_udtf.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+RETURN_SCHEMA = (
+    "record_idx int, name string, credential_ocr string, signature string"
+)
+
+
+@udtf(returnType=RETURN_SCHEMA, useArrow=True)
+class ParseRecordsUDTF:
+    """One output row per parsed record of the input text, in line
+    order; texts with no parseable line yield no rows (lateral-join
+    callers keep empty docs with an OUTER lateral)."""
+
+    def eval(self, text):  # noqa: ANN001 - UDTF contract
+        from ocr_spark.extract.parse_records import parse_records
+
+        for i, (name, cred, sig) in enumerate(parse_records(text or "")):
+            yield i, name, cred, sig
+
+
+def register(spark: SparkSession, name: str = "parse_records_udtf") -> None:
+    """Make the UDTF callable from SQL (idempotent per session)."""
+    spark.udtf.register(name, ParseRecordsUDTF)
+
+
+def parse_records_lateral(
+    df: DataFrame, text_col: str = "clean_text", keys: tuple = ("conv_id", "turn_idx")
+) -> DataFrame:
+    """Lateral-join helper: ``keys`` + the UDTF's record columns, one
+    row per parsed record (docs with zero records drop out, matching
+    the production explode path)."""
+    spark = df.sparkSession
+    register(spark)
+    view = f"_udtf_src_{abs(hash((text_col, keys))) % 10**8}"
+    df.createOrReplaceTempView(view)
+    key_list = ", ".join(f"t.{k}" for k in keys)
+    return spark.sql(
+        f"SELECT {key_list}, r.record_idx, r.name, r.credential_ocr, r.signature "
+        f"FROM {view} t, LATERAL parse_records_udtf(t.{text_col}) r"
+    )

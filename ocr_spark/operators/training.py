@@ -605,3 +605,49 @@ def per_source_cap(
         .filter(F.col("_r") <= cap)
         .drop("_r")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping character-window chunks —
+    the standard pre-embedding / context-window prep stage. Emits
+    ``(id_col, chunk_idx, chunk_start, chunk_text)`` with chunk i
+    starting at ``i * (chunk_chars - overlap)`` (0-based char offset)
+    and the final chunk clamped to the document tail; empty documents
+    yield one empty chunk (chunk_idx 0) so no row is silently lost.
+
+    Pure codegen row-local algebra: one ``sequence`` + ``explode`` per
+    document and a ``substring`` per chunk — no Python, no shuffle (the
+    explode is a Generate over the scan). At corpus scale the 1:N
+    fan-out happens map-side; downstream repartition only if a chunk-
+    keyed shuffle is actually needed.
+    """
+    if chunk_chars < 1:
+        raise ValueError("chunk_chars must be >= 1")
+    if not (0 <= overlap < chunk_chars):
+        raise ValueError("overlap must be in [0, chunk_chars)")
+    step = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    # number of chunks = ceil(max(n - overlap, 1) / step), min 1
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    starts = F.sequence(F.lit(0), (n_chunks - 1) * F.lit(step), F.lit(step))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        F.col(text_col),
+    ).select(
+        id_col,
+        "chunk_idx",
+        "chunk_start",
+        F.col(text_col)
+        .substr(F.col("chunk_start") + 1, F.lit(chunk_chars))
+        .alias("chunk_text"),
+    )

@@ -1,0 +1,45 @@
+"""Native Python UDTF (Spark 4) parity with the vectorized parser path."""
+
+
+def test_udtf_matches_vectorized_records(spark, small_corpus):
+    from ocr_spark.functions.records_udtf import parse_records_lateral
+    from ocr_spark.pipeline import extract_transcripts
+    from pyspark.sql import functions as F
+
+    transcripts = spark.createDataFrame(small_corpus["transcripts"])
+    extracted = extract_transcripts(transcripts).select(
+        "conv_id", "turn_idx", "clean_text", "records"
+    )
+    extracted = extracted.persist()
+    via_udtf = parse_records_lateral(extracted, "clean_text")
+    via_arrays = extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("records").alias("record_idx", "rec"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "record_idx",
+        F.col("rec.Name").alias("name"),
+        F.col("rec.Credential_OCR").alias("credential_ocr"),
+        F.col("rec.Signature").alias("signature"),
+    )
+    a = sorted(map(tuple, via_udtf.collect()))
+    b = sorted(map(tuple, via_arrays.collect()))
+    extracted.unpersist(blocking=False)
+    assert len(a) > 0
+    assert a == b
+
+
+def test_udtf_sql_surface(spark):
+    from ocr_spark.functions.records_udtf import register
+
+    register(spark)
+    rows = spark.sql(
+        "SELECT * FROM parse_records_udtf('- Jane Doe, RN, [signed]\\n"
+        "- John Roe, MD')"
+    ).collect()
+    assert [(r["record_idx"], r["name"], r["credential_ocr"], r["signature"]) for r in rows] == [
+        (0, "Jane Doe", "RN", "[signed]"),
+        (1, "John Roe", "MD", "[]"),
+    ]

@@ -258,3 +258,39 @@ def test_per_source_cap_under_capacity_sources_survive_whole(spark):
     )
     got = per_source_cap(df, cap=10, source_col="source")
     assert got.count() == 3
+
+
+def test_chunk_documents_offsets_and_coverage(spark):
+    from ocr_spark.operators.training import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_chars=100, overlap=20)
+    rows = sorted(
+        ((r["doc_id"], r["chunk_idx"], r["chunk_start"], r["chunk_text"]) for r in out.collect())
+    )
+    d1 = [r for r in rows if r[0] == 1]
+    # step 80: starts 0, 80, 160 -> 3 chunks (ceil((260-20)/80) = 3)
+    assert [(r[1], r[2]) for r in d1] == [(0, 0), (1, 80), (2, 160)]
+    assert d1[0][3] == text[0:100] and d1[2][3] == text[160:260]
+    # consecutive chunks overlap by exactly 20 chars
+    assert d1[0][3][-20:] == d1[1][3][:20]
+    # tail fully covered
+    assert d1[-1][2] + 100 >= len(text)
+    # short + empty docs: one chunk each
+    assert [r[3] for r in rows if r[0] == 2] == ["short"]
+    assert [r[3] for r in rows if r[0] == 3] == [""]
+
+
+def test_chunk_documents_reconstructs_original(spark):
+    """De-overlapped chunk concatenation reproduces the exact document."""
+    from ocr_spark.operators.training import chunk_documents
+
+    text = "".join(chr(97 + (i % 26)) for i in range(1234))
+    df = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_chars=300, overlap=50).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    rebuilt = rows[0]["chunk_text"] + "".join(r["chunk_text"][50:] for r in rows[1:])
+    assert rebuilt == text
