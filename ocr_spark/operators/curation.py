@@ -34,12 +34,13 @@ from pyspark.sql import functions as F
 
 from ocr_spark.functions import text_stats as TS
 from ocr_spark.operators.contamination import decontaminate
-from ocr_spark.operators.dedup import near_dup_dedup
+from ocr_spark.operators.dedup import near_dup_dedup, scrub_duplicate_ngrams
 from ocr_spark.operators.pii import pii_scrub
 from ocr_spark.operators.training import (
     GOPHER_FLAG_COLS,
     gopher_quality_flags,
     pack_sequences,
+    per_source_cap,
     quality_filter,
     repetition_stats,
     stratified_split,
@@ -63,6 +64,8 @@ def curate_corpus(
     resample_alpha: float | None = None,
     resample_target_frac: float = 0.5,
     domain_col: str = "source",
+    scrub_gram_k: int | None = None,
+    source_cap: int | None = None,
 ) -> DataFrame:
     """Raw documents -> curated, deduplicated, split, packed corpus.
 
@@ -74,11 +77,14 @@ def curate_corpus(
        treated as distinct downstream;
     2. quality + repetition filters (``max_dup_line_frac`` /
        ``max_top_bigram_frac``, Gopher-style): cheap row-local drops
-       first, shrinking every later stage's input;
+       first, shrinking every later stage's input; then
+       ``scrub_gram_k``: duplicated-n-gram span scrubbing on the
+       shrunken corpus, before anything downstream fingerprints text;
     3. ``evalset``: benchmark decontamination BEFORE dedup, so an
        eval-contaminated member can never elect itself canonical for a
        near-dup cluster (the cluster survives through a clean sibling);
-    4. near-dup dedup, then ``resample_alpha``: temperature-rebalance
+    4. near-dup dedup, then ``source_cap`` (per-domain quota on the
+       deduped corpus) and ``resample_alpha``: temperature-rebalance
        domains on the DEDUPED corpus (resampling before dedup would
        re-skew whatever dedup removes);
     5. split, then pack (split-pure bins).
@@ -102,9 +108,29 @@ def curate_corpus(
         if max_top_bigram_frac is not None:
             kept = kept.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
         kept = kept.drop("dup_line_frac", "top_bigram_frac", "n_bigrams")
+    if scrub_gram_k is not None:
+        # ExactSubstr-style boilerplate scrub AFTER the cheap row-local
+        # drops (the expensive corpus-wide gram inventory sees the
+        # shrunken corpus) and BEFORE decontamination/dedup (both must
+        # fingerprint the FINAL text). The scrub output carries only the
+        # id + scrubbed text, so the remaining columns rejoin on id —
+        # one extra corpus shuffle, the honest cost of text rewriting.
+        scrubbed = scrub_duplicate_ngrams(kept, text_col, id_col, k=scrub_gram_k)
+        kept = kept.drop(text_col).join(
+            scrubbed.select(
+                id_col, F.col("scrubbed_text").alias(text_col)
+            ),
+            id_col,
+        )
     if evalset is not None:
         kept = decontaminate(kept, evalset, text_col, id_col)
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)
+    if source_cap is not None:
+        # per-domain quota on the DEDUPED corpus (capping before dedup
+        # would let near-dups consume a domain's budget)
+        deduped = per_source_cap(
+            deduped, source_cap, source_col=domain_col, id_col=id_col
+        )
     if resample_alpha is not None:
         deduped = temperature_resample(
             deduped, domain_col, id_col, resample_alpha, resample_target_frac

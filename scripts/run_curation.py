@@ -8,6 +8,7 @@ Production deploy shape (same as run_pipeline.py):
         [--evalset <eval documents parquet>] \
         [--scrub-pii] [--max-dup-line-frac 0.3] \
         [--max-top-bigram-frac 0.2] [--resample-alpha 0.7] \
+        [--scrub-gram-k 13] [--source-cap 100000] \
         [--resample-target-frac 0.5] [--jaccard 0.9] \
         [--token-budget 2048] [--shards 64]
 
@@ -45,6 +46,8 @@ def main() -> None:
     ap.add_argument("--max-top-bigram-frac", type=float, default=None)
     ap.add_argument("--resample-alpha", type=float, default=None)
     ap.add_argument("--resample-target-frac", type=float, default=0.5)
+    ap.add_argument("--scrub-gram-k", type=int, default=None)
+    ap.add_argument("--source-cap", type=int, default=None)
     ap.add_argument("--jaccard", type=float, default=0.9)
     ap.add_argument("--token-budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
@@ -67,6 +70,8 @@ def main() -> None:
         max_top_bigram_frac=args.max_top_bigram_frac,
         resample_alpha=args.resample_alpha,
         resample_target_frac=args.resample_target_frac,
+        scrub_gram_k=args.scrub_gram_k,
+        source_cap=args.source_cap,
     )
     write_curated(curated, args.output)
     release_shingle_caches()

@@ -159,3 +159,37 @@ def test_gopher_stage_opt_in(spark):
     out = strict.collect()
     assert {r["doc_id"] for r in out} == {1, 2}
     assert "no_lorem" not in strict.columns and "keep" not in strict.columns
+
+
+def test_scrub_and_source_cap_stages_opt_in(spark):
+    """scrub_gram_k rewrites duplicated boilerplate out of the surviving
+    text (schema unchanged); source_cap bounds per-domain survivors."""
+    from ocr_spark.operators.curation import curate_corpus
+    from ocr_spark.operators.dedup import release_shingle_caches
+
+    boiler = "subscribe to our newsletter for updates every single day"
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in range(12):
+        uniq = " ".join(f"w{i}x{j}" for j in range(10))
+        rows.append((i, f"{base} {uniq} {boiler}", f"src{i % 2}"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    out = curate_corpus(
+        docs, jaccard_threshold=0.99, token_budget=512, scrub_gram_k=5,
+        source_cap=3,
+    ).persist()
+    rows_out = out.collect()
+    release_shingle_caches()
+    # boilerplate 5-grams occur 12x -> scrubbed from every survivor;
+    # base prefix is also shared by all docs -> scrubbed too; the unique
+    # middle tokens survive
+    for r in rows_out:
+        assert boiler.split()[0] not in r["text"]
+        assert f"w{r['doc_id']}x0" in r["text"]
+    # cap: at most 3 docs per source
+    per_src = {}
+    for r in rows_out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert per_src and all(v <= 3 for v in per_src.values())
+    out.unpersist()
