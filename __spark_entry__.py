@@ -1858,12 +1858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_report": _q_pii_scrub_report,
         "tr_temperature_resample": _q_tr_temperature_resample,
         "tx_repetition_stats": _q_tx_repetition_stats,
-        "tr_length_buckets": _q_tr_length_buckets,
-        "id_dense_seq": _q_id_dense_seq,
-        "tx_top_bigrams": _q_tx_top_bigrams,
         "lm_trigram_ppl": _q_lm_trigram_ppl,
         "sn_snapshot_diff": _q_sn_snapshot_diff,
         "ic_table_roundtrip": _q_ic_table_roundtrip,
+        "tr_length_buckets": _q_tr_length_buckets,
+        "id_dense_seq": _q_id_dense_seq,
+        "tx_top_bigrams": _q_tx_top_bigrams,
         # -- rows-only by design (xxhash64/crc32 have no DuckDB twin; the
         #    full-corpus flagship is covered hash-wise by the *_sql_twin
         #    queries above):
