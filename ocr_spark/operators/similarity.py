@@ -418,8 +418,18 @@ def semantic_dedup(
     ``embedding_near_dups``' hyperplane LSH instead of the plain
     cluster join.
     """
-    assigned = embeddings.withColumn(
-        "sem_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+    from ocr_spark.operators.dedup import _persist_shingles as _register_cache
+
+    # the assignment UDF output feeds THREE consumers (both pair-join
+    # sides and the anti-join left); without pinning it, the corpus
+    # passes through the Python assignment stage three times. Registered
+    # in the shared live-cache registry — callers release with
+    # dedup.release_shingle_caches() / shingle_cache_scope(), same as
+    # the minhash shingle caches.
+    assigned = _register_cache(
+        embeddings.withColumn(
+            "sem_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+        )
     )
     a = assigned.select(
         F.col("sem_cluster").alias("_c"),

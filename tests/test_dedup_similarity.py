@@ -609,6 +609,7 @@ def test_semantic_dedup_drops_within_cluster_clones(spark):
     match brute-force argmin assignment."""
     import numpy as np
 
+    from ocr_spark.operators.dedup import release_shingle_caches
     from ocr_spark.operators.similarity import semantic_dedup
 
     rng = np.random.default_rng(11)
@@ -620,6 +621,7 @@ def test_semantic_dedup_drops_within_cluster_clones(spark):
         rows.append((i + 100, [float(x) for x in v]))  # exact clone
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     kept = semantic_dedup(df, cents, threshold=0.999).collect()
+    release_shingle_caches()
     kept_ids = {r["vec_id"] for r in kept}
     # every clone (i+100) must be dominated by its original i
     assert kept_ids == {0, 1, 2, 3, 4, 5}
@@ -633,6 +635,7 @@ def test_semantic_dedup_drops_within_cluster_clones(spark):
 def test_semantic_dedup_keeps_cross_cluster_duplicates(spark):
     """SemDeDup only searches within clusters: a >= threshold pair split
     across two clusters is NOT deduplicated (the documented trade-off)."""
+    from ocr_spark.operators.dedup import release_shingle_caches
     from ocr_spark.operators.similarity import semantic_dedup
 
     # centroids on +x and -x; two identical vectors placed so argmin
@@ -643,6 +646,7 @@ def test_semantic_dedup_keeps_cross_cluster_duplicates(spark):
         [(1, [0.001, 1.0]), (2, [-0.001, 1.0])], ["vec_id", "embedding"]
     )
     kept = {r["vec_id"] for r in semantic_dedup(df, cents, threshold=0.9).collect()}
+    release_shingle_caches()
     assert kept == {1, 2}  # cosine ~0.999996 but different clusters
 
 
