@@ -1073,6 +1073,48 @@ def _q_sim_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id", F.col("sem_cluster").cast("int").alias("sem_cluster"))
 
 
+def _q_sim_semantic_admit(spark, sf_dir):
+    """Incremental SemDeDup admission hash-verified end-to-end: the
+    existing corpus is vec_id < 250, the incoming batch is the rest PLUS
+    exact clones of 120 existing rows (provably rejected via cross
+    dominance) — intra-batch min-id dominance exercised by the natural
+    >=0.95 pairs of the batch."""
+    _ensure_pyfiles(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    existing = emb.filter(F.col("vec_id") < 250).select("vec_id", "embedding")
+    incoming = (
+        emb.filter(F.col("vec_id") >= 250)
+        .select("vec_id", "embedding")
+        .unionByName(
+            emb.filter(F.col("vec_id") < 120).select(
+                (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    admitted = SIM.semantic_admit(existing, incoming, cents, threshold=0.95)
+    return admitted.select("vec_id")
+
+
+def _q_tr_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards: shard id,
+    shuffle key, and within-shard position all hash-verified against the
+    identical int64 arithmetic + ranking window in SQL."""
+    from ocr_spark.operators.training import shuffle_to_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_to_shards(docs, n_shards=16)
+    return out.select(
+        "doc_id",
+        F.col("shard").cast("int").alias("shard"),
+        F.col("shuffle_key").cast("long").alias("shuffle_key"),
+        F.col("shard_pos").cast("int").alias("shard_pos"),
+    )
+
+
 def _q_km_lloyd_assign(spark, sf_dir):
     """Iterative DataFrame-native Lloyd's k-means (2 iterations from the
     fixed first-4-vectors seed), hash-verified against an UNROLLED
@@ -1833,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
+        "sim_semantic_admit": _q_sim_semantic_admit,
         "km_lloyd_assign": _q_km_lloyd_assign,
         "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
@@ -1853,6 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_stratified_split": _q_tr_stratified_split,
         "tr_source_cap": _q_tr_source_cap,
         "tr_chunk_documents": _q_tr_chunk_documents,
+        "tr_shuffle_shards": _q_tr_shuffle_shards,
         "dc_contamination_report": _q_dc_contamination_report,
         "dc_decontaminate": _q_dc_decontaminate,
         "pii_scrub_report": _q_pii_scrub_report,
@@ -2638,6 +2682,43 @@ SELECT vec_id, CAST(cid AS INTEGER) AS cluster FROM (
 """
 
 
+_SEMANTIC_ADMIT_SQL = """
+WITH ex AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 250),
+inc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id >= 250
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 120),
+cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 4),
+allv AS (SELECT * FROM ex UNION ALL SELECT * FROM inc),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           row_number() OVER (PARTITION BY a.vec_id
+                              ORDER BY list_distance(a.v, c.cv), c.cid) AS rn
+    FROM allv a, cents c) WHERE rn = 1),
+domx AS (
+  SELECT DISTINCT b.vec_id
+  FROM ex a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON ab.cid = aa.cid
+  JOIN inc b ON b.vec_id = ab.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+domi AS (
+  SELECT DISTINCT b.vec_id
+  FROM inc a
+  JOIN assign aa ON a.vec_id = aa.vec_id
+  JOIN assign ab ON ab.cid = aa.cid
+  JOIN inc b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+SELECT vec_id FROM inc
+WHERE vec_id NOT IN (SELECT vec_id FROM domx)
+  AND vec_id NOT IN (SELECT vec_id FROM domi)
+"""
+
+
 _SEMANTIC_DEDUP_SQL = """
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3206,6 +3287,15 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "substring(text, i * 200 + 1, 240) AS chunk_text "
             "FROM c, unnest(range(0, nc)) AS r(i)"
         ),
+        "tr_shuffle_shards": (
+            "WITH h AS (SELECT doc_id, "
+            "(doc_id * 2246822519) % 4294967296 AS h1, "
+            "(doc_id * 2654435761 + 1) % 4294967296 AS h2 FROM documents) "
+            "SELECT doc_id, CAST(h1 % 16 AS INTEGER) AS shard, "
+            "CAST(h2 AS BIGINT) AS shuffle_key, "
+            "CAST(row_number() OVER (PARTITION BY h1 % 16 "
+            "ORDER BY h2, doc_id) - 1 AS INTEGER) AS shard_pos FROM h"
+        ),
         "tr_source_cap": (
             "SELECT doc_id, source, n_chars FROM ("
             "SELECT doc_id, source, n_chars, "
@@ -3411,6 +3501,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "sim_knn_join": _knn_join_sql(),
         "sim_ivf_topk": _IVF_TOPK_SQL,
         "sim_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        "sim_semantic_admit": _SEMANTIC_ADMIT_SQL,
         "km_lloyd_assign": _KMEANS_LLOYD_SQL,
         "dd_scrub_ngrams": _SCRUB_NGRAMS_SQL,
         "fz_token_sort_scalar": (

@@ -503,3 +503,63 @@ def kmeans_lloyd(
         F.col(id_col), ivf_assign_udf(cents)(F.col(vec_col)).alias("cluster")
     )
     return out, cents
+
+
+def semantic_admit(
+    existing: DataFrame,
+    incoming: DataFrame,
+    centroids: List[List[float]],
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental SemDeDup admission — the embedding-side mirror of
+    ``dedup.incremental_admit``: a new batch is admitted against an
+    already-deduplicated corpus without re-pairing the corpus with
+    itself. An incoming row is REJECTED when its cluster holds a
+    cosine->=threshold neighbor that is (a) any existing-corpus row, or
+    (b) an earlier (smaller-id) incoming row — the same pairwise min-id
+    rule ``semantic_dedup`` applies, so admit(existing, batch) over a
+    semantic_dedup'd corpus leaves the union pairwise-dedup-consistent.
+
+    Scale shape: the existing side is never self-joined — the only pair
+    work is (existing x incoming) and (incoming x incoming) within
+    clusters, both equi-joins on the cluster id; with batch << corpus
+    the cross join-side is batch-bounded per cluster. Both assignment
+    frames are pinned (released via ``dedup.release_shingle_caches``).
+    """
+    from ocr_spark.operators.dedup import _persist_shingles as _register_cache
+
+    ex = _register_cache(
+        existing.select(
+            F.col(id_col).alias("_ie"),
+            F.col(vec_col).alias("_ve"),
+            ivf_assign_udf(centroids)(F.col(vec_col)).alias("_c"),
+        )
+    )
+    inc = _register_cache(
+        incoming.withColumn(
+            "_c", ivf_assign_udf(centroids)(F.col(vec_col))
+        )
+    )
+    b = inc.select(
+        F.col("_c"), F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb")
+    )
+    dom_cross = (
+        ex.join(b, "_c")
+        .withColumn("_cs", pair_cosine_udf(F.col("_ve"), F.col("_vb")))
+        .filter(F.col("_cs") >= threshold)
+        .select(F.col("_ib").alias(id_col))
+    )
+    a_new = inc.select(
+        F.col("_c"), F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va")
+    )
+    dom_intra = (
+        a_new.join(b, "_c")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .withColumn("_cs", pair_cosine_udf(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cs") >= threshold)
+        .select(F.col("_ib").alias(id_col))
+    )
+    dominated = dom_cross.unionByName(dom_intra).distinct()
+    return inc.drop("_c").join(dominated, id_col, "left_anti")

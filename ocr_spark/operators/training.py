@@ -651,3 +651,42 @@ def chunk_documents(
         .substr(F.col("chunk_start") + 1, F.lit(chunk_chars))
         .alias("chunk_text"),
     )
+
+
+_SHUFFLE_HASH_MULT = 2246822519  # xxhash prime #2 — independent of the split mult
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    with_positions: bool = True,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards — the step
+    between a curated corpus and sequential training readers, WITHOUT a
+    global sort: ``shard = h(id) mod n_shards`` spreads documents
+    uniformly, ``shard_pos = rank of h2(id) within the shard`` gives
+    each shard a pseudorandom read order. Same int64 multiplicative-hash
+    scheme as ``stratified_split`` (engine-portable, overflow-safe):
+    stateless, rerun-identical, and growth-stable — appending documents
+    never reorders existing (shard, pos<=p) prefixes beyond insertion.
+
+    Scale shape: the shard assignment is a stateless projection; the
+    only shuffle is the per-shard ranking window, whose partitions are
+    corpus/n_shards rows — size ``n_shards`` so a shard's keys fit one
+    task (10^12 docs / 2^20 shards ~ 10^6 rows per sort). No global
+    order, no single-partition stage anywhere. ``with_positions=False``
+    skips the window entirely (readers that sort on ``shuffle_key``
+    themselves, e.g. an ORDER BY in the per-shard file write)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h1 = _hash_bucket_2_32(F.col(id_col), _SHUFFLE_HASH_MULT, offset=seed)
+    h2 = _hash_bucket_2_32(F.col(id_col), _SPLIT_HASH_MULT, offset=seed + 1)
+    out = df.withColumn("shard", F.pmod(h1, F.lit(n_shards)).cast("int")).withColumn(
+        "shuffle_key", h2
+    )
+    if not with_positions:
+        return out
+    w = Window.partitionBy("shard").orderBy(F.col("shuffle_key"), F.col(id_col))
+    return out.withColumn("shard_pos", (F.row_number().over(w) - 1).cast("int"))

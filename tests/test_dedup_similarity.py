@@ -694,3 +694,35 @@ def test_kmeans_lloyd_empty_cluster_keeps_seed(spark):
     out, cents = kmeans_lloyd(df, [[0.0, 0.0], far], n_iter=3)
     assert cents[1] == far
     assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_semantic_admit_rejects_corpus_and_batch_dups(spark):
+    """Clones of existing rows are rejected (cross dominance); within
+    the batch the smaller id wins; novel vectors are admitted."""
+    import numpy as np
+
+    from ocr_spark.operators.dedup import release_shingle_caches
+    from ocr_spark.operators.similarity import semantic_admit
+
+    rng = np.random.default_rng(3)
+    cents = [list(map(float, v)) for v in rng.normal(size=(2, 6))]
+    ex_vecs = rng.normal(size=(4, 6))
+    existing = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(ex_vecs)],
+        ["vec_id", "embedding"],
+    )
+    novel = rng.normal(size=6)
+    batch = spark.createDataFrame(
+        [
+            (100, [float(x) for x in ex_vecs[1]]),   # clone of existing 1
+            (101, [float(x) for x in novel]),         # novel -> admitted
+            (102, [float(x) for x in novel]),         # intra-batch dup of 101
+        ],
+        ["vec_id", "embedding"],
+    )
+    admitted = {
+        r["vec_id"]
+        for r in semantic_admit(existing, batch, cents, threshold=0.999).collect()
+    }
+    release_shingle_caches()
+    assert admitted == {101}

@@ -294,3 +294,38 @@ def test_chunk_documents_reconstructs_original(spark):
     )
     rebuilt = rows[0]["chunk_text"] + "".join(r["chunk_text"][50:] for r in rows[1:])
     assert rebuilt == text
+
+
+def test_shuffle_to_shards_is_deterministic_permutation(spark):
+    from ocr_spark.operators.training import shuffle_to_shards
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = shuffle_to_shards(df, n_shards=8).collect()
+    # every row assigned; per-shard positions are exactly 0..len-1
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert sum(len(v) for v in by_shard.values()) == 500
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic: a rerun reproduces the identical triplets
+    again = shuffle_to_shards(df, n_shards=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # the shard read order is not the id order (it is a shuffle)
+    one = sorted((r for r in out if r["shard"] == out[0]["shard"]),
+                 key=lambda r: r["shard_pos"])
+    assert [r["doc_id"] for r in one] != sorted(r["doc_id"] for r in one)
+
+
+def test_shuffle_to_shards_growth_stable_keys(spark):
+    """Appending documents never changes an existing row's shard or
+    shuffle key (positions shift only by insertions within the shard)."""
+    from ocr_spark.operators.training import shuffle_to_shards
+
+    small = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    big = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in shuffle_to_shards(small, n_shards=8, with_positions=False).collect()}
+    b = {r["doc_id"]: (r["shard"], r["shuffle_key"])
+         for r in shuffle_to_shards(big, n_shards=8, with_positions=False).collect()}
+    assert all(b[k] == v for k, v in a.items())
