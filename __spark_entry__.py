@@ -1099,6 +1099,33 @@ def _q_sim_semantic_admit(spark, sf_dir):
     return admitted.select("vec_id")
 
 
+def _q_pk_bin_materialize(spark, sf_dir):
+    """Packed-bin materialization (the last mile to training shards):
+    whitespace tokens -> pack_sequences slots -> one row per bin with
+    the concatenated sequence + per-doc start offsets, all hash-verified
+    (the BPE token CONTENT path is separately twin-verified by
+    tok_bpe_encode; whitespace tokens keep this twin engine-portable)."""
+    from ocr_spark.operators.training import (
+        materialize_packed_bins,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    df = docs.select("doc_id", toks.alias("toks"))
+    packed = pack_sequences(df, "doc_id", F.size("toks"), budget=120, shards=4)
+    bins = materialize_packed_bins(packed, "toks")
+    return bins.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("bin_id").cast("long").alias("bin_id"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.array_join("token_ids", " ").alias("bin_text"),
+        F.array_join(
+            F.transform("doc_offsets", lambda o: o.cast("string")), ","
+        ).alias("offsets"),
+    )
+
+
 def _q_tr_shuffle_shards(spark, sf_dir):
     """Deterministic global shuffle into training shards: shard id,
     shuffle key, and within-shard position all hash-verified against the
@@ -1892,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_gopher_flags": _q_tx_gopher_flags,
         "ctx_window_assembly": _q_ctx_window_assembly,
         "pk_sequence_packing": _q_pk_sequence_packing,
+        "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
         "tr_source_cap": _q_tr_source_cap,
@@ -3286,6 +3314,23 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "CAST(i * 200 AS BIGINT) AS chunk_start, "
             "substring(text, i * 200 + 1, 240) AS chunk_text "
             "FROM c, unnest(range(0, nc)) AS r(i)"
+        ),
+        "pk_bin_materialize": (
+            "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array("
+            "text, '\\s+'), x -> x <> '') AS w FROM documents), "
+            "p AS (SELECT doc_id, doc_id % 4 AS shard, len(w) AS n, w FROM t), "
+            "c AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS cum FROM p), "
+            "b AS (SELECT *, CAST(floor(cum / 120) AS BIGINT) AS bin_id FROM c), "
+            "o AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY shard, bin_id "
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+            "), 0) AS off FROM b) "
+            "SELECT CAST(shard AS BIGINT) AS shard, bin_id, "
+            "count(*) AS n_docs, "
+            "string_agg(array_to_string(w, ' '), ' ' ORDER BY doc_id) AS bin_text, "
+            "string_agg(CAST(off AS VARCHAR), ',' ORDER BY doc_id) AS offsets "
+            "FROM o GROUP BY shard, bin_id"
         ),
         "tr_shuffle_shards": (
             "WITH h AS (SELECT doc_id, "

@@ -690,3 +690,51 @@ def shuffle_to_shards(
         return out
     w = Window.partitionBy("shard").orderBy(F.col("shuffle_key"), F.col(id_col))
     return out.withColumn("shard_pos", (F.row_number().over(w) - 1).cast("int"))
+
+
+def materialize_packed_bins(
+    packed: DataFrame,
+    token_arr_col: str,
+    id_col: str = "doc_id",
+    extra_keys: tuple = (),
+) -> DataFrame:
+    """The last mile to training shards: collapse a ``pack_sequences``
+    assignment into ONE ROW PER BIN — the documents' token arrays
+    concatenated in id order plus each document's start offset inside
+    the bin (readers slice documents back out of the packed sequence).
+
+    Returns ``(extra_keys..., shard, bin_id, n_docs, token_ids,
+    doc_offsets)``. Offsets are computed with the same bounded window
+    ``pack_sequences`` uses (per-(shard, bin) cumulative sizes — rows
+    per partition bounded by the bin budget), then one
+    ``array_sort(collect_list(struct(...)))`` per bin assembles the
+    sequence; no interpreted higher-order folds. The single shuffle key
+    is (shard, bin_id) and each output row is ~budget tokens — the
+    write-sized unit a sequential training reader consumes.
+    """
+    keys = [*extra_keys, "shard", "bin_id"]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(F.size(token_arr_col)).over(w), F.lit(0))
+    with_off = packed.withColumn("_off", off)
+    g = with_off.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("_id"),
+                    F.col("_off").alias("_o"),
+                    F.col(token_arr_col).alias("_t"),
+                )
+            )
+        ).alias("_rows"),
+    )
+    return g.select(
+        *keys,
+        "n_docs",
+        F.flatten(F.transform("_rows", lambda r: r["_t"])).alias("token_ids"),
+        F.transform("_rows", lambda r: r["_o"]).alias("doc_offsets"),
+    )

@@ -329,3 +329,34 @@ def test_shuffle_to_shards_growth_stable_keys(spark):
     b = {r["doc_id"]: (r["shard"], r["shuffle_key"])
          for r in shuffle_to_shards(big, n_shards=8, with_positions=False).collect()}
     assert all(b[k] == v for k, v in a.items())
+
+
+def test_materialize_packed_bins_slices_back_to_docs(spark):
+    """doc_offsets slice the packed sequence back into the original
+    per-doc token arrays, in id order, and every doc lands in exactly
+    one bin."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import (
+        materialize_packed_bins,
+        pack_sequences,
+    )
+
+    rows = [(i, [f"t{i}_{j}" for j in range((i * 7) % 13 + 1)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    packed = pack_sequences(df, "doc_id", F.size("toks"), budget=25, shards=3)
+    bins = materialize_packed_bins(packed, "toks").collect()
+
+    reconstructed = {}
+    total_docs = 0
+    for b in bins:
+        offs = list(b["doc_offsets"]) + [len(b["token_ids"])]
+        assert offs == sorted(offs)
+        total_docs += b["n_docs"]
+        assert b["n_docs"] == len(b["doc_offsets"])
+        for k in range(b["n_docs"]):
+            seg = b["token_ids"][offs[k]:offs[k + 1]]
+            doc = int(seg[0].split("_")[0][1:])
+            reconstructed[doc] = seg
+    assert total_docs == 60
+    assert reconstructed == {i: t for i, t in rows}
