@@ -170,44 +170,44 @@ def bpe_train(
     spark = df.sparkSession
     v = vocab if vocab is not None else word_vocabulary(df, text_col)
     cur = v.select(_chars_col(F.col("word")).alias("syms"), "weight")
-    cur = cur.persist()
-    cur.count()
+    # eager localCheckpoint, not persist: each round's fold NESTS the
+    # previous round's plan, and by ~30 rounds the accumulated expression
+    # tree OOMs the analyzer even though the cached DATA is tiny (the
+    # same lineage blow-up connected_components truncates). Checkpointing
+    # replaces the plan with the materialized blocks each round, keeping
+    # analysis cost constant in n_merges. Executor-loss caveat matches
+    # connected_components' documented localCheckpoint trade-off.
+    cur = cur.localCheckpoint(eager=True)
     merges: List[Pair] = []
-    try:
-        for _ in range(n_merges):
-            pairs = cur.filter(F.size("syms") >= 2).select(
-                F.explode(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.concat(
-                            F.element_at("syms", i),
-                            F.lit(" "),
-                            F.element_at("syms", i + 1),
-                        ),
-                    )
-                ).alias("pair"),
-                F.col("weight"),
-            )
-            top = (
-                pairs.groupBy("pair")
-                .agg(F.sum("weight").alias("cnt"))
-                # joined-string order == (x, y) tuple order: components are
-                # alphanumeric and ' ' sorts below every alnum char
-                .orderBy(F.desc("cnt"), F.asc("pair"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            x, y = top[0]["pair"].split(" ")
-            merges.append((x, y))
-            nxt = cur.select(_fold_col(F.col("syms"), x, y).alias("syms"), "weight")
-            nxt = nxt.persist()
-            nxt.count()  # materialize before releasing the previous round
-            cur.unpersist(blocking=False)
-            cur = nxt
-    finally:
-        cur.unpersist(blocking=False)
+    for _ in range(n_merges):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.concat(
+                        F.element_at("syms", i),
+                        F.lit(" "),
+                        F.element_at("syms", i + 1),
+                    ),
+                )
+            ).alias("pair"),
+            F.col("weight"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("weight").alias("cnt"))
+            # joined-string order == (x, y) tuple order: components are
+            # alphanumeric and ' ' sorts below every alnum char
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y = top[0]["pair"].split(" ")
+        merges.append((x, y))
+        nxt = cur.select(_fold_col(F.col("syms"), x, y).alias("syms"), "weight")
+        cur = nxt.localCheckpoint(eager=True)
     return merges
 
 

@@ -1,0 +1,125 @@
+"""spark-submit entry point: curated corpus -> packed training shards.
+
+The complete last mile a pretraining pipeline runs after curation:
+
+    spark-submit --py-files ocr_spark.zip scripts/run_training_prep.py \
+        --input <curated corpus parquet> --output <shard root> \
+        [--n-shards 64] [--budget 2048] [--bpe-merges 200] \
+        [--chunk-chars 0] [--seed 0]
+
+Stages (every operator individually oracle-/pytest-verified):
+
+1. optional ``chunk_documents`` (--chunk-chars > 0): long documents to
+   overlapping windows, re-keyed (doc_id, chunk_idx) -> dense chunk id;
+2. ``shuffle_to_shards``: deterministic global shuffle, no global sort;
+3. ``bpe_train`` + ``bpe_tokens``: learned tokenizer over the corpus,
+   per-doc token arrays (Arrow kernel);
+4. ``pack_sequences`` on REAL token counts + ``materialize_packed_bins``:
+   one row per bin — the id-ordered token sequence + per-doc offsets;
+5. write partitioned by shard (a training reader scans one shard
+   sequentially; bins are its read units).
+
+Prints one JSON accounting line (docs, shards, bins, tokens, wall)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.tokenizer import bpe_tokens, bpe_train
+from ocr_spark.operators.training import (
+    chunk_documents,
+    materialize_packed_bins,
+    pack_sequences,
+    shuffle_to_shards,
+)
+from ocr_spark.session import get_spark
+
+
+def prepare_training_shards(
+    docs,
+    n_shards: int = 64,
+    budget: int = 2048,
+    bpe_merges: int = 200,
+    chunk_chars: int = 0,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The composed plan (library form — the CLI wraps it). Returns the
+    bins DataFrame; nothing is materialized here."""
+    if chunk_chars > 0:
+        chunks = chunk_documents(
+            docs, chunk_chars, overlap=chunk_chars // 8, text_col=text_col,
+            id_col=id_col,
+        )
+        # dense re-key so every downstream id-arithmetic operator (shard
+        # hash, packing order) sees one int64 key per chunk
+        docs = chunks.select(
+            (F.col(id_col) * 1_000_000 + F.col("chunk_idx")).alias(id_col),
+            F.col("chunk_text").alias(text_col),
+        )
+    sharded = shuffle_to_shards(
+        docs, n_shards=n_shards, id_col=id_col, seed=seed, with_positions=False
+    ).drop("shard")  # pack_sequences derives its own shard below
+    merges = bpe_train(sharded, text_col=text_col, n_merges=bpe_merges)
+    toks = bpe_tokens(sharded, merges, text_col=text_col)
+    packed = pack_sequences(
+        toks.withColumn("_n", F.size("bpe_tokens")),
+        id_col,
+        "_n",
+        budget=budget,
+        shards=n_shards,
+    )
+    return materialize_packed_bins(packed, "bpe_tokens", id_col=id_col)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--bpe-merges", type=int, default=200)
+    ap.add_argument("--chunk-chars", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    spark = get_spark("training_prep")
+    docs = spark.read.parquet(args.input)
+    t0 = time.time()
+    bins = prepare_training_shards(
+        docs, args.n_shards, args.budget, args.bpe_merges, args.chunk_chars,
+        args.seed,
+    )
+    bins.write.partitionBy("shard").mode("overwrite").parquet(args.output)
+
+    out = spark.read.parquet(args.output)
+    stats = out.agg(
+        F.count("*").alias("bins"),
+        F.sum("n_docs").alias("docs_packed"),
+        F.sum(F.size("token_ids")).alias("tokens"),
+        F.countDistinct("shard").alias("shards"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "input_docs": docs.count(),
+                "docs_packed": stats["docs_packed"],
+                "bins": stats["bins"],
+                "tokens": stats["tokens"],
+                "shards": stats["shards"],
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

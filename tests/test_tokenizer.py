@@ -151,3 +151,24 @@ def test_encode_concat_roundtrip(word):
     toks = TK.encode_word(word, ranks)
     assert "".join(toks) == word
     assert all(toks)  # never an empty symbol
+
+
+def test_bpe_train_deep_merge_count_matches_reference(spark):
+    """Regression: 48 merge rounds must not blow the analyzer (each
+    round's fold used to NEST the previous plan — OOM by ~round 30
+    despite kilobyte-sized data; the per-round eager localCheckpoint
+    keeps analysis cost constant). Result still equals the pure-Python
+    trainer merge-for-merge."""
+    import collections
+
+    rows = [(i, f"aaab{chr(97 + i % 7)}bbca abcabc dd{chr(97 + i % 5)}")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = TK.bpe_train(df, "text", n_merges=48)
+
+    wc = collections.Counter()
+    for _, t in rows:
+        for w in t.split():
+            wc[w] += 1
+    want = TK.train_local(dict(wc), 48)
+    assert got == want

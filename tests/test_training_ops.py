@@ -360,3 +360,23 @@ def test_materialize_packed_bins_slices_back_to_docs(spark):
             reconstructed[doc] = seg
     assert total_docs == 60
     assert reconstructed == {i: t for i, t in rows}
+
+
+def test_prepare_training_shards_end_to_end(spark):
+    """Library form of scripts/run_training_prep.py: every doc packed
+    exactly once, offsets consistent, shard count respected."""
+    from scripts.run_training_prep import prepare_training_shards
+
+    rows = [(i, " ".join(f"w{(i * 3 + j) % 17}" for j in range(20)))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bins = prepare_training_shards(
+        docs, n_shards=4, budget=64, bpe_merges=10
+    ).collect()
+    assert sum(b["n_docs"] for b in bins) == 80
+    assert {b["shard"] for b in bins} <= set(range(4))
+    for b in bins:
+        assert len(b["doc_offsets"]) == b["n_docs"]
+        assert list(b["doc_offsets"]) == sorted(b["doc_offsets"])
+        assert (b["doc_offsets"][-1] <= len(b["token_ids"])
+                if b["n_docs"] else True)
