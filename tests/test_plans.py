@@ -373,3 +373,32 @@ def test_semantic_dedup_pair_join_is_equi(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_shuffle_shards_and_bins_shuffle_budget(spark):
+    """shuffle_to_shards costs exactly ONE exchange (the per-shard
+    ranking window; assignment is a stateless projection), and the full
+    pack->materialize chain stays within its two keyed shuffles."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.training import (
+        materialize_packed_bins,
+        pack_sequences,
+        shuffle_to_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    sharded = shuffle_to_shards(docs, n_shards=8)
+    assert checks.count_exchanges(sharded) == 1
+    assert checks.count_exchanges(
+        shuffle_to_shards(docs, n_shards=8, with_positions=False)
+    ) == 0
+
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("w")
+    )
+    packed = pack_sequences(toks, "doc_id", F.size("w"), budget=100, shards=4)
+    bins = materialize_packed_bins(packed, "w")
+    plan = checks.formatted_plan(bins)
+    assert checks.count_exchanges(bins) <= 2
+    assert "CartesianProduct" not in plan
