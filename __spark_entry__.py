@@ -794,6 +794,16 @@ def _q_tr_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_cr_corpus_report(spark, sf_dir):
+    """Per-(source, lang) corpus accounting rollup (docs, token totals
+    and distribution, quality pass rate) — the dashboard read before and
+    after every curation run, hash-verified cell by cell."""
+    from ocr_spark.operators.curation import corpus_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
 def _q_tr_source_cap(spark, sf_dir):
     """Per-source document quota (C4/RefinedWeb per-domain cap): keep at
     most 25 docs per source by (n_chars, doc_id) order. Spark runs the
@@ -1922,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
+        "cr_corpus_report": _q_cr_corpus_report,
         "tr_source_cap": _q_tr_source_cap,
         "tr_chunk_documents": _q_tr_chunk_documents,
         "tr_shuffle_shards": _q_tr_shuffle_shards,
@@ -3465,6 +3476,23 @@ FROM scored WHERE n1 > 0 AND n2 > 0
             "WHEN quality < 0.3 THEN 'low_quality' ELSE 'ok' END AS reason "
             "FROM t) "
             "SELECT doc_id, reason = 'ok' AS keep, reason FROM r"
+        ),
+        "cr_corpus_report": (
+            f"WITH t AS (SELECT source, lang, "
+            f"{TS.token_count_sql('text')} AS n_tokens, "
+            f"length(text) AS n_chars, "
+            f"CASE WHEN {TS.token_count_sql('text')} < 5 THEN 0 "
+            f"WHEN {TS.punct_ratio_sql('text')} > 0.3 THEN 0 "
+            f"WHEN {TS.quality_score_sql('text')} < 0.3 THEN 0 "
+            "ELSE 1 END AS keep FROM documents) "
+            "SELECT source, lang, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "round(avg(n_tokens), 4) AS mean_tokens, "
+            "CAST(min(n_tokens) AS INTEGER) AS min_tokens, "
+            "CAST(max(n_tokens) AS INTEGER) AS max_tokens, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "round(avg(keep), 4) AS quality_pass_rate "
+            "FROM t GROUP BY source, lang"
         ),
         "tx_gopher_flags": _GOPHER_TWIN_SQL,
         "dd_ngram_jaccard": _NGRAM_JACCARD_SQL,

@@ -149,3 +149,31 @@ def write_curated(df: DataFrame, path: str) -> None:
     """Materialize the curated corpus partitioned by split (training
     readers scan only their partition)."""
     df.write.partitionBy("split").mode("overwrite").parquet(path)
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keys: tuple = ("source", "lang"),
+) -> DataFrame:
+    """One-pass corpus accounting per ``keys`` cell — the dashboard
+    rollup an ops team reads before/after every curation run: document
+    and token totals, size distribution, and the quality-rule pass rate.
+    Pure built-in aggregates (codegen, map-side combine); the single
+    shuffle moves one partial row per (task, key-cell), and the key
+    space (sources x languages) is dashboard-sized by construction."""
+    toks = TS.token_count(F.col(text_col))
+    q = quality_filter(docs, text_col)
+    return (
+        q.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).cast("long").alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("mean_tokens"),
+            F.min(toks).cast("int").alias("min_tokens"),
+            F.max(toks).cast("int").alias("max_tokens"),
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            F.round(F.avg(F.col("keep").cast("int")), 4).alias("quality_pass_rate"),
+        )
+    )

@@ -193,3 +193,23 @@ def test_scrub_and_source_cap_stages_opt_in(spark):
         per_src[r["source"]] = per_src.get(r["source"], 0) + 1
     assert per_src and all(v <= 3 for v in per_src.values())
     out.unpersist()
+
+
+def test_corpus_report_cells(spark):
+    from ocr_spark.operators.curation import corpus_report
+
+    rows = [
+        (1, "the alpha and beta gamma delta epsilon with common words here now", "web", "en"),
+        (2, "!!! ??? ... ;;; :::", "web", "en"),      # punct-heavy -> fails
+        (3, "tiny", "books", "en"),                     # too short -> fails
+        (4, "the zeta and eta theta iota kappa lambda mu nu xi omicron", "web", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source", "lang"])
+    cells = {(r["source"], r["lang"]): r for r in corpus_report(docs).collect()}
+    web_en = cells[("web", "en")]
+    assert web_en["n_docs"] == 2
+    assert web_en["total_tokens"] == 12 + 5
+    assert web_en["min_tokens"] == 5 and web_en["max_tokens"] == 12
+    assert web_en["quality_pass_rate"] == 0.5
+    assert cells[("books", "en")]["quality_pass_rate"] == 0.0
+    assert cells[("web", "fr")]["quality_pass_rate"] == 1.0

@@ -726,3 +726,52 @@ def test_semantic_admit_rejects_corpus_and_batch_dups(spark):
     }
     release_shingle_caches()
     assert admitted == {101}
+
+
+def test_scrub_matches_pure_python_reference_random_corpora(spark):
+    """Spark scrub == an independent pure-Python implementation of the
+    same rule (k-gram occurrence counting over the whole corpus, covered
+    tokens removed) on 8 seeded random corpora with heavy small-alphabet
+    repetition — within-doc repeats, cross-doc duplication, sub-k docs,
+    empty docs all arise naturally."""
+    import random
+
+    from ocr_spark.operators.dedup import (
+        release_shingle_caches,
+        scrub_duplicate_ngrams,
+    )
+
+    def reference(texts, k):
+        toks = {i: t.split() for i, t in texts.items()}
+        from collections import Counter
+
+        counts = Counter()
+        for w in toks.values():
+            for s in range(len(w) - k + 1):
+                counts[tuple(w[s:s + k])] += 1
+        out = {}
+        for i, w in toks.items():
+            covered = set()
+            for s in range(len(w) - k + 1):
+                if counts[tuple(w[s:s + k])] >= 2:
+                    covered.update(range(s, s + k))
+            kept = [t for p, t in enumerate(w) if p not in covered]
+            out[i] = (" ".join(kept), len(w), len(w) - len(kept))
+        return out
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        texts = {
+            i: " ".join(
+                rng.choice("ab cd ef gh ij kl".split())
+                for _ in range(rng.randrange(0, 25))
+            )
+            for i in range(30)
+        }
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        got = {
+            r["doc_id"]: (r["scrubbed_text"], r["n_tokens"], r["n_removed"])
+            for r in scrub_duplicate_ngrams(df, "text", "doc_id", k=3).collect()
+        }
+        release_shingle_caches()
+        assert got == reference(texts, 3), f"seed {seed}"

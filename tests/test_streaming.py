@@ -310,3 +310,37 @@ def test_stream_stateless_curation_stages_match_batch(spark, tmp_path):
         got[cols].sort_values("doc_id").reset_index(drop=True),
         batch[cols].sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_stream_chunking_matches_batch(spark, tmp_path):
+    """chunk_documents is a stateless 1:N generate, so it runs unchanged
+    on a stream (the shape a continuously-arriving embedding pipeline
+    uses) and equals the batch chunking row-for-row."""
+    from ocr_spark.operators.training import chunk_documents
+
+    rows = [(i, "".join(chr(97 + (i + j) % 26) * 3 + " " for j in range(80)))
+            for i in range(25)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "chunk_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    batch = sorted(
+        map(tuple, chunk_documents(
+            spark.read.parquet(src), chunk_chars=90, overlap=15
+        ).collect())
+    )
+    out = str(tmp_path / "chunk_out")
+    q = (
+        chunk_documents(
+            spark.readStream.schema(schema).parquet(src),
+            chunk_chars=90, overlap=15,
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert got == batch and len(got) > 25
