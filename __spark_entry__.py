@@ -1025,6 +1025,25 @@ def _q_dd_connected_components(spark, sf_dir):
     )
 
 
+def _q_gr_pagerank(spark, sf_dir):
+    """Power-iteration PageRank (2 rounds, damping 0.85, dangling mass
+    redistributed) over the same chain+shortcut edge graph the
+    connected-components twin uses, hash-verified against an UNROLLED
+    SQL twin at 6 decimal places."""
+    from ocr_spark.operators.graph import pagerank
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    e1 = cust.filter((k % 10).between(1, 4)).select(
+        k.alias("src"), (k + 1).alias("dst")
+    )
+    e2 = cust.filter(k % 10 == 1).select(k.alias("src"), (k + 2).alias("dst"))
+    ranks = pagerank(e1.unionByName(e2), n_iter=2)
+    return ranks.select(
+        F.col("id").cast("long").alias("id"), F.round("rank", 6).alias("rank")
+    )
+
+
 def _q_sim_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
@@ -1902,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_connected_components": _q_dd_connected_components,
+        "gr_pagerank": _q_gr_pagerank,
         "dd_canonical_corpus": _q_dd_canonical_corpus,
         "dd_incremental_clones": _q_dd_incremental_clones,
         "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
@@ -2693,6 +2713,41 @@ WHERE a.cid IN (SELECT cid FROM probe)
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), (SELECT qv FROM q)) DESC,
          e.vec_id
 LIMIT 10
+"""
+
+
+_PAGERANK_SQL = """
+WITH e AS (
+  SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
+  WHERE c_custkey % 10 BETWEEN 1 AND 4
+  UNION ALL
+  SELECT c_custkey AS s, c_custkey + 2 AS d FROM customer
+  WHERE c_custkey % 10 = 1),
+nodes AS (SELECT DISTINCT id FROM
+          (SELECT s AS id FROM e UNION ALL SELECT d AS id FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT nodes.id, coalesce(dd.deg, 0) AS deg
+        FROM nodes LEFT JOIN
+             (SELECT s, count(*) AS deg FROM e GROUP BY s) dd
+             ON nodes.id = dd.s),
+r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+d1 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r0 WHERE deg = 0),
+c1 AS (SELECT e.d AS id, sum(r0.rank / r0.deg) AS cin
+       FROM e JOIN r0 ON e.s = r0.id GROUP BY e.d),
+r1 AS (SELECT deg.id, deg.deg,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * (SELECT dang FROM d1) / (SELECT n FROM nn)
+              + 0.85 * coalesce(c1.cin, 0) AS rank
+       FROM deg LEFT JOIN c1 ON deg.id = c1.id),
+d2 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r1 WHERE deg = 0),
+c2 AS (SELECT e.d AS id, sum(r1.rank / r1.deg) AS cin
+       FROM e JOIN r1 ON e.s = r1.id GROUP BY e.d),
+r2 AS (SELECT deg.id, deg.deg,
+              0.15 / (SELECT n FROM nn)
+              + 0.85 * (SELECT dang FROM d2) / (SELECT n FROM nn)
+              + 0.85 * coalesce(c2.cin, 0) AS rank
+       FROM deg LEFT JOIN c2 ON deg.id = c2.id)
+SELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank FROM r2
 """
 
 
@@ -3576,6 +3631,7 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "sim_semantic_dedup": _SEMANTIC_DEDUP_SQL,
         "sim_semantic_admit": _SEMANTIC_ADMIT_SQL,
         "km_lloyd_assign": _KMEANS_LLOYD_SQL,
+        "gr_pagerank": _PAGERANK_SQL,
         "dd_scrub_ngrams": _SCRUB_NGRAMS_SQL,
         "fz_token_sort_scalar": (
             "WITH t AS (SELECT p_partkey, array_to_string(list_sort("

@@ -1,0 +1,80 @@
+"""Graph operators over edge DataFrames.
+
+PageRank-style importance scoring for document/link graphs (the other
+canonical iterative Spark workload besides k-means and connected
+components — see dedup.connected_components for the clustering side).
+Built entirely from joins + map-side-combined aggregates; every round's
+frame is eagerly localCheckpoint'ed so the logical plan stays constant-
+size in the iteration count (the lineage discipline connected_components
+and tokenizer.bpe_train both apply — without it the analyzer cost grows
+per round and OOMs the driver long before the data does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Returns ``(id, rank)`` for every node appearing as source or
+    destination; ranks sum to 1. Dangling nodes (no out-edges) donate
+    their mass uniformly — the dangling sum is ONE collected double per
+    round, not a broadcast of node state.
+
+    Scale shape per round: one equi-join of ranks onto the edge list
+    (rank key), one map-side-combined sum by destination, one outer join
+    back to the node set — all shuffles on node ids. Edges are iterated
+    from the SAME DataFrame each round (persist it at corpus scale);
+    rank state is node-sized.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    nodes = (
+        e.select(F.col("_s").alias("id"))
+        .unionByName(e.select(F.col("_d").alias("id")))
+        .distinct()
+    )
+    nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+    with_deg = nodes.join(
+        deg, nodes["id"] == deg["_s"], "left"
+    ).select("id", F.coalesce("_deg", F.lit(0)).alias("_deg"))
+    with_deg = with_deg.localCheckpoint(eager=True)
+
+    ranks = with_deg.select("id", "_deg", F.lit(1.0 / n).alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        dangling = (
+            ranks.filter(F.col("_deg") == 0).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            e.join(ranks, e["_s"] == ranks["id"])
+            .select(F.col("_d").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            with_deg.join(contribs, "id", "left")
+            .select(
+                "id",
+                "_deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("_in", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "rank")

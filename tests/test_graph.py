@@ -1,0 +1,42 @@
+"""PageRank vs a pure-Python power-iteration reference."""
+
+
+def _reference_pagerank(edges, n_iter, d=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {u: 0 for u in nodes}
+    for u, _ in edges:
+        deg[u] += 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(n_iter):
+        dang = sum(r for u, r in rank.items() if deg[u] == 0)
+        nxt = {u: (1 - d) / n + d * dang / n for u in nodes}
+        for u, v in edges:
+            nxt[v] += d * rank[u] / deg[u]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_reference_and_sums_to_one(spark):
+    from ocr_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 3), (5, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+    want = _reference_pagerank(edges, 12)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-12, u
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the hub (3) outranks leaf nodes
+    assert got[3] > got[6] and got[3] > got[4]
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """A sink node (no out-edges) must not leak mass: totals stay 1."""
+    from ocr_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (3, 2)], ["src", "dst"])  # 2 dangles
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[2] > got[1]
