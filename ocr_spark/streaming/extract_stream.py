@@ -317,3 +317,64 @@ def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str):
         stream_df.writeStream.format("parquet").option("path", out_dir),
         checkpoint_dir,
     )
+
+
+def near_dup_admit_sink(corpus_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        jaccard_threshold: float = 0.7):
+    """foreachBatch near-duplicate ADMISSION into a growing corpus — the
+    production shape for streaming near-dup dedup: each micro-batch is
+    admitted against everything already in ``corpus_dir`` with the
+    batch operator ``dedup.incremental_admit`` (LSH-banded, no corpus
+    self-join), then appended under its own ``_batch_id=N`` partition
+    (the idempotent_parquet_sink mechanism — a replayed batch overwrites
+    exactly its own partition, and because its admission decision is a
+    pure function of the PRIOR batches' partitions, the replay admits
+    the same rows).
+
+    Admission is FIRST-ARRIVAL-WINS across micro-batches (the only
+    causally consistent rule for a stream) and min-id within one batch;
+    the guaranteed invariants — independent of how the source is split
+    into batches — are (a) the admitted corpus holds no near-dup pair
+    at the threshold and (b) every duplicate clique is represented by
+    exactly one admitted member (asserted in tests/test_streaming.py).
+    State lives in the corpus itself: nothing unbounded accumulates in
+    streaming state (contrast ``dedup_stream``'s watermark-bounded
+    exact-fingerprint state)."""
+    import os
+
+    from ocr_spark.operators.dedup import incremental_admit
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col)
+        have_corpus = os.path.isdir(corpus_dir) and any(
+            f.startswith("_batch_id=") for f in os.listdir(corpus_dir)
+        )
+        if have_corpus:
+            existing = spark.read.parquet(corpus_dir).filter(
+                F.col("_batch_id") < batch_id
+            ).select(id_col, text_col)
+        else:
+            existing = batch.limit(0)  # batch 0: same pairwise intra rule
+        admitted = incremental_admit(
+            existing, batch, text_col, id_col, jaccard_threshold
+        )
+        (
+            admitted.withColumn("_batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(corpus_dir)
+        )
+
+    return _write
+
+
+def run_near_dup_admit(stream_df: DataFrame, corpus_dir: str,
+                       checkpoint_dir: str, **kw):
+    """Drain a document stream through near-dup admission (availableNow)."""
+    return _drain(
+        stream_df.writeStream.foreachBatch(near_dup_admit_sink(corpus_dir, **kw)),
+        checkpoint_dir,
+    )

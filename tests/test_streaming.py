@@ -344,3 +344,67 @@ def test_stream_chunking_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert got == batch and len(got) > 25
+
+
+def test_stream_near_dup_admission_matches_one_shot(spark, tmp_path):
+    """Draining a corpus through the micro-batch admission sink (one
+    file per trigger -> several batches): whatever the batch split,
+    exactly ONE member of each duplicate clique is admitted and the
+    admitted corpus holds no near-dup pair (admission is first-arrival-
+    wins across batches — the set can differ from a one-shot batch
+    admission, the INVARIANTS cannot)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import (
+        incremental_admit,
+        ngram_jaccard_pairs,
+        release_shingle_caches,
+    )
+    from ocr_spark.streaming.extract_stream import run_near_dup_admit  # noqa: F401
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven",
+        "totally different content with unique words in this row",
+        "spark plans shuffle exchange broadcast codegen adaptive",
+    ]
+    rows = []
+    for i in range(16):
+        t = base[i % 4]
+        if i >= 8:
+            t = t + " trailing"  # near-dup of its base
+        rows.append((i, t))
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "adm_src")
+    # 4 files -> up to 4 micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(src)
+
+    corpus = str(tmp_path / "adm_corpus")
+    run_near_dup_admit(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        corpus,
+        str(tmp_path / "adm_ckpt"),
+        jaccard_threshold=0.6,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+
+    # fixture cliques: {i, i+4, i+8, i+12} are pairwise >= 0.6 jaccard
+    for c in range(4):
+        assert len(got & {c, c + 4, c + 8, c + 12}) == 1, (c, got)
+
+    # and when the stream arrives in ONE batch, it equals the one-shot
+    one_shot = incremental_admit(
+        spark.createDataFrame([], schema),
+        spark.createDataFrame(rows, schema),
+        jaccard_threshold=0.6,
+    )
+    want = {r["doc_id"] for r in one_shot.collect()}
+    release_shingle_caches()
+    assert {min(want & {c, c + 4, c + 8, c + 12}) for c in range(4)} == want
+    # admitted corpus is near-dup-free at the threshold
+    admitted = spark.read.parquet(corpus).select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(admitted, threshold=0.6).count()
+    release_shingle_caches()
+    assert pairs == 0
