@@ -112,16 +112,27 @@ def curate_corpus(
         # ExactSubstr-style boilerplate scrub AFTER the cheap row-local
         # drops (the expensive corpus-wide gram inventory sees the
         # shrunken corpus) and BEFORE decontamination/dedup (both must
-        # fingerprint the FINAL text). The scrub output carries only the
-        # id + scrubbed text, so the remaining columns rejoin on id —
-        # one extra corpus shuffle, the honest cost of text rewriting.
+        # fingerprint the FINAL text). The remaining columns rejoin on
+        # id — one extra corpus shuffle, the honest cost of rewriting.
+        # `kept` feeds both the scrub and the join's left side, so it is
+        # pinned (shared live-cache registry, released with the shingle
+        # caches) — without it the whole upstream filter chain (PII
+        # regexes, quality/repetition projections) re-runs twice.
+        # Documents the scrub did NOT touch keep their original text —
+        # token-joined reassembly whitespace-normalizes, so only docs
+        # that actually lost a span pay that (documented) cost.
+        from ocr_spark.operators.dedup import _persist_shingles as _pin
+
+        kept = _pin(kept)
         scrubbed = scrub_duplicate_ngrams(kept, text_col, id_col, k=scrub_gram_k)
-        kept = kept.drop(text_col).join(
-            scrubbed.select(
-                id_col, F.col("scrubbed_text").alias(text_col)
+        kept = kept.join(
+            scrubbed.select(id_col, "scrubbed_text", "n_removed"), id_col
+        ).withColumn(
+            text_col,
+            F.when(F.col("n_removed") > 0, F.col("scrubbed_text")).otherwise(
+                F.col(text_col)
             ),
-            id_col,
-        )
+        ).drop("scrubbed_text", "n_removed")
     if evalset is not None:
         kept = decontaminate(kept, evalset, text_col, id_col)
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)

@@ -46,6 +46,10 @@ def pagerank(
     )
     nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # empty edge list (e.g. a link extractor that found nothing):
+        # an empty (id, rank) frame, not a ZeroDivisionError below
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
     with_deg = nodes.join(
         deg, nodes["id"] == deg["_s"], "left"

@@ -58,6 +58,8 @@ def pack_sequences(
     budget: int,
     shards: int = 16,
     extra_keys: tuple = (),
+    shard_col: str | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each document a ``(shard, bin_id)`` packing slot.
 
@@ -69,11 +71,20 @@ def pack_sequences(
     (besides the shard) — e.g. ``("split",)`` so train/val/test bins
     never mix and a reader of one split sees contiguous, fully-budgeted
     bins (the curation composition requires this).
+
+    ``shard_col`` / ``order_col`` override the default id-derived shard
+    and id packing order — e.g. ``shuffle_to_shards``' outputs, so bins
+    follow the deterministic SHUFFLE order instead of corpus id order
+    (ties in ``order_col`` break by ``id_col``).
     """
     tokens = F.col(token_col) if isinstance(token_col, str) else token_col
-    shard = (F.col(id_col) % shards).alias("shard")
-    out = df.withColumn("shard", shard).withColumn("_tok", tokens)
-    w = Window.partitionBy("shard", *extra_keys).orderBy(id_col).rowsBetween(
+    if shard_col is None:
+        out = df.withColumn("shard", (F.col(id_col) % shards).alias("shard"))
+    else:
+        out = df.withColumn("shard", F.col(shard_col))
+    out = out.withColumn("_tok", tokens)
+    order = [order_col, id_col] if order_col else [id_col]
+    w = Window.partitionBy("shard", *extra_keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, -1
     )
     cum_before = F.coalesce(F.sum("_tok").over(w), F.lit(0))
@@ -697,6 +708,7 @@ def materialize_packed_bins(
     token_arr_col: str,
     id_col: str = "doc_id",
     extra_keys: tuple = (),
+    order_col: str | None = None,
 ) -> DataFrame:
     """The last mile to training shards: collapse a ``pack_sequences``
     assignment into ONE ROW PER BIN — the documents' token arrays
@@ -713,9 +725,10 @@ def materialize_packed_bins(
     write-sized unit a sequential training reader consumes.
     """
     keys = [*extra_keys, "shard", "bin_id"]
+    order = [order_col, id_col] if order_col else [id_col]
     w = (
         Window.partitionBy(*keys)
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum(F.size(token_arr_col)).over(w), F.lit(0))
@@ -725,7 +738,11 @@ def materialize_packed_bins(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    F.col(id_col).alias("_id"),
+                    *(
+                        [F.col(order_col).alias("_k"), F.col(id_col).alias("_id")]
+                        if order_col
+                        else [F.col(id_col).alias("_id")]
+                    ),
                     F.col("_off").alias("_o"),
                     F.col(token_arr_col).alias("_t"),
                 )

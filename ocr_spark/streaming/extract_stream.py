@@ -332,6 +332,13 @@ def near_dup_admit_sink(corpus_dir: str, text_col: str = "text",
     pure function of the PRIOR batches' partitions, the replay admits
     the same rows).
 
+    A minhash-signature SIDECAR table (``<corpus_dir>_sigs``) is
+    maintained alongside the corpus — each batch appends its admitted
+    rows' signatures under the same ``_batch_id=N`` partition scheme —
+    and is passed as ``existing_sigs``, so the corpus side does NO text
+    work during candidate generation: per-batch cost is O(batch) text +
+    O(corpus signatures) join, not O(corpus) re-shingling.
+
     Admission is FIRST-ARRIVAL-WINS across micro-batches (the only
     causally consistent rule for a stream) and min-id within one batch;
     the guaranteed invariants — independent of how the source is split
@@ -341,31 +348,56 @@ def near_dup_admit_sink(corpus_dir: str, text_col: str = "text",
     State lives in the corpus itself: nothing unbounded accumulates in
     streaming state (contrast ``dedup_stream``'s watermark-bounded
     exact-fingerprint state)."""
-    import os
+    from ocr_spark.operators.dedup import incremental_admit, minhash_signature
 
-    from ocr_spark.operators.dedup import incremental_admit
+    sigs_dir = corpus_dir.rstrip("/") + "_sigs"
+
+    def _read_prior(spark, path: str, batch_id: int):
+        # FS-portable existence probe: try the read (works for s3/hdfs/
+        # abfs/local alike); a missing path is the empty-corpus case —
+        # never a driver-local os.path check, which is always False for
+        # remote filesystems and would silently disable cross-batch dedup
+        try:
+            return spark.read.parquet(path).filter(F.col("_batch_id") < batch_id)
+        except Exception as ex:  # AnalysisException: PATH_NOT_FOUND
+            if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+                return None
+            raise
+
+    def _append(df: DataFrame, path: str, batch_id: int) -> None:
+        (
+            df.withColumn("_batch_id", F.lit(batch_id))
+            .write.option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col)
-        have_corpus = os.path.isdir(corpus_dir) and any(
-            f.startswith("_batch_id=") for f in os.listdir(corpus_dir)
-        )
-        if have_corpus:
-            existing = spark.read.parquet(corpus_dir).filter(
-                F.col("_batch_id") < batch_id
-            ).select(id_col, text_col)
+        prior = _read_prior(spark, corpus_dir, batch_id)
+        prior_sigs = _read_prior(spark, sigs_dir, batch_id)
+        if prior is not None:
+            existing = prior.select(id_col, text_col)
+            existing_sigs = (
+                prior_sigs.select(id_col, "minhash")
+                if prior_sigs is not None
+                else None
+            )
         else:
             existing = batch.limit(0)  # batch 0: same pairwise intra rule
+            existing_sigs = None
         admitted = incremental_admit(
-            existing, batch, text_col, id_col, jaccard_threshold
+            existing, batch, text_col, id_col, jaccard_threshold,
+            existing_sigs=existing_sigs,
         )
-        (
-            admitted.withColumn("_batch_id", F.lit(batch_id))
-            .write.option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .partitionBy("_batch_id")
-            .parquet(corpus_dir)
+        _append(admitted, corpus_dir, batch_id)
+        # maintain the signature sidecar from the rows just written (the
+        # admitted frame is an eager localCheckpoint, so this re-reads
+        # nothing and the two writes see identical rows)
+        _append(
+            minhash_signature(admitted, text_col, id_col), sigs_dir, batch_id
         )
 
     return _write

@@ -55,19 +55,28 @@ def prepare_training_shards(
     """The composed plan (library form — the CLI wraps it). Returns the
     bins DataFrame; nothing is materialized here."""
     if chunk_chars > 0:
+        from ocr_spark.operators.ids import assign_dense_ids
+
         chunks = chunk_documents(
             docs, chunk_chars, overlap=chunk_chars // 8, text_col=text_col,
             id_col=id_col,
+        ).withColumn(
+            # unique composite sort key for the dense re-key; the naive
+            # id*1e6+chunk_idx arithmetic overflows int64 for hash-derived
+            # ids and collides past 1e6 chunks — the range-exchange dense
+            # rank has neither failure mode
+            "_ck", F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.format_string("%09d", F.col("chunk_idx"))),
         )
-        # dense re-key so every downstream id-arithmetic operator (shard
-        # hash, packing order) sees one int64 key per chunk
-        docs = chunks.select(
-            (F.col(id_col) * 1_000_000 + F.col("chunk_idx")).alias(id_col),
-            F.col("chunk_text").alias(text_col),
+        docs = assign_dense_ids(chunks, "_ck", out_col="_cid").select(
+            F.col("_cid").alias(id_col), F.col("chunk_text").alias(text_col)
         )
+    # the shuffle's (shard, shuffle_key) drive packing below: bins follow
+    # the deterministic shuffle order, NOT corpus id order (a sequential
+    # reader must not see crawl-correlated neighbors)
     sharded = shuffle_to_shards(
         docs, n_shards=n_shards, id_col=id_col, seed=seed, with_positions=False
-    ).drop("shard")  # pack_sequences derives its own shard below
+    )
     merges = bpe_train(sharded, text_col=text_col, n_merges=bpe_merges)
     toks = bpe_tokens(sharded, merges, text_col=text_col)
     packed = pack_sequences(
@@ -76,8 +85,12 @@ def prepare_training_shards(
         "_n",
         budget=budget,
         shards=n_shards,
+        shard_col="shard",
+        order_col="shuffle_key",
     )
-    return materialize_packed_bins(packed, "bpe_tokens", id_col=id_col)
+    return materialize_packed_bins(
+        packed, "bpe_tokens", id_col=id_col, order_col="shuffle_key"
+    )
 
 
 def main() -> None:
@@ -99,6 +112,9 @@ def main() -> None:
         args.seed,
     )
     bins.write.partitionBy("shard").mode("overwrite").parquet(args.output)
+    from ocr_spark.operators.ids import release_id_caches
+
+    release_id_caches()  # the chunk re-key pins a range partitioning
 
     out = spark.read.parquet(args.output)
     stats = out.agg(

@@ -40,3 +40,12 @@ def test_pagerank_dangling_mass_conserved(spark):
     got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=8).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert got[2] > got[1]
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from ocr_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(df, n_iter=3)
+    assert out.count() == 0
+    assert out.columns == ["id", "rank"]
