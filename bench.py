@@ -229,6 +229,28 @@ def main() -> None:
         timed_best(lambda: materialize(bpe_counted), TRIALS), 3
     )
 
+    # end-to-end curation composition (quality filter -> minhash/LSH
+    # dedup -> per-source cap -> split -> pack) over the sf documents
+    # table — the one-call corpus-curation cost (the ExactSubstr scrub
+    # stage is benched standalone as dd_scrub_ngrams; enabling it in the
+    # composition adds roughly that row's cost)
+    from ocr_spark.operators.curation import curate_corpus  # noqa: E402
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run_curation_bench():
+        materialize(
+            curate_corpus(
+                docs_tbl, jaccard_threshold=0.9, token_budget=1024,
+                source_cap=2000,
+            )
+        )
+        release_shingle_caches()
+
+    times["cur_curation_pipeline"] = round(
+        timed_best(run_curation_bench, TRIALS), 3
+    )
+
     # IVF partition-pruning win: probe the materialized index (scans only
     # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
     # through the same numpy scoring path — the delta is pure pruning.

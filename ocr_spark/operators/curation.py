@@ -133,6 +133,10 @@ def curate_corpus(
                 F.col(text_col)
             ),
         ).drop("scrubbed_text", "n_removed")
+        # pin the scrub OUTPUT as well: the rewritten corpus feeds the
+        # dedup shingle build AND the final projection — unpinned, every
+        # consumer re-runs the whole gram-inventory subtree
+        kept = _pin(kept)
     if evalset is not None:
         kept = decontaminate(kept, evalset, text_col, id_col)
     deduped = near_dup_dedup(kept, text_col, id_col, jaccard_threshold)
