@@ -681,6 +681,66 @@ def _q_ctx_window_assembly(spark, sf_dir):
     return out.select("event_id", "user_id", "context")
 
 
+# documents -> multi-turn transcripts: (conv, turn_idx) = (doc_id % 97,
+# doc_id // 97) is bijective with doc_id, so turn order is total; the
+# payload embeds a newline so span offsets are exercised across embedded
+# line breaks. Same SELECT expressions on both sides of the twin.
+_CONV_CORPUS_EXPRS = [
+    "CAST(doc_id % 97 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 97) AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'system' WHEN 1 THEN 'user' "
+    "ELSE 'assistant' END AS role",
+    "substr(coalesce(text, ''), 1, 60) || chr(10) || "
+    "substr(coalesce(text, ''), 61, 40) AS text",
+]
+
+_CONV_CORPUS_SQL = "SELECT " + ", ".join(_CONV_CORPUS_EXPRS) + " FROM documents"
+
+
+def _conv_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(*_CONV_CORPUS_EXPRS)
+
+
+def _q_sft_doc_assembly(spark, sf_dir):
+    """Conversation -> SFT training document (operators/sft.py): role-
+    tagged rendering + loss-mask accounting, hash-verified against a
+    string_agg twin. Extends the reference's per-document scope
+    (classification_service.py stops at classification) to the
+    training-data hand-off."""
+    from ocr_spark.operators.sft import assemble_sft_documents
+
+    out = assemble_sft_documents(_conv_corpus(spark, sf_dir), conv_col="conv")
+    return out.select(
+        "conv",
+        "doc_text",
+        F.col("n_turns").cast("int").alias("n_turns"),
+        F.col("n_loss_turns").cast("int").alias("n_loss_turns"),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.col("loss_chars").cast("long").alias("loss_chars"),
+    )
+
+
+def _q_sft_turn_spans(spark, sf_dir):
+    """Exact per-turn char offsets inside the assembled SFT document
+    (cumulative-sum window form) vs the same arithmetic in DuckDB."""
+    from ocr_spark.operators.sft import sft_turn_spans
+
+    return sft_turn_spans(_conv_corpus(spark, sf_dir), conv_col="conv")
+
+
+def _q_sft_token_stream(spark, sf_dir):
+    """Token-level SFT stream with the loss mask (operators/sft.py):
+    learned-BPE tokens of the rendered conversation with dense global
+    positions, loss=1 exactly on assistant payload tokens — vs an
+    independent DuckDB composition (segment fan-out + recursive-CTE
+    encode + window offsets)."""
+    from ocr_spark.operators.sft import sft_token_stream
+
+    return sft_token_stream(
+        _conv_corpus(spark, sf_dir), _BPE_DEMO_MERGES, conv_col="conv"
+    )
+
+
 def _q_pk_sequence_packing(spark, sf_dir):
     # sharded contiguous packing into 512-token bins (BPE-ish counts)
     from ocr_spark.operators.training import pack_sequences
@@ -1948,6 +2008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_quality_filter": _q_tx_quality_filter,
         "tx_gopher_flags": _q_tx_gopher_flags,
         "ctx_window_assembly": _q_ctx_window_assembly,
+        "sft_doc_assembly": _q_sft_doc_assembly,
+        "sft_turn_spans": _q_sft_turn_spans,
+        "sft_token_stream": _q_sft_token_stream,
         "pk_sequence_packing": _q_pk_sequence_packing,
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
@@ -3303,6 +3366,72 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS context "
             "FROM events"
+        ),
+        "sft_doc_assembly": (
+            f"WITH c AS ({_CONV_CORPUS_SQL}), "
+            "r AS (SELECT conv, turn_idx, role, text, "
+            "'<|' || role || '|>' || chr(10) || text || chr(10) AS rendered "
+            "FROM c) "
+            "SELECT conv, "
+            "string_agg(rendered, '' ORDER BY turn_idx) AS doc_text, "
+            "CAST(COUNT(*) AS INT) AS n_turns, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS INT) "
+            "AS n_loss_turns, "
+            "CAST(SUM(length(rendered)) AS BIGINT) AS doc_len, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN length(text) "
+            "ELSE 0 END) AS BIGINT) AS loss_chars "
+            "FROM r GROUP BY conv"
+        ),
+        "sft_turn_spans": (
+            f"WITH c AS ({_CONV_CORPUS_SQL}), "
+            "r AS (SELECT conv, turn_idx, role, text, "
+            "length('<|' || role || '|>') + 1 AS hlen, "
+            "length('<|' || role || '|>') + 2 + length(text) AS rlen FROM c), "
+            "o AS (SELECT *, COALESCE(SUM(rlen) OVER (PARTITION BY conv "
+            "ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS bef FROM r) "
+            "SELECT conv, turn_idx, role, "
+            "CAST(bef + hlen AS INT) AS span_start, "
+            "CAST(bef + hlen + length(text) AS INT) AS span_end, "
+            "CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INT) "
+            "AS is_loss FROM o"
+        ),
+        "sft_token_stream": (
+            f"WITH c AS ({_CONV_CORPUS_SQL}), "
+            "seg AS ("
+            "SELECT conv, turn_idx, 0 AS seg, role AS seg_text, 0 AS is_loss "
+            "FROM c UNION ALL "
+            "SELECT conv, turn_idx, 1 AS seg, text AS seg_text, "
+            "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_loss FROM c), "
+            "sw AS (SELECT conv, turn_idx, seg, is_loss, "
+            "list_filter(string_split_regex(lower(seg_text), '[^a-z0-9]+'), "
+            "x -> x <> '') AS wl FROM seg), "
+            "wpos AS (SELECT conv, turn_idx, seg, is_loss, "
+            "unnest([{'i': i, 'w': wl[i]} for i in range(1, len(wl) + 1)]) AS u "
+            "FROM sw), "
+            "wflat AS (SELECT conv, turn_idx, seg, is_loss, "
+            "u.i AS word_i, u.w AS word FROM wpos), "
+            "enc AS (SELECT word, bpe_tokens FROM ("
+            + TKZO.bpe_encode_sql(
+                _BPE_DEMO_MERGES,
+                "SELECT DISTINCT unnest(list_filter(string_split_regex("
+                "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word "
+                f"FROM ({_CONV_CORPUS_SQL}) "
+                "UNION SELECT 'system' AS word UNION SELECT 'user' AS word "
+                "UNION SELECT 'assistant' AS word",
+            )
+            + ")), "
+            "we AS (SELECT wflat.conv, wflat.turn_idx, wflat.seg, "
+            "wflat.is_loss, wflat.word_i, enc.bpe_tokens AS toks, "
+            "len(enc.bpe_tokens) AS n FROM wflat JOIN enc USING (word)), "
+            "off AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY conv "
+            "ORDER BY turn_idx, seg, word_i ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND 1 PRECEDING), 0) AS base FROM we), "
+            "tokpos AS (SELECT conv, is_loss, base, "
+            "unnest([{'j': j, 't': toks[j]} for j in range(1, len(toks) + 1)]) "
+            "AS v FROM off) "
+            "SELECT conv, CAST(base + v.j - 1 AS INT) AS token_pos, "
+            "v.t AS token, CAST(is_loss AS INT) AS is_loss FROM tokpos"
         ),
         "pk_sequence_packing": (
             f"WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "

@@ -1,0 +1,293 @@
+"""Conversation -> SFT training-document assembly.
+
+The canonical transcripts-to-training-data step the reference pipeline
+stops short of (reference scope ends at per-document classification,
+``classification_service.py``): render each multi-turn conversation as
+ONE training document with role-tagged turn headers, and emit exact
+char-offset spans per turn plus the assistant-turn loss-mask spans an
+SFT data loader needs.
+
+Design (Spark-first, zero Python UDFs):
+
+- Per-turn rendering ``<|role|>\\n{text}\\n`` and its length are plain
+  column expressions (whole-stage codegen).
+- Span offsets are a cumulative-sum window over ``(conv, turn order)``
+  — the char position of a turn's payload is the sum of all preceding
+  turns' rendered lengths plus its own header length. One shuffle on
+  the conversation key; the following ``groupBy`` on the SAME key
+  reuses that partitioning (plan-asserted: exactly one exchange).
+- Document text is ``array_join`` over the order-sorted collected
+  rendered turns; loss spans are a ``filter`` HOF over the span array.
+
+Invariant (tested): ``doc_text[start:end] == text`` for every turn,
+``doc_len == length(doc_text)``, and the loss spans are exactly the
+assistant turns' payload spans.
+
+100-TB notes: a conversation IS one training document, so all its turns
+must co-locate — that is the single hash shuffle on ``conv_col`` (same
+skew profile as extraction, which the skew bench covers). Pathological
+million-turn conversations are bounded by ``max_turns`` (rank filter
+BEFORE assembly, so the dropped tail never enters the collect_list).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assemble_sft_documents(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    role_open: str = "<|",
+    role_close: str = "|>\n",
+    turn_suffix: str = "\n",
+    max_turns: Optional[int] = None,
+) -> DataFrame:
+    """One row per conversation: the rendered SFT document + span maps.
+
+    Output columns:
+
+    - ``conv_col``: the conversation key (passed through).
+    - ``doc_text``: ``concat`` over turns (ordered by ``order_cols``) of
+      ``role_open + role + role_close + text + turn_suffix``.
+    - ``turn_spans``: ``array<struct<turn_idx:int, role:string,
+      start:int, end:int>>`` — 0-based char offsets of each turn's raw
+      ``text`` payload inside ``doc_text`` (header/suffix excluded), in
+      turn order. ``turn_idx`` is the FIRST of ``order_cols`` cast to
+      int.
+    - ``loss_spans``: ``array<struct<start:int, end:int>>`` — the
+      subset of ``turn_spans`` whose role == ``assistant_role`` (the
+      SFT loss mask).
+    - ``n_turns``, ``n_loss_turns``, ``doc_len``, ``loss_chars``.
+
+    NULL ``text_col`` renders as the empty payload (span of width 0).
+    Ties in ``order_cols`` within a conversation make the assembly
+    order ambiguous — callers must supply a total per-conv order (the
+    transcripts contract: ``turn_idx`` is unique per ``conv_id``).
+    """
+    if not order_cols:
+        raise ValueError("order_cols must name at least one column")
+    conv = F.col(conv_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    role = F.coalesce(F.col(role_col), F.lit(""))
+
+    base = df
+    if max_turns is not None:
+        wr = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+        base = (
+            base.withColumn("_sft_rn", F.row_number().over(wr))
+            .where(F.col("_sft_rn") <= F.lit(int(max_turns)))
+            .drop("_sft_rn")
+        )
+
+    header = F.concat(F.lit(role_open), role, F.lit(role_close))
+    rendered = F.concat(header, text, F.lit(turn_suffix))
+    # char lengths; turn_suffix/role_open/role_close are constants so
+    # their char counts are python len()s folded into the expression
+    rendered_len = (
+        F.length(role)
+        + F.lit(len(role_open) + len(role_close) + len(turn_suffix))
+        + F.length(text)
+    )
+    header_len = F.length(role) + F.lit(len(role_open) + len(role_close))
+
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(rendered_len).over(w), F.lit(0))
+    start = (before + header_len).cast("int")
+    end = (before + header_len + F.length(text)).cast("int")
+
+    ord0 = F.col(order_cols[0]).cast("int")
+    # keep conv under its original name: renaming it would new-exprId the
+    # attribute and defeat partitioning reuse between Window and groupBy
+    with_pos = base.select(
+        conv,
+        *[F.col(c).alias(f"_ord{i}") for i, c in enumerate(order_cols)],
+        ord0.alias("_turn_idx"),
+        role.alias("_role"),
+        text.alias("_text"),
+        rendered.alias("_rendered"),
+        rendered_len.alias("_rlen"),
+        start.alias("_start"),
+        end.alias("_end"),
+    )
+
+    ord_fields = [f"_ord{i}" for i in range(len(order_cols))]
+    piece = F.struct(*[F.col(c) for c in ord_fields], F.col("_rendered"))
+    span = F.struct(
+        *[F.col(c) for c in ord_fields],
+        F.col("_turn_idx"),
+        F.col("_role"),
+        F.col("_start"),
+        F.col("_end"),
+    )
+    is_loss = F.col("_role") == F.lit(assistant_role)
+
+    agg = with_pos.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(piece)), lambda p: p["_rendered"]
+            ),
+            "",
+        ).alias("doc_text"),
+        F.transform(
+            F.array_sort(F.collect_list(span)),
+            lambda s: F.struct(
+                s["_turn_idx"].alias("turn_idx"),
+                s["_role"].alias("role"),
+                s["_start"].alias("start"),
+                s["_end"].alias("end"),
+            ),
+        ).alias("turn_spans"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+        F.sum(is_loss.cast("int")).cast("int").alias("n_loss_turns"),
+        F.sum("_rlen").cast("long").alias("doc_len"),
+        F.sum(
+            F.when(is_loss, F.col("_end") - F.col("_start")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("loss_chars"),
+    )
+    return agg.withColumn(
+        "loss_spans",
+        F.transform(
+            F.filter(
+                F.col("turn_spans"), lambda s: s["role"] == F.lit(assistant_role)
+            ),
+            lambda s: F.struct(s["start"].alias("start"), s["end"].alias("end")),
+        ),
+    )
+
+
+def sft_token_stream(
+    df: DataFrame,
+    merges,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Token-level SFT stream with the loss mask: one row per token of
+    the rendered conversation, ``(conv, token_pos, token, is_loss)``.
+
+    Tokenization is the learned-BPE kernel (``operators/tokenizer``,
+    lowercase-alnum words). Because words never cross a turn boundary
+    (headers/suffixes insert non-alnum chars), tokenizing the rendered
+    document equals tokenizing its segments in order: for each turn,
+    the header contributes the role's words (is_loss=0 — scaffolding is
+    never trained on), then the payload contributes the turn text's
+    words (is_loss=1 iff role == ``assistant_role``). That per-segment
+    form is what makes the op one window shuffle instead of a re-parse
+    of assembled documents.
+
+    Plan: segment fan-out is a row-local ``explode`` (2 rows/turn);
+    encode is the zero-shuffle Arrow kernel; the global token position
+    is ONE cumulative-sum window on the conversation key followed by a
+    map-side ``posexplode``. Per-token rows are produced only at the
+    very end, so the shuffled payload is per-SEGMENT (token arrays),
+    not per-token.
+    """
+    from ocr_spark.operators.tokenizer import bpe_tokens
+
+    conv = F.col(conv_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    is_loss = (F.col(role_col) == F.lit(assistant_role)).cast("int")
+
+    seg = df.select(
+        conv,
+        F.col(order_cols[0]).cast("int").alias("_turn_idx"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("seg"),
+                    role.alias("seg_text"),
+                    F.lit(0).alias("is_loss"),
+                ),
+                F.struct(
+                    F.lit(1).alias("seg"),
+                    text.alias("seg_text"),
+                    is_loss.alias("is_loss"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(
+        conv,
+        "_turn_idx",
+        F.col("_s.seg").alias("_seg"),
+        F.col("_s.seg_text").alias("seg_text"),
+        F.col("_s.is_loss").alias("_is_loss"),
+    )
+
+    toks = bpe_tokens(seg, merges, "seg_text", out_col="_toks")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy("_turn_idx", "_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))
+    return (
+        toks.withColumn("_base", base)
+        .select(
+            conv,
+            "_base",
+            "_is_loss",
+            F.posexplode("_toks").alias("_pos", "token"),
+        )
+        .select(
+            conv,
+            (F.col("_base") + F.col("_pos")).cast("int").alias("token_pos"),
+            "token",
+            F.col("_is_loss").alias("is_loss"),
+        )
+    )
+
+
+def sft_turn_spans(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+    role_open: str = "<|",
+    role_close: str = "|>\n",
+    turn_suffix: str = "\n",
+) -> DataFrame:
+    """Flat per-turn span view: ``(conv, turn_idx, role, span_start,
+    span_end, is_loss)`` — the exploded form of ``turn_spans`` computed
+    directly from the cumulative-sum window (no collect, no explode:
+    stays a streaming window plan, one shuffle)."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    role = F.coalesce(F.col(role_col), F.lit(""))
+    rendered_len = (
+        F.length(role)
+        + F.lit(len(role_open) + len(role_close) + len(turn_suffix))
+        + F.length(text)
+    )
+    header_len = F.length(role) + F.lit(len(role_open) + len(role_close))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(rendered_len).over(w), F.lit(0))
+    return df.select(
+        F.col(conv_col),
+        F.col(order_cols[0]).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        (before + header_len).cast("int").alias("span_start"),
+        (before + header_len + F.length(text)).cast("int").alias("span_end"),
+        (role == F.lit(assistant_role)).cast("int").alias("is_loss"),
+    )

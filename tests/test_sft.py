@@ -1,0 +1,147 @@
+"""Conversation -> SFT document assembly (operators/sft.py).
+
+The load-bearing invariant: every turn's span, sliced out of the
+assembled doc_text, reproduces the original turn text exactly — i.e.
+the offsets are real char offsets, not approximations.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from ocr_spark.operators.sft import assemble_sft_documents, sft_turn_spans
+
+
+@pytest.fixture(scope="module")
+def convs(spark, small_corpus):
+    pdf = small_corpus["transcripts"]
+    return spark.createDataFrame(pdf).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+
+
+def _collect_docs(df):
+    return {r["conv_id"]: r.asDict(recursive=True) for r in df.collect()}
+
+
+def test_spans_slice_back_to_turn_text(spark, convs):
+    docs = _collect_docs(assemble_sft_documents(convs))
+    turns = convs.collect()
+    assert docs
+    by_conv = {}
+    for t in turns:
+        by_conv.setdefault(t["conv_id"], {})[t["turn_idx"]] = t
+    for cid, d in docs.items():
+        assert len(d["turn_spans"]) == d["n_turns"] == len(by_conv[cid])
+        assert d["doc_len"] == len(d["doc_text"])
+        for s in d["turn_spans"]:
+            orig = by_conv[cid][s["turn_idx"]]
+            assert d["doc_text"][s["start"] : s["end"]] == (orig["text"] or "")
+            assert s["role"] == (orig["role"] or "")
+            # header immediately precedes the payload
+            hdr = "<|" + s["role"] + "|>\n"
+            assert d["doc_text"][s["start"] - len(hdr) : s["start"]] == hdr
+
+
+def test_loss_spans_are_exactly_assistant_turns(spark, convs):
+    docs = _collect_docs(assemble_sft_documents(convs))
+    for d in docs.values():
+        expect = [
+            {"start": s["start"], "end": s["end"]}
+            for s in d["turn_spans"]
+            if s["role"] == "assistant"
+        ]
+        assert d["loss_spans"] == expect
+        assert d["n_loss_turns"] == len(expect)
+        assert d["loss_chars"] == sum(s["end"] - s["start"] for s in expect)
+
+
+def test_input_order_invariance(spark, convs):
+    a = assemble_sft_documents(convs)
+    b = assemble_sft_documents(convs.orderBy(F.rand(7)).repartition(5))
+    rows_a = sorted(a.select("conv_id", "doc_text").collect())
+    rows_b = sorted(b.select("conv_id", "doc_text").collect())
+    assert rows_a == rows_b
+
+
+def test_null_text_renders_empty_span(spark):
+    df = spark.createDataFrame(
+        [("c", 0, "user", None), ("c", 1, "assistant", "hi")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    d = _collect_docs(assemble_sft_documents(df))["c"]
+    assert d["doc_text"] == "<|user|>\n\n<|assistant|>\nhi\n"
+    s0, s1 = d["turn_spans"]
+    assert s0["start"] == s0["end"] == 9
+    assert d["doc_text"][s1["start"] : s1["end"]] == "hi"
+    assert d["loss_chars"] == 2
+
+
+def test_max_turns_truncates_before_assembly(spark, convs):
+    full = _collect_docs(assemble_sft_documents(convs))
+    cut = _collect_docs(assemble_sft_documents(convs, max_turns=2))
+    for cid, d in cut.items():
+        assert d["n_turns"] == min(2, full[cid]["n_turns"])
+        # the kept prefix renders identically
+        assert full[cid]["doc_text"].startswith(d["doc_text"])
+
+
+def test_flat_span_view_matches_nested(spark, convs):
+    nested = assemble_sft_documents(convs)
+    flat = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in sft_turn_spans(convs).collect()
+    }
+    for d in _collect_docs(nested).values():
+        for s in d["turn_spans"]:
+            f = flat[(d["conv_id"], s["turn_idx"])]
+            assert (f["span_start"], f["span_end"]) == (s["start"], s["end"])
+            assert f["is_loss"] == int(s["role"] == "assistant")
+
+
+MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("a", "n"), ("t", "h"), ("s", "t")]
+
+
+def test_token_stream_equals_whole_doc_encode(spark, convs):
+    """Per-segment tokenization must equal encoding the whole rendered
+    document (words never cross turn boundaries), with dense 0-based
+    positions and loss set exactly on assistant payload words."""
+    import re
+
+    from ocr_spark.operators.sft import sft_token_stream
+    from ocr_spark.operators.tokenizer import encode_word
+
+    ranks = {p: i for i, p in enumerate(MERGES)}
+    split = re.compile(r"[^a-z0-9]+")
+
+    def enc(s):
+        return [
+            t
+            for w in split.split((s or "").lower())
+            if w
+            for t in encode_word(w, ranks)
+        ]
+
+    docs = _collect_docs(assemble_sft_documents(convs))
+    stream = sft_token_stream(convs, MERGES).collect()
+    by_conv = {}
+    for r in stream:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    assert set(by_conv) == set(docs)
+    for cid, rows in by_conv.items():
+        rows.sort(key=lambda r: r["token_pos"])
+        assert [r["token_pos"] for r in rows] == list(range(len(rows)))
+        assert [r["token"] for r in rows] == enc(docs[cid]["doc_text"])
+        # loss tokens = exactly the assistant payloads' tokens, in order
+        d = docs[cid]
+        expect_loss = [
+            t
+            for s in d["turn_spans"]
+            if s["role"] == "assistant"
+            for t in enc(d["doc_text"][s["start"] : s["end"]])
+        ]
+        assert [r["token"] for r in rows if r["is_loss"] == 1] == expect_loss
+
+
+def test_one_shuffle_plan(spark, convs):
+    plan = assemble_sft_documents(convs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # window + groupBy share the conv hash
