@@ -741,6 +741,35 @@ def _q_sft_token_stream(spark, sf_dir):
     )
 
 
+def _q_sft_packed_bins(spark, sf_dir):
+    """Packed SFT training bins (operators/sft.pack_sft_bins): whole
+    conversations packed into 256-token bins, one row per bin with the
+    concatenated token sequence, parallel loss mask, and per-conv start
+    offsets — the sequential-reader artifact. Arrays are joined to
+    strings for the hash compare."""
+    from ocr_spark.operators.sft import pack_sft_bins
+
+    bins = pack_sft_bins(
+        _conv_corpus(spark, sf_dir),
+        _BPE_DEMO_MERGES,
+        budget=256,
+        shards=4,
+        conv_col="conv",
+    )
+    return bins.select(
+        "shard",
+        "bin_id",
+        "n_docs",
+        F.concat_ws(" ", "token_ids").alias("token_seq"),
+        F.concat_ws(
+            "", F.transform("loss_mask", lambda x: x.cast("string"))
+        ).alias("loss_seq"),
+        F.concat_ws(
+            ",", F.transform("doc_offsets", lambda x: x.cast("string"))
+        ).alias("doc_offsets"),
+    )
+
+
 def _q_pk_sequence_packing(spark, sf_dir):
     # sharded contiguous packing into 512-token bins (BPE-ish counts)
     from ocr_spark.operators.training import pack_sequences
@@ -1835,6 +1864,53 @@ _BPE_DEMO_MERGES = [
     ("or", "t"), ("s", "ort"),
 ]
 
+def _sft_tokstream_ctes() -> str:
+    """Shared DuckDB CTE chain producing ``tokstream(conv, token_pos,
+    token, is_loss)`` — the independent twin of operators/sft.py's
+    token-level composition (segment fan-out + recursive-CTE BPE encode
+    + window offsets). Used by the sft_token_stream and sft_packed_bins
+    oracles."""
+    from ocr_spark.operators import tokenizer as TKZ
+
+    words_cte = (
+        "SELECT DISTINCT unnest(list_filter(string_split_regex("
+        "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word "
+        f"FROM ({_CONV_CORPUS_SQL}) "
+        "UNION SELECT 'system' AS word UNION SELECT 'user' AS word "
+        "UNION SELECT 'assistant' AS word"
+    )
+    return (
+        f"WITH c AS ({_CONV_CORPUS_SQL}), "
+        "seg AS ("
+        "SELECT conv, turn_idx, 0 AS seg, role AS seg_text, 0 AS is_loss "
+        "FROM c UNION ALL "
+        "SELECT conv, turn_idx, 1 AS seg, text AS seg_text, "
+        "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_loss FROM c), "
+        "sw AS (SELECT conv, turn_idx, seg, is_loss, "
+        "list_filter(string_split_regex(lower(seg_text), '[^a-z0-9]+'), "
+        "x -> x <> '') AS wl FROM seg), "
+        "wpos AS (SELECT conv, turn_idx, seg, is_loss, "
+        "unnest([{'i': i, 'w': wl[i]} for i in range(1, len(wl) + 1)]) AS u "
+        "FROM sw), "
+        "wflat AS (SELECT conv, turn_idx, seg, is_loss, "
+        "u.i AS word_i, u.w AS word FROM wpos), "
+        "enc AS (SELECT word, bpe_tokens FROM ("
+        + TKZ.bpe_encode_sql(_BPE_DEMO_MERGES, words_cte)
+        + ")), "
+        "we AS (SELECT wflat.conv, wflat.turn_idx, wflat.seg, "
+        "wflat.is_loss, wflat.word_i, enc.bpe_tokens AS toks, "
+        "len(enc.bpe_tokens) AS n FROM wflat JOIN enc USING (word)), "
+        "off AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY conv "
+        "ORDER BY turn_idx, seg, word_i ROWS BETWEEN UNBOUNDED PRECEDING "
+        "AND 1 PRECEDING), 0) AS base FROM we), "
+        "tokpos AS (SELECT conv, is_loss, base, "
+        "unnest([{'j': j, 't': toks[j]} for j in range(1, len(toks) + 1)]) "
+        "AS v FROM off), "
+        "tokstream AS (SELECT conv, CAST(base + v.j - 1 AS INT) AS "
+        "token_pos, v.t AS token, is_loss FROM tokpos)"
+    )
+
+
 _BPE_WORDS_CTE = (
     "SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), "
     "'[^a-z0-9]+'), x -> x <> '')) AS word FROM documents"
@@ -2011,6 +2087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_doc_assembly": _q_sft_doc_assembly,
         "sft_turn_spans": _q_sft_turn_spans,
         "sft_token_stream": _q_sft_token_stream,
+        "sft_packed_bins": _q_sft_packed_bins,
         "pk_sequence_packing": _q_pk_sequence_packing,
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
@@ -3397,41 +3474,30 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "AS is_loss FROM o"
         ),
         "sft_token_stream": (
-            f"WITH c AS ({_CONV_CORPUS_SQL}), "
-            "seg AS ("
-            "SELECT conv, turn_idx, 0 AS seg, role AS seg_text, 0 AS is_loss "
-            "FROM c UNION ALL "
-            "SELECT conv, turn_idx, 1 AS seg, text AS seg_text, "
-            "CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_loss FROM c), "
-            "sw AS (SELECT conv, turn_idx, seg, is_loss, "
-            "list_filter(string_split_regex(lower(seg_text), '[^a-z0-9]+'), "
-            "x -> x <> '') AS wl FROM seg), "
-            "wpos AS (SELECT conv, turn_idx, seg, is_loss, "
-            "unnest([{'i': i, 'w': wl[i]} for i in range(1, len(wl) + 1)]) AS u "
-            "FROM sw), "
-            "wflat AS (SELECT conv, turn_idx, seg, is_loss, "
-            "u.i AS word_i, u.w AS word FROM wpos), "
-            "enc AS (SELECT word, bpe_tokens FROM ("
-            + TKZO.bpe_encode_sql(
-                _BPE_DEMO_MERGES,
-                "SELECT DISTINCT unnest(list_filter(string_split_regex("
-                "lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word "
-                f"FROM ({_CONV_CORPUS_SQL}) "
-                "UNION SELECT 'system' AS word UNION SELECT 'user' AS word "
-                "UNION SELECT 'assistant' AS word",
-            )
-            + ")), "
-            "we AS (SELECT wflat.conv, wflat.turn_idx, wflat.seg, "
-            "wflat.is_loss, wflat.word_i, enc.bpe_tokens AS toks, "
-            "len(enc.bpe_tokens) AS n FROM wflat JOIN enc USING (word)), "
-            "off AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY conv "
-            "ORDER BY turn_idx, seg, word_i ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND 1 PRECEDING), 0) AS base FROM we), "
-            "tokpos AS (SELECT conv, is_loss, base, "
-            "unnest([{'j': j, 't': toks[j]} for j in range(1, len(toks) + 1)]) "
-            "AS v FROM off) "
-            "SELECT conv, CAST(base + v.j - 1 AS INT) AS token_pos, "
-            "v.t AS token, CAST(is_loss AS INT) AS is_loss FROM tokpos"
+            _sft_tokstream_ctes()
+            + " SELECT conv, token_pos, token, CAST(is_loss AS INT) AS is_loss "
+            "FROM tokstream"
+        ),
+        "sft_packed_bins": (
+            _sft_tokstream_ctes()
+            + ", ct AS (SELECT conv, list(token ORDER BY token_pos) AS toks, "
+            "list(CAST(is_loss AS VARCHAR) ORDER BY token_pos) AS loss, "
+            "count(*) AS n FROM tokstream GROUP BY conv), "
+            "pb AS (SELECT *, CAST(conv % 4 AS INT) AS shard FROM ct), "
+            "pc AS (SELECT *, CAST(floor(COALESCE(SUM(n) OVER ("
+            "PARTITION BY shard ORDER BY conv ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) / 256) AS INT) AS bin_id FROM pb), "
+            "po AS (SELECT *, COALESCE(SUM(n) OVER (PARTITION BY shard, "
+            "bin_id ORDER BY conv ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS off FROM pc) "
+            "SELECT shard, bin_id, CAST(count(*) AS INT) AS n_docs, "
+            "array_to_string(flatten(list(toks ORDER BY conv)), ' ') "
+            "AS token_seq, "
+            "array_to_string(flatten(list(loss ORDER BY conv)), '') "
+            "AS loss_seq, "
+            "array_to_string(list(CAST(off AS VARCHAR) ORDER BY conv), ',') "
+            "AS doc_offsets "
+            "FROM po GROUP BY shard, bin_id"
         ),
         "pk_sequence_packing": (
             f"WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "

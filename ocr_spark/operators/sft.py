@@ -169,35 +169,24 @@ def assemble_sft_documents(
     )
 
 
-def sft_token_stream(
+def _segment_tokens(
     df: DataFrame,
     merges,
-    conv_col: str = "conv_id",
-    order_cols: Sequence[str] = ("turn_idx",),
-    role_col: str = "role",
-    text_col: str = "text",
-    assistant_role: str = "assistant",
+    conv_col: str,
+    order_cols: Sequence[str],
+    role_col: str,
+    text_col: str,
+    assistant_role: str,
 ) -> DataFrame:
-    """Token-level SFT stream with the loss mask: one row per token of
-    the rendered conversation, ``(conv, token_pos, token, is_loss)``.
-
-    Tokenization is the learned-BPE kernel (``operators/tokenizer``,
-    lowercase-alnum words). Because words never cross a turn boundary
-    (headers/suffixes insert non-alnum chars), tokenizing the rendered
-    document equals tokenizing its segments in order: for each turn,
-    the header contributes the role's words (is_loss=0 — scaffolding is
-    never trained on), then the payload contributes the turn text's
-    words (is_loss=1 iff role == ``assistant_role``). That per-segment
-    form is what makes the op one window shuffle instead of a re-parse
-    of assembled documents.
-
-    Plan: segment fan-out is a row-local ``explode`` (2 rows/turn);
-    encode is the zero-shuffle Arrow kernel; the global token position
-    is ONE cumulative-sum window on the conversation key followed by a
-    map-side ``posexplode``. Per-token rows are produced only at the
-    very end, so the shuffled payload is per-SEGMENT (token arrays),
-    not per-token.
-    """
+    """Shared stage for the token-level ops: per turn, fan out the two
+    rendered segments (header = the role's words, is_loss=0 — prompt
+    scaffolding is never trained on; payload = the turn text's words,
+    is_loss=1 iff role == ``assistant_role``) and BPE-encode each with
+    the zero-shuffle Arrow kernel. Because words never cross a turn
+    boundary (headers/suffixes insert non-alnum chars), tokenizing the
+    segments in order equals tokenizing the rendered document. Output:
+    ``(conv, _turn_idx, _seg, _toks: array<string>, _is_loss)`` — no
+    shuffle anywhere in this stage."""
     from ocr_spark.operators.tokenizer import bpe_tokens
 
     conv = F.col(conv_col)
@@ -229,8 +218,30 @@ def sft_token_stream(
         F.col("_s.seg_text").alias("seg_text"),
         F.col("_s.is_loss").alias("_is_loss"),
     )
+    return bpe_tokens(seg, merges, "seg_text", out_col="_toks").drop("seg_text")
 
-    toks = bpe_tokens(seg, merges, "seg_text", out_col="_toks")
+
+def sft_token_stream(
+    df: DataFrame,
+    merges,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Token-level SFT stream with the loss mask: one row per token of
+    the rendered conversation, ``(conv, token_pos, token, is_loss)``.
+
+    Plan: segment fan-out + encode are row-local (``_segment_tokens``);
+    the global token position is ONE cumulative-sum window on the
+    conversation key followed by a map-side ``posexplode``. Per-token
+    rows are produced only at the very end, so the shuffled payload is
+    per-SEGMENT (token arrays), not per-token.
+    """
+    toks = _segment_tokens(
+        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+    )
     w = (
         Window.partitionBy(conv_col)
         .orderBy("_turn_idx", "_seg")
@@ -240,17 +251,123 @@ def sft_token_stream(
     return (
         toks.withColumn("_base", base)
         .select(
-            conv,
+            F.col(conv_col),
             "_base",
             "_is_loss",
             F.posexplode("_toks").alias("_pos", "token"),
         )
         .select(
-            conv,
+            F.col(conv_col),
             (F.col("_base") + F.col("_pos")).cast("int").alias("token_pos"),
             "token",
             F.col("_is_loss").alias("is_loss"),
         )
+    )
+
+
+def sft_conversation_tokens(
+    df: DataFrame,
+    merges,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """One row per conversation: ``(conv, token_arr, loss_arr,
+    n_tokens)`` — the rendered conversation's BPE tokens in order and
+    the parallel 0/1 loss mask (1 exactly on assistant payload tokens).
+    One shuffle (groupBy conv over per-segment token arrays)."""
+    toks = _segment_tokens(
+        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+    )
+    rows = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("_turn_idx"),
+                F.col("_seg"),
+                F.col("_toks").alias("_t"),
+                F.col("_is_loss").alias("_l"),
+            )
+        )
+    )
+    g = toks.groupBy(conv_col).agg(rows.alias("_rows"))
+    return g.select(
+        F.col(conv_col),
+        F.flatten(F.transform("_rows", lambda r: r["_t"])).alias("token_arr"),
+        F.flatten(
+            F.transform(
+                "_rows",
+                lambda r: F.transform(r["_t"], lambda _: r["_l"]),
+            )
+        ).alias("loss_arr"),
+    ).withColumn("n_tokens", F.size("token_arr").cast("long"))
+
+
+def pack_sft_bins(
+    df: DataFrame,
+    merges,
+    budget: int,
+    shards: int = 16,
+    conv_col: str = "conv_id",
+    order_cols: Sequence[str] = ("turn_idx",),
+    role_col: str = "role",
+    text_col: str = "text",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """The last mile for SFT: pack whole conversations into fixed-token-
+    budget training bins, ONE ROW PER BIN carrying the concatenated
+    token sequence, the parallel loss mask, and each conversation's
+    start offset — exactly what a sequential SFT reader consumes.
+
+    Composition of the engine's own pieces: ``sft_conversation_tokens``
+    (one conv shuffle) -> ``training.pack_sequences`` (per-shard running
+    sum, embarrassingly parallel) -> bin assembly (one (shard, bin_id)
+    shuffle; each partition is bounded by the bin budget, each output
+    row ~budget tokens). A conversation is never split across bins
+    mid-assembly — the straddling conv belongs to the bin where it
+    started, the standard packing convention ``pack_sequences``
+    documents.
+
+    Returns ``(shard, bin_id, n_docs, token_ids, loss_mask,
+    doc_offsets)``.
+    """
+    from ocr_spark.operators.training import pack_sequences
+
+    ct = sft_conversation_tokens(
+        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+    )
+    packed = pack_sequences(ct, conv_col, "n_tokens", budget=budget, shards=shards)
+    w = (
+        Window.partitionBy("shard", "bin_id")
+        .orderBy(conv_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(F.size("token_arr")).over(w), F.lit(0)).cast("long")
+    g = (
+        packed.withColumn("_off", off)
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(conv_col).alias("_id"),
+                        F.col("_off").alias("_o"),
+                        F.col("token_arr").alias("_t"),
+                        F.col("loss_arr").alias("_l"),
+                    )
+                )
+            ).alias("_rows"),
+        )
+    )
+    return g.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("bin_id").cast("int").alias("bin_id"),
+        "n_docs",
+        F.flatten(F.transform("_rows", lambda r: r["_t"])).alias("token_ids"),
+        F.flatten(F.transform("_rows", lambda r: r["_l"])).alias("loss_mask"),
+        F.transform("_rows", lambda r: r["_o"]).alias("doc_offsets"),
     )
 
 

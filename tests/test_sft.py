@@ -142,6 +142,69 @@ def test_token_stream_equals_whole_doc_encode(spark, convs):
         assert [r["token"] for r in rows if r["is_loss"] == 1] == expect_loss
 
 
+@pytest.fixture(scope="module")
+def iconvs(spark, convs):
+    """Integer-keyed conversations (pack_sequences' default shard
+    assignment is id % shards, which needs a numeric key)."""
+    ids = {c: i for i, c in enumerate(sorted(r[0] for r in convs.select("conv_id").distinct().collect()))}
+    mapping = spark.createDataFrame(
+        [(c, i) for c, i in ids.items()], "conv_id string, conv long"
+    )
+    return convs.join(mapping, "conv_id").select(
+        "conv", "turn_idx", "role", "text"
+    )
+
+
+def test_conversation_tokens_match_stream(spark, iconvs):
+    from ocr_spark.operators.sft import sft_conversation_tokens, sft_token_stream
+
+    ct = {
+        r["conv"]: r
+        for r in sft_conversation_tokens(iconvs, MERGES, conv_col="conv").collect()
+    }
+    stream = {}
+    for r in sft_token_stream(iconvs, MERGES, conv_col="conv").collect():
+        stream.setdefault(r["conv"], []).append(r)
+    assert set(ct) == set(stream)
+    for cid, rows in stream.items():
+        rows.sort(key=lambda r: r["token_pos"])
+        assert list(ct[cid]["token_arr"]) == [r["token"] for r in rows]
+        assert list(ct[cid]["loss_arr"]) == [r["is_loss"] for r in rows]
+        assert ct[cid]["n_tokens"] == len(rows)
+
+
+def test_pack_sft_bins_full_equality(spark, iconvs):
+    """Bin contents must equal a pure-Python repack of the per-conv
+    token arrays: membership, order, loss mask, and offsets."""
+    from ocr_spark.operators.sft import pack_sft_bins, sft_conversation_tokens
+
+    budget, shards = 64, 4
+    ct = sorted(
+        sft_conversation_tokens(iconvs, MERGES, conv_col="conv").collect(),
+        key=lambda r: r["conv"],
+    )
+    expect = {}
+    cum = {}
+    for r in ct:
+        shard = r["conv"] % shards
+        before = cum.get(shard, 0)
+        cum[shard] = before + r["n_tokens"]
+        b = expect.setdefault((shard, before // budget), {"t": [], "l": [], "o": []})
+        b["o"].append(len(b["t"]))
+        b["t"].extend(r["token_arr"])
+        b["l"].extend(r["loss_arr"])
+
+    got = pack_sft_bins(iconvs, MERGES, budget=budget, shards=shards, conv_col="conv")
+    rows = {(r["shard"], r["bin_id"]): r for r in got.collect()}
+    assert set(rows) == set(expect)
+    for key, e in expect.items():
+        g = rows[key]
+        assert list(g["token_ids"]) == e["t"]
+        assert list(g["loss_mask"]) == e["l"]
+        assert list(g["doc_offsets"]) == e["o"]
+        assert g["n_docs"] == len(e["o"])
+
+
 def test_one_shuffle_plan(spark, convs):
     plan = assemble_sft_documents(convs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # window + groupBy share the conv hash
