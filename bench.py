@@ -144,6 +144,7 @@ def main() -> None:
         "tx_repetition_stats",
         "tr_temperature_resample",
         "emb_hashed_ann",
+        "sft_packed_bins",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.
@@ -227,6 +228,18 @@ def main() -> None:
     ).select("bpe_token_count")
     times["tok_bpe_transcripts"] = round(
         timed_best(lambda: materialize(bpe_counted), TRIALS), 3
+    )
+
+    # end-to-end SFT prep: raw transcripts -> extraction kernel -> per-conv
+    # BPE token arrays + loss masks -> budget-packed training bins — the
+    # full transcripts-to-training-shards composition (operators/sft.py)
+    from ocr_spark.operators.sft import sft_from_transcripts  # noqa: E402
+
+    sft_bins = sft_from_transcripts(
+        transcripts, E._BPE_DEMO_MERGES, budget=2048, shards=32
+    )
+    times["ex_sft_pipeline"] = round(
+        timed_best(lambda: materialize(sft_bins), TRIALS), 3
     )
 
     # end-to-end curation composition (quality filter -> minhash/LSH

@@ -338,6 +338,14 @@ def pack_sft_bins(
         df, merges, conv_col, order_cols, role_col, text_col, assistant_role
     )
     packed = pack_sequences(ct, conv_col, "n_tokens", budget=budget, shards=shards)
+    return _assemble_bins(packed, conv_col)
+
+
+def _assemble_bins(packed: DataFrame, conv_col: str) -> DataFrame:
+    """Collapse a (shard, bin_id) packing assignment with per-conv
+    ``token_arr``/``loss_arr`` into one row per bin (tokens, loss mask,
+    per-conv start offsets). One shuffle on (shard, bin_id); partitions
+    bounded by the bin budget."""
     w = (
         Window.partitionBy("shard", "bin_id")
         .orderBy(conv_col)
@@ -369,6 +377,44 @@ def pack_sft_bins(
         F.flatten(F.transform("_rows", lambda r: r["_l"])).alias("loss_mask"),
         F.transform("_rows", lambda r: r["_o"]).alias("doc_offsets"),
     )
+
+
+def sft_from_transcripts(
+    transcripts: DataFrame,
+    merges,
+    budget: int = 2048,
+    shards: int = 64,
+    repartition: int = None,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """End-to-end raw transcripts -> packed SFT training bins: the
+    extraction kernel (``pipeline.extract_transcripts`` — boilerplate
+    strip / layout parse / normalization per turn) feeds the cleaned
+    turn text into ``sft_conversation_tokens`` + ``pack_sequences`` +
+    bin assembly. Conversations with string ids get their shard from
+    ``xxhash64(conv_id) mod shards`` (deterministic, uniform — no
+    numeric-key requirement).
+
+    Shuffle budget end-to-end: optional full-key repartition for the
+    extraction stage (skew-spreading), one conv shuffle (token arrays),
+    one per-shard packing window, one (shard, bin_id) assembly shuffle.
+    Every stage's state is bounded (turn batch / conversation / bin).
+    """
+    from ocr_spark.operators.training import pack_sequences
+    from ocr_spark.pipeline import extract_transcripts
+
+    ext = extract_transcripts(transcripts, repartition=repartition)
+    turns = ext.select(
+        "conv_id", "turn_idx", "role", F.col("clean_text").alias("text")
+    )
+    ct = sft_conversation_tokens(turns, merges, assistant_role=assistant_role)
+    ct = ct.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(shards)).cast("int")
+    )
+    packed = pack_sequences(
+        ct, "conv_id", "n_tokens", budget=budget, shards=shards, shard_col="_shard"
+    )
+    return _assemble_bins(packed, "conv_id")
 
 
 def sft_turn_spans(

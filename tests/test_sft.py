@@ -205,6 +205,36 @@ def test_pack_sft_bins_full_equality(spark, iconvs):
         assert g["n_docs"] == len(e["o"])
 
 
+def test_sft_from_transcripts_end_to_end(spark, small_corpus):
+    """Raw transcripts -> extraction kernel -> packed SFT bins: token
+    conservation, loss only where assistants spoke, offsets well-formed."""
+    from ocr_spark.operators.sft import (
+        sft_conversation_tokens,
+        sft_from_transcripts,
+    )
+    from ocr_spark.pipeline import extract_transcripts
+
+    transcripts = spark.createDataFrame(small_corpus["transcripts"])
+    bins = sft_from_transcripts(transcripts, MERGES, budget=128, shards=4).collect()
+    assert bins
+
+    ext = extract_transcripts(transcripts).select(
+        "conv_id", "turn_idx", "role", F.col("clean_text").alias("text")
+    )
+    ct = sft_conversation_tokens(ext, MERGES).collect()
+    total_tokens = sum(r["n_tokens"] for r in ct)
+    total_loss = sum(sum(r["loss_arr"]) for r in ct)
+
+    assert sum(len(b["token_ids"]) for b in bins) == total_tokens
+    assert sum(sum(b["loss_mask"]) for b in bins) == total_loss
+    assert sum(b["n_docs"] for b in bins) == len(ct)
+    for b in bins:
+        assert len(b["loss_mask"]) == len(b["token_ids"])
+        offs = list(b["doc_offsets"])
+        assert offs[0] == 0 and offs == sorted(offs)
+        assert b["n_docs"] == len(offs)
+
+
 def test_one_shuffle_plan(spark, convs):
     plan = assemble_sft_documents(convs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # window + groupBy share the conv hash
