@@ -1006,6 +1006,24 @@ def _q_tx_repetition_stats(spark, sf_dir):
     )
 
 
+def _q_tx_compression_stats(spark, sf_dir):
+    """zlib compression-ratio quality signal (operators/lm_quality.
+    compression_stats): the no-model entropy proxy — repetitive spam
+    compresses far below prose, noise barely compresses. DEFLATE is not
+    SQL-expressible, so this is a rows-only gate entry; values are
+    pytest-pinned by invariants (test_lm_quality)."""
+    from ocr_spark.operators.lm_quality import compression_stats
+
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return compression_stats(docs).select(
+        "doc_id",
+        "raw_len",
+        "compressed_len",
+        F.round("compression_ratio", 4).alias("compression_ratio"),
+    )
+
+
 def _q_tx_top_bigrams(spark, sf_dir):
     """Exact corpus top-50 bigrams (operators/retrieval.top_ngrams):
     map-side-combined vocabulary counts + TakeOrdered top-k, ties
@@ -2101,6 +2119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_report": _q_pii_scrub_report,
         "tr_temperature_resample": _q_tr_temperature_resample,
         "tx_repetition_stats": _q_tx_repetition_stats,
+        "tx_compression_stats": _q_tx_compression_stats,
         "lm_trigram_ppl": _q_lm_trigram_ppl,
         "sn_snapshot_diff": _q_sn_snapshot_diff,
         "ic_table_roundtrip": _q_ic_table_roundtrip,

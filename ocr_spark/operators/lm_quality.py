@@ -36,11 +36,54 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 V = 27  # |alphabet| after normalization: a-z + space
 DEFAULT_K = 0.1
+
+
+def compression_stats(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> "DataFrame":
+    """Per-document zlib compression ratio — the no-model entropy proxy
+    large curation pipelines pair with the rule-based filters: highly
+    repetitive boilerplate/spam compresses far below natural prose
+    (ratio << natural-text band), while random noise barely compresses
+    (ratio ~ 1). Returns ``(id_col, raw_len, compressed_len,
+    compression_ratio)`` with ratio = compressed/raw in UTF-8 BYTES
+    (empty docs get ratio 1.0).
+
+    Built-ins can't express DEFLATE, so this is the sanctioned slow
+    path: one Arrow-batched pandas UDF whose inner loop is stdlib
+    ``zlib`` (C speed, ~100 MB/s/core) — stateless projection, zero
+    shuffle, linear in corpus bytes. No SQL twin (DuckDB has no zlib),
+    so the gate entry is rows-only and values are pytest-pinned.
+    """
+    import zlib
+
+    @F.pandas_udf("struct<raw_len: long, compressed_len: long>")
+    def comp(texts: pd.Series) -> pd.DataFrame:
+        raws, comps = [], []
+        for t in texts:
+            b = t.encode("utf-8", "surrogatepass") if isinstance(t, str) else b""
+            raws.append(len(b))
+            comps.append(len(zlib.compress(b, level)) if b else 0)
+        return pd.DataFrame({"raw_len": raws, "compressed_len": comps})
+
+    out = df.select(F.col(id_col), comp(F.col(text_col)).alias("_c"))
+    return out.select(
+        id_col,
+        F.col("_c.raw_len").alias("raw_len"),
+        F.col("_c.compressed_len").alias("compressed_len"),
+        F.when(F.col("_c.raw_len") > 0, F.col("_c.compressed_len") / F.col("_c.raw_len"))
+        .otherwise(F.lit(1.0))
+        .alias("compression_ratio"),
+    )
 
 
 def normalize_for_lm(col) -> "F.Column":

@@ -121,3 +121,39 @@ def test_self_scoring_matches_duckdb_twin(spark):
             assert gp is None
         else:
             assert gp == pytest.approx(ppl, abs=2e-3), doc_id
+
+
+class TestCompressionStats:
+    def test_signal_ordering_and_invariants(self, spark):
+        import random
+        import zlib
+
+        from ocr_spark.operators.lm_quality import compression_stats
+
+        rng = random.Random(7)
+        prose = (
+            "The quarterly report shows a moderate increase in renewals, "
+            "with regional variation driven by seasonal licensing cycles. "
+        ) * 20
+        spam = "buy now " * 400
+        noise = "".join(rng.choice("0123456789abcdef") for _ in range(3000))
+        df = spark.createDataFrame(
+            [(0, prose), (1, spam), (2, noise), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in compression_stats(df).collect()}
+
+        # exact raw lengths + exact zlib lengths (same stdlib both sides)
+        for i, t in ((0, prose), (1, spam), (2, noise)):
+            assert rows[i]["raw_len"] == len(t.encode("utf-8"))
+            assert rows[i]["compressed_len"] == len(zlib.compress(t.encode(), 6))
+        # repetitive spam << prose << near-incompressible noise
+        assert rows[1]["compression_ratio"] < rows[0]["compression_ratio"]
+        assert rows[0]["compression_ratio"] < rows[2]["compression_ratio"]
+        assert rows[2]["compression_ratio"] > 0.5
+        assert rows[1]["compression_ratio"] < 0.05
+        # empty / NULL docs: defined, ratio 1.0
+        for i in (3, 4):
+            assert rows[i]["raw_len"] == 0
+            assert rows[i]["compressed_len"] == 0
+            assert rows[i]["compression_ratio"] == 1.0
