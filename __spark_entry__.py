@@ -701,6 +701,60 @@ def _conv_corpus(spark, sf_dir):
     return _t(spark, sf_dir, "documents").selectExpr(*_CONV_CORPUS_EXPRS)
 
 
+# defect-injected QC corpus: duplicated/gapped turn indexes (every 13th
+# doc bumps its index onto the next turn's), unknown roles (every 4th),
+# whitespace-only payloads (every 11th), pseudo-random BIGINT event time
+# (bijective in doc_id, so (turn_idx, ts) is unique per conversation and
+# the inversion scan is deterministic). Same SELECT list on both sides.
+_QC_CORPUS_EXPRS = [
+    "CAST(doc_id % 89 AS BIGINT) AS conv",
+    "CAST(CASE WHEN doc_id % 13 = 0 THEN floor(doc_id / 89) + 1 "
+    "ELSE floor(doc_id / 89) END AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "WHEN 2 THEN 'system' ELSE 'narrator' END AS role",
+    "CASE WHEN doc_id % 11 = 0 THEN '  ' "
+    "ELSE substr(coalesce(text, ''), 1, 50) END AS text",
+    "CAST((doc_id * 7919) % 89 AS BIGINT) * 100000 + doc_id AS ts",
+]
+
+_QC_CORPUS_SQL = "SELECT " + ", ".join(_QC_CORPUS_EXPRS) + " FROM documents"
+
+
+def _qc_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(*_QC_CORPUS_EXPRS)
+
+
+def _q_qc_transcript_integrity(spark, sf_dir):
+    """Per-conversation structural defect report (operators/
+    transcript_qc.py): dup/gapped indexes, ts-vs-order inversions,
+    empty payloads, unknown roles — vs the same algebra in DuckDB."""
+    from ocr_spark.operators.transcript_qc import transcript_integrity
+
+    out = transcript_integrity(_qc_corpus(spark, sf_dir), conv_col="conv")
+    return out.select(
+        "conv",
+        "n_turns",
+        "n_distinct_idx",
+        "n_dup_idx",
+        "n_gap_idx",
+        F.col("starts_at_zero").cast("int").alias("starts_at_zero"),
+        "n_ts_inversions",
+        "n_empty_turns",
+        "n_unknown_roles",
+        F.col("is_clean").cast("int").alias("is_clean"),
+    )
+
+
+def _q_qc_repair_turn_order(spark, sf_dir):
+    """Deterministic dense reindex (event time first, declared index as
+    tie-break) — the repair that restores the stable-turn-order
+    contract before extraction/assembly."""
+    from ocr_spark.operators.transcript_qc import repair_turn_order
+
+    out = repair_turn_order(_qc_corpus(spark, sf_dir), conv_col="conv")
+    return out.select("conv", "turn_idx", "ts", "new_turn_idx")
+
+
 def _q_sft_doc_assembly(spark, sf_dir):
     """Conversation -> SFT training document (operators/sft.py): role-
     tagged rendering + loss-mask accounting, hash-verified against a
@@ -2106,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_turn_spans": _q_sft_turn_spans,
         "sft_token_stream": _q_sft_token_stream,
         "sft_packed_bins": _q_sft_packed_bins,
+        "qc_transcript_integrity": _q_qc_transcript_integrity,
+        "qc_repair_turn_order": _q_qc_repair_turn_order,
         "pk_sequence_packing": _q_pk_sequence_packing,
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
@@ -3517,6 +3573,37 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "array_to_string(list(CAST(off AS VARCHAR) ORDER BY conv), ',') "
             "AS doc_offsets "
             "FROM po GROUP BY shard, bin_id"
+        ),
+        "qc_transcript_integrity": (
+            f"WITH c AS ({_QC_CORPUS_SQL}), "
+            "l AS (SELECT conv, turn_idx, ts, role, text, "
+            "lag(ts) OVER (PARTITION BY conv ORDER BY turn_idx, ts) AS pts "
+            "FROM c), "
+            "a AS (SELECT conv, "
+            "CAST(count(*) AS BIGINT) AS n_turns, "
+            "CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_idx, "
+            "CAST(count(*) - count(DISTINCT turn_idx) AS BIGINT) AS n_dup_idx, "
+            "CAST(max(turn_idx) - min(turn_idx) + 1 "
+            "- count(DISTINCT turn_idx) AS BIGINT) AS n_gap_idx, "
+            "CAST(CASE WHEN min(turn_idx) = 0 THEN 1 ELSE 0 END AS INT) "
+            "AS starts_at_zero, "
+            "CAST(SUM(CASE WHEN pts IS NOT NULL AND ts < pts THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_ts_inversions, "
+            "CAST(SUM(CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_empty_turns, "
+            "CAST(SUM(CASE WHEN role IN ('system', 'user', 'assistant', "
+            "'tool') THEN 0 ELSE 1 END) AS BIGINT) AS n_unknown_roles "
+            "FROM l GROUP BY conv) "
+            "SELECT *, CAST(CASE WHEN n_dup_idx = 0 AND n_gap_idx = 0 "
+            "AND starts_at_zero = 1 AND n_ts_inversions = 0 "
+            "AND n_empty_turns = 0 AND n_unknown_roles = 0 "
+            "THEN 1 ELSE 0 END AS INT) AS is_clean FROM a"
+        ),
+        "qc_repair_turn_order": (
+            f"WITH c AS ({_QC_CORPUS_SQL}) "
+            "SELECT conv, turn_idx, ts, "
+            "CAST(row_number() OVER (PARTITION BY conv ORDER BY ts, turn_idx) "
+            "- 1 AS INT) AS new_turn_idx FROM c"
         ),
         "pk_sequence_packing": (
             f"WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "

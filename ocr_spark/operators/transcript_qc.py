@@ -1,0 +1,127 @@
+"""Transcript integrity QC: per-conversation structural checks + repair.
+
+At 10^12 turns, upstream writers WILL produce malformed conversations —
+duplicated or missing turn indexes, timestamps that disagree with the
+turn order, unknown roles, empty payloads. The extraction/assembly
+contract (stable (conv_id, turn_idx) ordering — the north rule's
+per-turn invariant) silently degrades on such input, so a pipeline
+needs (a) a cheap corpus-wide integrity report to quantify and quarantine,
+and (b) a deterministic repair that re-derives a dense turn order.
+
+Both are pure window/aggregate algebra (whole-stage codegen, fully
+SQL-twinnable). ``transcript_integrity`` uses one cumulative window +
+one groupBy on the SAME conversation key — a single shuffle, same
+pattern as operators/sft.py (plan-asserted there).
+
+Scale notes: state per conversation is a handful of counters, never the
+turn list; the report output is conversation-cardinality (|convs| <<
+|turns|). ``repair_turn_order`` is one ranking window on the
+conversation key — the minimum possible for a per-conv reindex.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_ROLES = ("system", "user", "assistant", "tool")
+
+
+def transcript_integrity(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    known_roles: Sequence[str] = DEFAULT_ROLES,
+) -> DataFrame:
+    """One row per conversation with its structural defect counters.
+
+    Output columns:
+    - ``n_turns``; ``n_distinct_idx`` (distinct turn indexes);
+    - ``n_dup_idx`` = n_turns - n_distinct_idx (duplicated indexes);
+    - ``n_gap_idx`` = (max-min+1) - n_distinct_idx (holes in the range);
+    - ``starts_at_zero`` (min index == 0);
+    - ``n_ts_inversions``: turns whose ``ts`` is STRICTLY earlier than
+      the previous turn's under (turn_col, ts_col) order — timestamps
+      disagreeing with the declared turn order;
+    - ``n_empty_turns`` (NULL or whitespace-only text);
+    - ``n_unknown_roles`` (role outside ``known_roles``);
+    - ``is_clean``: no defect counter fired and the index range is
+      dense from 0.
+
+    Determinism: the inversion scan orders by (turn_col, ts_col); with
+    duplicated turn indexes the pair must be unique per conversation
+    for a stable answer (it is in any real feed — duplicates come from
+    retried writes with distinct timestamps).
+    """
+    conv = F.col(conv_col)
+    w = Window.partitionBy(conv_col).orderBy(turn_col, ts_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    inv = (
+        F.when(prev_ts.isNotNull() & (F.col(ts_col) < prev_ts), 1)
+        .otherwise(0)
+        .alias("_inv")
+    )
+    empty = (
+        F.when(F.trim(F.coalesce(F.col(text_col), F.lit(""))) == "", 1)
+        .otherwise(0)
+        .alias("_empty")
+    )
+    unknown = (
+        F.when(F.col(role_col).isin(*known_roles), 0).otherwise(1).alias("_unk")
+    )
+    turns = df.select(conv, F.col(turn_col), F.col(ts_col), inv, empty, unknown)
+
+    agg = turns.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct(turn_col).cast("long").alias("n_distinct_idx"),
+        F.min(turn_col).cast("long").alias("_min_idx"),
+        F.max(turn_col).cast("long").alias("_max_idx"),
+        F.sum("_inv").cast("long").alias("n_ts_inversions"),
+        F.sum("_empty").cast("long").alias("n_empty_turns"),
+        F.sum("_unk").cast("long").alias("n_unknown_roles"),
+    )
+    n_dup = (F.col("n_turns") - F.col("n_distinct_idx")).alias("n_dup_idx")
+    n_gap = (
+        F.col("_max_idx") - F.col("_min_idx") + 1 - F.col("n_distinct_idx")
+    ).alias("n_gap_idx")
+    starts0 = (F.col("_min_idx") == 0).alias("starts_at_zero")
+    out = agg.select(
+        conv_col,
+        "n_turns",
+        "n_distinct_idx",
+        n_dup,
+        n_gap,
+        starts0,
+        "n_ts_inversions",
+        "n_empty_turns",
+        "n_unknown_roles",
+    )
+    clean = (
+        (F.col("n_dup_idx") == 0)
+        & (F.col("n_gap_idx") == 0)
+        & F.col("starts_at_zero")
+        & (F.col("n_ts_inversions") == 0)
+        & (F.col("n_empty_turns") == 0)
+        & (F.col("n_unknown_roles") == 0)
+    )
+    return out.withColumn("is_clean", clean)
+
+
+def repair_turn_order(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    ts_col: str = "ts",
+    out_col: str = "new_turn_idx",
+) -> DataFrame:
+    """Deterministically re-derive a dense 0-based turn order per
+    conversation: event time first (the ground truth when indexes are
+    duplicated or gapped), declared index as the tie-break. Appends
+    ``out_col``; one ranking window on the conversation key."""
+    w = Window.partitionBy(conv_col).orderBy(ts_col, turn_col)
+    return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("int"))

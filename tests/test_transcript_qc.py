@@ -1,0 +1,120 @@
+"""Transcript integrity QC (operators/transcript_qc.py)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from ocr_spark.operators.transcript_qc import (
+    repair_turn_order,
+    transcript_integrity,
+)
+
+
+def _ts(s):
+    return dt.datetime(2026, 1, 1, 0, 0, s)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts timestamp"
+    )
+
+
+def test_clean_conversation(spark):
+    rows = [
+        ("c", 0, "system", "s", _ts(0)),
+        ("c", 1, "user", "hi", _ts(1)),
+        ("c", 2, "assistant", "hello", _ts(2)),
+    ]
+    r = transcript_integrity(_mk(spark, rows)).collect()[0]
+    assert r["is_clean"]
+    assert (
+        r["n_dup_idx"],
+        r["n_gap_idx"],
+        r["n_ts_inversions"],
+        r["n_empty_turns"],
+        r["n_unknown_roles"],
+    ) == (0, 0, 0, 0, 0)
+    assert r["starts_at_zero"] and r["n_turns"] == 3
+
+
+def test_each_defect_fires_its_counter(spark):
+    rows = [
+        # dup index (retried write, later ts)
+        ("dup", 0, "user", "a", _ts(0)),
+        ("dup", 1, "assistant", "b", _ts(1)),
+        ("dup", 1, "assistant", "b2", _ts(2)),
+        # gap: 0 then 2
+        ("gap", 0, "user", "a", _ts(0)),
+        ("gap", 2, "assistant", "b", _ts(1)),
+        # doesn't start at zero
+        ("off", 1, "user", "a", _ts(0)),
+        ("off", 2, "assistant", "b", _ts(1)),
+        # ts inversion vs declared order
+        ("inv", 0, "user", "a", _ts(5)),
+        ("inv", 1, "assistant", "b", _ts(3)),
+        # empty / whitespace-only / NULL payloads
+        ("emp", 0, "user", "  ", _ts(0)),
+        ("emp", 1, "assistant", None, _ts(1)),
+        # unknown role
+        ("rol", 0, "narrator", "a", _ts(0)),
+        ("rol", 1, "assistant", "b", _ts(1)),
+    ]
+    by = {r["conv_id"]: r for r in transcript_integrity(_mk(spark, rows)).collect()}
+    assert by["dup"]["n_dup_idx"] == 1 and not by["dup"]["is_clean"]
+    assert by["gap"]["n_gap_idx"] == 1 and not by["gap"]["is_clean"]
+    assert not by["off"]["starts_at_zero"] and not by["off"]["is_clean"]
+    assert by["off"]["n_gap_idx"] == 0  # dense range, just offset
+    assert by["inv"]["n_ts_inversions"] == 1 and not by["inv"]["is_clean"]
+    assert by["emp"]["n_empty_turns"] == 2 and not by["emp"]["is_clean"]
+    assert by["rol"]["n_unknown_roles"] == 1 and not by["rol"]["is_clean"]
+
+
+def test_repair_restores_dense_temporal_order(spark):
+    rows = [
+        ("c", 3, "user", "third-by-index, first-by-time", _ts(0)),
+        ("c", 0, "assistant", "first-by-index, second-by-time", _ts(1)),
+        ("c", 0, "assistant", "dup index, last-by-time", _ts(2)),
+    ]
+    fixed = repair_turn_order(_mk(spark, rows)).collect()
+    order = {r["text"]: r["new_turn_idx"] for r in fixed}
+    assert order["third-by-index, first-by-time"] == 0
+    assert order["first-by-index, second-by-time"] == 1
+    assert order["dup index, last-by-time"] == 2
+
+
+def test_repair_then_integrity_is_index_clean(spark):
+    rows = [
+        ("c", 5, "user", "a", _ts(2)),
+        ("c", 5, "assistant", "b", _ts(0)),
+        ("c", 9, "assistant", "c", _ts(1)),
+    ]
+    fixed = repair_turn_order(_mk(spark, rows)).drop("turn_idx").withColumnRenamed(
+        "new_turn_idx", "turn_idx"
+    )
+    r = transcript_integrity(fixed).collect()[0]
+    assert r["is_clean"]
+
+
+def test_integrity_on_generated_corpus_is_clean(spark, small_corpus):
+    df = spark.createDataFrame(small_corpus["transcripts"])
+    rep = transcript_integrity(df)
+    # generator emits dense 0-based indexes, monotone timestamps, known
+    # roles (it DOES emit some legitimately empty payload turns, which
+    # the empty counter is expected to flag — not asserted clean here)
+    bad = rep.where(
+        (F.col("n_dup_idx") > 0)
+        | (F.col("n_gap_idx") > 0)
+        | ~F.col("starts_at_zero")
+        | (F.col("n_ts_inversions") > 0)
+        | (F.col("n_unknown_roles") > 0)
+    )
+    assert bad.count() == 0
+
+
+def test_single_shuffle_plan(spark, small_corpus):
+    df = spark.createDataFrame(small_corpus["transcripts"])
+    plan = (
+        transcript_integrity(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 2  # conv hash (+ distinct-expand), no more
