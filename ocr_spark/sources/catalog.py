@@ -136,6 +136,59 @@ def overwrite_partitions(spark: SparkSession, df: DataFrame, name: str) -> None:
         spark.conf.set(key, prev)
 
 
+def upsert_table_partitions(
+    spark: SparkSession,
+    updates: DataFrame,
+    name: str,
+    key_cols: tuple[str, ...],
+    part_col: str = "conv_bucket",
+) -> None:
+    """Partition-scoped MERGE (new-wins upsert) without a table rewrite —
+    the incremental-maintenance primitive Iceberg exposes as MERGE INTO,
+    expressed in catalog-agnostic algebra so it runs on any provider:
+
+    1. ``touched`` = the partitions the updates land in (a broadcast
+       semi-join — never a collect, never a full-table predicate);
+    2. ``survivors`` = current rows of ONLY those partitions whose key
+       is not being replaced (anti-join on ``key_cols``);
+    3. dynamic INSERT OVERWRITE of survivors + updates — rewrites
+       exactly the touched partitions, leaves every other partition's
+       files untouched (asserted in tests/test_catalog.py).
+
+    At 10^12 turns this is the difference between an O(update) and an
+    O(table) write: the scan side is pruned to the touched partitions
+    at the source (PartitionFilters), and the shuffle carries only
+    those partitions' rows. ``updates`` must include ``part_col``
+    (derive it with the same transform the table was written with, e.g.
+    ``bucket_col``) and every table column.
+    """
+    touched = updates.select(part_col).distinct()
+    current = spark.table(name).join(F.broadcast(touched), part_col, "semi")
+    survivors = current.join(
+        updates.select(*key_cols).distinct(), list(key_cols), "anti"
+    )
+    order = spark.table(name).columns
+    merged = survivors.select(*order).unionByName(updates.select(*order))
+    overwrite_partitions(spark, merged, name)
+
+
+def upsert_transcripts_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Transcript-shaped upsert: key = (conv_id, turn_idx) — a replayed
+    or corrected turn replaces itself, new turns/conversations append;
+    only the affected conversation buckets are rewritten."""
+    upsert_table_partitions(
+        spark,
+        df.withColumn("conv_bucket", bucket_col(n_buckets)),
+        name,
+        ("conv_id", "turn_idx"),
+    )
+
+
 def write_transcripts_table(
     spark: SparkSession,
     df: DataFrame,

@@ -187,3 +187,91 @@ def test_stale_crashed_buckets_never_get_markers(spark, transcripts):
     assert marked == set(half)
     assert r["processed_buckets"] == len(half)
     _drop(spark, "t_stale_data", "t_stale_markers")
+
+
+def test_upsert_merges_and_rewrites_only_touched_partitions(spark, transcripts):
+    """Partition-scoped MERGE: corrected turns replace themselves, new
+    turns/conversations append, and partitions the update never touched
+    keep their exact data files (no table rewrite)."""
+    import os
+
+    _drop(spark, "t_upsert")
+    catalog.write_transcripts_table(spark, transcripts, "t_upsert", n_buckets=8)
+    before = spark.table("t_upsert").count()
+
+    from ocr_spark.checkpoint import bucket_col
+
+    with_bucket = spark.table("t_upsert")
+    buckets = sorted(
+        r["conv_bucket"] for r in with_bucket.select("conv_bucket").distinct().collect()
+    )
+    assert len(buckets) >= 3
+
+    # pick one existing turn to correct + add one new turn + one new conv
+    victim = (
+        transcripts.withColumn("conv_bucket", bucket_col(8))
+        .orderBy("conv_id", "turn_idx")
+        .limit(1)
+        .collect()[0]
+    )
+    target_bucket = victim["conv_bucket"]
+    max_turn = (
+        transcripts.where(F.col("conv_id") == victim["conv_id"])
+        .agg(F.max("turn_idx"))
+        .collect()[0][0]
+    )
+    updates = spark.createDataFrame(
+        [
+            (victim["conv_id"], victim["turn_idx"], "user", "CORRECTED", "plain", victim["ts"]),
+            (victim["conv_id"], max_turn + 1, "assistant", "NEW TURN", "plain", victim["ts"]),
+            ("conv_brand_new", 0, "user", "NEW CONV", "plain", victim["ts"]),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+    # snapshot file listings of untouched partitions
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    loc = os.path.join(wh, "t_upsert")
+    new_conv_bucket = (
+        updates.withColumn("conv_bucket", bucket_col(8))
+        .where(F.col("conv_id") == "conv_brand_new")
+        .collect()[0]["conv_bucket"]
+    )
+    untouched = [b for b in buckets if b not in (target_bucket, new_conv_bucket)]
+    assert untouched
+
+    def listing(b):
+        d = os.path.join(loc, f"conv_bucket={b}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        )
+
+    snap = {b: listing(b) for b in untouched}
+
+    catalog.upsert_transcripts_table(spark, updates, "t_upsert", n_buckets=8)
+
+    after = spark.table("t_upsert")
+    # net growth: +2 rows (1 replaced in place, 2 added)
+    assert after.count() == before + 2
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in after.where(
+            (F.col("conv_id") == victim["conv_id"]) | (F.col("conv_id") == "conv_brand_new")
+        ).collect()
+    }
+    assert got[(victim["conv_id"], victim["turn_idx"])] == "CORRECTED"
+    assert got[(victim["conv_id"], max_turn + 1)] == "NEW TURN"
+    assert got[("conv_brand_new", 0)] == "NEW CONV"
+
+    # untouched partitions: identical files, byte-for-byte untouched mtimes
+    for b in untouched:
+        assert listing(b) == snap[b], f"bucket {b} was rewritten"
+
+    # replay the same upsert: idempotent (dynamic overwrite of same keys)
+    catalog.upsert_transcripts_table(spark, updates, "t_upsert", n_buckets=8)
+    assert spark.table("t_upsert").count() == before + 2
+    _drop(spark, "t_upsert")
