@@ -59,4 +59,5 @@ def test_contract_key_consistency():
         "ex_classify_records",
         "dd_minhash_neardups",
         "dd_simhash_neardups",
+        "tx_compression_stats",  # DEFLATE is not SQL-expressible
     }, rows_only
