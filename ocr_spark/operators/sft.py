@@ -417,6 +417,25 @@ def sft_from_transcripts(
     return _assemble_bins(packed, "conv_id")
 
 
+def write_sft_shards(spark, bins: DataFrame, name: str, provider: str = "parquet") -> None:
+    """Materialize packed SFT bins as a catalog table partitioned by
+    ``shard`` — a training reader consuming shard k scans exactly one
+    partition (plan-prunable), and a re-run of the packing job replaces
+    its own shards idempotently (dynamic partition overwrite via
+    sources/catalog). With an Iceberg catalog the write is additionally
+    snapshot-atomic; the call path is identical."""
+    from pyspark.sql import types as T
+
+    from ocr_spark.sources.catalog import ensure_table, overwrite_partitions
+
+    schema = T.StructType(
+        [f for f in bins.schema.fields if f.name != "shard"]
+        + [T.StructField("shard", T.IntegerType())]
+    )
+    ensure_table(spark, name, schema, ("shard",), provider)
+    overwrite_partitions(spark, bins, name)
+
+
 def sft_turn_spans(
     df: DataFrame,
     conv_col: str = "conv_id",

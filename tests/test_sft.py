@@ -238,3 +238,38 @@ def test_sft_from_transcripts_end_to_end(spark, small_corpus):
 def test_one_shuffle_plan(spark, convs):
     plan = assemble_sft_documents(convs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # window + groupBy share the conv hash
+
+
+def test_token_stream_single_shuffle(spark, convs):
+    from ocr_spark.operators.sft import sft_token_stream
+
+    plan = (
+        sft_token_stream(convs, MERGES)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one conv-hash exchange for the position window; the per-token
+    # fan-out (posexplode) stays map-side after it
+    assert plan.count("Exchange") == 1
+
+
+def test_write_sft_shards_prunes_on_shard(spark, iconvs):
+    from ocr_spark.operators.sft import pack_sft_bins, write_sft_shards
+    from ocr_spark.sources.catalog import drop_table
+
+    drop_table(spark, "t_sft_shards")
+    bins = pack_sft_bins(iconvs, MERGES, budget=64, shards=4, conv_col="conv")
+    write_sft_shards(spark, bins, "t_sft_shards")
+    total = spark.table("t_sft_shards").count()
+    assert total == bins.count()
+
+    one = spark.table("t_sft_shards").where(F.col("shard") == 2)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert one.count() == bins.where(F.col("shard") == 2).count()
+
+    # replayed write of the same bins: replaces, never duplicates
+    write_sft_shards(spark, bins, "t_sft_shards")
+    assert spark.table("t_sft_shards").count() == total
+    drop_table(spark, "t_sft_shards")
