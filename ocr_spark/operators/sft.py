@@ -337,7 +337,35 @@ def pack_sft_bins(
     ct = sft_conversation_tokens(
         df, merges, conv_col, order_cols, role_col, text_col, assistant_role
     )
-    packed = pack_sequences(ct, conv_col, "n_tokens", budget=budget, shards=shards)
+    return _pack_and_assemble(ct, conv_col, budget, shards)
+
+
+def _pack_and_assemble(
+    ct: DataFrame,
+    conv_col: str,
+    budget: int,
+    shards: int,
+    shard_col: str = None,
+) -> DataFrame:
+    """Packing assignment on a NARROW (conv, n_tokens) frame, joined
+    back to the token arrays: the heavy payload (every token of the
+    corpus) crosses the wire only twice — the conv groupBy that built
+    ``ct`` and the final (shard, bin_id) bin assembly — instead of also
+    riding through the packing window. The arrays side arrives already
+    hash-partitioned on ``conv_col`` (the groupBy's output), so the
+    equi-join reshuffles only the narrow assignment frame."""
+    from ocr_spark.operators.training import pack_sequences
+
+    narrow_cols = [conv_col, "n_tokens"] + ([shard_col] if shard_col else [])
+    assign = pack_sequences(
+        ct.select(*narrow_cols),
+        conv_col,
+        "n_tokens",
+        budget=budget,
+        shards=shards,
+        shard_col=shard_col,
+    ).select(conv_col, "shard", "bin_id")
+    packed = ct.join(assign, conv_col)
     return _assemble_bins(packed, conv_col)
 
 
@@ -397,10 +425,11 @@ def sft_from_transcripts(
 
     Shuffle budget end-to-end: optional full-key repartition for the
     extraction stage (skew-spreading), one conv shuffle (token arrays),
-    one per-shard packing window, one (shard, bin_id) assembly shuffle.
-    Every stage's state is bounded (turn batch / conversation / bin).
+    then the narrow-assignment pack (the token payload itself rides
+    only the final (shard, bin_id) assembly shuffle — see
+    ``_pack_and_assemble``). Every stage's state is bounded (turn batch
+    / conversation / bin).
     """
-    from ocr_spark.operators.training import pack_sequences
     from ocr_spark.pipeline import extract_transcripts
 
     ext = extract_transcripts(transcripts, repartition=repartition)
@@ -411,10 +440,7 @@ def sft_from_transcripts(
     ct = ct.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(shards)).cast("int")
     )
-    packed = pack_sequences(
-        ct, "conv_id", "n_tokens", budget=budget, shards=shards, shard_col="_shard"
-    )
-    return _assemble_bins(packed, "conv_id")
+    return _pack_and_assemble(ct, "conv_id", budget, shards, shard_col="_shard")
 
 
 def write_sft_shards(spark, bins: DataFrame, name: str, provider: str = "parquet") -> None:
