@@ -169,6 +169,35 @@ def assemble_sft_documents(
     )
 
 
+def render_conversation_py(
+    turns,
+    assistant_role: str = "assistant",
+    role_open: str = "<|",
+    role_close: str = "|>\n",
+    turn_suffix: str = "\n",
+):
+    """Pure-Python reference of ``assemble_sft_documents``' rendering
+    for ONE conversation — the executable spec shared by the streaming
+    assembler (one conversation closes at a time there) and the tests.
+    ``turns``: iterable of (turn_idx, role, text). Returns
+    ``(doc_text, turn_spans, loss_chars)`` with the same span semantics
+    as the batch operator (0-based payload offsets, header/suffix
+    excluded, NULLs render empty)."""
+    pieces, spans, pos, loss_chars = [], [], 0, 0
+    for t_idx, role, text in sorted(turns, key=lambda x: x[0]):
+        role = role or ""
+        text = text or ""
+        header = role_open + role + role_close
+        start = pos + len(header)
+        end = start + len(text)
+        pieces.append(header + text + turn_suffix)
+        spans.append({"turn_idx": t_idx, "role": role, "start": start, "end": end})
+        if role == assistant_role:
+            loss_chars += end - start
+        pos = end + len(turn_suffix)
+    return "".join(pieces), spans, loss_chars
+
+
 def _segment_tokens(
     df: DataFrame,
     merges,

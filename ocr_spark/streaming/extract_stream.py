@@ -243,6 +243,96 @@ def classify_stream(
     )
 
 
+SFT_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("doc_text", T.StringType()),
+        T.StructField("n_turns", T.IntegerType()),
+        T.StructField("n_loss_turns", T.IntegerType()),
+        T.StructField("doc_len", T.LongType()),
+        T.StructField("loss_chars", T.LongType()),
+        T.StructField("loss_starts", T.ArrayType(T.IntegerType())),
+        T.StructField("loss_ends", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+_SFT_STATE_SCHEMA = (
+    "idxs ARRAY<INT>, roles ARRAY<STRING>, texts ARRAY<STRING>, last_ts DOUBLE"
+)
+
+
+def _assemble_sft(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+    """Accumulate a conversation's turns in state; when the event-time
+    watermark closes it (SESSION_GAP_MS of silence), render the SFT
+    document with the SAME pure-Python spec the batch operator is
+    tested against (operators/sft.render_conversation_py) and emit one
+    row. Late turns inside the watermark still join their document."""
+    from ocr_spark.operators.sft import render_conversation_py
+
+    (conv_id,) = key
+    if state.hasTimedOut:
+        idxs, roles, texts, _last = state.get
+        state.remove()
+        turns = list(zip(idxs, roles, texts))
+        doc, spans, loss_chars = render_conversation_py(turns)
+        loss = [s for s in spans if s["role"] == "assistant"]
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "doc_text": [doc],
+                "n_turns": [len(spans)],
+                "n_loss_turns": [len(loss)],
+                "doc_len": [len(doc)],
+                "loss_chars": [loss_chars],
+                "loss_starts": [[s["start"] for s in loss]],
+                "loss_ends": [[s["end"] for s in loss]],
+            }
+        )
+        return
+    idxs, roles, texts, last_ts = (
+        state.get if state.exists else ([], [], [], None)
+    )
+    idxs, roles, texts = list(idxs), list(roles), list(texts)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        idxs.extend(int(i) for i in pdf["turn_idx"])
+        # NULL role/text render empty — pin that in state, not at render
+        roles.extend("" if r is None else str(r) for r in pdf["role"])
+        texts.extend("" if t is None else str(t) for t in pdf["text"])
+        hi = float(pdf["ts"].astype("int64").max() / 1e9)
+        last_ts = hi if last_ts is None else max(last_ts, hi)
+    state.update((idxs, roles, texts, last_ts))
+    state.setTimeoutTimestamp(int((last_ts or 0) * 1000) + SESSION_GAP_MS)
+    return
+    yield  # generator form required by applyInPandasWithState
+
+
+def assemble_sft_stream(
+    transcripts: DataFrame, watermark: str = "1 minute"
+) -> DataFrame:
+    """Streaming conversation -> SFT document assembly: each
+    conversation's rendered training document (with char-offset loss
+    spans) is emitted exactly once, when the event-time watermark says
+    the conversation has gone silent — the streaming form of
+    ``operators/sft.assemble_sft_documents`` (parity-tested, stream ==
+    batch). State per conversation is its turns — the same bound as the
+    batch groupBy, evicted on close; a feed that never closes a
+    conversation is bounded by the watermark + session gap, not by the
+    stream's lifetime."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _assemble_sft,
+            outputStructType=SFT_DOC_SCHEMA,
+            stateStructType=_SFT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def dedup_stream(extracted: DataFrame, watermark: str = "1 minute") -> DataFrame:
     """Streaming exact dedup: emit each distinct normalized-text
     fingerprint once (the streaming form of ``operators.dedup.

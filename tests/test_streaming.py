@@ -408,3 +408,41 @@ def test_stream_near_dup_admission_matches_one_shot(spark, tmp_path):
     pairs = ngram_jaccard_pairs(admitted, threshold=0.6).count()
     release_shingle_caches()
     assert pairs == 0
+
+
+def test_stream_sft_assembly_matches_batch(spark, stream_dirs):
+    """Streaming conversation->SFT assembly equals the batch operator:
+    same doc_text, counters, and loss spans per closed conversation."""
+    from ocr_spark.operators.sft import assemble_sft_documents
+    from ocr_spark.streaming.extract_stream import assemble_sft_stream
+
+    out = str(stream_dirs["root"] / "sft_out")
+    ckpt = str(stream_dirs["root"] / "sft_ckpt")
+    stream = assemble_sft_stream(
+        stream_transcripts(spark, stream_dirs["src"], files_per_trigger=1)
+    )
+    run_available_now(stream, out, ckpt)
+    got = {
+        r["conv_id"]: r.asDict(recursive=True)
+        for r in spark.read.parquet(out)
+        .filter("conv_id != 'conv_sentinel'")
+        .collect()
+    }
+
+    batch_in = spark.createDataFrame(stream_dirs["pdf"]).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    want = {
+        r["conv_id"]: r.asDict(recursive=True)
+        for r in assemble_sft_documents(batch_in).collect()
+    }
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        g = got[cid]
+        assert g["doc_text"] == w["doc_text"], cid
+        assert g["n_turns"] == w["n_turns"]
+        assert g["n_loss_turns"] == w["n_loss_turns"]
+        assert g["doc_len"] == w["doc_len"]
+        assert g["loss_chars"] == w["loss_chars"]
+        assert list(g["loss_starts"]) == [s["start"] for s in w["loss_spans"]]
+        assert list(g["loss_ends"]) == [s["end"] for s in w["loss_spans"]]
