@@ -1,0 +1,106 @@
+"""spark-submit entry point: raw transcripts -> packed SFT shards.
+
+The SFT counterpart of run_training_prep.py — the full
+conversations-to-training-data job:
+
+    spark-submit --py-files ocr_spark.zip scripts/run_sft_prep.py \
+        --input <transcripts parquet> --output <shard table/dir> \
+        [--n-shards 64] [--budget 2048] [--bpe-merges 200] \
+        [--repartition 0] [--table NAME]
+
+Stages (each individually oracle-/pytest-verified):
+
+1. ``extract_transcripts``: the extraction kernel cleans every turn
+   (optional full-key repartition spreads skewed conversations);
+2. ``bpe_train`` on the cleaned text + ``sft_from_transcripts``:
+   per-conversation BPE token arrays with assistant-only loss masks,
+   packed into fixed-token-budget bins (narrow-assignment pack — the
+   token payload rides only the conv groupBy and the bin assembly);
+3. write partitioned by shard — via ``write_sft_shards`` into a catalog
+   table when ``--table`` is given (Iceberg-shaped, dynamic overwrite,
+   replay-idempotent), else a plain partitioned parquet directory.
+
+Prints one JSON accounting line (convs, bins, tokens, loss fraction,
+wall seconds)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.sft import sft_from_transcripts, write_sft_shards
+from ocr_spark.operators.tokenizer import bpe_train
+from ocr_spark.pipeline import extract_transcripts, load_transcripts
+from ocr_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--bpe-merges", type=int, default=200)
+    ap.add_argument("--repartition", type=int, default=0)
+    ap.add_argument("--table", default="")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("sft_prep", master=args.master)
+    t0 = time.time()
+    transcripts = load_transcripts(spark, args.input)
+
+    # train the tokenizer on the CLEANED text (the distribution the
+    # encoder will see), then run the composition once end to end
+    cleaned = extract_transcripts(
+        transcripts, repartition=args.repartition or None
+    ).select(F.col("clean_text").alias("text"))
+    merges = bpe_train(cleaned, n_merges=args.bpe_merges)
+
+    bins = sft_from_transcripts(
+        transcripts,
+        merges,
+        budget=args.budget,
+        shards=args.n_shards,
+        repartition=args.repartition or None,
+    )
+    if args.table:
+        write_sft_shards(spark, bins, args.table)
+        stored = spark.table(args.table)
+    else:
+        bins.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+        stored = spark.read.parquet(args.output)
+
+    stats = stored.agg(
+        F.count("*").alias("bins"),
+        F.sum("n_docs").alias("convs"),
+        F.sum(F.size("token_ids")).alias("tokens"),
+        F.sum(F.aggregate("loss_mask", F.lit(0), lambda a, x: a + x)).alias(
+            "loss_tokens"
+        ),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "convs": int(stats["convs"]),
+                "bins": int(stats["bins"]),
+                "tokens": int(stats["tokens"]),
+                "loss_fraction": round(
+                    stats["loss_tokens"] / max(stats["tokens"], 1), 4
+                ),
+                "n_shards": args.n_shards,
+                "budget": args.budget,
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
