@@ -1,11 +1,14 @@
 """Conversation -> SFT training-document assembly.
 
 The canonical transcripts-to-training-data step the reference pipeline
-stops short of (reference scope ends at per-document classification,
-``classification_service.py``): render each multi-turn conversation as
-ONE training document with role-tagged turn headers, and emit exact
-char-offset spans per turn plus the assistant-turn loss-mask spans an
-SFT data loader needs.
+stops short of (reference scope ends at per-document classification —
+/root/reference/app/services/classification_service.py:182-367 produces
+classified records, never training examples): render each multi-turn
+conversation as ONE training document with role-tagged turn headers,
+and emit exact char-offset spans per turn plus the assistant-turn
+loss-mask spans an SFT data loader needs. The span discipline is the
+same stable-(conv_id, turn_idx)-order contract the extraction kernel
+is held to (BASELINE north_rule).
 
 Design (Spark-first, zero Python UDFs):
 

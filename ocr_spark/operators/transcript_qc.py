@@ -17,6 +17,13 @@ Scale notes: state per conversation is a handful of counters, never the
 turn list; the report output is conversation-cardinality (|convs| <<
 |turns|). ``repair_turn_order`` is one ranking window on the
 conversation key — the minimum possible for a per-conv reindex.
+
+Reference analog: the reference re-derives page order before batching
+OCR results (``sorted(tesseract_results, key=lambda x: x[0])``,
+/root/reference/app/services/pdf_processing_service.py:439) and skips
+already-split/invalid inputs (:349-384) — per-document, imperatively.
+This module is the corpus-scale declarative generalization: quantify
+the defects across 10^12 turns, then repair the order once, upstream.
 """
 
 from __future__ import annotations
