@@ -305,13 +305,29 @@ def sft_conversation_tokens(
     role_col: str = "role",
     text_col: str = "text",
     assistant_role: str = "assistant",
+    max_turns: Optional[int] = None,
 ) -> DataFrame:
     """One row per conversation: ``(conv, token_arr, loss_arr,
     n_tokens)`` — the rendered conversation's BPE tokens in order and
     the parallel 0/1 loss mask (1 exactly on assistant payload tokens).
-    One shuffle (groupBy conv over per-segment token arrays)."""
+    One shuffle (groupBy conv over per-segment token arrays).
+
+    ``max_turns``: same pathological-conversation guard as
+    ``assemble_sft_documents`` — rank-filter BEFORE encoding, so a
+    million-turn conversation costs neither the encode nor the
+    collect."""
+    base = df
+    if max_turns is not None:
+        wr = Window.partitionBy(conv_col).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        base = (
+            base.withColumn("_sft_rn", F.row_number().over(wr))
+            .where(F.col("_sft_rn") <= F.lit(int(max_turns)))
+            .drop("_sft_rn")
+        )
     toks = _segment_tokens(
-        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+        base, merges, conv_col, order_cols, role_col, text_col, assistant_role
     )
     rows = F.array_sort(
         F.collect_list(
@@ -446,6 +462,7 @@ def sft_from_transcripts(
     shards: int = 64,
     repartition: int = None,
     assistant_role: str = "assistant",
+    max_turns: Optional[int] = None,
 ) -> DataFrame:
     """End-to-end raw transcripts -> packed SFT training bins: the
     extraction kernel (``pipeline.extract_transcripts`` — boilerplate
@@ -468,7 +485,9 @@ def sft_from_transcripts(
     turns = ext.select(
         "conv_id", "turn_idx", "role", F.col("clean_text").alias("text")
     )
-    ct = sft_conversation_tokens(turns, merges, assistant_role=assistant_role)
+    ct = sft_conversation_tokens(
+        turns, merges, assistant_role=assistant_role, max_turns=max_turns
+    )
     ct = ct.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(shards)).cast("int")
     )

@@ -205,6 +205,18 @@ def test_pack_sft_bins_full_equality(spark, iconvs):
         assert g["n_docs"] == len(e["o"])
 
 
+def test_conversation_tokens_max_turns_guard(spark, iconvs):
+    from ocr_spark.operators.sft import sft_conversation_tokens
+
+    full = {r["conv"]: r for r in sft_conversation_tokens(iconvs, MERGES, conv_col="conv").collect()}
+    cut = {r["conv"]: r for r in sft_conversation_tokens(iconvs, MERGES, conv_col="conv", max_turns=2).collect()}
+    for cid, c in cut.items():
+        # the kept prefix encodes identically
+        assert list(full[cid]["token_arr"])[: c["n_tokens"]] == list(c["token_arr"])
+        assert list(full[cid]["loss_arr"])[: c["n_tokens"]] == list(c["loss_arr"])
+        assert c["n_tokens"] <= full[cid]["n_tokens"]
+
+
 def test_sft_from_transcripts_end_to_end(spark, small_corpus):
     """Raw transcripts -> extraction kernel -> packed SFT bins: token
     conservation, loss only where assistants spoke, offsets well-formed."""
