@@ -81,14 +81,7 @@ def assemble_sft_documents(
     text = F.coalesce(F.col(text_col), F.lit(""))
     role = F.coalesce(F.col(role_col), F.lit(""))
 
-    base = df
-    if max_turns is not None:
-        wr = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
-        base = (
-            base.withColumn("_sft_rn", F.row_number().over(wr))
-            .where(F.col("_sft_rn") <= F.lit(int(max_turns)))
-            .drop("_sft_rn")
-        )
+    base = _limit_turns(df, conv_col, order_cols, max_turns)
 
     header = F.concat(F.lit(role_open), role, F.lit(role_close))
     rendered = F.concat(header, text, F.lit(turn_suffix))
@@ -201,6 +194,22 @@ def render_conversation_py(
     return "".join(pieces), spans, loss_chars
 
 
+def _limit_turns(
+    df: DataFrame, conv_col: str, order_cols: Sequence[str], max_turns
+) -> DataFrame:
+    """Pathological-conversation guard shared by the document and token
+    paths: keep each conversation's first ``max_turns`` turns under the
+    declared order (rank filter BEFORE any rendering/encoding work)."""
+    if max_turns is None:
+        return df
+    wr = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    return (
+        df.withColumn("_sft_rn", F.row_number().over(wr))
+        .where(F.col("_sft_rn") <= F.lit(int(max_turns)))
+        .drop("_sft_rn")
+    )
+
+
 def _segment_tokens(
     df: DataFrame,
     merges,
@@ -217,17 +226,20 @@ def _segment_tokens(
     the zero-shuffle Arrow kernel. Because words never cross a turn
     boundary (headers/suffixes insert non-alnum chars), tokenizing the
     segments in order equals tokenizing the rendered document. Output:
-    ``(conv, _turn_idx, _seg, _toks: array<string>, _is_loss)`` — no
-    shuffle anywhere in this stage."""
+    ``(conv, _ord0.._ordN, _turn_idx, _seg, _toks: array<string>,
+    _is_loss)`` — no shuffle anywhere in this stage."""
     from ocr_spark.operators.tokenizer import bpe_tokens
 
     conv = F.col(conv_col)
     text = F.coalesce(F.col(text_col), F.lit(""))
+    # NULL role renders as '' EVERYWHERE — including the loss test, so a
+    # NULL-role turn gets loss 0 (not NULL), matching the batch renderer
     role = F.coalesce(F.col(role_col), F.lit(""))
-    is_loss = (F.col(role_col) == F.lit(assistant_role)).cast("int")
+    is_loss = (role == F.lit(assistant_role)).cast("int")
 
     seg = df.select(
         conv,
+        *[F.col(c).alias(f"_ord{i}") for i, c in enumerate(order_cols)],
         F.col(order_cols[0]).cast("int").alias("_turn_idx"),
         F.explode(
             F.array(
@@ -245,6 +257,7 @@ def _segment_tokens(
         ).alias("_s"),
     ).select(
         conv,
+        *[f"_ord{i}" for i in range(len(order_cols))],
         "_turn_idx",
         F.col("_s.seg").alias("_seg"),
         F.col("_s.seg_text").alias("seg_text"),
@@ -274,9 +287,10 @@ def sft_token_stream(
     toks = _segment_tokens(
         df, merges, conv_col, order_cols, role_col, text_col, assistant_role
     )
+    ords = [f"_ord{i}" for i in range(len(order_cols))]
     w = (
         Window.partitionBy(conv_col)
-        .orderBy("_turn_idx", "_seg")
+        .orderBy(*ords, "_seg")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     base = F.coalesce(F.sum(F.size("_toks")).over(w), F.lit(0))
@@ -316,23 +330,14 @@ def sft_conversation_tokens(
     ``assemble_sft_documents`` — rank-filter BEFORE encoding, so a
     million-turn conversation costs neither the encode nor the
     collect."""
-    base = df
-    if max_turns is not None:
-        wr = Window.partitionBy(conv_col).orderBy(
-            *[F.col(c) for c in order_cols]
-        )
-        base = (
-            base.withColumn("_sft_rn", F.row_number().over(wr))
-            .where(F.col("_sft_rn") <= F.lit(int(max_turns)))
-            .drop("_sft_rn")
-        )
+    base = _limit_turns(df, conv_col, order_cols, max_turns)
     toks = _segment_tokens(
         base, merges, conv_col, order_cols, role_col, text_col, assistant_role
     )
     rows = F.array_sort(
         F.collect_list(
             F.struct(
-                F.col("_turn_idx"),
+                *[F.col(f"_ord{i}") for i in range(len(order_cols))],
                 F.col("_seg"),
                 F.col("_toks").alias("_t"),
                 F.col("_is_loss").alias("_l"),
@@ -401,8 +406,25 @@ def _pack_and_assemble(
     ``ct`` and the final (shard, bin_id) bin assembly — instead of also
     riding through the packing window. The arrays side arrives already
     hash-partitioned on ``conv_col`` (the groupBy's output), so the
-    equi-join reshuffles only the narrow assignment frame."""
+    equi-join reshuffles only the narrow assignment frame.
+
+    Shard derivation: ``pack_sequences``' default ``id % shards`` only
+    works for numeric keys, so when ``shard_col`` is not given and the
+    conversation key is a STRING (the transcripts contract), the shard
+    is ``pmod(xxhash64(conv), shards)`` — deterministic and uniform;
+    numeric keys keep the arithmetic modulo (SQL-twinnable)."""
+    from pyspark.sql import types as T
+
     from ocr_spark.operators.training import pack_sequences
+
+    if shard_col is None and isinstance(
+        ct.schema[conv_col].dataType, T.StringType
+    ):
+        ct = ct.withColumn(
+            "_shard",
+            F.pmod(F.xxhash64(F.col(conv_col)), F.lit(shards)).cast("int"),
+        )
+        shard_col = "_shard"
 
     narrow_cols = [conv_col, "n_tokens"] + ([shard_col] if shard_col else [])
     assign = pack_sequences(
@@ -482,7 +504,26 @@ def sft_from_transcripts(
     from ocr_spark.pipeline import extract_transcripts
 
     ext = extract_transcripts(transcripts, repartition=repartition)
-    turns = ext.select(
+    return sft_from_turns(
+        ext, budget=budget, shards=shards, merges=merges,
+        assistant_role=assistant_role, max_turns=max_turns,
+    )
+
+
+def sft_from_turns(
+    extracted: DataFrame,
+    merges,
+    budget: int = 2048,
+    shards: int = 64,
+    assistant_role: str = "assistant",
+    max_turns: Optional[int] = None,
+) -> DataFrame:
+    """The post-extraction half of ``sft_from_transcripts``: cleaned
+    turns (``conv_id, turn_idx, role, clean_text``) -> packed bins.
+    Callers that already materialized the extraction (e.g. to train the
+    tokenizer on the cleaned text) pass it here ONCE instead of paying
+    the extraction kernel twice (scripts/run_sft_prep.py)."""
+    turns = extracted.select(
         "conv_id", "turn_idx", "role", F.col("clean_text").alias("text")
     )
     ct = sft_conversation_tokens(

@@ -161,7 +161,25 @@ def upsert_table_partitions(
     those partitions' rows. ``updates`` must include ``part_col``
     (derive it with the same transform the table was written with, e.g.
     ``bucket_col``) and every table column.
+
+    Like SQL MERGE, a batch carrying TWO rows for one key is an error —
+    detected with one aggregation over the (small) update side and
+    raised before anything is written, instead of silently landing
+    duplicate keys in the table.
     """
+    dup = (
+        updates.groupBy(*key_cols)
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        bad = {c: dup[0][c] for c in key_cols}
+        raise ValueError(
+            f"upsert into {name}: updates carry multiple rows for key {bad} "
+            "— resolve to one row per key before merging (MERGE semantics)"
+        )
     touched = updates.select(part_col).distinct()
     current = spark.table(name).join(F.broadcast(touched), part_col, "semi")
     survivors = current.join(

@@ -296,14 +296,24 @@ def _assemble_sft(key, pdfs, state) -> "Iterator[pd.DataFrame]":
     for pdf in pdfs:
         if pdf.empty:
             continue
-        idxs.extend(int(i) for i in pdf["turn_idx"])
-        # NULL role/text render empty — pin that in state, not at render
-        roles.extend("" if r is None else str(r) for r in pdf["role"])
-        texts.extend("" if t is None else str(t) for t in pdf["text"])
-        hi = float(pdf["ts"].astype("int64").max() / 1e9)
-        last_ts = hi if last_ts is None else max(last_ts, hi)
+        # NULL turn_idx sorts first (int32 min) — matching the batch
+        # array_sort's null-first struct ordering; NULL role/text render
+        # empty — pin both in state, not at render
+        idxs.extend(
+            int(i) if pd.notna(i) else -(2**31) for i in pdf["turn_idx"]
+        )
+        roles.extend("" if pd.isna(r) else str(r) for r in pdf["role"])
+        texts.extend("" if pd.isna(t) else str(t) for t in pdf["text"])
+        ts_valid = pdf["ts"].dropna()
+        if len(ts_valid):
+            hi = float(ts_valid.astype("int64").max() / 1e9)
+            last_ts = hi if last_ts is None else max(last_ts, hi)
     state.update((idxs, roles, texts, last_ts))
-    state.setTimeoutTimestamp(int((last_ts or 0) * 1000) + SESSION_GAP_MS)
+    # a conversation with no timestamped turn yet cannot be event-timed:
+    # keep its state and arm the timeout when a real ts arrives (NaT
+    # would otherwise become int64-min and an invalid pre-epoch timeout)
+    if last_ts is not None:
+        state.setTimeoutTimestamp(int(last_ts * 1000) + SESSION_GAP_MS)
     return
     yield  # generator form required by applyInPandasWithState
 

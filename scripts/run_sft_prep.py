@@ -34,7 +34,7 @@ sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import functions as F
 
-from ocr_spark.operators.sft import sft_from_transcripts, write_sft_shards
+from ocr_spark.operators.sft import sft_from_turns, write_sft_shards
 from ocr_spark.operators.tokenizer import bpe_train
 from ocr_spark.pipeline import extract_transcripts, load_transcripts
 from ocr_spark.session import get_spark
@@ -56,19 +56,23 @@ def main() -> None:
     t0 = time.time()
     transcripts = load_transcripts(spark, args.input)
 
-    # train the tokenizer on the CLEANED text (the distribution the
-    # encoder will see), then run the composition once end to end
-    cleaned = extract_transcripts(
+    # Extract ONCE, persist, and reuse: the tokenizer trains on the
+    # CLEANED text (the distribution the encoder will see) and the
+    # packing composition consumes the same frame — the extraction
+    # kernel (the job's dominant stage) never runs twice.
+    extracted = extract_transcripts(
         transcripts, repartition=args.repartition or None
-    ).select(F.col("clean_text").alias("text"))
-    merges = bpe_train(cleaned, n_merges=args.bpe_merges)
+    ).persist()
+    merges = bpe_train(
+        extracted.select(F.col("clean_text").alias("text")),
+        n_merges=args.bpe_merges,
+    )
 
-    bins = sft_from_transcripts(
-        transcripts,
+    bins = sft_from_turns(
+        extracted,
         merges,
         budget=args.budget,
         shards=args.n_shards,
-        repartition=args.repartition or None,
     )
     if args.table:
         write_sft_shards(spark, bins, args.table)

@@ -275,3 +275,24 @@ def test_upsert_merges_and_rewrites_only_touched_partitions(spark, transcripts):
     catalog.upsert_transcripts_table(spark, updates, "t_upsert", n_buckets=8)
     assert spark.table("t_upsert").count() == before + 2
     _drop(spark, "t_upsert")
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, transcripts):
+    """Review fix: MERGE semantics — two update rows for one key must
+    raise before anything is written."""
+    _drop(spark, "t_upsert_dup")
+    catalog.write_transcripts_table(spark, transcripts, "t_upsert_dup", n_buckets=8)
+    v = transcripts.limit(1).collect()[0]
+    updates = spark.createDataFrame(
+        [
+            (v["conv_id"], v["turn_idx"], "user", "first version", "plain", v["ts"]),
+            (v["conv_id"], v["turn_idx"], "user", "second version", "plain", v["ts"]),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    before = spark.table("t_upsert_dup").toPandas()
+    with pytest.raises(ValueError, match="multiple rows"):
+        catalog.upsert_transcripts_table(spark, updates, "t_upsert_dup", n_buckets=8)
+    after = spark.table("t_upsert_dup").toPandas()
+    assert len(before) == len(after)  # nothing written
+    _drop(spark, "t_upsert_dup")

@@ -217,6 +217,67 @@ def test_conversation_tokens_max_turns_guard(spark, iconvs):
         assert c["n_tokens"] <= full[cid]["n_tokens"]
 
 
+def test_null_role_loss_mask_is_zero_not_null(spark):
+    """Review fix: NULL role must render '' AND test as non-assistant —
+    loss entries are 0, never NULL (a reader multiplying by the mask
+    would propagate nulls)."""
+    from ocr_spark.operators.sft import sft_conversation_tokens, sft_token_stream
+
+    df = spark.createDataFrame(
+        [("c", 0, None, "alpha beta"), ("c", 1, "assistant", "gamma")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    ct = sft_conversation_tokens(df, MERGES).collect()[0]
+    assert None not in list(ct["loss_arr"])
+    assert sum(ct["loss_arr"]) == len(
+        [r for r in sft_token_stream(df, MERGES).collect() if r["is_loss"] == 1]
+    )
+
+
+def test_pack_sft_bins_string_conv_ids_default(spark, convs):
+    """Review fix: the transcripts-contract STRING conv_id must work
+    with pack_sft_bins' defaults (xxhash shard derivation)."""
+    from ocr_spark.operators.sft import pack_sft_bins, sft_conversation_tokens
+
+    bins = pack_sft_bins(convs, MERGES, budget=64, shards=4).collect()
+    assert bins
+    total = sum(len(b["token_ids"]) for b in bins)
+    ct = sft_conversation_tokens(convs, MERGES).collect()
+    assert total == sum(r["n_tokens"] for r in ct)
+
+
+def test_token_order_honors_all_order_cols(spark):
+    """Review fix: every order_cols entry participates in the token
+    order, matching assemble_sft_documents' rendering order."""
+    from ocr_spark.operators.sft import sft_token_stream
+
+    df = spark.createDataFrame(
+        [  # same page, distinct line — order must follow (page, line)
+            ("c", 1, 2, "user", "second"),
+            ("c", 1, 1, "user", "first"),
+            ("c", 0, 9, "user", "zeroth"),
+        ],
+        "conv_id string, page int, line int, role string, text string",
+    )
+    rows = sorted(
+        sft_token_stream(df, MERGES, order_cols=("page", "line")).collect(),
+        key=lambda r: r["token_pos"],
+    )
+    toks = [r["token"] for r in rows]
+
+    from ocr_spark.operators.tokenizer import encode_word
+
+    ranks = {p: i for i, p in enumerate(MERGES)}
+
+    def enc(*words):
+        return [t for w in words for t in encode_word(w, ranks)]
+
+    # turns rendered in (page, line) order: header word then payload word
+    assert toks == enc(
+        "user", "zeroth", "user", "first", "user", "second"
+    )
+
+
 def test_sft_from_transcripts_end_to_end(spark, small_corpus):
     """Raw transcripts -> extraction kernel -> packed SFT bins: token
     conservation, loss only where assistants spoke, offsets well-formed."""
