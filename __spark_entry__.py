@@ -105,12 +105,18 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     if _PYFILES_DIR is None:
         _PYFILES_DIR = tempfile.mkdtemp(prefix="ocr_spark_pyfiles_")  # 0700
     zpath = os.path.join(_PYFILES_DIR, f"ocr_spark_{digest}.zip")
-    if not os.path.exists(zpath):  # private dir: only this process writes here
-        tmp = zpath + ".tmp"
+    if not os.path.exists(zpath):
+        # mkstemp, not a predictable "<zpath>.tmp": unique per
+        # writer even if two sessions/threads build the same digest
+        # concurrently, so a half-written zip can never be os.replace'd
+        # into place by a racing writer (the dir is already per-process
+        # mkdtemp 0700, this hardens within-process races too).
+        fd, tmp = tempfile.mkstemp(dir=_PYFILES_DIR, suffix=".zip.tmp")
         try:
-            with zipfile.ZipFile(tmp, "w") as z:
-                for full in sorted(sources):
-                    z.write(full, os.path.relpath(full, repo))
+            with os.fdopen(fd, "wb") as fh:
+                with zipfile.ZipFile(fh, "w") as z:
+                    for full in sorted(sources):
+                        z.write(full, os.path.relpath(full, repo))
             os.replace(tmp, zpath)
         except BaseException:
             if os.path.exists(tmp):
@@ -784,10 +790,11 @@ def _q_sft_turn_spans(spark, sf_dir):
 
 def _q_sft_token_stream(spark, sf_dir):
     """Token-level SFT stream with the loss mask (operators/sft.py):
-    learned-BPE tokens of the rendered conversation with dense global
-    positions, loss=1 exactly on assistant payload tokens — vs an
-    independent DuckDB composition (segment fan-out + recursive-CTE
-    encode + window offsets)."""
+    learned-BPE token IDS (int32, the closed merge-derived vocab — the
+    scale-correct payload) of the rendered conversation with dense
+    global positions, loss=1 exactly on assistant payload tokens — vs
+    an independent DuckDB composition (segment fan-out + recursive-CTE
+    encode + vocab-join id mapping + window offsets)."""
     from ocr_spark.operators.sft import sft_token_stream
 
     return sft_token_stream(
@@ -798,7 +805,8 @@ def _q_sft_token_stream(spark, sf_dir):
 def _q_sft_packed_bins(spark, sf_dir):
     """Packed SFT training bins (operators/sft.pack_sft_bins): whole
     conversations packed into 256-token bins, one row per bin with the
-    concatenated token sequence, parallel loss mask, and per-conv start
+    concatenated token-ID sequence (int32 vocab ids — the default
+    scale-correct payload), parallel int8 loss mask, and per-conv start
     offsets — the sequential-reader artifact. Arrays are joined to
     strings for the hash compare."""
     from ocr_spark.operators.sft import pack_sft_bins
@@ -814,7 +822,9 @@ def _q_sft_packed_bins(spark, sf_dir):
         "shard",
         "bin_id",
         "n_docs",
-        F.concat_ws(" ", "token_ids").alias("token_seq"),
+        F.concat_ws(" ", F.col("token_ids").cast("array<string>")).alias(
+            "token_seq"
+        ),
         F.concat_ws(
             "", F.transform("loss_mask", lambda x: x.cast("string"))
         ).alias("loss_seq"),
@@ -1895,11 +1905,20 @@ def _q_emb_hashed_vectors(spark, sf_dir):
     Weinberger et al. ICML'09): 64-dim signed token-count vectors from
     raw text, pure int64 arithmetic (polynomial token hash shared with
     the oracle), hash-verified exactly — the no-model text->vector stage
-    that feeds the ANN stack."""
+    that feeds the ANN stack. The vector is string-packed (CSV) for the
+    gate: the driver's canonicalizer sorts raw pandas values and a
+    python list is unhashable/unorderable (the round-3 ERR) — same
+    discipline as sft_packed_bins' token/loss/offset strings."""
     from ocr_spark.operators import embed as EMB
 
     docs = _t(spark, sf_dir, "documents")
-    return EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    emb = EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    return emb.select(
+        "doc_id",
+        F.array_join(F.col("embedding").cast("array<string>"), ",").alias(
+            "embedding_csv"
+        ),
+    )
 
 
 def _q_emb_hashed_ann(spark, sf_dir):
@@ -1994,13 +2013,18 @@ def _q_tok_bpe_encode(spark, sf_dir):
     tokenizer.py): lowest-rank-pair fold to fixpoint per word, Arrow
     kernel — hash-verified against an independent DuckDB recursive-CTE
     reimplementation of the same spec (only the merge table is
-    shared)."""
+    shared). Token list is string-packed (space-joined) for the gate:
+    the driver's canonicalizer cannot sort a python list (round-3 ERR)
+    — same discipline as sft_packed_bins."""
     from ocr_spark.operators import tokenizer as TKZ
 
     docs = _t(spark, sf_dir, "documents")
     vocab = TKZ.word_vocabulary(docs, "text").select("word")
     enc = TKZ.bpe_encode_word_udf(_BPE_DEMO_MERGES)
-    return vocab.select("word", enc(F.col("word")).alias("bpe_tokens"))
+    return vocab.select(
+        "word",
+        F.array_join(enc(F.col("word")), " ").alias("bpe_str"),
+    )
 
 
 def _q_tok_bpe_counts(spark, sf_dir):
@@ -3548,16 +3572,25 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "CAST(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS INT) "
             "AS is_loss FROM o"
         ),
+        # Both token-level twins map token string -> int32 vocab id via
+        # the deterministic VALUES vocab (chars 0..35 + merge products at
+        # 36+rank) — the Spark side emits ids by default (the 5-10x
+        # smaller wire payload at scale).
         "sft_token_stream": (
             _sft_tokstream_ctes()
-            + " SELECT conv, token_pos, token, CAST(is_loss AS INT) AS is_loss "
-            "FROM tokstream"
+            + f", vv AS (SELECT * FROM {TKZO.vocab_sql_values(_BPE_DEMO_MERGES)})"
+            + " SELECT conv, token_pos, CAST(vv.token_id AS INT) AS token_id, "
+            "CAST(is_loss AS INT) AS is_loss "
+            "FROM tokstream JOIN vv ON tokstream.token = vv.token"
         ),
         "sft_packed_bins": (
             _sft_tokstream_ctes()
-            + ", ct AS (SELECT conv, list(token ORDER BY token_pos) AS toks, "
+            + f", vv AS (SELECT * FROM {TKZO.vocab_sql_values(_BPE_DEMO_MERGES)})"
+            + ", ct AS (SELECT conv, "
+            "list(CAST(vv.token_id AS VARCHAR) ORDER BY token_pos) AS toks, "
             "list(CAST(is_loss AS VARCHAR) ORDER BY token_pos) AS loss, "
-            "count(*) AS n FROM tokstream GROUP BY conv), "
+            "count(*) AS n FROM tokstream JOIN vv ON tokstream.token = vv.token "
+            "GROUP BY conv), "
             "pb AS (SELECT *, CAST(conv % 4 AS INT) AS shard FROM ct), "
             "pc AS (SELECT *, CAST(floor(COALESCE(SUM(n) OVER ("
             "PARTITION BY shard ORDER BY conv ROWS BETWEEN UNBOUNDED "
@@ -3783,7 +3816,11 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
         ),
         "lm_trigram_ppl": LMQ.trigram_ppl_sql("documents"),
         "qt_quantized_topk": QZO.quantized_topk_sql("embeddings", 7, k=15),
-        "tok_bpe_encode": TKZO.bpe_encode_sql(_BPE_DEMO_MERGES, _BPE_WORDS_CTE),
+        "tok_bpe_encode": (
+            "SELECT word, array_to_string(bpe_tokens, ' ') AS bpe_str FROM ("
+            + TKZO.bpe_encode_sql(_BPE_DEMO_MERGES, _BPE_WORDS_CTE)
+            + ")"
+        ),
         "tok_bpe_counts": (
             "WITH tok AS (SELECT doc_id, unnest(list_filter("
             "string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS word "
@@ -3796,7 +3833,8 @@ SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
             "SELECT d.doc_id, CAST(coalesce(per.c, 0) AS BIGINT) AS bpe_token_count "
             "FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"
         ),
-        "emb_hashed_vectors": _EMB_CTE_SQL + "SELECT doc_id, embedding FROM emb",
+        "emb_hashed_vectors": _EMB_CTE_SQL
+        + "SELECT doc_id, array_to_string(embedding, ',') AS embedding_csv FROM emb",
         "emb_hashed_ann": _EMB_CTE_SQL
         + """
 , q AS (SELECT embedding AS qv FROM emb WHERE doc_id = 7),

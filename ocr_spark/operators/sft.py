@@ -218,6 +218,7 @@ def _segment_tokens(
     role_col: str,
     text_col: str,
     assistant_role: str,
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Shared stage for the token-level ops: per turn, fan out the two
     rendered segments (header = the role's words, is_loss=0 — prompt
@@ -226,9 +227,14 @@ def _segment_tokens(
     the zero-shuffle Arrow kernel. Because words never cross a turn
     boundary (headers/suffixes insert non-alnum chars), tokenizing the
     segments in order equals tokenizing the rendered document. Output:
-    ``(conv, _ord0.._ordN, _turn_idx, _seg, _toks: array<string>,
-    _is_loss)`` — no shuffle anywhere in this stage."""
-    from ocr_spark.operators.tokenizer import bpe_tokens
+    ``(conv, _ord0.._ordN, _turn_idx, _seg, _toks, _is_loss)`` — no
+    shuffle anywhere in this stage.
+
+    ``emit_ids=True`` encodes straight to int32 token ids
+    (``tokenizer.bpe_token_ids`` — the closed, merge-derived vocab rides
+    the kernel closure): at 100 TB the token payload crosses two
+    shuffles, and int ids are ~5-10x fewer bytes than token strings."""
+    from ocr_spark.operators.tokenizer import bpe_token_ids, bpe_tokens
 
     conv = F.col(conv_col)
     text = F.coalesce(F.col(text_col), F.lit(""))
@@ -263,7 +269,8 @@ def _segment_tokens(
         F.col("_s.seg_text").alias("seg_text"),
         F.col("_s.is_loss").alias("_is_loss"),
     )
-    return bpe_tokens(seg, merges, "seg_text", out_col="_toks").drop("seg_text")
+    enc = bpe_token_ids if emit_ids else bpe_tokens
+    return enc(seg, merges, "seg_text", out_col="_toks").drop("seg_text")
 
 
 def sft_token_stream(
@@ -274,19 +281,25 @@ def sft_token_stream(
     role_col: str = "role",
     text_col: str = "text",
     assistant_role: str = "assistant",
+    emit_ids: bool = True,
 ) -> DataFrame:
     """Token-level SFT stream with the loss mask: one row per token of
-    the rendered conversation, ``(conv, token_pos, token, is_loss)``.
+    the rendered conversation, ``(conv, token_pos, token_id, is_loss)``
+    (``(…, token, …)`` with ``emit_ids=False`` — string tokens, the
+    debug/round-trip view).
 
     Plan: segment fan-out + encode are row-local (``_segment_tokens``);
     the global token position is ONE cumulative-sum window on the
     conversation key followed by a map-side ``posexplode``. Per-token
     rows are produced only at the very end, so the shuffled payload is
-    per-SEGMENT (token arrays), not per-token.
+    per-SEGMENT (token-id arrays — int32, not strings, by default), not
+    per-token.
     """
     toks = _segment_tokens(
-        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+        df, merges, conv_col, order_cols, role_col, text_col, assistant_role,
+        emit_ids=emit_ids,
     )
+    tok_name = "token_id" if emit_ids else "token"
     ords = [f"_ord{i}" for i in range(len(order_cols))]
     w = (
         Window.partitionBy(conv_col)
@@ -300,12 +313,12 @@ def sft_token_stream(
             F.col(conv_col),
             "_base",
             "_is_loss",
-            F.posexplode("_toks").alias("_pos", "token"),
+            F.posexplode("_toks").alias("_pos", tok_name),
         )
         .select(
             F.col(conv_col),
             (F.col("_base") + F.col("_pos")).cast("int").alias("token_pos"),
-            "token",
+            tok_name,
             F.col("_is_loss").alias("is_loss"),
         )
     )
@@ -320,11 +333,20 @@ def sft_conversation_tokens(
     text_col: str = "text",
     assistant_role: str = "assistant",
     max_turns: Optional[int] = None,
+    emit_ids: bool = True,
 ) -> DataFrame:
     """One row per conversation: ``(conv, token_arr, loss_arr,
     n_tokens)`` — the rendered conversation's BPE tokens in order and
     the parallel 0/1 loss mask (1 exactly on assistant payload tokens).
     One shuffle (groupBy conv over per-segment token arrays).
+
+    ``emit_ids=True`` (default): ``token_arr: array<int>`` of vocab ids
+    and ``loss_arr: array<tinyint>`` — this frame's arrays ARE the
+    payload that crosses the conv shuffle and the downstream packing
+    shuffle, so at 100 TB the int32/int8 encoding is ~5-10x fewer bytes
+    on the wire than token strings (``tokenizer.detokenize_table`` is
+    the reader-side mapping). ``emit_ids=False`` keeps the string-token
+    view for debugging/round-trip tests.
 
     ``max_turns``: same pathological-conversation guard as
     ``assemble_sft_documents`` — rank-filter BEFORE encoding, so a
@@ -332,7 +354,8 @@ def sft_conversation_tokens(
     collect."""
     base = _limit_turns(df, conv_col, order_cols, max_turns)
     toks = _segment_tokens(
-        base, merges, conv_col, order_cols, role_col, text_col, assistant_role
+        base, merges, conv_col, order_cols, role_col, text_col, assistant_role,
+        emit_ids=emit_ids,
     )
     rows = F.array_sort(
         F.collect_list(
@@ -345,15 +368,18 @@ def sft_conversation_tokens(
         )
     )
     g = toks.groupBy(conv_col).agg(rows.alias("_rows"))
+    loss = F.flatten(
+        F.transform(
+            "_rows",
+            lambda r: F.transform(r["_t"], lambda _: r["_l"]),
+        )
+    )
+    if emit_ids:
+        loss = loss.cast("array<tinyint>")
     return g.select(
         F.col(conv_col),
         F.flatten(F.transform("_rows", lambda r: r["_t"])).alias("token_arr"),
-        F.flatten(
-            F.transform(
-                "_rows",
-                lambda r: F.transform(r["_t"], lambda _: r["_l"]),
-            )
-        ).alias("loss_arr"),
+        loss.alias("loss_arr"),
     ).withColumn("n_tokens", F.size("token_arr").cast("long"))
 
 
@@ -367,11 +393,15 @@ def pack_sft_bins(
     role_col: str = "role",
     text_col: str = "text",
     assistant_role: str = "assistant",
+    emit_ids: bool = True,
 ) -> DataFrame:
     """The last mile for SFT: pack whole conversations into fixed-token-
     budget training bins, ONE ROW PER BIN carrying the concatenated
     token sequence, the parallel loss mask, and each conversation's
     start offset — exactly what a sequential SFT reader consumes.
+    Default payload is int32 vocab ids + int8 loss mask (``emit_ids``,
+    see ``sft_conversation_tokens`` — the 5-10x wire-size win across
+    the two payload shuffles; ``tokenizer.detokenize_table`` maps back).
 
     Composition of the engine's own pieces: ``sft_conversation_tokens``
     (one conv shuffle) -> ``training.pack_sequences`` (per-shard running
@@ -388,7 +418,8 @@ def pack_sft_bins(
     from ocr_spark.operators.training import pack_sequences
 
     ct = sft_conversation_tokens(
-        df, merges, conv_col, order_cols, role_col, text_col, assistant_role
+        df, merges, conv_col, order_cols, role_col, text_col, assistant_role,
+        emit_ids=emit_ids,
     )
     return _pack_and_assemble(ct, conv_col, budget, shards)
 
@@ -400,13 +431,23 @@ def _pack_and_assemble(
     shards: int,
     shard_col: str = None,
 ) -> DataFrame:
-    """Packing assignment on a NARROW (conv, n_tokens) frame, joined
-    back to the token arrays: the heavy payload (every token of the
-    corpus) crosses the wire only twice — the conv groupBy that built
-    ``ct`` and the final (shard, bin_id) bin assembly — instead of also
-    riding through the packing window. The arrays side arrives already
-    hash-partitioned on ``conv_col`` (the groupBy's output), so the
-    equi-join reshuffles only the narrow assignment frame.
+    """Single-consumer packing: the ``(shard, bin_id)`` slot is a
+    cumulative-sum window computed DIRECTLY on ``ct`` (shard projection
+    + ``floor(tokens-before / budget)`` — the exact ``pack_sequences``
+    assignment algebra, inlined), so the conversation-tokens frame has
+    exactly ONE consumer and the whole upstream (extraction kernel +
+    BPE encode) executes exactly once. The round-3 shape — a narrow
+    assignment frame joined back to the arrays — recomputed the entire
+    Python chain for each branch (4 MapInPandas / 2 ArrowEvalPython
+    stages, 0 ReusedExchange; the 183.8s driver-bench regression);
+    plan-asserted single-execution now lives in
+    ``tests/test_plans.py::test_sft_compositions_run_python_stages_once``.
+
+    Shuffle budget: the token payload crosses the wire exactly twice —
+    the conv groupBy that built ``ct`` and ONE shard exchange for the
+    packing window. ``_assemble_bins``'s (shard, bin_id) window and
+    groupBy are both satisfied by the shard hash partitioning
+    (partitioning keys ⊆ clustering keys), so no further exchange.
 
     Shard derivation: ``pack_sequences``' default ``id % shards`` only
     works for numeric keys, so when ``shard_col`` is not given and the
@@ -415,27 +456,20 @@ def _pack_and_assemble(
     numeric keys keep the arithmetic modulo (SQL-twinnable)."""
     from pyspark.sql import types as T
 
-    from ocr_spark.operators.training import pack_sequences
-
-    if shard_col is None and isinstance(
-        ct.schema[conv_col].dataType, T.StringType
-    ):
-        ct = ct.withColumn(
-            "_shard",
-            F.pmod(F.xxhash64(F.col(conv_col)), F.lit(shards)).cast("int"),
-        )
-        shard_col = "_shard"
-
-    narrow_cols = [conv_col, "n_tokens"] + ([shard_col] if shard_col else [])
-    assign = pack_sequences(
-        ct.select(*narrow_cols),
-        conv_col,
-        "n_tokens",
-        budget=budget,
-        shards=shards,
-        shard_col=shard_col,
-    ).select(conv_col, "shard", "bin_id")
-    packed = ct.join(assign, conv_col)
+    if shard_col is not None:
+        shard = F.col(shard_col)
+    elif isinstance(ct.schema[conv_col].dataType, T.StringType):
+        shard = F.pmod(F.xxhash64(F.col(conv_col)), F.lit(shards)).cast("int")
+    else:
+        shard = F.col(conv_col) % shards
+    packed = ct.withColumn("shard", shard)
+    wp = (
+        Window.partitionBy("shard")
+        .orderBy(conv_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+    packed = packed.withColumn("bin_id", F.floor(cum_before / budget))
     return _assemble_bins(packed, conv_col)
 
 
@@ -485,6 +519,7 @@ def sft_from_transcripts(
     repartition: int = None,
     assistant_role: str = "assistant",
     max_turns: Optional[int] = None,
+    emit_ids: bool = True,
 ) -> DataFrame:
     """End-to-end raw transcripts -> packed SFT training bins: the
     extraction kernel (``pipeline.extract_transcripts`` — boilerplate
@@ -496,10 +531,11 @@ def sft_from_transcripts(
 
     Shuffle budget end-to-end: optional full-key repartition for the
     extraction stage (skew-spreading), one conv shuffle (token arrays),
-    then the narrow-assignment pack (the token payload itself rides
-    only the final (shard, bin_id) assembly shuffle — see
-    ``_pack_and_assemble``). Every stage's state is bounded (turn batch
-    / conversation / bin).
+    then one shard shuffle for the single-consumer packing window (bin
+    assembly reuses the shard partitioning — see ``_pack_and_assemble``).
+    Every Python stage (extraction kernel, BPE encode) executes exactly
+    once; every stage's state is bounded (turn batch / conversation /
+    bin).
     """
     from ocr_spark.pipeline import extract_transcripts
 
@@ -507,6 +543,7 @@ def sft_from_transcripts(
     return sft_from_turns(
         ext, budget=budget, shards=shards, merges=merges,
         assistant_role=assistant_role, max_turns=max_turns,
+        emit_ids=emit_ids,
     )
 
 
@@ -517,6 +554,7 @@ def sft_from_turns(
     shards: int = 64,
     assistant_role: str = "assistant",
     max_turns: Optional[int] = None,
+    emit_ids: bool = True,
 ) -> DataFrame:
     """The post-extraction half of ``sft_from_transcripts``: cleaned
     turns (``conv_id, turn_idx, role, clean_text``) -> packed bins.
@@ -527,7 +565,8 @@ def sft_from_turns(
         "conv_id", "turn_idx", "role", F.col("clean_text").alias("text")
     )
     ct = sft_conversation_tokens(
-        turns, merges, assistant_role=assistant_role, max_turns=max_turns
+        turns, merges, assistant_role=assistant_role, max_turns=max_turns,
+        emit_ids=emit_ids,
     )
     ct = ct.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col("conv_id")), F.lit(shards)).cast("int")
@@ -535,13 +574,24 @@ def sft_from_turns(
     return _pack_and_assemble(ct, "conv_id", budget, shards, shard_col="_shard")
 
 
-def write_sft_shards(spark, bins: DataFrame, name: str, provider: str = "parquet") -> None:
+def write_sft_shards(
+    spark,
+    bins: DataFrame,
+    name: str,
+    provider: str = "parquet",
+    merges=None,
+) -> None:
     """Materialize packed SFT bins as a catalog table partitioned by
     ``shard`` — a training reader consuming shard k scans exactly one
     partition (plan-prunable), and a re-run of the packing job replaces
     its own shards idempotently (dynamic partition overwrite via
     sources/catalog). With an Iceberg catalog the write is additionally
-    snapshot-atomic; the call path is identical."""
+    snapshot-atomic; the call path is identical.
+
+    ``merges``: when given (i.e. the bins carry int token ids), also
+    persist the ``(token_id, token)`` detokenize table as
+    ``{name}_vocab`` so a reader of the shards never needs the merge
+    list — vocabulary-sized, one overwrite."""
     from pyspark.sql import types as T
 
     from ocr_spark.sources.catalog import ensure_table, overwrite_partitions
@@ -552,6 +602,12 @@ def write_sft_shards(spark, bins: DataFrame, name: str, provider: str = "parquet
     )
     ensure_table(spark, name, schema, ("shard",), provider)
     overwrite_partitions(spark, bins, name)
+    if merges is not None:
+        from ocr_spark.operators.tokenizer import detokenize_table
+
+        detokenize_table(spark, merges).write.mode("overwrite").saveAsTable(
+            f"{name}_vocab"
+        )
 
 
 def sft_turn_spans(

@@ -286,6 +286,106 @@ def bpe_token_count(
     )
 
 
+# ------------------------------------------------------------ int token ids
+#
+# The token VOCABULARY under this tokenizer is closed and tiny: a word's
+# encode emits only unmerged single chars (the 36-symbol [a-z0-9]
+# alphabet — words are lowercase alnum by construction) and merge
+# products (a fold only ever creates x+y for a trained pair). So the
+# token->int32 mapping is a deterministic function of the merge table —
+# chars get ids 0..35 in ASCII order, merge products get 36+rank — and
+# costs nothing to broadcast (it rides the encode kernel's closure).
+# Emitting array<int> token ids instead of array<string> tokens cuts the
+# SFT payload ~5-10x across the two payload shuffles at 100 TB, and is
+# the artifact a training reader wants anyway (detokenize_table is the
+# id->token side table a shard writer persists next to the bins).
+
+_CHAR_ALPHABET = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def bpe_vocab(merges: Sequence[Pair]) -> List[str]:
+    """Deterministic id->token list: single chars then merge products in
+    rank order. Duplicate merge products ((a,bc) and (ab,c) both yield
+    'abc') keep BOTH slots so ids stay rank-aligned, but encoding maps a
+    token string to its FIRST (lowest) id — see ``bpe_token_to_id``."""
+    return list(_CHAR_ALPHABET) + [x + y for x, y in merges]
+
+
+def bpe_token_to_id(merges: Sequence[Pair]) -> Dict[str, int]:
+    """token string -> int32 id (first occurrence wins on duplicates)."""
+    out: Dict[str, int] = {}
+    for i, tok in enumerate(bpe_vocab(merges)):
+        out.setdefault(tok, i)
+    return out
+
+
+def detokenize_table(spark, merges: Sequence[Pair]) -> DataFrame:
+    """The (token_id, token) mapping table for a trained merge list —
+    written alongside packed SFT shards so a reader can detokenize
+    without the merge table. Vocabulary-sized (36 + n_merges rows)."""
+    vocab = bpe_vocab(merges)
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(vocab)], "token_id int, token string"
+    )
+
+
+def ids_to_tokens_col(ids_col, merges: Sequence[Pair]):
+    """array<int> token ids -> array<string> tokens, as a pure column
+    expression over the broadcast-literal vocab (no UDF, no join)."""
+    vocab = F.array(*[F.lit(t) for t in bpe_vocab(merges)])
+    return F.transform(ids_col, lambda i: F.element_at(vocab, i + F.lit(1)))
+
+
+def vocab_sql_values(merges: Sequence[Pair]) -> str:
+    """DuckDB VALUES list for the same deterministic vocab — lets an
+    oracle twin map its string tokens to the ids the Spark side emits."""
+    ranks: Dict[str, int] = {}
+    for i, tok in enumerate(bpe_vocab(merges)):
+        ranks.setdefault(tok, i)
+    rows = ", ".join(f"({i}, '{t}')" for t, i in sorted(ranks.items()))
+    return f"(VALUES {rows}) AS bpe_vocab_t(token_id, token)"
+
+
+def bpe_token_ids(
+    df: DataFrame,
+    merges: Sequence[Pair],
+    text_col: str = "text",
+    out_col: str = "bpe_token_ids",
+) -> DataFrame:
+    """``bpe_tokens`` emitting int32 ids instead of token strings — the
+    scale-correct payload for anything that shuffles tokens. Same Arrow
+    kernel shape (row-local, zero shuffle); the token->id dict rides the
+    closure (vocabulary-sized, effectively a broadcast)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    tok2id = bpe_token_to_id(merges)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc_doc_ids(texts: pd.Series) -> pd.Series:
+        import re
+
+        ws = re.compile(r"[^a-z0-9]+")
+        cache: Dict[str, List[int]] = {}
+
+        def one(t):
+            if not isinstance(t, str) or not t:
+                return []
+            out: List[int] = []
+            for w in ws.split(t.lower()):
+                if not w:
+                    continue
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = [
+                        tok2id[s] for s in encode_word(w, ranks)
+                    ]
+                out.extend(hit)
+            return out
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, enc_doc_ids(F.col(text_col)))
+
+
 # ----------------------------------------------------------- oracle SQL twin
 
 

@@ -53,6 +53,24 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     return sorted(set(cols))
 
 
+def python_stage_counts(df: DataFrame) -> dict[str, int]:
+    """Count the plan's Python-boundary stages per node type
+    (``MapInPandas``, ``ArrowEvalPython``, ``FlatMapGroupsInPandas``).
+
+    The efficiency contract for composition operators: each Arrow
+    kernel in the algebra appears EXACTLY ONCE. A composition that
+    consumes an upstream Arrow stage from two branches without a
+    persist silently doubles these counts — the whole Python chain
+    re-executes per branch (the round-3 ``pack_sft_bins`` regression:
+    4 MapInPandas / 2 ArrowEvalPython where the algebra needs 1/1).
+    Docstring intent doesn't survive rewrites; plan counts do."""
+    plan = formatted_plan(df)
+    return {
+        k: len(re.findall(rf"^\(\d+\) {k}\b", plan, flags=re.M))
+        for k in ("MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas")
+    }
+
+
 def executed_plan(df: DataFrame) -> str:
     """The AQE FINAL physical plan — only meaningful after an action has
     run on this exact DataFrame (AQE re-plans at runtime; the pre-action

@@ -26,11 +26,18 @@ TABLES = [
 
 
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-parity canonicalization: sort the RAW values first (the
+    driver does — a python list/dict column raises ``TypeError:
+    unhashable type`` there, and must fail HERE too, not pass a lenient
+    local gate; round-3 shipped two driver ERRs exactly because this
+    replica stringified object columns before sorting). Only after the
+    strict sort are object columns stringified for the equality check."""
     df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
 
 
 def main() -> int:
@@ -78,7 +85,14 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
             continue
-        a, b = norm_frame(sdf), norm_frame(odf)
+        try:
+            a, b = norm_frame(sdf), norm_frame(odf)
+        except TypeError as ex:
+            # The driver's canonicalizer would ERR on this query (raw
+            # list/dict columns are unsortable) — surface it locally.
+            failures.append(name)
+            print(f"FAIL {name}: unsortable for driver canonicalizer: {ex}")
+            continue
         if not a.equals(b):
             neq = (a != b) & ~(a.isna() & b.isna())
             bad_cols = [c for c in a.columns if neq[c].any()]

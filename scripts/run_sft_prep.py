@@ -75,7 +75,8 @@ def main() -> None:
         shards=args.n_shards,
     )
     if args.table:
-        write_sft_shards(spark, bins, args.table)
+        # merges= also persists the (token_id, token) detokenize table
+        write_sft_shards(spark, bins, args.table, merges=merges)
         stored = spark.table(args.table)
     else:
         bins.write.mode("overwrite").partitionBy("shard").parquet(args.output)

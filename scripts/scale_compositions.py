@@ -1,0 +1,139 @@
+"""One 10x scale point for the two compositions most likely to be run
+corpus-wide (round-3 verdict ask #8): end-to-end curation and transcript
+QC, with throughput AND actual shuffle-write bytes (status REST API) so
+the scan/shuffle ratio is on record next to the wall time.
+
+- Curation: the sf0.1 documents table replicated 10x with deterministic
+  near-dup perturbations (each copy k>0 appends a marker token, so
+  MinHash/LSH has REAL candidate work — exact replication would collapse
+  at the exact-dedup stage and flatter the number). 50k docs through
+  quality filter -> near-dup dedup -> split -> pack.
+- QC: the deterministic bench transcripts generator at 10x the bench
+  corpus (250k convs, ~2.1M turns) with a derived event-time column
+  (every 7th conv gets one ts inversion so the inversion counter does
+  real work) through transcript_integrity + repair_turn_order.
+
+Usage: python scripts/scale_compositions.py [mult]  (default 10)
+Prints one JSON line; numbers land in BENCH.md's round-4 section.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import (  # noqa: E402
+    bench_transcripts_path,
+    materialize,
+    shuffle_write_bytes,
+)
+from ocr_spark.operators.curation import curate_corpus  # noqa: E402
+from ocr_spark.operators.dedup import release_shingle_caches  # noqa: E402
+from ocr_spark.operators.transcript_qc import (  # noqa: E402
+    repair_turn_order,
+    transcript_integrity,
+)
+from ocr_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        "scale_compositions", extra_conf={"spark.ui.enabled": "true"}
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+            (
+                F.col("text")
+                if k == 0
+                else F.concat(F.col("text"), F.lit(f" rev{k}"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for k in range(mult)
+    ]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big = big.repartition(32).persist()
+    n_docs = big.count()
+
+    b0 = shuffle_write_bytes(spark)
+    t0 = time.time()
+    materialize(
+        curate_corpus(
+            big,
+            jaccard_threshold=0.9,
+            token_budget=1024,
+            source_cap=n_docs,
+        )
+    )
+    t_cur = time.time() - t0
+    b_cur = shuffle_write_bytes(spark) - b0
+    release_shingle_caches()
+    big.unpersist(blocking=False)
+
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "25000")) * mult
+    tr = spark.read.parquet(bench_transcripts_path(spark, n_convs))
+    # derived deterministic event time; every 7th conv gets one inversion
+    tr = tr.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_dt_interval(
+            0,
+            0,
+            0,
+            F.col("turn_idx")
+            * F.when(
+                (F.xxhash64("conv_id") % 7 == 0) & (F.col("turn_idx") == 1),
+                F.lit(-1),
+            ).otherwise(F.lit(1)),
+        ),
+    ).persist()
+    n_turns = tr.count()
+
+    b1 = shuffle_write_bytes(spark)
+    t1 = time.time()
+    materialize(transcript_integrity(tr))
+    materialize(repair_turn_order(tr))
+    t_qc = time.time() - t1
+    b_qc = shuffle_write_bytes(spark) - b1
+    tr.unpersist(blocking=False)
+
+    print(
+        json.dumps(
+            {
+                "mult": mult,
+                "curation": {
+                    "docs": n_docs,
+                    "sec": round(t_cur, 2),
+                    "docs_per_sec": round(n_docs / t_cur, 1),
+                    "shuffle_write_bytes": b_cur,
+                    "shuffle_bytes_per_doc": round(b_cur / n_docs, 1),
+                },
+                "qc": {
+                    "turns": n_turns,
+                    "sec": round(t_qc, 2),
+                    "turns_per_sec": round(n_turns / t_qc, 1),
+                    "shuffle_write_bytes": b_qc,
+                    "shuffle_bytes_per_turn": round(b_qc / n_turns, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -402,3 +402,58 @@ def test_shuffle_shards_and_bins_shuffle_budget(spark):
     plan = checks.formatted_plan(bins)
     assert checks.count_exchanges(bins) <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_sft_compositions_run_python_stages_once(spark, small_corpus):
+    """Round-3 regression guard (VERDICT ask #1/#6): `sft_from_transcripts`'
+    plan must contain EXACTLY one MapInPandas (the extraction kernel) and
+    one ArrowEvalPython (the BPE encode). The round-3 narrow-assignment
+    pack consumed the conversation-tokens frame from two branches without
+    a persist, re-running the whole extract+encode chain per branch
+    (4 MapInPandas / 2 ArrowEvalPython, 0 ReusedExchange — the 183.8s
+    driver-bench row). The single-consumer packing window restores the
+    algebraic 1/1, and the token payload crosses exactly two exchanges
+    (conv groupBy + shard packing window; bin assembly reuses the shard
+    partitioning)."""
+    from ocr_spark.operators.sft import sft_from_transcripts
+
+    MERGES = [("e", "r"), ("o", "r"), ("i", "n"), ("a", "n"), ("t", "h")]
+    tr = spark.createDataFrame(small_corpus["transcripts"])
+    bins = sft_from_transcripts(tr, MERGES, budget=128, shards=4)
+    counts = checks.python_stage_counts(bins)
+    assert counts["MapInPandas"] == 1, counts
+    assert counts["ArrowEvalPython"] == 1, counts
+    assert checks.count_exchanges(bins) == 2
+
+
+def test_compositions_python_stage_budget(spark, small_corpus):
+    """Every composition operator executes each of its Python/Arrow
+    kernels exactly once (no silent branch double-compute):
+
+    - `near_dup_dedup`: pure JVM end-to-end (codegen xxhash64 minhash,
+      checkpointed components) — ZERO Python stages;
+    - `curate_corpus` (quality+gopher+repetition+dedup+split+pack): one
+      ArrowEvalPython total;
+    - `classify_pipeline` over the extraction kernel: one MapInPandas
+      (extraction) + one ArrowEvalPython (fuzzy scorer)."""
+    from ocr_spark.operators.curation import curate_corpus
+    from ocr_spark.operators.dedup import near_dup_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nd = checks.python_stage_counts(near_dup_dedup(docs))
+    assert sum(nd.values()) == 0, nd
+
+    cur = checks.python_stage_counts(
+        curate_corpus(docs, gopher_rules=True, max_dup_line_frac=0.9)
+    )
+    assert cur["MapInPandas"] == 0 and cur["ArrowEvalPython"] == 1, cur
+
+    ext = extract_transcripts(spark.createDataFrame(small_corpus["transcripts"]))
+    out = classify_pipeline(
+        ext,
+        spark.createDataFrame(small_corpus["mapping"]),
+        spark.createDataFrame(small_corpus["state"]),
+        spark.createDataFrame(small_corpus["conv_meta"][["conv_id", "venue_state"]]),
+    )
+    cl = checks.python_stage_counts(out)
+    assert cl["MapInPandas"] == 1 and cl["ArrowEvalPython"] == 1, cl

@@ -122,7 +122,7 @@ def test_token_stream_equals_whole_doc_encode(spark, convs):
         ]
 
     docs = _collect_docs(assemble_sft_documents(convs))
-    stream = sft_token_stream(convs, MERGES).collect()
+    stream = sft_token_stream(convs, MERGES, emit_ids=False).collect()
     by_conv = {}
     for r in stream:
         by_conv.setdefault(r["conv_id"], []).append(r)
@@ -168,7 +168,8 @@ def test_conversation_tokens_match_stream(spark, iconvs):
     assert set(ct) == set(stream)
     for cid, rows in stream.items():
         rows.sort(key=lambda r: r["token_pos"])
-        assert list(ct[cid]["token_arr"]) == [r["token"] for r in rows]
+        # default emit_ids=True on both sides: int32 vocab ids
+        assert list(ct[cid]["token_arr"]) == [r["token_id"] for r in rows]
         assert list(ct[cid]["loss_arr"]) == [r["is_loss"] for r in rows]
         assert ct[cid]["n_tokens"] == len(rows)
 
@@ -260,7 +261,9 @@ def test_token_order_honors_all_order_cols(spark):
         "conv_id string, page int, line int, role string, text string",
     )
     rows = sorted(
-        sft_token_stream(df, MERGES, order_cols=("page", "line")).collect(),
+        sft_token_stream(
+            df, MERGES, order_cols=("page", "line"), emit_ids=False
+        ).collect(),
         key=lambda r: r["token_pos"],
     )
     toks = [r["token"] for r in rows]
@@ -346,3 +349,73 @@ def test_write_sft_shards_prunes_on_shard(spark, iconvs):
     write_sft_shards(spark, bins, "t_sft_shards")
     assert spark.table("t_sft_shards").count() == total
     drop_table(spark, "t_sft_shards")
+
+
+def test_token_ids_round_trip_to_strings(spark, iconvs):
+    """Int-id payload parity (round-3 verdict ask #4): the default
+    emit_ids=True stream must be EXACTLY the string stream mapped
+    through the deterministic merge-derived vocab, and ids_to_tokens_col
+    must invert it (detokenization without the merge table)."""
+    from ocr_spark.operators.sft import sft_conversation_tokens
+    from ocr_spark.operators.tokenizer import (
+        bpe_token_to_id,
+        bpe_vocab,
+        ids_to_tokens_col,
+    )
+
+    tok2id = bpe_token_to_id(MERGES)
+    ids = {
+        r["conv"]: r
+        for r in sft_conversation_tokens(iconvs, MERGES, conv_col="conv").collect()
+    }
+    strs = {
+        r["conv"]: r
+        for r in sft_conversation_tokens(
+            iconvs, MERGES, conv_col="conv", emit_ids=False
+        ).collect()
+    }
+    assert set(ids) == set(strs)
+    for cid, r in ids.items():
+        assert list(r["token_arr"]) == [tok2id[t] for t in strs[cid]["token_arr"]]
+        assert list(r["loss_arr"]) == list(strs[cid]["loss_arr"])
+
+    # pure-column detokenize: ids -> token strings, no UDF, no join
+    back = (
+        sft_conversation_tokens(iconvs, MERGES, conv_col="conv")
+        .select(
+            "conv",
+            ids_to_tokens_col(F.col("token_arr"), MERGES).alias("toks"),
+        )
+        .collect()
+    )
+    vocab = bpe_vocab(MERGES)
+    for r in back:
+        assert list(r["toks"]) == [vocab[i] for i in ids[r["conv"]]["token_arr"]]
+        assert list(r["toks"]) == list(strs[r["conv"]]["token_arr"])
+
+
+def test_bin_payload_types_and_vocab_table(spark, iconvs):
+    """The packed-bin payload is int32 ids + int8 loss mask (the 100-TB
+    wire format), and write_sft_shards(merges=...) persists the
+    (token_id, token) detokenize side table next to the shards."""
+    from ocr_spark.operators.sft import pack_sft_bins, write_sft_shards
+    from ocr_spark.operators.tokenizer import bpe_token_to_id
+    from ocr_spark.sources.catalog import drop_table
+
+    bins = pack_sft_bins(iconvs, MERGES, budget=64, shards=4, conv_col="conv")
+    sch = dict((f.name, f.dataType.simpleString()) for f in bins.schema.fields)
+    assert sch["token_ids"] == "array<int>"
+    assert sch["loss_mask"] == "array<tinyint>"
+
+    drop_table(spark, "t_sft_shards_v")
+    spark.sql("DROP TABLE IF EXISTS t_sft_shards_v_vocab")
+    write_sft_shards(spark, bins, "t_sft_shards_v", merges=MERGES)
+    vocab = {
+        r["token"]: r["token_id"]
+        for r in spark.table("t_sft_shards_v_vocab").collect()
+    }
+    # the persisted table contains the full mapping the encoder used
+    for tok, i in bpe_token_to_id(MERGES).items():
+        assert vocab[tok] == i
+    drop_table(spark, "t_sft_shards_v")
+    spark.sql("DROP TABLE IF EXISTS t_sft_shards_v_vocab")
