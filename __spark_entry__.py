@@ -834,6 +834,73 @@ def _q_sft_packed_bins(spark, sf_dir):
     )
 
 
+def _rl_responses(spark, sf_dir):
+    """Deterministic scored-responses fixture from orders: prompt =
+    orderkey % 2000 (~7 candidate responses per prompt at sf0.01),
+    score = Knuth-hash(orderkey) in [0, 100) with one decimal — plain
+    int64 arithmetic, so the SAME expression runs in the DuckDB twin."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        (F.col("o_orderkey") % 2000).alias("prompt_id"),
+        F.col("o_orderkey").alias("response_id"),
+        (
+            ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+            % F.lit(1000)
+        ).cast("double").alias("score"),
+        F.col("o_orderpriority").alias("text"),
+    ).withColumn("score", F.col("score") / 10)
+
+
+_RL_RESP_SQL = (
+    "SELECT o_orderkey % 2000 AS prompt_id, o_orderkey AS response_id, "
+    "CAST(((o_orderkey * 2654435761) % 4294967296) % 1000 AS DOUBLE) / 10 "
+    "AS score, o_orderpriority AS text FROM orders"
+)
+
+
+def _q_rl_preference_pairs(spark, sf_dir):
+    """Max-margin DPO pair assembly (operators/preference.py): per
+    prompt, highest- vs lowest-scored response (deterministic
+    tie-breaks), margin filter — the post-SFT preference-data hand-off.
+    Two rank windows + a join all on ONE prompt-key shuffle."""
+    from ocr_spark.operators.preference import preference_pairs
+
+    out = preference_pairs(_rl_responses(spark, sf_dir), min_margin=5.0)
+    return out.select(
+        "prompt",
+        "chosen_id",
+        "rejected_id",
+        "chosen_text",
+        "rejected_text",
+        F.round("margin", 4).alias("margin"),
+    )
+
+
+def _q_rl_all_pairs(spark, sf_dir):
+    """All (chosen, rejected) pairs above a margin (operators/
+    preference.py): the per-prompt self-join fan-out a pairwise
+    reward-model trainer consumes — O(k^2) in responses-per-prompt,
+    never in the corpus."""
+    from ocr_spark.operators.preference import all_preference_pairs
+
+    out = all_preference_pairs(_rl_responses(spark, sf_dir), min_margin=80.0)
+    return out.select(
+        "prompt", "chosen_id", "rejected_id",
+        F.round("margin", 4).alias("margin"),
+    )
+
+
+def _q_rl_best_of_n(spark, sf_dir):
+    """Rejection sampling: argmax response per prompt (one rank
+    window)."""
+    from ocr_spark.operators.preference import best_of_n
+
+    out = best_of_n(_rl_responses(spark, sf_dir))
+    return out.select(
+        "prompt_id", "response_id", F.round("score", 4).alias("score")
+    )
+
+
 def _q_pk_sequence_packing(spark, sf_dir):
     # sharded contiguous packing into 512-token bins (BPE-ish counts)
     from ocr_spark.operators.training import pack_sequences
@@ -2238,6 +2305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gm_gap_stats": _q_gm_gap_stats,
         "w_sessionize_agg": _q_w_sessionize_agg,
         # ---- scored-window boundary is around here (~50) ----
+        "rl_preference_pairs": _q_rl_preference_pairs,
+        "rl_all_pairs": _q_rl_all_pairs,
+        "rl_best_of_n": _q_rl_best_of_n,
         "a9_skew_safe_distinct": _q_a9_skew_safe_distinct,
         "a10_ordered_collect": _q_a10_ordered_collect,
         "u2_intersect_except": _q_u2_intersect_except,
@@ -3637,6 +3707,36 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "SELECT conv, turn_idx, ts, "
             "CAST(row_number() OVER (PARTITION BY conv ORDER BY ts, turn_idx) "
             "- 1 AS INT) AS new_turn_idx FROM c"
+        ),
+        "rl_preference_pairs": (
+            f"WITH resp AS ({_RL_RESP_SQL}), "
+            "rk AS (SELECT *, "
+            "row_number() OVER (PARTITION BY prompt_id "
+            "ORDER BY score DESC, response_id ASC) AS rb, "
+            "row_number() OVER (PARTITION BY prompt_id "
+            "ORDER BY score ASC, response_id DESC) AS rw FROM resp) "
+            "SELECT b.prompt_id AS prompt, b.response_id AS chosen_id, "
+            "w.response_id AS rejected_id, b.text AS chosen_text, "
+            "w.text AS rejected_text, round(b.score - w.score, 4) AS margin "
+            "FROM (SELECT * FROM rk WHERE rb = 1) b "
+            "JOIN (SELECT * FROM rk WHERE rw = 1) w USING (prompt_id) "
+            "WHERE b.response_id <> w.response_id "
+            "AND b.score - w.score >= 5.0"
+        ),
+        "rl_all_pairs": (
+            f"WITH resp AS ({_RL_RESP_SQL}) "
+            "SELECT a.prompt_id AS prompt, a.response_id AS chosen_id, "
+            "b.response_id AS rejected_id, "
+            "round(a.score - b.score, 4) AS margin "
+            "FROM resp a JOIN resp b ON a.prompt_id = b.prompt_id "
+            "AND a.score > b.score AND a.score - b.score >= 80.0"
+        ),
+        "rl_best_of_n": (
+            f"WITH resp AS ({_RL_RESP_SQL}), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY prompt_id "
+            "ORDER BY score DESC, response_id ASC) AS r FROM resp) "
+            "SELECT prompt_id, response_id, round(score, 4) AS score "
+            "FROM rk WHERE r = 1"
         ),
         "pk_sequence_packing": (
             f"WITH t AS (SELECT doc_id, doc_id % 16 AS shard, "

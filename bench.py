@@ -56,22 +56,24 @@ def materialize(df) -> None:
 
 
 def shuffle_write_bytes(spark) -> int:
-    """Cumulative shuffle-write bytes of this application (status REST
-    API — the bench session enables the UI for it); -1 if unavailable.
+    """Cumulative shuffle-write bytes of this application, read straight
+    from the driver's AppStatusStore (the same store the UI REST API
+    serves — but WITHOUT enabling the UI: the UI's extra listeners cost
+    a measured ~16% on the short flagship rows). -1 if unavailable.
     Callers diff two readings around a job to get that job's wire
     bytes."""
-    import urllib.request
-
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return -1
     try:
-        apps = json.load(urllib.request.urlopen(f"{base}/api/v1/applications"))
-        appid = apps[0]["id"]
-        stages = json.load(
-            urllib.request.urlopen(f"{base}/api/v1/applications/{appid}/stages")
-        )
-        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        sc = spark.sparkContext
+        ss = sc._jsc.sc().statusStore()
+        jvm = sc._gateway.jvm
+        empty = jvm.java.util.ArrayList()
+        darr = sc._gateway.new_array(jvm.double, 0)
+        lst = ss.stageList(empty, False, False, darr, empty)
+        tot = 0
+        it = lst.iterator()
+        while it.hasNext():
+            tot += it.next().shuffleWriteBytes()
+        return tot
     except Exception:
         return -1
 
@@ -140,9 +142,7 @@ def bench_transcripts_path(spark, n_convs: int) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    # UI on: the status REST API is how the payload measurement reads
-    # per-run shuffle-write bytes (zero overhead when idle).
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark("bench")
 
     qs = E.queries()
     headliners = [

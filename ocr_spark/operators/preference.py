@@ -1,0 +1,154 @@
+"""Preference-pair assembly for RLHF/DPO training data.
+
+The post-SFT half of the training-data hand-off (operators/sft.py ends
+at packed SFT bins; reference scope ends earlier still, at per-document
+classification — /root/reference/app/services/classification_service.py):
+given a table of scored candidate responses per prompt, emit the
+(chosen, rejected) pairs a DPO/RLHF trainer consumes, and the
+best-of-n selection a rejection-sampling pipeline keeps.
+
+Design (pure window/join algebra — zero Python stages):
+
+- ``preference_pairs``: per prompt, the top-scored response paired with
+  the bottom-scored one (the classic max-margin pair). Two ranking
+  windows over ONE prompt-key shuffle (same partitioning, no second
+  exchange); deterministic tie-break by response id so the pair set is
+  stable under re-runs and partitioning.
+- ``all_preference_pairs``: every ordered pair with a score margin
+  >= ``min_margin`` — a per-prompt self-join. O(k^2) in responses per
+  prompt (k is model-sample-count, single digits in practice), never
+  in the corpus; the join is prompt-equi, so both sides co-locate on
+  the same hash partitioning.
+- ``best_of_n``: keep the argmax response per prompt (rejection
+  sampling). One window; ties break by response id (min wins).
+
+100-TB notes: everything shuffles exactly once on the prompt key; the
+per-prompt state is k rows (the window frame / join group), never
+unbounded. Skewed prompts (one prompt with millions of samples) are the
+same skew profile the extract stage handles — AQE skew-split applies to
+the self-join; the windows are rank-only (no payload accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    resp_col: str = "response_id",
+    score_col: str = "score",
+    text_col: str = "text",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """One max-margin (chosen, rejected) pair per prompt.
+
+    chosen = highest score (tie: smallest ``resp_col``), rejected =
+    lowest score (tie: LARGEST ``resp_col``, so a 2-response tie pairs
+    two distinct responses, not one with itself). Prompts with fewer
+    than 2 responses, or where the best margin is below ``min_margin``,
+    emit nothing.
+
+    Output: ``(prompt, chosen_id, rejected_id, chosen_text,
+    rejected_text, margin)``.
+
+    Plan shape: chosen and rejected are the FIRST and LAST rows of the
+    SAME total order (desc score, asc id — its reverse IS the rejected
+    tie-break), so one rank window + one count window share one
+    prompt-key sort, and a groupBy on the same key packs each end into
+    a struct. The natural two-window + self-join formulation looks
+    equivalent but Catalyst column-prunes it into two branches that
+    each re-shuffle (4 exchanges); this shape is plan-asserted at ONE
+    exchange (tests/test_preference.py).
+    """
+    w_best = Window.partitionBy("prompt").orderBy(F.desc("s"), F.asc("rid"))
+    w_all = Window.partitionBy("prompt")
+    ranked = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(resp_col).alias("rid"),
+        F.col(score_col).alias("s"),
+        F.col(text_col).alias("txt"),
+    ).select(
+        "*",
+        F.row_number().over(w_best).alias("_rb"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    ends = ranked.filter(
+        (F.col("_n") >= 2)
+        & ((F.col("_rb") == 1) | (F.col("_rb") == F.col("_n")))
+    )
+    payload = F.struct(F.col("rid"), F.col("s"), F.col("txt"))
+    g = ends.groupBy("prompt").agg(
+        F.max(F.when(F.col("_rb") == 1, payload)).alias("_c"),
+        F.max(F.when(F.col("_rb") == F.col("_n"), payload)).alias("_r"),
+    )
+    return g.filter(
+        (F.col("_c.s") - F.col("_r.s")) >= F.lit(min_margin)
+    ).select(
+        "prompt",
+        F.col("_c.rid").alias("chosen_id"),
+        F.col("_r.rid").alias("rejected_id"),
+        F.col("_c.txt").alias("chosen_text"),
+        F.col("_r.txt").alias("rejected_text"),
+        (F.col("_c.s") - F.col("_r.s")).alias("margin"),
+    )
+
+
+def all_preference_pairs(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    resp_col: str = "response_id",
+    score_col: str = "score",
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Every (chosen, rejected) pair per prompt with margin >=
+    ``min_margin`` (strictly positive margins only when
+    ``min_margin=0`` would admit ties — ties are never emitted: a pair
+    requires ``chosen.score > rejected.score``).
+
+    Output: ``(prompt, chosen_id, rejected_id, margin)`` — ids only;
+    callers re-join texts if needed (the O(k^2) fan-out should carry
+    the narrowest possible payload).
+    """
+    a = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(resp_col).alias("chosen_id"),
+        F.col(score_col).alias("_cs"),
+    )
+    b = df.select(
+        F.col(prompt_col).alias("prompt"),
+        F.col(resp_col).alias("rejected_id"),
+        F.col(score_col).alias("_rs"),
+    )
+    return (
+        a.join(b, "prompt")
+        .filter(F.col("_cs") > F.col("_rs"))
+        .filter((F.col("_cs") - F.col("_rs")) >= F.lit(min_margin))
+        .select(
+            "prompt",
+            "chosen_id",
+            "rejected_id",
+            (F.col("_cs") - F.col("_rs")).alias("margin"),
+        )
+    )
+
+
+def best_of_n(
+    df: DataFrame,
+    prompt_col: str = "prompt_id",
+    resp_col: str = "response_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Rejection sampling: keep the single highest-scored response per
+    prompt (tie: smallest response id). All input columns pass through.
+    One ranking window — one prompt-key shuffle."""
+    w = Window.partitionBy(prompt_col).orderBy(
+        F.desc(score_col), F.asc(resp_col)
+    )
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+    )

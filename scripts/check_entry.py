@@ -71,6 +71,7 @@ def main() -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({dt:.1f}s)")
             continue
+        t1 = time.time()
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as ex:
@@ -102,7 +103,8 @@ def main() -> int:
                 idx = neq[c].idxmax()
                 print(f"  {c}[{idx}]: spark={a[c][idx]!r} oracle={b[c][idx]!r}")
         else:
-            print(f"ok   {name}: {len(sdf)} rows match ({dt:.1f}s)")
+            odt = time.time() - t1
+            print(f"ok   {name}: {len(sdf)} rows match ({dt:.1f}s, oracle {odt:.1f}s)")
     print("entry() smoke:", end=" ")
     edf = E.entry(spark)
     print(f"{edf.count()} rows, schema ok")

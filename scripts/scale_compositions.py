@@ -45,9 +45,7 @@ from ocr_spark.session import get_spark  # noqa: E402
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(
-        "scale_compositions", extra_conf={"spark.ui.enabled": "true"}
-    )
+    spark = get_spark("scale_compositions")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     copies = [

@@ -1,0 +1,83 @@
+"""Preference-pair assembly (operators/preference.py): DPO max-margin
+pairs, all-pairs fan-out, best-of-n rejection sampling — semantics on
+crafted fixtures plus the one-shuffle plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.preference import (
+    all_preference_pairs,
+    best_of_n,
+    preference_pairs,
+)
+from ocr_spark.plans import checks
+
+
+@pytest.fixture(scope="module")
+def responses(spark):
+    # prompt p1: clear margin; p2: two-way tie (must pair two DISTINCT
+    # responses); p3: singleton (emits nothing); p4: all equal scores
+    rows = [
+        ("p1", 1, 9.0, "best"),
+        ("p1", 2, 3.0, "mid"),
+        ("p1", 3, 1.0, "worst"),
+        ("p2", 4, 5.0, "tie-a"),
+        ("p2", 5, 5.0, "tie-b"),
+        ("p3", 6, 7.0, "only"),
+        ("p4", 7, 2.0, "eq-a"),
+        ("p4", 8, 2.0, "eq-b"),
+        ("p4", 9, 2.0, "eq-c"),
+    ]
+    return spark.createDataFrame(
+        rows, "prompt_id string, response_id int, score double, text string"
+    )
+
+
+def test_preference_pairs_max_margin(spark, responses):
+    out = {r["prompt"]: r for r in preference_pairs(responses).collect()}
+    # p1: top=1, bottom=3
+    assert out["p1"]["chosen_id"] == 1 and out["p1"]["rejected_id"] == 3
+    assert out["p1"]["chosen_text"] == "best"
+    assert out["p1"]["rejected_text"] == "worst"
+    assert out["p1"]["margin"] == 8.0
+    # p2 tie: chosen = min id (4), rejected = max id (5) — distinct
+    assert out["p2"]["chosen_id"] == 4 and out["p2"]["rejected_id"] == 5
+    assert out["p2"]["margin"] == 0.0
+    # p3 singleton never pairs with itself
+    assert "p3" not in out
+    # p4 all-equal: chosen = min id, rejected = max id
+    assert out["p4"]["chosen_id"] == 7 and out["p4"]["rejected_id"] == 9
+
+
+def test_preference_pairs_min_margin_filter(spark, responses):
+    out = {r["prompt"]: r for r in preference_pairs(responses, min_margin=1.0).collect()}
+    assert set(out) == {"p1"}  # ties (margin 0) drop
+
+
+def test_all_pairs_strict_and_margin(spark, responses):
+    out = all_preference_pairs(responses).collect()
+    got = {(r["prompt"], r["chosen_id"], r["rejected_id"]) for r in out}
+    # strictly-greater only: ties never pair, singletons never pair
+    assert got == {("p1", 1, 2), ("p1", 1, 3), ("p1", 2, 3)}
+    hi = all_preference_pairs(responses, min_margin=7.0).collect()
+    assert {(r["chosen_id"], r["rejected_id"]) for r in hi} == {(1, 3)}
+    assert hi[0]["margin"] == 8.0
+
+
+def test_best_of_n_argmax_and_ties(spark, responses):
+    out = {r["prompt_id"]: r for r in best_of_n(responses).collect()}
+    assert out["p1"]["response_id"] == 1
+    assert out["p2"]["response_id"] == 4  # tie -> min id
+    assert out["p3"]["response_id"] == 6
+    assert out["p4"]["response_id"] == 7
+    # passthrough columns survive
+    assert out["p1"]["text"] == "best"
+
+
+def test_preference_pairs_one_shuffle(spark, responses):
+    """Both rank windows and the best/worst join share the prompt hash
+    partitioning — exactly ONE exchange end-to-end, zero Python
+    stages."""
+    out = preference_pairs(responses)
+    assert checks.count_exchanges(out) == 1
+    assert sum(checks.python_stage_counts(out).values()) == 0
