@@ -761,6 +761,83 @@ def _q_qc_repair_turn_order(spark, sf_dir):
     return out.select("conv", "turn_idx", "ts", "new_turn_idx")
 
 
+def _q_ev_equality_report(spark, sf_dir):
+    """Per-turn extraction-equality verdicts (operators/
+    eval_extraction.py) — the north-star acceptance metric as an
+    operator. Pred = the REAL plain-kind extraction; gold = the same
+    output with deterministic injected divergence (every 11th doc
+    perturbed, every 13th missing from gold, ghosts every 17th) so all
+    four verdicts appear. The oracle recomputes both sides from the
+    canonicalization twin."""
+    from ocr_spark.operators.eval_extraction import extraction_equality_report
+
+    _ensure_pyfiles(spark)
+    ext = extract_transcripts(_plain_corpus(spark, sf_dir)).select(
+        F.col("conv_id").cast("long").alias("doc_id"), "clean_text"
+    )
+    pred = ext
+    gold = ext.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("clean_text"), F.lit(" x"))
+        )
+        .otherwise(F.col("clean_text"))
+        .alias("clean_text"),
+    ).unionAll(
+        ext.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.lit("ghost").alias("clean_text"),
+        )
+    )
+    return extraction_equality_report(
+        pred, gold, keys=("doc_id",), diagnostics=False
+    )
+
+
+def _q_ev_equality_summary(spark, sf_dir):
+    """One-row corpus acceptance summary over the same verdict report
+    (pass rate + per-verdict counts)."""
+    from ocr_spark.operators.eval_extraction import extraction_equality_summary
+
+    return extraction_equality_summary(_q_ev_equality_report(spark, sf_dir))
+
+
+def _q_ts_role_transitions(spark, sf_dir):
+    """Markov role-transition counts with a virtual start state
+    (operators/transcript_stats.py) vs a DuckDB lag-window twin."""
+    from ocr_spark.operators.transcript_stats import role_transition_matrix
+
+    return role_transition_matrix(_conv_corpus(spark, sf_dir), conv_col="conv")
+
+
+def _q_ts_tool_usage(spark, sf_dir):
+    """Per payload-kind corpus profile (turns / convs / char volume);
+    a NULL tool folds into 'plain', the dispatch default."""
+    from ocr_spark.operators.transcript_stats import tool_usage_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.selectExpr(
+        "CAST(doc_id % 97 AS BIGINT) AS conv",
+        "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'html' WHEN 1 THEN 'markdown' "
+        "WHEN 2 THEN 'json_tool' WHEN 3 THEN CAST(NULL AS STRING) "
+        "ELSE 'plain' END AS tool",
+        "substr(coalesce(text, ''), 1, CAST(20 + doc_id % 41 AS INT)) AS text",
+    )
+    return tool_usage_stats(corpus, conv_col="conv")
+
+
+def _q_ts_conversation_shape(spark, sf_dir):
+    """Conversation-structure histogram (log2 length buckets, role mix,
+    wall duration) over an events-derived conversation frame."""
+    from ocr_spark.operators.transcript_stats import conversation_shape
+
+    ev = _t(spark, sf_dir, "events")
+    corpus = ev.selectExpr(
+        "user_id AS conv", "event_type AS role", "ts"
+    )
+    return conversation_shape(corpus, conv_col="conv")
+
+
 def _q_sft_doc_assembly(spark, sf_dir):
     """Conversation -> SFT training document (operators/sft.py): role-
     tagged rendering + loss-mask accounting, hash-verified against a
@@ -1570,6 +1647,31 @@ def _q_ex_markdown_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_wiki_sql_twin(spark, sf_dir):
+    """Hash-verified wiki-kind extraction: the REAL regex line kernel
+    (extract/wiki.py — headings, wikitables, templates, refs, wiki /
+    external links, quote runs) vs a line-enumerating DuckDB twin over
+    the same word pieces (see _WIKI_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.expr(_WIKI_PAYLOAD_SQL).alias("text"),
+        F.lit("wiki").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        F.concat_ws(",", F.expr("transform(spans, s -> s.kind)")).alias("kinds"),
+    )
+
+
 def _q_ex_dispatch_twin(spark, sf_dir):
     """Hash-verified KIND DISPATCH (S1): one corpus whose tool column
     routes each doc to a different kernel by doc_id parity — plain /
@@ -2330,6 +2432,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_time_parts": _q_t14_time_parts,
         "t15_string_funcs": _q_t15_string_funcs,
         "t16_sequence_explode": _q_t16_sequence_explode,
+        "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
+        "ev_equality_report": _q_ev_equality_report,
+        "ev_equality_summary": _q_ev_equality_summary,
+        "ts_role_transitions": _q_ts_role_transitions,
+        "ts_tool_usage": _q_ts_tool_usage,
+        "ts_conversation_shape": _q_ts_conversation_shape,
     }
 
 
@@ -2385,6 +2493,35 @@ _MD_PAYLOAD_SQL = (
     f" || CASE WHEN doc_id % 3 = 0 THEN '| ' || {_MD_W1} || ' | ' || {_MD_W2}"
     " || ' |' || chr(10) || '|---|---|' || chr(10) ELSE '' END"
     f" || 'tail ' || {_MD_W2}"
+)
+
+# wiki twin fixture: every formatting construct of the wikitext kernel
+# (extract/wiki.py spec) over the SAME documents.text word pieces the
+# markdown twin uses. ids % 3 == 0 add a full wikitable (open/caption/
+# header/row-sep/cell/close); a Category link line drops to empty on
+# every id. Apostrophe runs and braces are emitted via repeat(chr(39))/
+# literal braces so the payload SQL parses identically in Spark SQL and
+# DuckDB.
+_WK_Q2 = "repeat(chr(39), 2)"
+_WK_Q3 = "repeat(chr(39), 3)"
+_WIKI_PAYLOAD_SQL = (
+    "'== ' || " + _MD_W1 + " || ' ==' || chr(10)"
+    " || 'Intro ' || " + _WK_Q3 + " || 'q' || " + _MD_W2 + " || 'q' || " + _WK_Q3
+    + " || ' links [[page one|' || " + _MD_W1 + " || ']] and [[' || " + _MD_W3
+    + " || ']] done.' || chr(10)"
+    " || '* item ' || " + _WK_Q2 + " || 'q' || " + _MD_W3 + " || 'q' || " + _WK_Q2
+    + " || ' end' || chr(10)"
+    " || '# first [http://example.com/x q' || " + _MD_W1 + " || 'q] kept' || chr(10)"
+    " || ': def {{cite|q' || " + _MD_W2 + " || 'q}} tail<ref>skip</ref> now' || chr(10)"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " '{| class=\"wikitable\"' || chr(10)"
+    " || '|+ totals ' || " + _MD_W1 + " || chr(10)"
+    " || '! ' || " + _MD_W1 + " || ' !! count' || chr(10)"
+    " || '|-' || chr(10)"
+    " || '| ' || " + _MD_W2 + " || ' || 42' || chr(10)"
+    " || '|}' || chr(10) ELSE '' END"
+    " || '[[Category:hidden ' || " + _MD_W3 + " || ']]' || chr(10)"
+    " || 'tail ' || " + _MD_W2
 )
 
 _PLAIN_PAYLOAD_SQL = (
@@ -2551,6 +2688,70 @@ k AS (SELECT * FROM lines WHERE incl AND txt <> ''),
 tot AS (SELECT doc_id,
           8 + CASE WHEN has_code THEN 4 ELSE 0 END
             + CASE WHEN has_table THEN 2 ELSE 0 END AS n_lines FROM d)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+  string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
+  CAST(count(*) AS INTEGER) AS blocks_kept,
+  CAST(any_value(t.n_lines) - count(*) AS INTEGER) AS blocks_dropped,
+  string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
+FROM k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+
+# DuckDB twin of the extraction-equality report: pred = the plain
+# canonicalization twin's clean_text; gold = the same with the injected
+# divergence the Spark query applies to the REAL kernel output.
+_EV_REPORT_SQL = f"""
+WITH pred AS (SELECT doc_id, clean_text FROM ({_PLAIN_TWIN_SQL})),
+gold AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN clean_text || ' x'
+              ELSE clean_text END AS clean_text
+  FROM pred WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'ghost' FROM pred WHERE doc_id % 17 = 0),
+j AS (SELECT coalesce(p.doc_id, g.doc_id) AS doc_id,
+             p.clean_text AS pc, g.clean_text AS gc
+      FROM pred p FULL OUTER JOIN gold g ON p.doc_id = g.doc_id)
+SELECT doc_id,
+  CASE WHEN pc IS NULL THEN 'missing_pred'
+       WHEN gc IS NULL THEN 'missing_gold'
+       WHEN pc = gc THEN 'match' ELSE 'mismatch' END AS verdict,
+  CAST(length(pc) AS INTEGER) AS pred_len,
+  CAST(length(gc) AS INTEGER) AS gold_len
+FROM j
+"""
+
+
+# DuckDB twin of the wikitext kernel over the deterministic fixture:
+# enumerate the expected post-spec line for each payload line (the
+# Spark side runs the REAL extract/wiki.py kernel over the payload).
+_WIKI_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 3 = 0) AS has_table
+           FROM documents),
+lines AS (
+  SELECT doc_id, 1 AS ord, 'heading' AS kind, {_canon_sql('w1')} AS txt,
+         true AS incl FROM d
+  UNION ALL SELECT doc_id, 2, 'text',
+    {_canon_sql("'Intro q' || w2 || 'q links ' || w1 || ' and ' || w3 || ' done.'")},
+    true FROM d
+  UNION ALL SELECT doc_id, 3, 'text',
+    {_canon_sql("'item q' || w3 || 'q end'")}, true FROM d
+  UNION ALL SELECT doc_id, 4, 'text',
+    {_canon_sql("'first q' || w1 || 'q kept'")}, true FROM d
+  UNION ALL SELECT doc_id, 5, 'text', 'def tail now', true FROM d
+  UNION ALL SELECT doc_id, 6, 'text',
+    {_canon_sql("'totals ' || w1")}, has_table FROM d
+  UNION ALL SELECT doc_id, 7, 'text',
+    {_canon_sql("w1 || ' count'")}, has_table FROM d
+  UNION ALL SELECT doc_id, 8, 'text',
+    {_canon_sql("w2 || ' 42'")}, has_table FROM d
+  UNION ALL SELECT doc_id, 9, 'text',
+    {_canon_sql("'tail ' || w2")}, true FROM d),
+k AS (SELECT * FROM lines WHERE incl AND txt <> ''),
+tot AS (SELECT doc_id,
+          7 + CASE WHEN has_table THEN 6 ELSE 0 END AS n_lines FROM d)
 SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
   CAST(count(*) AS INTEGER) AS blocks_kept,
@@ -4101,5 +4302,52 @@ SELECT CAST(rec.conv AS BIGINT) AS conv, rec.record_idx, rec."Name",
         AND upper(trim(rec."Name")) = upper(trim(n1.hint_name))
        THEN 'NP' ELSE rec."Credential_OCR" END AS cred_after_hints
 FROM rec JOIN n1 ON rec.conv = n1.conv
+""",
+        "ex_wiki_sql_twin": _WIKI_TWIN_SQL,
+        "ev_equality_report": _EV_REPORT_SQL,
+        "ev_equality_summary": f"""
+WITH r AS ({_EV_REPORT_SQL})
+SELECT count(*) AS turns,
+  CAST(sum(CASE WHEN verdict = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+  CAST(sum(CASE WHEN verdict = 'mismatch' THEN 1 ELSE 0 END) AS BIGINT) AS mismatched,
+  CAST(sum(CASE WHEN verdict = 'missing_pred' THEN 1 ELSE 0 END) AS BIGINT) AS missing_pred,
+  CAST(sum(CASE WHEN verdict = 'missing_gold' THEN 1 ELSE 0 END) AS BIGINT) AS missing_gold,
+  round(CAST(sum(CASE WHEN verdict = 'match' THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS pass_rate
+FROM r
+""",
+        "ts_role_transitions": f"""
+WITH c AS ({_CONV_CORPUS_SQL}),
+l AS (SELECT conv, turn_idx, role,
+        coalesce(lag(role) OVER (PARTITION BY conv ORDER BY turn_idx),
+                 '_start_') AS prev_role
+      FROM c)
+SELECT prev_role, role, count(*) AS transitions
+FROM l GROUP BY prev_role, role
+""",
+        "ts_tool_usage": """
+WITH c AS (SELECT CAST(doc_id % 97 AS BIGINT) AS conv,
+  CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'html' WHEN 1 THEN 'markdown'
+    WHEN 2 THEN 'json_tool' WHEN 3 THEN CAST(NULL AS VARCHAR)
+    ELSE 'plain' END AS tool,
+  substr(coalesce(text, ''), 1, CAST(20 + doc_id % 41 AS INT)) AS text
+  FROM documents)
+SELECT coalesce(tool, 'plain') AS kind, count(*) AS turns,
+  count(DISTINCT conv) AS convs,
+  CAST(sum(length(text)) AS BIGINT) AS chars,
+  round(CAST(avg(length(text)) AS DOUBLE), 2) AS avg_chars
+FROM c GROUP BY coalesce(tool, 'plain')
+""",
+        "ts_conversation_shape": """
+WITH p AS (SELECT user_id AS conv, count(*) AS n_turns,
+             count(DISTINCT event_type) AS n_roles,
+             CAST(floor(epoch(max(ts))) AS BIGINT)
+               - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+           FROM events GROUP BY user_id)
+SELECT CAST(floor(log2(n_turns)) AS INTEGER) AS len_bucket_log2,
+  count(*) AS convs, CAST(sum(n_turns) AS BIGINT) AS turns,
+  round(CAST(avg(n_roles) AS DOUBLE), 3) AS avg_roles,
+  round(CAST(avg(duration_s) AS DOUBLE), 2) AS avg_duration_s
+FROM p GROUP BY 1
 """,
     }

@@ -239,6 +239,38 @@ def _json_payload(r: random.Random) -> str:
     return _json.dumps(doc)
 
 
+def _wiki_payload(r: random.Random) -> str:
+    """Wikitext turn: headings, wiki/external links, templates, refs,
+    bold/italic quotes, lists, tables (exercises extract/wiki.py)."""
+    lines = [f"{'=' * r.randint(2, 4)} {_sentence(r, 2, 5)} {'=' * r.randint(2, 4)}"]
+    for _ in range(r.randint(2, 6)):
+        roll = r.random()
+        if roll < 0.18:
+            lines.append(f"* item [[{_sentence(r, 1, 3)}|{_name(r)}]] listed")
+        elif roll < 0.3:
+            lines.append(f"# '''{_name(r)}''' then ''{_sentence(r, 2, 4)}''")
+        elif roll < 0.42:
+            lines.append(
+                f"{_sentence(r, 2, 6)}{{{{cite web|url=x{r.randint(1, 99)}}}}}"
+                f" more<ref>note {r.randint(1, 9)}</ref> text"
+            )
+        elif roll < 0.52:
+            lines.append(f"see [http://example.com/{r.randint(1, 99)} {_sentence(r, 1, 3)}] now")
+        elif roll < 0.62:
+            lines.extend([
+                '{| class="wikitable"',
+                f"! {_name(r)} !! total",
+                "|-",
+                f"| {_sentence(r, 1, 3)} || {r.randint(0, 99)}",
+                "|}",
+            ])
+        elif roll < 0.7:
+            lines.append(f"[[File:img{r.randint(1, 9)}.png|thumb]]")
+        else:
+            lines.append(f"{_sentence(r, 4, 12)} [[{_sentence(r, 1, 2)}]] end")
+    return "\n".join(lines)
+
+
 _BUILDERS = {
     "html": _html_payload,
     "pdf_layout": _pdf_payload,
@@ -246,6 +278,7 @@ _BUILDERS = {
     "plain": _plain_payload,
     "markdown": _markdown_payload,
     "json_tool": _json_payload,
+    "wiki": _wiki_payload,
 }
 
 

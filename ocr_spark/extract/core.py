@@ -32,6 +32,9 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
 - ``json_tool``  -> string-value extraction from JSON tool outputs with
                     literal-offset spans; invalid JSON degrades to plain
                     with parse_failures=1 (see extract/json_payload.py)
+- ``wiki``       -> wikitext formatting strip (headings, tables,
+                    templates, wiki/external links, ref tags; see
+                    extract/wiki.py — rebuild extension)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -47,6 +50,7 @@ from .markdown import extract_markdown
 from .normalize import canonicalize, plain_block
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
 from .pdf_layout import extract_pdf_layout
+from .wiki import extract_wiki
 
 Span = Tuple[int, int, str]
 Record = Tuple[str, str, str]  # (Name, Credential_OCR, Signature)
@@ -63,6 +67,7 @@ KIND_RECORDS = "records"
 KIND_PLAIN = "plain"
 KIND_MARKDOWN = "markdown"
 KIND_JSON = "json_tool"
+KIND_WIKI = "wiki"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -95,7 +100,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
     kind = (
         tool
         if tool
-        in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN, KIND_JSON)
+        in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN,
+            KIND_JSON, KIND_WIKI)
         else KIND_PLAIN
     )
 
@@ -111,6 +117,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         dropped = parse_failures
     elif kind == KIND_MARKDOWN:
         clean, spans, kept, dropped = extract_markdown(payload)
+    elif kind == KIND_WIKI:
+        clean, spans, kept, dropped = extract_wiki(payload)
     elif kind == KIND_JSON:
         clean, spans, kept, dropped, parse_failures = extract_json_tool(payload)
     elif kind == KIND_RECORDS:

@@ -1,0 +1,121 @@
+"""Wiki-markup main-content extraction (the ``wiki`` payload kind).
+
+Encyclopedia-style wikitext is the third big markup family in scraped
+corpora after HTML and markdown; agent transcripts quote it whenever a
+wiki page lands in context. This kernel strips wikitext *formatting*
+while keeping the content — the same contract as ``extract_markdown``
+(reference analog: the per-kind dispatch of
+data_extraction_service.py:71-78; this kind is a rebuild extension).
+
+Deterministic line-based spec (shared verbatim by the Spark pipeline
+and the DuckDB twin ``ex_wiki_sql_twin`` in ``__spark_entry__``):
+
+1. Table-structure lines are dropped: a line whose lstrip starts with
+   ``{|`` (table open), ``|}`` (close) or ``|-`` (row).
+2. A heading line ``== Title ==`` (2-6 leading ``=``, at least one
+   trailing ``=``) keeps the inner title; span kind ``heading``.
+3. A table-cell or caption line (lstrip starts with ``|+``, ``|`` or
+   ``!``) loses the leading marker; inline cell separators ``||`` /
+   ``!!`` become single spaces. Span kind ``text`` (captions are
+   content; row markers are not).
+4. Any other line loses one leading run of list/indent markers
+   (``* # : ;``).
+5. The body then runs a fixed inline chain: HTML comments
+   ``<!-- -->`` -> '' ; self-closing ``<ref/>`` then paired
+   ``<ref>..</ref>`` -> '' ; ``{{templates}}`` -> '' (two passes, so
+   one nesting level vanishes; deeper nesting leaves the outer braces
+   — deterministic on both engines) ; ``[[File:..]]`` / ``[[Image:..]]``
+   / ``[[Category:..]]`` -> '' ; ``[[target|label]]`` -> label and
+   ``[[target]]`` -> target ; external ``[http(s)://url label]`` ->
+   label (no label -> '') ; apostrophe runs ``''``/``'''``/``'''''``
+   (length >= 2) removed ; any remaining ``<tag>`` removed.
+6. ``canonicalize`` -> non-empty lines kept (one span per kept line,
+   offsets into the RAW payload, end excluding the terminator), empty
+   ones dropped.
+
+Single quotes survive (possessives/contractions are content); a lone
+``=`` line or an unclosed heading stays text — wikitext in the wild is
+full of both, and silent repair would diverge from the twin.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .normalize import canonicalize
+
+Span = Tuple[int, int, str]
+
+_LINE_END = re.compile(r"\r\n|\r|\n")
+_TABLE_STRUCT = re.compile(r"^[ \t]*(\{\||\|\}|\|-)")
+_HEADING = re.compile(r"^[ \t]*={2,6}[ \t]*(.*?)[ \t]*=+[ \t]*$")
+_CELL = re.compile(r"^[ \t]*(\|\+|[|!])[ \t]*")
+_CELL_SEP = re.compile(r"\|\||!!")
+_LIST = re.compile(r"^[ \t]*[*#:;]+[ \t]*")
+# inline chain — every construct contains one of these trigger chars;
+# one C-level search gates the eight subs (same trick as markdown's
+# _INLINE_ANY, exact semantics preserved)
+_INLINE_ANY = re.compile(r"[<{\['']")
+_COMMENT = re.compile(r"<!--.*?-->")
+_REF_SELF = re.compile(r"<ref[^<>]*/>")
+_REF_PAIR = re.compile(r"<ref[^<>/]*>.*?</ref>")
+_TEMPLATE = re.compile(r"\{\{[^{}]*\}\}")
+_MEDIA_LINK = re.compile(r"\[\[(?:File|Image|Category):[^\[\]]*\]\]")
+_WIKI_LINK = re.compile(r"\[\[(?:[^\[\]|]*\|)?([^\[\]|]*)\]\]")
+_EXT_LINK = re.compile(r"\[https?://[^ \t\]]*(?:[ \t]+([^\]]*))?\]")
+_QUOTE_RUN = re.compile(r"'{2,}")
+_TAG = re.compile(r"<[^<>]+>")
+
+
+def extract_wiki(payload: str) -> Tuple[str, List[Span], int, int]:
+    """Extract wikitext main content.
+
+    Returns ``(clean_text, spans, lines_kept, lines_dropped)`` — the
+    ``extract_turn`` block contract (one block per source line).
+    """
+    out: List[str] = []
+    spans: List[Span] = []
+    kept = dropped = 0
+    i = 0
+    n = len(payload)
+    while i <= n:
+        m = _LINE_END.search(payload, i)
+        if m:
+            start, end, nxt = i, m.start(), m.end()
+        else:
+            start, end, nxt = i, n, n + 1
+        line = payload[start:end]
+        i = nxt
+        if _TABLE_STRUCT.match(line):
+            dropped += 1
+            continue
+        hm = _HEADING.match(line)
+        if hm:
+            kind, body = "heading", hm.group(1)
+        else:
+            kind = "text"
+            cm = _CELL.match(line)
+            if cm:
+                body = _CELL_SEP.sub(" ", line[cm.end():])
+            else:
+                body = _LIST.sub("", line, count=1)
+        if _INLINE_ANY.search(body):
+            body = _COMMENT.sub("", body)
+            body = _REF_SELF.sub("", body)
+            body = _REF_PAIR.sub("", body)
+            body = _TEMPLATE.sub("", body)
+            body = _TEMPLATE.sub("", body)
+            body = _MEDIA_LINK.sub("", body)
+            body = _WIKI_LINK.sub(r"\1", body)
+            body = _EXT_LINK.sub(r"\1", body)
+            body = _QUOTE_RUN.sub("", body)
+            body = _TAG.sub("", body)
+        clean = canonicalize(body)
+        if clean:
+            out.append(clean)
+            spans.append((start, end, kind))
+            kept += 1
+        else:
+            dropped += 1
+    return "\n".join(out), spans, kept, dropped

@@ -1,0 +1,135 @@
+"""Extraction-equality evaluation: the north-star acceptance metric as
+a distributed operator.
+
+BASELINE.json's metric is "per-turn text-equality pass rate vs reference
+golden fixtures". The pytest goldens assert it at fixture scale; THIS
+operator computes it at corpus scale, so a 10^12-turn run can publish
+its own acceptance number (and quarantine the divergent turns) instead
+of hoping fixtures generalize.
+
+Design for scale:
+
+- ``extraction_equality_report`` is one full-outer equi-join on the
+  turn key — both sides arrive partitioned by ``conv_id`` from the
+  extraction stage, so AQE plans a co-partitioned join; verdict flags
+  are pure codegen (null checks + string equality, no Python).
+- The expensive diagnostic (first divergent char offset) runs ONLY on
+  the mismatch subset — at an expected pass rate >99.9% that is a
+  vanishingly small frame, and it still stays JVM-side: the common
+  prefix length is computed with ``aggregate`` over a fixed-step char
+  comparison rather than a Python UDF.
+- ``extraction_equality_summary`` is a single groupBy over the verdict
+  column (map-side combined) — output cardinality 4.
+
+Reference analog: the reference eyeballs per-document OCR output
+against expected strings in its tests (/root/reference/tests/,
+classification fixtures); this is the corpus-scale generalization the
+north rule's "per-turn text equality under stable turn ordering"
+acceptance needs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+VERDICT_MATCH = "match"
+VERDICT_MISMATCH = "mismatch"
+VERDICT_MISSING_PRED = "missing_pred"
+VERDICT_MISSING_GOLD = "missing_gold"
+
+
+def _first_diff_col(a, b):
+    """1-based char offset of the first difference between two non-null
+    strings that are KNOWN to differ; pure Catalyst (no Python): the
+    common-prefix length is the count of leading positions where the
+    chars agree, found with one pass over the shorter string."""
+    # scan window capped at 4096 chars: the sequence/filter pair
+    # materializes one int per scanned char, and a diagnostic does not
+    # need to walk a 1 MB payload — a diff past the cap reports 4097
+    shorter = F.least(F.length(a), F.length(b), F.lit(4096))
+    return F.when(shorter == 0, F.lit(1)).otherwise(
+        F.coalesce(
+            # F.get (not getItem): returns NULL on the empty array the
+            # filter yields when the common prefix covers the window
+            # (ANSI mode throws on [0] there)
+            F.get(
+                F.filter(
+                    F.sequence(F.lit(1), shorter),
+                    lambda i: F.substr(a, i, F.lit(1)) != F.substr(b, i, F.lit(1)),
+                ),
+                F.lit(0),
+            ),
+            # equal over the common prefix -> the length difference is
+            # the divergence, at position shorter+1
+            shorter + 1,
+        )
+    )
+
+
+def extraction_equality_report(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "clean_text",
+    diagnostics: bool = True,
+) -> DataFrame:
+    """Per-turn equality verdicts between an extraction run and a golden
+    frame. Returns one row per key present on EITHER side with columns
+    ``*keys, verdict, pred_len, gold_len, first_diff`` (first_diff is
+    null unless verdict = mismatch and diagnostics is on)."""
+    p = pred.select(*keys, F.col(text_col).alias("_pred"))
+    g = gold.select(*keys, F.col(text_col).alias("_gold"))
+    j = p.join(g, on=list(keys), how="full_outer")
+    verdict = (
+        F.when(F.col("_pred").isNull(), F.lit(VERDICT_MISSING_PRED))
+        .when(F.col("_gold").isNull(), F.lit(VERDICT_MISSING_GOLD))
+        .when(F.col("_pred") == F.col("_gold"), F.lit(VERDICT_MATCH))
+        .otherwise(F.lit(VERDICT_MISMATCH))
+    )
+    out = j.select(
+        *keys,
+        verdict.alias("verdict"),
+        F.length("_pred").cast("int").alias("pred_len"),
+        F.length("_gold").cast("int").alias("gold_len"),
+        *(
+            [
+                F.when(
+                    (F.col("_pred").isNotNull())
+                    & (F.col("_gold").isNotNull())
+                    & (F.col("_pred") != F.col("_gold")),
+                    _first_diff_col(F.col("_pred"), F.col("_gold")),
+                )
+                .cast("int")
+                .alias("first_diff")
+            ]
+            if diagnostics
+            else []
+        ),
+    )
+    return out
+
+
+def extraction_equality_summary(report: DataFrame) -> DataFrame:
+    """Corpus acceptance summary: counts per verdict + the pass rate.
+    One map-side-combined groupBy; output has exactly one row."""
+    return report.agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.sum((F.col("verdict") == VERDICT_MATCH).cast("long")).alias("matched"),
+        F.sum((F.col("verdict") == VERDICT_MISMATCH).cast("long")).alias("mismatched"),
+        F.sum((F.col("verdict") == VERDICT_MISSING_PRED).cast("long")).alias(
+            "missing_pred"
+        ),
+        F.sum((F.col("verdict") == VERDICT_MISSING_GOLD).cast("long")).alias(
+            "missing_gold"
+        ),
+    ).select(
+        "turns",
+        "matched",
+        "mismatched",
+        "missing_pred",
+        "missing_gold",
+        F.round(F.col("matched") / F.col("turns"), 6).alias("pass_rate"),
+    )

@@ -1,0 +1,90 @@
+"""Corpus-profiling analytics over raw transcripts.
+
+Before extraction runs at 10^12-turn scale, a pipeline owner needs the
+shape of the corpus: which payload kinds dominate (sizing the per-kind
+kernel budget), how roles hand off to each other (agent-loop health),
+and how conversation structure is distributed. These are the transcript
+analogs of the reference's per-batch record counters
+(/root/reference/app/services/data_extraction_service.py:162-194), made
+corpus-scale and declarative.
+
+All three operators are pure window/groupBy algebra over the
+``(conv_id, turn_idx, role, tool, text, ts)`` input-hint schema:
+
+- ``role_transition_matrix``: one lag window on the conversation key +
+  one groupBy on (prev_role, role) — Markov transition counts with a
+  ``_start_`` virtual state, output cardinality |roles|^2 + |roles|.
+- ``tool_usage_stats``: one map-side-combined groupBy on the tool
+  column — turns, distinct convs, char volume per payload kind.
+- ``conversation_shape``: per-conv length/role-mix/duration in one
+  groupBy, then a second tiny aggregate over length buckets (log2).
+
+Skew: the lag window partitions on conv_id, so one hot conversation
+lands on one task — same exposure as extraction itself, and the same
+answer applies (the window state is O(1); a 10M-turn conversation
+streams through SortMergeWindow without materializing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+START_STATE = "_start_"
+
+
+def role_transition_matrix(
+    df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+) -> DataFrame:
+    """Markov transition counts over the role sequence of every
+    conversation (turn order = the declared index). The first turn of
+    each conv transitions from the virtual ``_start_`` state, so row
+    sums over ``prev_role = _start_`` equal the conversation count."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    return (
+        df.select(
+            conv_col,
+            idx_col,
+            "role",
+            F.coalesce(F.lag("role").over(w), F.lit(START_STATE)).alias("prev_role"),
+        )
+        .groupBy("prev_role", "role")
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+
+
+def tool_usage_stats(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """Per payload-kind corpus profile: turn count, conversations that
+    use the kind, and total/average char volume (the per-kind kernel
+    cost driver). NULL tool reports as 'plain' — the dispatch default
+    (extract/core.py)."""
+    kind = F.coalesce(F.col("tool"), F.lit("plain")).alias("kind")
+    return df.groupBy(kind).agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.count_distinct(conv_col).alias("convs"),
+        F.sum(F.length("text")).alias("chars"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
+
+
+def conversation_shape(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
+    """Conversation-structure histogram: per-conv turn count, distinct
+    roles, and wall duration collapse into log2 length buckets. Two
+    aggregates, both map-side combinable; output is O(log max_turns)."""
+    per_conv = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_distinct("role").alias("n_roles"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+    )
+    bucket = F.floor(F.log2("n_turns")).cast("int").alias("len_bucket_log2")
+    return (
+        per_conv.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("convs"),
+            F.sum("n_turns").alias("turns"),
+            F.round(F.avg("n_roles"), 3).alias("avg_roles"),
+            F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
+        )
+    )

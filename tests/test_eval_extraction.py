@@ -1,0 +1,89 @@
+"""Extraction-equality evaluation operator (operators/eval_extraction.py)."""
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.eval_extraction import (
+    extraction_equality_report,
+    extraction_equality_summary,
+)
+
+
+def _frames(spark):
+    pred = spark.createDataFrame(
+        [
+            ("c1", 0, "hello world"),
+            ("c1", 1, "same text"),
+            ("c2", 0, "abcdef"),
+            ("c2", 1, "prefix plus tail"),
+            ("c3", 0, "only in pred"),
+        ],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, "hello world"),
+            ("c1", 1, "same text"),
+            ("c2", 0, "abXdef"),
+            ("c2", 1, "prefix"),
+            ("c4", 0, "only in gold"),
+        ],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    return pred, gold
+
+
+def test_report_verdicts_and_first_diff(spark):
+    pred, gold = _frames(spark)
+    rows = {
+        (r.conv_id, r.turn_idx): r
+        for r in extraction_equality_report(pred, gold).collect()
+    }
+    assert rows[("c1", 0)].verdict == "match"
+    assert rows[("c1", 1)].verdict == "match"
+    # differing char at position 3 (1-based)
+    r = rows[("c2", 0)]
+    assert r.verdict == "mismatch" and r.first_diff == 3
+    # pure prefix divergence: first_diff = len(shorter) + 1
+    r2 = rows[("c2", 1)]
+    assert r2.verdict == "mismatch" and r2.first_diff == 7
+    assert rows[("c3", 0)].verdict == "missing_gold"
+    assert rows[("c4", 0)].verdict == "missing_pred"
+    assert rows[("c4", 0)].first_diff is None
+    assert rows[("c1", 0)].first_diff is None
+
+
+def test_summary_pass_rate(spark):
+    pred, gold = _frames(spark)
+    report = extraction_equality_report(pred, gold, diagnostics=False)
+    assert "first_diff" not in report.columns
+    s = extraction_equality_summary(report).collect()[0]
+    assert s.turns == 6
+    assert s.matched == 2 and s.mismatched == 2
+    assert s.missing_pred == 1 and s.missing_gold == 1
+    assert abs(s.pass_rate - 2 / 6) < 1e-6  # pass_rate is rounded to 6 places
+
+
+def test_self_equality_is_perfect(spark):
+    """An extraction run compared against itself passes 100% — the
+    north-rule acceptance gate in operator form."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(10, seed=3, skew_factor=5)
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    ext = extract_transcripts(tdf).select("conv_id", "turn_idx", "clean_text")
+    s = extraction_equality_summary(
+        extraction_equality_report(ext, ext)
+    ).collect()[0]
+    assert s.pass_rate == 1.0 and s.mismatched == 0
+
+
+def test_empty_string_vs_nonempty(spark):
+    pred = spark.createDataFrame(
+        [("c", 0, "")], "conv_id string, turn_idx int, clean_text string"
+    )
+    gold = spark.createDataFrame(
+        [("c", 0, "x")], "conv_id string, turn_idx int, clean_text string"
+    )
+    r = extraction_equality_report(pred, gold).collect()[0]
+    assert r.verdict == "mismatch" and r.first_diff == 1

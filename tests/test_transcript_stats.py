@@ -1,0 +1,62 @@
+"""Corpus-profiling analytics (operators/transcript_stats.py)."""
+
+import datetime as dt
+
+from ocr_spark.operators.transcript_stats import (
+    START_STATE,
+    conversation_shape,
+    role_transition_matrix,
+    tool_usage_stats,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, tool string, text string, ts timestamp"
+
+
+def _ts(m):
+    return dt.datetime(2026, 1, 1, 12, m, 0)
+
+
+def _corpus(spark):
+    rows = [
+        ("c1", 0, "user", "plain", "hi", _ts(0)),
+        ("c1", 1, "assistant", "markdown", "# hello", _ts(1)),
+        ("c1", 2, "tool", "json_tool", '{"a":1}', _ts(2)),
+        ("c1", 3, "assistant", None, "done", _ts(5)),
+        ("c2", 0, "user", "plain", "query", _ts(0)),
+        ("c2", 1, "assistant", "plain", "answer", _ts(3)),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_role_transition_matrix(spark):
+    got = {
+        (r.prev_role, r.role): r.transitions
+        for r in role_transition_matrix(_corpus(spark)).collect()
+    }
+    assert got[(START_STATE, "user")] == 2  # = conversation count
+    assert got[("user", "assistant")] == 2
+    assert got[("assistant", "tool")] == 1
+    assert got[("tool", "assistant")] == 1
+    assert sum(got.values()) == 6  # one transition per turn
+
+
+def test_tool_usage_stats_null_is_plain(spark):
+    got = {r.kind: r for r in tool_usage_stats(_corpus(spark)).collect()}
+    # the NULL-tool turn folds into plain (dispatch default)
+    assert got["plain"].turns == 4
+    assert got["plain"].convs == 2
+    assert got["markdown"].turns == 1
+    assert got["json_tool"].chars == len('{"a":1}')
+    assert got["plain"].avg_chars == round(
+        (len("hi") + len("done") + len("query") + len("answer")) / 4, 2
+    )
+
+
+def test_conversation_shape_buckets(spark):
+    got = {r.len_bucket_log2: r for r in conversation_shape(_corpus(spark)).collect()}
+    # c1 has 4 turns -> bucket log2(4)=2; c2 has 2 turns -> bucket 1
+    assert got[2].convs == 1 and got[2].turns == 4
+    assert got[1].convs == 1 and got[1].turns == 2
+    assert got[2].avg_duration_s == 300.0  # 12:00 -> 12:05
+    assert got[1].avg_duration_s == 180.0
+    assert got[2].avg_roles == 3.0

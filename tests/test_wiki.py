@@ -1,0 +1,121 @@
+"""Wikitext extraction kernel (extract/wiki.py) + pipeline dispatch."""
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.wiki import extract_wiki
+
+
+def test_pipeline_golden_with_wiki_mix(spark):
+    """End-to-end: the distributed pipeline over a wiki-inclusive corpus
+    equals the row-by-row golden oracle (north_rule invariant extends to
+    the new kind)."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(12, seed=13, skew_factor=5, tools=TOOLS + ["wiki"])
+    assert (corpus["tool"] == "wiki").any()
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_transcripts(tdf, repartition=5).orderBy("conv_id", "turn_idx").collect()
+    golden = golden_extraction_rows(corpus)
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
+        assert got.blocks_kept == exp["blocks_kept"]
+        assert got.blocks_dropped == exp["blocks_dropped"]
+
+
+def test_headings_and_lists():
+    clean, spans, kept, dropped = extract_wiki(
+        "== Title here ==\n* item one\n# item two\n:: indented reply\n; term"
+    )
+    assert clean == "Title here\nitem one\nitem two\nindented reply\nterm"
+    assert [k for _, _, k in spans] == ["heading", "text", "text", "text", "text"]
+    assert kept == 5 and dropped == 0
+
+
+def test_heading_marker_counts():
+    clean, spans, _, _ = extract_wiki("=== Deep ===\n====== Six ======")
+    assert clean == "Deep\nSix"
+    assert all(k == "heading" for _, _, k in spans)
+    # a single '=' pair is NOT a heading (wikitext uses == and deeper)
+    clean2, spans2, _, _ = extract_wiki("= not a heading =")
+    assert spans2[0][2] == "text"
+    assert clean2 == "= not a heading ="
+
+
+def test_wiki_links_keep_label_or_target():
+    clean, _, _, _ = extract_wiki(
+        "See [[Main Page]] and [[Other page|the label]] plus [[A|b]][[C]]."
+    )
+    assert clean == "See Main Page and the label plus bC."
+
+
+def test_media_and_category_links_removed():
+    clean, _, kept, dropped = extract_wiki(
+        "[[File:img.png|thumb|caption]]\ntext [[Image:x.jpg]] stays\n[[Category:Things]]"
+    )
+    assert clean == "text stays"
+    assert kept == 1 and dropped == 2
+
+
+def test_external_links():
+    clean, _, _, _ = extract_wiki(
+        "see [http://example.com/x the docs] and bare [https://example.com] end"
+    )
+    assert clean == "see the docs and bare end"
+
+
+def test_templates_refs_comments_stripped():
+    clean, _, _, _ = extract_wiki(
+        "Born{{cite web|url=x}} in 1900<ref>long note</ref> here<ref name=a/> "
+        "ok <!-- hidden --> done"
+    )
+    assert clean == "Born in 1900 here ok done"
+
+
+def test_nested_template_one_level():
+    clean, _, _, _ = extract_wiki("a {{outer|{{inner}}}} b")
+    assert clean == "a b"
+
+
+def test_quote_runs_removed_single_quotes_kept():
+    clean, _, _, _ = extract_wiki(
+        "'''bold''' and ''italic'' and '''''both''''' but it's Bob's"
+    )
+    assert clean == "bold and italic and both but it's Bob's"
+
+
+def test_table_structure_dropped_cells_kept():
+    payload = (
+        '{| class="wikitable"\n|+ caption\n! Name !! Total\n|-\n'
+        "| alpha || 42\n|}\ntail line"
+    )
+    clean, spans, kept, dropped = extract_wiki(payload)
+    assert clean == "caption\nName Total\nalpha 42\ntail line"
+    assert kept == 4 and dropped == 3
+    assert [k for _, _, k in spans] == ["text", "text", "text", "text"]
+
+
+def test_spans_offsets_into_raw_payload():
+    payload = "== T ==\r\n* item\nplain"
+    clean, spans, _, _ = extract_wiki(payload)
+    assert clean == "T\nitem\nplain"
+    for (s, e, _k), txt in zip(spans, ["== T ==", "* item", "plain"]):
+        assert payload[s:e] == txt
+
+
+def test_dispatch_and_degrade():
+    got = extract_turn("== H ==\n* [[A|b]] item", "wiki")
+    assert got["clean_text"] == "H\nb item"
+    assert got["blocks_kept"] == 2
+    # unknown kinds still degrade to plain
+    got2 = extract_turn("== H ==", "wikitext")
+    assert got2["clean_text"] == "== H =="
+
+
+def test_empty_and_whitespace_only():
+    clean, spans, kept, dropped = extract_wiki("")
+    assert clean == "" and spans == [] and kept == 0 and dropped == 1
+    clean2, _, kept2, dropped2 = extract_wiki("  \t \n \n")
+    assert clean2 == "" and kept2 == 0 and dropped2 == 3
