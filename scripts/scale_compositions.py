@@ -90,9 +90,9 @@ def main() -> None:
         "ts",
         F.to_timestamp(F.lit("2026-01-01 00:00:00"))
         + F.make_dt_interval(
-            0,
-            0,
-            0,
+            F.lit(0),
+            F.lit(0),
+            F.lit(0),
             F.col("turn_idx")
             * F.when(
                 (F.xxhash64("conv_id") % 7 == 0) & (F.col("turn_idx") == 1),
