@@ -838,6 +838,28 @@ def _q_ts_conversation_shape(spark, sf_dir):
     return conversation_shape(corpus, conv_col="conv")
 
 
+def _q_tok_vocab_coverage(spark, sf_dir):
+    """Per-document vocabulary coverage / OOV accounting against the
+    corpus top-10 vocabulary (deliberately small: the fixture word pool is ~31 terms, so OOV accounting does real work) (operators/tokenizer.py) — the
+    tokenizer/corpus pairing signal; broadcast vocab join, one doc-key
+    shuffle."""
+    from ocr_spark.operators.tokenizer import corpus_vocabulary, vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = corpus_vocabulary(docs, top_n=10)
+    return vocab_coverage(docs, vocab)
+
+
+def _q_tok_top_oov(spark, sf_dir):
+    """Corpus top-50 out-of-vocabulary terms (vocab-refresh candidates):
+    broadcast anti-join + map-side-combined count + heap top-k."""
+    from ocr_spark.operators.tokenizer import corpus_vocabulary, top_oov_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = corpus_vocabulary(docs, top_n=10)
+    return top_oov_terms(docs, vocab, k=50)
+
+
 def _q_sft_doc_assembly(spark, sf_dir):
     """Conversation -> SFT training document (operators/sft.py): role-
     tagged rendering + loss-mask accounting, hash-verified against a
@@ -2438,6 +2460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_role_transitions": _q_ts_role_transitions,
         "ts_tool_usage": _q_ts_tool_usage,
         "ts_conversation_shape": _q_ts_conversation_shape,
+        "tok_vocab_coverage": _q_tok_vocab_coverage,
+        "tok_top_oov": _q_tok_top_oov,
     }
 
 
@@ -2695,6 +2719,19 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
 FROM k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+
+# shared CTEs for the vocabulary-coverage twins: corpus tokens (the
+# engine-wide lowercase-alnum tokenization, = retrieval.terms_col) and
+# the deterministic top-10 vocabulary (count desc, term asc).
+_TOK_VOCAB_CTES = """
+toks AS (SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS term
+         FROM documents),
+vocab AS (SELECT term FROM toks GROUP BY term
+          ORDER BY count(*) DESC, term ASC LIMIT 10)
 """
 
 
@@ -4349,5 +4386,27 @@ SELECT CAST(floor(log2(n_turns)) AS INTEGER) AS len_bucket_log2,
   round(CAST(avg(n_roles) AS DOUBLE), 3) AS avg_roles,
   round(CAST(avg(duration_s) AS DOUBLE), 2) AS avg_duration_s
 FROM p GROUP BY 1
+""",
+        "tok_vocab_coverage": f"""
+WITH {_TOK_VOCAB_CTES}
+SELECT d.doc_id,
+  coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.n_oov, 0) AS n_oov,
+  round(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN CAST(1.0 AS DOUBLE)
+        ELSE CAST(a.n_tokens - a.n_oov AS DOUBLE) / a.n_tokens END,
+        6) AS coverage
+FROM documents d
+LEFT JOIN (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks t LEFT JOIN vocab v USING (term) GROUP BY doc_id
+) a USING (doc_id)
+""",
+        "tok_top_oov": f"""
+WITH {_TOK_VOCAB_CTES}
+SELECT t.term, count(*) AS occurrences
+FROM toks t ANTI JOIN vocab v USING (term)
+GROUP BY t.term ORDER BY occurrences DESC, t.term ASC LIMIT 50
 """,
     }

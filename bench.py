@@ -257,15 +257,17 @@ def main() -> None:
     extracted_cached.unpersist(blocking=False)
 
     # all-kinds extraction: the same stage over a corpus that includes
-    # the markdown and json_tool kernels (opt-in generator mix) —
-    # throughput row for the round-3 extraction extensions.
+    # the markdown, json_tool and wiki kernels (opt-in generator mix) —
+    # throughput row for ALL SEVEN dispatch kinds.
     n_mixed = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_CONVS", "50000"))
-    mpath = os.path.join(REPO, ".bench_cache", f"transcripts_mixed_{n_mixed}.parquet")
+    mpath = os.path.join(
+        REPO, ".bench_cache", f"transcripts_mixed7_{n_mixed}.parquet"
+    )
     if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
         from ocr_spark.data.generate import TOOLS
 
         gen_transcripts_df(
-            spark, n_mixed, tools=TOOLS + ["markdown", "json_tool"]
+            spark, n_mixed, tools=TOOLS + ["markdown", "json_tool", "wiki"]
         ).write.mode("overwrite").parquet(mpath)
     mixed = spark.read.parquet(mpath)
     n_mixed_turns = mixed.count()

@@ -286,6 +286,90 @@ def bpe_token_count(
     )
 
 
+# ------------------------------------------------------- vocabulary coverage
+
+
+def corpus_vocabulary(
+    docs: DataFrame, text_col: str = "text", top_n: int = 500
+) -> DataFrame:
+    """Top-N corpus word vocabulary ``(term, term_count)`` by frequency
+    (ties broken lexicographically — deterministic and engine-portable).
+    One map-side-combining count over the exploded terms; the top-N is a
+    TakeOrderedAndProject (heap + merge of N rows, never a full sort)."""
+    return (
+        docs.select(F.explode(terms_col(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.desc("term_count"), F.asc("term"))
+        .limit(top_n)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document vocabulary coverage: what fraction of a doc's word
+    tokens a fixed vocabulary covers. The operator a tokenizer/corpus
+    pairing decision needs at curation time — low coverage means the
+    vocab was trained on a different distribution (wrong language,
+    code-vs-prose, OCR noise) and the doc will shatter into char-level
+    tokens downstream.
+
+    Returns ``(id_col, n_tokens, n_oov, coverage)`` — coverage is
+    covered/total rounded to 6 places (1.0 for empty docs: nothing to
+    cover). Shape: one row-local explode, one BROADCAST left join
+    against the vocab (dim-sized by construction), one groupBy on the
+    doc id — a single corpus shuffle, same key the extraction stage
+    already partitions by.
+
+    Reference analog: the reference's per-batch "rows recognized vs
+    rows sent" accounting (data_extraction_service.py:162-194); here
+    the unit is tokens against a learned vocabulary."""
+    toks = docs.select(
+        id_col, F.explode_outer(terms_col(F.col(text_col))).alias("term")
+    )
+    v = F.broadcast(vocab.select(F.col("term").alias("_vterm")))
+    flagged = toks.join(v, toks["term"] == v["_vterm"], "left").select(
+        id_col,
+        F.col("term").isNotNull().cast("long").alias("_is_tok"),
+        (F.col("term").isNotNull() & F.col("_vterm").isNull())
+        .cast("long")
+        .alias("_is_oov"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum("_is_tok").alias("n_tokens"),
+        F.sum("_is_oov").alias("n_oov"),
+        F.round(
+            F.when(F.sum("_is_tok") == 0, F.lit(1.0)).otherwise(
+                (F.sum("_is_tok") - F.sum("_is_oov")) / F.sum("_is_tok")
+            ),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def top_oov_terms(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide top-k out-of-vocabulary terms ``(term, occurrences)``
+    — the candidate list a vocab refresh should consider. Broadcast
+    anti-join (no shuffle) + map-side-combining count + heap top-k."""
+    toks = docs.select(F.explode(terms_col(F.col(text_col))).alias("term"))
+    oov = toks.join(F.broadcast(vocab.select("term")), "term", "left_anti")
+    return (
+        oov.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
 # ------------------------------------------------------------ int token ids
 #
 # The token VOCABULARY under this tokenizer is closed and tiny: a word's

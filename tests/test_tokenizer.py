@@ -172,3 +172,48 @@ def test_bpe_train_deep_merge_count_matches_reference(spark):
             wc[w] += 1
     want = TK.train_local(dict(wc), 48)
     assert got == want
+
+
+def test_corpus_vocabulary_top_n_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry date"), (2, "apple Echo echo")],
+        ["doc_id", "text"],
+    )
+    rows = TK.corpus_vocabulary(df, top_n=3).collect()
+    # apple=3, banana=2, echo=2 (case-folded); cherry/date=1 cut
+    assert [(r.term, r.term_count) for r in rows] == [
+        ("apple", 3), ("banana", 2), ("echo", 2)
+    ]
+
+
+def test_vocab_coverage_counts_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "apple banana unknown"), (1, "apple apple"), (2, "  ...  ")],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("apple",), ("banana",)], ["term"])
+    got = {r.doc_id: r for r in TK.vocab_coverage(docs, vocab).collect()}
+    assert got[0].n_tokens == 3 and got[0].n_oov == 1
+    assert abs(got[0].coverage - 2 / 3) < 1e-6
+    assert got[1].n_tokens == 2 and got[1].n_oov == 0 and got[1].coverage == 1.0
+    # a doc with zero word tokens still reports, with coverage 1.0
+    assert got[2].n_tokens == 0 and got[2].coverage == 1.0
+
+
+def test_top_oov_terms_ranking(spark):
+    docs = spark.createDataFrame(
+        [(0, "zulu zulu yankee apple"), (1, "zulu xray xray apple")],
+        ["doc_id", "text"],
+    )
+    vocab = spark.createDataFrame([("apple",)], ["term"])
+    rows = TK.top_oov_terms(docs, vocab, k=2).collect()
+    assert [(r.term, r.occurrences) for r in rows] == [("zulu", 3), ("xray", 2)]
+
+
+def test_vocab_coverage_plan_broadcasts(spark):
+    """The vocab side must ride a broadcast — a shuffle on the corpus
+    side keyed by TERM would be the skew trap (stopword keys)."""
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("a",)], ["term"])
+    plan = TK.vocab_coverage(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
