@@ -860,6 +860,20 @@ def _q_tok_top_oov(spark, sf_dir):
     return top_oov_terms(docs, vocab, k=50)
 
 
+def _q_dv_kcenter_select(spark, sf_dir):
+    """Greedy k-center exemplar selection (operators/diversity.py) over
+    int8-quantized embeddings — exact-integer distances make the REAL
+    driver-loop selection hash-identical to an unrolled DuckDB replay
+    (k=4: seed + 3 farthest-point rounds with the incremental least()
+    fold)."""
+    from ocr_spark.operators.diversity import kcenter_select_df
+    from ocr_spark.operators.quantize import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, keep_vec=False)
+    return kcenter_select_df(q, k=4, vec_col="q_vec")
+
+
 def _q_sft_doc_assembly(spark, sf_dir):
     """Conversation -> SFT training document (operators/sft.py): role-
     tagged rendering + loss-mask accounting, hash-verified against a
@@ -2462,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_conversation_shape": _q_ts_conversation_shape,
         "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_top_oov": _q_tok_top_oov,
+        "dv_kcenter_select": _q_dv_kcenter_select,
     }
 
 
@@ -2719,6 +2734,47 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
 FROM k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+
+def _dv_kcenter_twin_sql() -> str:
+    """Unrolled DuckDB replay of 4-round greedy k-center over the
+    int8-quantized embeddings (exact integer distances — hash-identical
+    to the Spark driver loop)."""
+    _, qexpr = QZO._sql_quantize("embedding")
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, len({a})), i -> "
+            f"(CAST({a}[i] AS BIGINT) - CAST({b}[i] AS BIGINT))"
+            f" * (CAST({a}[i] AS BIGINT) - CAST({b}[i] AS BIGINT))))"
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id AS id, {qexpr} AS qv FROM embeddings),
+c1 AS (SELECT id, qv FROM q ORDER BY id LIMIT 1),
+d1 AS (SELECT q.id, q.qv, CAST({d2('q.qv', 'c1.qv')} AS DOUBLE) AS md
+       FROM q, c1),
+c2 AS (SELECT id, qv, md FROM d1 WHERE id NOT IN (SELECT id FROM c1)
+       ORDER BY md DESC, id LIMIT 1),
+d2s AS (SELECT d1.id, d1.qv,
+          least(d1.md, CAST({d2('d1.qv', 'c2.qv')} AS DOUBLE)) AS md
+        FROM d1, c2),
+c3 AS (SELECT id, qv, md FROM d2s
+       WHERE id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2)
+       ORDER BY md DESC, id LIMIT 1),
+d3s AS (SELECT d2s.id, d2s.qv,
+          least(d2s.md, CAST({d2('d2s.qv', 'c3.qv')} AS DOUBLE)) AS md
+        FROM d2s, c3),
+c4 AS (SELECT id, md FROM d3s
+       WHERE id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2
+                        UNION ALL SELECT id FROM c3)
+       ORDER BY md DESC, id LIMIT 1)
+SELECT 1 AS sel_rank, (SELECT id FROM c1) AS vec_id,
+       CAST(NULL AS DOUBLE) AS radius2
+UNION ALL SELECT 2, (SELECT id FROM c2), (SELECT md FROM c2)
+UNION ALL SELECT 3, (SELECT id FROM c3), (SELECT md FROM c3)
+UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT md FROM c4)
 """
 
 
@@ -4409,4 +4465,5 @@ SELECT t.term, count(*) AS occurrences
 FROM toks t ANTI JOIN vocab v USING (term)
 GROUP BY t.term ORDER BY occurrences DESC, t.term ASC LIMIT 50
 """,
+        "dv_kcenter_select": _dv_kcenter_twin_sql(),
     }

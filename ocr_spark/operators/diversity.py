@@ -1,0 +1,177 @@
+"""Greedy diversity selection over embeddings: k-center coresets + MMR.
+
+SemDeDup (operators/similarity.py) removes redundancy; the dual
+curation question is which exemplars to KEEP — k diverse prototypes
+per corpus/cluster for few-shot pools, eval seeds, annotation budgets,
+or coreset-first training. Two classical greedies:
+
+- ``kcenter_select``: farthest-point traversal (Gonzalez '85) — a
+  2-approximation of the k-center cover; each selected row's
+  ``radius2`` is the squared distance at selection time, a certified
+  upper bound on every remaining point's distance to the selected set
+  (the coverage radius curve).
+- ``mmr_select``: maximal marginal relevance (Carbonell & Goldstein
+  '98) — argmax of lambda*relevance - (1-lambda)*max_cosine_to_selected;
+  diversity-aware top-k when rows carry a relevance score.
+
+Distributed shape (both): the selected set lives driver-side (k rows —
+k is an exemplar budget, not a corpus fraction), the corpus state is
+ONE extra column (best distance/similarity to the selected set so
+far). Each round is (a) a stateless codegen projection against the
+NEWEST center only — ``least``/``greatest`` folds the incremental
+min/max, so round cost is O(n*d) with no rescan of earlier centers —
+and (b) one TakeOrdered argmax (partial per partition, k=1 rows moved).
+One 1-row collect per round, the same driver-traffic class as
+``graph.pagerank``'s dangling-mass scalar. ``localCheckpoint`` per
+round keeps the plan constant-size in k (the bpe_train/pagerank
+pattern). No Python in the hot path: distances are
+``zip_with``/``aggregate`` expressions inside whole-stage codegen.
+
+Exactness: on int8-quantized vectors (operators/quantize.py) every
+squared distance / dot is exact int64, so selection order is
+bit-identical across engines — the gate twin ``dv_kcenter_select``
+hash-verifies the REAL loop against an unrolled DuckDB replay. Float
+inputs are verified against a pure-numpy reference in pytest.
+
+Reference analog: none (no vector path in the reference); this extends
+the rebuild's curation stack (similarity.semantic_dedup keeps cluster
+medoids; this keeps spread-out exemplars).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _d2_col(a, b) -> F.Column:
+    """Exact squared euclidean distance between two int-like arrays
+    (bigint math — exact for int8 codes; works on floats as doubles)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list":
+    """Greedy farthest-point selection. Returns a driver-side list of
+    ``(sel_rank, id, radius2)`` — rank 1 is the deterministic seed
+    (min id, radius2 None), rank r's radius2 bounds every unselected
+    point's squared distance to the first r-1 centers. Use
+    ``kcenter_select_df`` for a DataFrame of the same rows."""
+    cur = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("_min_d2", F.lit(None).cast("double"))
+    cur = cur.localCheckpoint(eager=True)
+
+    seed = cur.orderBy("_id").limit(1).collect()[0]
+    picked = [(1, seed["_id"], None)]
+    center_vec = seed["_vec"]
+    for rank in range(2, k + 1):
+        c = F.array(*[F.lit(float(x)) for x in center_vec])
+        d2 = _d2_col(F.col("_vec"), c)
+        cur = cur.select(
+            "_id", "_vec", F.least(F.coalesce("_min_d2", d2), d2).alias("_min_d2")
+        ).localCheckpoint(eager=True)
+        far = (
+            cur.filter(~F.col("_id").isin([p[1] for p in picked]))
+            .orderBy(F.desc("_min_d2"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far:
+            break
+        row = far[0]
+        picked.append((rank, row["_id"], float(row["_min_d2"])))
+        center_vec = row["_vec"]
+    return picked
+
+
+def kcenter_select_df(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame form of ``kcenter_select``:
+    ``(sel_rank:int, id_col, radius2:double)``."""
+    picked = kcenter_select(emb, k, id_col, vec_col)
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in picked],
+        f"sel_rank int, {id_col} long, radius2 double",
+    )
+
+
+def mmr_select(
+    scored: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    rel_col: str = "relevance",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection: greedily pick the row
+    maximizing ``lam*rel - (1-lam)*max_cos_to_selected`` (ties: min
+    id). Seed = argmax relevance. Returns ``(sel_rank, id, mmr_score)``.
+    Same incremental loop as k-center, with a running max-cosine
+    column; cosine = zip_with dot over unit-normalized inputs computed
+    once up front (one stateless projection)."""
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    cur = scored.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.nullif(norm, F.lit(0.0))
+        ).alias("_unit"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    ).withColumn("_max_sim", F.lit(0.0))
+    cur = cur.localCheckpoint(eager=True)
+
+    seed = cur.orderBy(F.desc("_rel"), F.asc("_id")).limit(1).collect()[0]
+    picked = [(1, seed["_id"], float(seed["_rel"]) * lam)]
+    center = seed["_unit"]
+    for rank in range(2, k + 1):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        sim = F.aggregate(
+            F.zip_with(F.col("_unit"), c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        cur = cur.select(
+            "_id", "_unit", "_rel", F.greatest("_max_sim", sim).alias("_max_sim")
+        ).localCheckpoint(eager=True)
+        best = (
+            cur.filter(~F.col("_id").isin([p[1] for p in picked]))
+            .withColumn(
+                "_mmr", F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_max_sim")
+            )
+            .orderBy(F.desc("_mmr"), F.asc("_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        row = best[0]
+        picked.append((rank, row["_id"], float(row["_mmr"])))
+        center = row["_unit"]
+    spark = scored.sparkSession
+    return spark.createDataFrame(
+        picked, f"sel_rank int, {id_col} long, mmr_score double"
+    )

@@ -1,0 +1,116 @@
+"""Greedy diversity selection (operators/diversity.py)."""
+
+import numpy as np
+
+from ocr_spark.operators.diversity import kcenter_select, kcenter_select_df, mmr_select
+
+
+def _np_kcenter(vecs: np.ndarray, ids, k):
+    """Pure-numpy farthest-point reference (seed = min id)."""
+    order = np.argsort(ids)
+    seed_pos = order[0]
+    picked = [(1, ids[seed_pos], None)]
+    min_d2 = np.full(len(ids), np.inf)
+    cur = seed_pos
+    for rank in range(2, k + 1):
+        d2 = ((vecs - vecs[cur]) ** 2).sum(axis=1)
+        min_d2 = np.minimum(min_d2, d2)
+        cand = [
+            (-min_d2[i], ids[i], i)
+            for i in range(len(ids))
+            if ids[i] not in {p[1] for p in picked}
+        ]
+        cand.sort()
+        _, cid, cpos = cand[0]
+        picked.append((rank, cid, float(min_d2[cpos])))
+        cur = cpos
+    return picked
+
+
+def test_kcenter_matches_numpy_reference(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(40, 8).round(3)
+    ids = list(range(100, 140))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = kcenter_select(df, k=6)
+    want = _np_kcenter(vecs, np.array(ids), 6)
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    for (_, _, g), (_, _, w) in zip(got[1:], want[1:]):
+        assert abs(g - w) < 1e-9
+
+
+def test_kcenter_radius_is_monotone_cover_bound(spark):
+    """Farthest-point radius2 is non-increasing — each new center can
+    only shrink the cover radius (the Gonzalez guarantee)."""
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 4)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    picked = kcenter_select(df, k=8)
+    radii = [d for _, _, d in picked[1:]]
+    assert all(a >= b - 1e-12 for a, b in zip(radii, radii[1:]))
+
+
+def test_kcenter_df_and_k_exceeds_n(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = kcenter_select_df(df, k=10).orderBy("sel_rank").collect()
+    # only 3 points exist -> 3 rows; seed is min id, then the far corner
+    assert [r.vec_id for r in rows] == [1, 2, 3]
+    assert rows[0].radius2 is None and rows[1].radius2 == 25.0
+    assert rows[2].radius2 == 1.0
+
+
+def test_kcenter_spreads_over_clusters(spark):
+    """Three tight clusters, k=3 -> one exemplar per cluster (the
+    property SemDeDup's medoid-keeper does NOT give you)."""
+    pts, ids = [], []
+    for b, base in enumerate([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]):
+        for j in range(5):
+            ids.append(b * 10 + j)
+            pts.append([base[0] + 0.01 * j, base[1] + 0.01 * j])
+    df = spark.createDataFrame(
+        [(i, p) for i, p in zip(ids, pts)], "vec_id long, embedding array<double>"
+    )
+    sel = {i for _, i, _ in kcenter_select(df, k=3)}
+    assert {i // 10 for i in sel} == {0, 1, 2}
+
+
+def test_mmr_balances_relevance_and_diversity(spark):
+    """Two near-identical high-relevance docs: pure top-k takes both,
+    MMR at lam=0.5 takes one and then the diverse lower-relevance doc."""
+    rows = [
+        (1, [1.0, 0.0], 1.00),
+        (2, [0.999, 0.04], 0.99),  # near-clone of 1
+        (3, [0.0, 1.0], 0.60),  # orthogonal, less relevant
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>, relevance double")
+    sel = mmr_select(df, k=2, lam=0.5).orderBy("sel_rank").collect()
+    assert [r.doc_id for r in sel] == [1, 3]
+    # at lam ~ 1 it degenerates to plain relevance top-k
+    sel2 = mmr_select(df, k=2, lam=0.999).orderBy("sel_rank").collect()
+    assert [r.doc_id for r in sel2] == [1, 2]
+
+
+def test_kcenter_quantized_is_exact_integer(spark):
+    """On int8 codes every radius2 is an exact integer — the property
+    the gate twin's hash comparison rides on."""
+    from ocr_spark.operators.quantize import quantize_embeddings
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(20, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = quantize_embeddings(df, keep_vec=False)
+    picked = kcenter_select(q, k=5, vec_col="q_vec")
+    for _, _, d in picked[1:]:
+        assert d == int(d)
