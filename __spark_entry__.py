@@ -1708,11 +1708,40 @@ def _q_ex_wiki_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_html_tables_twin(spark, sf_dir):
+    """Hash-verified structured table extraction: the REAL
+    pipeline.extract_tables Arrow stage (extract/html_tables.py — table
+    numbering, implicit rows, header cells, markup strip, entity
+    decode, empty-cell retention) vs a cell-enumerating DuckDB twin
+    over the same word pieces."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_HTML_TABLES_PAYLOAD_SQL).alias("text"),
+        F.lit("html").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.pipeline import extract_tables
+
+    out = extract_tables(corpus)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "table_idx",
+        "row_idx",
+        "col_idx",
+        F.col("is_header").cast("int").alias("is_header"),
+        "cell_text",
+    )
+
+
 def _q_ex_dispatch_twin(spark, sf_dir):
     """Hash-verified KIND DISPATCH (S1): one corpus whose tool column
     routes each doc to a different kernel by doc_id parity — plain /
-    markdown / json_tool — extracted in one pass through the real
-    dispatch; the oracle composes the three per-kind twins."""
+    markdown / json_tool / wiki — extracted in one pass through the
+    real dispatch; the oracle composes the four per-kind twins."""
     _ensure_pyfiles(spark)
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -1720,12 +1749,13 @@ def _q_ex_dispatch_twin(spark, sf_dir):
         F.lit(0).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.expr(
-            f"CASE doc_id % 3 WHEN 0 THEN {_PLAIN_PAYLOAD_SQL}"
-            f" WHEN 1 THEN {_MD_PAYLOAD_SQL} ELSE {_JS_PAYLOAD_SQL} END"
+            f"CASE doc_id % 4 WHEN 0 THEN {_PLAIN_PAYLOAD_SQL}"
+            f" WHEN 1 THEN {_MD_PAYLOAD_SQL}"
+            f" WHEN 2 THEN {_JS_PAYLOAD_SQL} ELSE {_WIKI_PAYLOAD_SQL} END"
         ).alias("text"),
         F.expr(
-            "CASE doc_id % 3 WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'"
-            " ELSE 'json_tool' END"
+            "CASE doc_id % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'"
+            " WHEN 2 THEN 'json_tool' ELSE 'wiki' END"
         ).alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
@@ -2477,6 +2507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_top_oov": _q_tok_top_oov,
         "dv_kcenter_select": _q_dv_kcenter_select,
+        "ex_html_tables_twin": _q_ex_html_tables_twin,
     }
 
 
@@ -2561,6 +2592,20 @@ _WIKI_PAYLOAD_SQL = (
     " || '|}' || chr(10) ELSE '' END"
     " || '[[Category:hidden ' || " + _MD_W3 + " || ']]' || chr(10)"
     " || 'tail ' || " + _MD_W2
+)
+
+# html-tables twin fixture: two-column table with header row, a
+# conditional third row carrying inline markup + an entity + an EMPTY
+# cell (ids % 2 == 0), and a conditional second table (ids % 3 == 0) —
+# exercises numbering, header flags, strip/decode, empty-cell retention.
+_HTML_TABLES_PAYLOAD_SQL = (
+    "'<h1>head</h1><table class=\"g\"><tr><th>Name</th><th>' || " + _MD_W3
+    + " || '</th></tr><tr><td>' || " + _MD_W1 + " || '</td><td>7</td></tr>'"
+    " || CASE WHEN doc_id % 2 = 0 THEN '<tr><td><b>' || " + _MD_W2
+    + " || '</b> &amp; more</td><td></td></tr>' ELSE '' END"
+    " || '</table>'"
+    " || CASE WHEN doc_id % 3 = 0 THEN '<p>mid</p><table><tr><td>' || "
+    + _MD_W2 + " || '</td></tr></table>' ELSE '' END"
 )
 
 _PLAIN_PAYLOAD_SQL = (
@@ -2778,6 +2823,33 @@ UNION ALL SELECT 4, (SELECT id FROM c4), (SELECT md FROM c4)
 """
 
 
+# DuckDB twin of the html-tables fixture: enumerate the expected cell
+# relation (the Spark side runs the REAL extract_tables Arrow stage).
+def _cws_sql(expr: str) -> str:
+    """DuckDB collapse_ws for space-only payloads."""
+    return f"trim(regexp_replace({expr}, ' +', ' ', 'g'))"
+
+
+_HTML_TABLES_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 2 = 0) AS has_row3, (doc_id % 3 = 0) AS has_t2
+           FROM documents),
+cells AS (
+  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, 0 AS col_idx, 1 AS is_header,
+         'Name' AS cell_text, true AS incl FROM d
+  UNION ALL SELECT doc_id, 0, 0, 1, 1, {_cws_sql('w3')}, true FROM d
+  UNION ALL SELECT doc_id, 0, 1, 0, 0, {_cws_sql('w1')}, true FROM d
+  UNION ALL SELECT doc_id, 0, 1, 1, 0, '7', true FROM d
+  UNION ALL SELECT doc_id, 0, 2, 0, 0,
+    {_cws_sql("w2 || ' & more'")}, has_row3 FROM d
+  UNION ALL SELECT doc_id, 0, 2, 1, 0, '', has_row3 FROM d
+  UNION ALL SELECT doc_id, 1, 0, 0, 0, {_cws_sql('w2')}, has_t2 FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, table_idx, row_idx, col_idx,
+       is_header, cell_text
+FROM cells WHERE incl
+"""
+
+
 # shared CTEs for the vocabulary-coverage twins: corpus tokens (the
 # engine-wide lowercase-alnum tokenization, = retrieval.terms_col) and
 # the deterministic top-10 vocabulary (count desc, term asc).
@@ -2855,17 +2927,20 @@ GROUP BY k.doc_id
 """
 
 
-# DuckDB twin of the kind dispatch: compose the three per-kind twins,
+# DuckDB twin of the kind dispatch: compose the four per-kind twins,
 # each filtered to the parity class the Spark corpus routes to it.
 _DISPATCH_TWIN_SQL = f"""
 SELECT doc_id, 'plain' AS tool, clean_text, blocks_kept
-FROM ({_PLAIN_TWIN_SQL}) WHERE doc_id % 3 = 0
+FROM ({_PLAIN_TWIN_SQL}) WHERE doc_id % 4 = 0
 UNION ALL
 SELECT doc_id, 'markdown', clean_text, blocks_kept
-FROM ({_MD_TWIN_SQL}) WHERE doc_id % 3 = 1
+FROM ({_MD_TWIN_SQL}) WHERE doc_id % 4 = 1
 UNION ALL
 SELECT doc_id, 'json_tool', clean_text, blocks_kept
-FROM ({_JS_TWIN_SQL}) WHERE doc_id % 3 = 2
+FROM ({_JS_TWIN_SQL}) WHERE doc_id % 4 = 2
+UNION ALL
+SELECT doc_id, 'wiki', clean_text, blocks_kept
+FROM ({_WIKI_TWIN_SQL}) WHERE doc_id % 4 = 3
 """
 
 
@@ -4466,4 +4541,5 @@ FROM toks t ANTI JOIN vocab v USING (term)
 GROUP BY t.term ORDER BY occurrences DESC, t.term ASC LIMIT 50
 """,
         "dv_kcenter_select": _dv_kcenter_twin_sql(),
+        "ex_html_tables_twin": _HTML_TABLES_TWIN_SQL,
     }

@@ -1,0 +1,101 @@
+"""Structured HTML table extraction: markup tables -> (row, col, cell)
+relations.
+
+The block scorer (``html_blocks.py``) treats table text as prose; when
+the payload IS the data — pricing grids, spec sheets, result tables in
+agent transcripts — a pipeline wants the cells as a relation it can
+join and aggregate, not a flattened string. This is the markup analog
+of the reference's record grammar (``parse_records.py`` /
+classification_service.py:182-242): semi-structured text in, typed rows
+out.
+
+Deterministic spec (shared with the DuckDB twin ``ex_html_tables_twin``):
+
+1. A table opens at ``<table...>`` and closes at ``</table>``; tables
+   are numbered 0.. in document order. A nested ``<table>`` inside an
+   open one is IGNORED as markup (its cells merge into the enclosing
+   cell — one level of structure, the common scrape reality; the open
+   counter still tracks depth so the outer table closes at ITS
+   ``</table>``).
+2. Inside a table, ``<tr>`` starts row r (0..); ``<td>`` / ``<th>``
+   starts cell c (0.. within the row). A cell opened before any
+   ``<tr>`` implies row 0.
+3. Cell text = all character data until the next ``<td|th|/td|/th|tr|
+   /tr|/table>`` boundary; every other tag inside is stripped; the
+   basic entity set is decoded; whitespace runs collapse to one space,
+   ends trimmed. ``is_header`` marks ``<th>`` cells.
+4. Empty cells are kept (an empty ``<td></td>`` is a real position in
+   the relation — dropping it would shift columns).
+
+Everything outside ``<table>`` is ignored — this operator EXTRACTS
+tables; the main-content strip is ``extract_html``'s job.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from .html_blocks import _TAG, _decode_entities
+from .normalize import collapse_ws
+
+# (table_idx, row_idx, col_idx, is_header, cell_text)
+Cell = Tuple[int, int, int, bool, str]
+
+
+def parse_html_tables(payload: str) -> List[Cell]:
+    """Extract every table cell of the payload in document order."""
+    cells: List[Cell] = []
+    depth = 0  # <table> nesting depth; we only structure depth 1
+    table_idx = -1
+    row_idx = -1  # -1 = no <tr> seen yet in this table
+    col_idx = -1
+    in_cell = False
+    is_header = False
+    buf: List[str] = []
+    pos = 0
+
+    def flush() -> None:
+        nonlocal in_cell
+        if in_cell:
+            text = collapse_ws(_decode_entities("".join(buf)))
+            cells.append((table_idx, max(row_idx, 0), col_idx, is_header, text))
+        buf.clear()
+        in_cell = False
+
+    for m in _TAG.finditer(payload):
+        if in_cell and depth >= 1:
+            buf.append(payload[pos:m.start()])
+        pos = m.end()
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        if name == "table":
+            if not closing:
+                depth += 1
+                if depth == 1:
+                    table_idx += 1
+                    row_idx, col_idx = -1, -1
+                    buf.clear()
+                    in_cell = False
+            else:
+                if depth == 1:
+                    flush()
+                depth = max(0, depth - 1)
+            continue
+        if depth != 1:
+            continue  # outside any table, or inside a nested one
+        if name == "tr":
+            flush()
+            if not closing:
+                # a cell before any <tr> forces row_idx to 0, so
+                # row_idx < 0 here means this is the table's first row
+                row_idx = row_idx + 1 if row_idx >= 0 else 0
+                col_idx = -1
+        elif name in ("td", "th"):
+            flush()
+            if not closing:
+                if row_idx < 0 and col_idx < 0:
+                    row_idx = 0  # cell before any <tr>: implicit row 0
+                col_idx += 1
+                in_cell = True
+                is_header = name == "th"
+        # any other tag: markup inside/between cells — stripped
+    return cells

@@ -255,3 +255,60 @@ def extraction_metrics(extracted: DataFrame, by_kind: bool = False) -> DataFrame
         F.sum("parse_failures").alias("parse_failures"),
         F.sum("truncated_chars").alias("truncated_chars"),
     )
+
+
+# --------------------------------------------------------- table extraction
+
+TABLE_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("table_idx", T.IntegerType()),
+        T.StructField("row_idx", T.IntegerType()),
+        T.StructField("col_idx", T.IntegerType()),
+        T.StructField("is_header", T.BooleanType()),
+        T.StructField("cell_text", T.StringType()),
+    ]
+)
+
+
+def extract_tables(
+    transcripts: DataFrame, repartition: int | None = None
+) -> DataFrame:
+    """Structured HTML-table extraction over html-kind turns: one output
+    row per table cell, keyed (conv_id, turn_idx, table_idx, row_idx,
+    col_idx) — a relation downstream joins/aggregates directly (the
+    markup analog of the record grammar's typed rows).
+
+    Shape: kind filter FIRST (pushed to the scan — non-html turns never
+    reach Python), then the same shuffle-free Arrow stage as
+    ``extract_transcripts``; the 1:N cell fan-out happens inside the
+    batch, map-side. See extract/html_tables.py for the cell spec."""
+    from ocr_spark.extract.html_tables import parse_html_tables
+
+    df = transcripts.filter(F.col("tool") == "html")
+    if repartition:
+        df = df.repartition(repartition, "conv_id", "turn_idx")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "table_idx", "row_idx", "col_idx",
+                "is_header", "cell_text",
+            )}
+            for cid, tix, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                for t, r, c, h, txt in parse_html_tables(text or ""):
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(int(tix))
+                    out["table_idx"].append(t)
+                    out["row_idx"].append(r)
+                    out["col_idx"].append(c)
+                    out["is_header"].append(h)
+                    out["cell_text"].append(txt)
+            yield pd.DataFrame(out)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=TABLE_CELLS_SCHEMA
+    )

@@ -1,0 +1,92 @@
+"""HTML table extraction (extract/html_tables.py + pipeline.extract_tables)."""
+
+from ocr_spark.extract.html_tables import parse_html_tables
+
+
+def test_basic_table_with_headers():
+    cells = parse_html_tables(
+        "<p>intro</p><table><tr><th>Name</th><th>Qty</th></tr>"
+        "<tr><td>apple</td><td>3</td></tr>"
+        "<tr><td>pear</td><td>5</td></tr></table>after"
+    )
+    assert cells == [
+        (0, 0, 0, True, "Name"),
+        (0, 0, 1, True, "Qty"),
+        (0, 1, 0, False, "apple"),
+        (0, 1, 1, False, "3"),
+        (0, 2, 0, False, "pear"),
+        (0, 2, 1, False, "5"),
+    ]
+
+
+def test_two_tables_numbered_in_document_order():
+    cells = parse_html_tables(
+        "<table><tr><td>a</td></tr></table>mid"
+        "<table><tr><td>b</td><td>c</td></tr></table>"
+    )
+    assert [(t, r, c, x) for t, r, c, _, x in cells] == [
+        (0, 0, 0, "a"), (1, 0, 0, "b"), (1, 0, 1, "c")
+    ]
+
+
+def test_markup_inside_cells_stripped_entities_decoded():
+    cells = parse_html_tables(
+        "<table><tr><td><b>bold</b> &amp; <i>ital</i></td>"
+        "<td>x&lt;y</td></tr></table>"
+    )
+    assert cells[0][4] == "bold & ital"
+    assert cells[1][4] == "x<y"
+
+
+def test_empty_cells_keep_their_column_position():
+    cells = parse_html_tables(
+        "<table><tr><td>a</td><td></td><td>c</td></tr></table>"
+    )
+    assert [(c, x) for _, _, c, _, x in cells] == [(0, "a"), (1, ""), (2, "c")]
+
+
+def test_nested_table_flattens_into_enclosing_cell():
+    cells = parse_html_tables(
+        "<table><tr><td>outer <table><tr><td>inner</td></tr></table> tail"
+        "</td><td>next</td></tr></table>"
+    )
+    assert [(t, r, c, x) for t, r, c, _, x in cells] == [
+        (0, 0, 0, "outer inner tail"), (0, 0, 1, "next")
+    ]
+
+
+def test_cell_before_tr_implies_row_zero():
+    cells = parse_html_tables("<table><td>x</td><tr><td>y</td></tr></table>")
+    assert [(r, c, x) for _, r, c, _, x in cells] == [(0, 0, "x"), (1, 0, "y")]
+
+
+def test_whitespace_collapse_and_attrs():
+    cells = parse_html_tables(
+        '<table class="wide"><tr><td align="r">  two\n words </td></tr></table>'
+    )
+    assert cells == [(0, 0, 0, False, "two words")]
+
+
+def test_no_tables_and_unclosed_table():
+    assert parse_html_tables("<p>no tables here</p>") == []
+    # unclosed table: cells still emitted, final cell flushes at EOF-tagless
+    cells = parse_html_tables("<table><tr><td>a</td><td>b")
+    assert [(r, c, x) for _, r, c, _, x in cells] == [(0, 0, "a")]
+    # the truly dangling open cell has no closing tag boundary -> text
+    # after the last tag never reaches a flush; documented EOF behavior
+
+
+def test_pipeline_extract_tables(spark):
+    rows = [
+        ("c1", 0, "user",
+         "<table><tr><th>K</th></tr><tr><td>v1</td></tr></table>", "html", None),
+        ("c1", 1, "user", "<p>no table</p>", "html", None),
+        ("c2", 0, "user", "ignored", "plain", None),
+    ]
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_tables
+
+    df = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    got = extract_tables(df).orderBy("conv_id", "turn_idx", "row_idx").collect()
+    assert [(r.conv_id, r.row_idx, r.is_header, r.cell_text) for r in got] == [
+        ("c1", 0, True, "K"), ("c1", 1, False, "v1")
+    ]
