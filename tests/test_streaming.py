@@ -446,3 +446,40 @@ def test_stream_sft_assembly_matches_batch(spark, stream_dirs):
         assert g["loss_chars"] == w["loss_chars"]
         assert list(g["loss_starts"]) == [s["start"] for s in w["loss_spans"]]
         assert list(g["loss_ends"]) == [s["end"] for s in w["loss_spans"]]
+
+
+def test_stream_table_extraction_matches_batch(spark, stream_dirs):
+    """extract_tables is a stateless Arrow stage, so it runs on a stream
+    unchanged — structured cells arrive incrementally with batch
+    semantics (table/row/col numbering is per-turn, no cross-file
+    state)."""
+    from ocr_spark.pipeline import extract_tables
+
+    out = str(stream_dirs["root"] / "tables_out")
+    ckpt = str(stream_dirs["root"] / "tables_ckpt")
+    src = str(stream_dirs["root"] / "tables_src")
+
+    pdf = stream_dirs["pdf"].copy()
+    # plant deterministic html tables on the html turns
+    mask = pdf["tool"] == "html"
+    pdf.loc[mask, "text"] = [
+        f"<table><tr><th>K</th></tr><tr><td>v{i}</td><td></td></tr></table>"
+        for i in range(int(mask.sum()))
+    ]
+    spark.createDataFrame(pdf).coalesce(2).write.mode("overwrite").parquet(src)
+
+    stream = extract_tables(stream_transcripts(spark, src, files_per_trigger=1))
+    run_available_now(stream, out, ckpt)
+
+    cols = ["conv_id", "turn_idx", "table_idx", "row_idx", "col_idx",
+            "is_header", "cell_text"]
+    got = (
+        spark.read.parquet(out).select(*cols).toPandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    want = (
+        extract_tables(spark.createDataFrame(pdf)).select(*cols).toPandas()
+        .sort_values(cols).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
