@@ -1737,6 +1737,24 @@ def _q_ex_html_tables_twin(spark, sf_dir):
     )
 
 
+def _q_dd_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal (RefinedWeb/CCNet pass,
+    operators/dedup.line_dedup) over a corpus with planted cross-doc
+    boilerplate: a footer in every doc and a third-line in every 3rd
+    (dropped), a pair-shared line at exactly the threshold and a short
+    repeated line (kept). The oracle recomputes the FULL algebra —
+    doc-frequency by line string, threshold, exemption, reassembly."""
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.expr(_LINE_DEDUP_PAYLOAD_SQL).alias("text")
+    )
+    out = line_dedup(corpus, max_doc_freq=2, min_chars=10)
+    release_shingle_caches()
+    return out
+
+
 def _q_ex_dispatch_twin(spark, sf_dir):
     """Hash-verified KIND DISPATCH (S1): one corpus whose tool column
     routes each doc to a different kernel by doc_id parity — plain /
@@ -2499,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_string_funcs": _q_t15_string_funcs,
         "t16_sequence_explode": _q_t16_sequence_explode,
         "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
+        "dd_line_dedup": _q_dd_line_dedup,
         "ev_equality_report": _q_ev_equality_report,
         "ev_equality_summary": _q_ev_equality_summary,
         "ts_role_transitions": _q_ts_role_transitions,
@@ -2591,6 +2610,20 @@ _WIKI_PAYLOAD_SQL = (
     " || '| ' || " + _MD_W2 + " || ' || 42' || chr(10)"
     " || '|}' || chr(10) ELSE '' END"
     " || '[[Category:hidden ' || " + _MD_W3 + " || ']]' || chr(10)"
+    " || 'tail ' || " + _MD_W2
+)
+
+# line-dedup twin fixture: cross-doc boilerplate planted at three
+# doc-frequencies — every doc (dropped), every 3rd doc (dropped), a
+# pair-key line at exactly df=2 (kept: threshold is strict >), plus a
+# short repeated line (exempt) and unique head/tail lines.
+_LINE_DEDUP_PAYLOAD_SQL = (
+    "'alpha ' || " + _MD_W1 + " || chr(10)"
+    " || 'shared footer boilerplate for everyone' || chr(10)"
+    " || 'ok' || chr(10)"
+    " || 'pair line number ' || CAST(doc_id - doc_id % 2 AS BIGINT) || chr(10)"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN 'third boilerplate repeated line' || chr(10) ELSE '' END"
     " || 'tail ' || " + _MD_W2
 )
 
@@ -4542,4 +4575,24 @@ GROUP BY t.term ORDER BY occurrences DESC, t.term ASC LIMIT 50
 """,
         "dv_kcenter_select": _dv_kcenter_twin_sql(),
         "ex_html_tables_twin": _HTML_TABLES_TWIN_SQL,
+        "dd_line_dedup": f"""
+WITH d AS (SELECT doc_id, {_LINE_DEDUP_PAYLOAD_SQL} AS payload FROM documents),
+ls AS (SELECT doc_id,
+         string_split_regex(payload, chr(13)||chr(10)||'|'||chr(13)||'|'||chr(10)) AS arr
+       FROM d),
+l AS (SELECT doc_id, unnest(arr) AS line,
+             unnest(generate_series(1, len(arr))) AS idx FROM ls),
+elig AS (SELECT DISTINCT trim(line) AS t, doc_id FROM l
+         WHERE length(trim(line)) >= 10),
+flagged AS (SELECT t FROM elig GROUP BY t HAVING count(*) > 2),
+kept AS (SELECT doc_id, idx, line FROM l
+         WHERE NOT (length(trim(line)) >= 10
+                    AND trim(line) IN (SELECT t FROM flagged))),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS deduped_text,
+               count(*) AS kept_n FROM kept GROUP BY doc_id)
+SELECT ls.doc_id, coalesce(a.deduped_text, '') AS deduped_text,
+  CAST(len(ls.arr) AS BIGINT) AS n_lines,
+  CAST(len(ls.arr) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed
+FROM ls LEFT JOIN agg a USING (doc_id)
+""",
     }

@@ -912,3 +912,88 @@ def scrub_duplicate_ngrams(
             (F.col("n_tokens") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb / CCNet line-wise
+    dedup pass): a line whose TRIMMED form appears in more than
+    ``max_doc_freq`` distinct documents is boilerplate (nav bars,
+    cookie banners, footers, license headers) and is dropped from every
+    document carrying it. Complements document-level dedup — two pages
+    can be globally unique while 40% of their lines are shared chrome.
+
+    Returns ``(id_col, deduped_text, n_lines, n_removed)`` for EVERY
+    input document. Lines shorter than ``min_chars`` after trimming are
+    exempt (never counted, never dropped): short lines ("Yes.", "---")
+    repeat naturally and are content.
+
+    Scale shape: split to a per-doc line array (row-local); line
+    doc-frequency = explode -> distinct(line-hash, doc) -> one
+    map-side-combined count keyed by the 64-bit line hash (no line TEXT
+    shuffles for counting); the flagged set (df > threshold) joins back
+    to the exploded frame on the hash — boilerplate keys are hot by
+    definition, which is exactly the skew AQE's skew-join handles, and
+    the flagged side is output-bounded (distinct boilerplate lines, a
+    tiny fraction of distinct lines); reassembly is one
+    array_sort(collect_list(struct(idx, line))) per doc on the id key.
+    Same xxhash64-collision caveat (and the same oracle discipline) as
+    ``scrub_duplicate_ngrams``: the twin groups by the line string
+    itself.
+
+    Reference analog: none (per-document scope); standard web-pipeline
+    op per RefinedWeb (Penedo et al. '23) / CCNet (Wenzek et al. '19).
+    """
+    lines = F.split(F.col(text_col), r"\r\n|\r|\n")
+    base = df.select(F.col(id_col), lines.alias("_lines"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _LIVE_CACHES.append(base)
+
+    ex = base.select(
+        id_col, F.posexplode("_lines").alias("_idx", "_line")
+    ).withColumn("_t", F.trim("_line"))
+    eligible = ex.filter(F.length("_t") >= min_chars).select(
+        id_col, F.xxhash64("_t").alias("_h")
+    )
+    flagged = (
+        eligible.distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("_h")
+    )
+    kept = (
+        ex.join(
+            flagged,
+            (F.length("_t") >= min_chars) & (F.xxhash64("_t") == flagged["_h"]),
+            "left_anti",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("deduped_text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    totals = base.select(id_col, F.size("_lines").alias("n_lines"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("deduped_text", F.lit("")).alias("deduped_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -775,3 +775,66 @@ def test_scrub_matches_pure_python_reference_random_corpora(spark):
         }
         release_shingle_caches()
         assert got == reference(texts, 3), f"seed {seed}"
+
+
+# ------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_drops_cross_doc_boilerplate(spark):
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    footer = "this footer line repeats across many documents"
+    rows = [
+        (1, f"unique alpha content one\n{footer}\ntail one"),
+        (2, f"unique beta content two\n{footer}\ntail two"),
+        (3, f"unique gamma content three\n{footer}\ntail three"),
+        (4, f"unique delta content four\n{footer}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    release_shingle_caches()
+    assert got[1].deduped_text == "unique alpha content one\ntail one"
+    assert got[1].n_lines == 3 and got[1].n_removed == 1
+    assert got[4].deduped_text == "unique delta content four"
+
+
+def test_line_dedup_short_lines_exempt_and_threshold(spark):
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    rows = [
+        (1, "ok\npair line shared by exactly two docs\nunique one line x"),
+        (2, "ok\npair line shared by exactly two docs\nunique two line y"),
+        (3, "ok\nunique three line z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    release_shingle_caches()
+    # 'ok' repeats in 3 docs but is under min_chars -> exempt
+    # the pair line appears in exactly 2 docs = max_doc_freq -> kept
+    for i in (1, 2):
+        assert "pair line shared" in got[i].deduped_text
+        assert got[i].deduped_text.startswith("ok\n")
+        assert got[i].n_removed == 0
+
+
+def test_line_dedup_within_doc_repeats_count_once(spark):
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    dup = "repeated inside one single document"
+    rows = [(1, f"{dup}\n{dup}\n{dup}"), (2, "something else entirely here")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    release_shingle_caches()
+    # df counts DISTINCT docs: the triple-repeat is ONE doc -> kept
+    assert got[1].n_removed == 0 and got[1].deduped_text.count(dup) == 3
+
+
+def test_line_dedup_fully_boilerplate_doc(spark):
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    b = "the same boilerplate everywhere again"
+    rows = [(i, b) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
+    release_shingle_caches()
+    assert all(g.deduped_text == "" and g.n_removed == 1 for g in got.values())
