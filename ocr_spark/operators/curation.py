@@ -65,6 +65,7 @@ def curate_corpus(
     resample_target_frac: float = 0.5,
     domain_col: str = "source",
     scrub_gram_k: int | None = None,
+    line_dedup_max_df: int | None = None,
     source_cap: int | None = None,
 ) -> DataFrame:
     """Raw documents -> curated, deduplicated, split, packed corpus.
@@ -77,9 +78,11 @@ def curate_corpus(
        treated as distinct downstream;
     2. quality + repetition filters (``max_dup_line_frac`` /
        ``max_top_bigram_frac``, Gopher-style): cheap row-local drops
-       first, shrinking every later stage's input; then
-       ``scrub_gram_k``: duplicated-n-gram span scrubbing on the
-       shrunken corpus, before anything downstream fingerprints text;
+       first, shrinking every later stage's input; then the text
+       REWRITES on the shrunken corpus, before anything downstream
+       fingerprints text — ``line_dedup_max_df``: cross-doc boilerplate
+       line removal (whole-line chrome first), then ``scrub_gram_k``:
+       duplicated-n-gram span scrubbing (sub-line spans);
     3. ``evalset``: benchmark decontamination BEFORE dedup, so an
        eval-contaminated member can never elect itself canonical for a
        near-dup cluster (the cluster survives through a clean sibling);
@@ -108,6 +111,26 @@ def curate_corpus(
         if max_top_bigram_frac is not None:
             kept = kept.filter(F.col("top_bigram_frac") <= max_top_bigram_frac)
         kept = kept.drop("dup_line_frac", "top_bigram_frac", "n_bigrams")
+    if line_dedup_max_df is not None:
+        # cross-doc boilerplate line removal (RefinedWeb pass) — a text
+        # REWRITE, so it runs before anything downstream fingerprints
+        # text, and before the gram scrub (whole-line chrome out first,
+        # then sub-line spans). Same pin-both-sides discipline as the
+        # gram scrub below.
+        from ocr_spark.operators.dedup import _persist_shingles as _pin
+        from ocr_spark.operators.dedup import line_dedup
+
+        kept = _pin(kept)
+        lines_out = line_dedup(kept, text_col, id_col, line_dedup_max_df)
+        kept = kept.join(
+            lines_out.select(id_col, "deduped_text", "n_removed"), id_col
+        ).withColumn(
+            text_col,
+            F.when(F.col("n_removed") > 0, F.col("deduped_text")).otherwise(
+                F.col(text_col)
+            ),
+        ).drop("deduped_text", "n_removed")
+        kept = _pin(kept)
     if scrub_gram_k is not None:
         # ExactSubstr-style boilerplate scrub AFTER the cheap row-local
         # drops (the expensive corpus-wide gram inventory sees the

@@ -213,3 +213,26 @@ def test_corpus_report_cells(spark):
     assert web_en["quality_pass_rate"] == 0.5
     assert cells[("books", "en")]["quality_pass_rate"] == 0.0
     assert cells[("web", "fr")]["quality_pass_rate"] == 1.0
+
+
+def test_line_dedup_stage_opt_in(spark):
+    """The line-dedup rewrite slots in before fingerprinting stages:
+    planted cross-doc footer lines are gone from every surviving text,
+    unique content survives."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    footer = "subscribe to our newsletter for updates"
+    salted = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(f"\n{footer}")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    out = curate_corpus(
+        salted, jaccard_threshold=0.8, token_budget=512, line_dedup_max_df=2
+    ).persist()
+    n = out.count()
+    release_shingle_caches()
+    assert n > 0
+    assert out.filter(F.col("text").contains(footer)).count() == 0
+    # the non-boilerplate body survived the rewrite
+    assert out.filter(F.length("text") > 50).count() == n
+    out.unpersist()
