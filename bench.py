@@ -168,6 +168,9 @@ def main() -> None:
         "tr_temperature_resample",
         "emb_hashed_ann",
         "sft_packed_bins",
+        "dd_line_dedup",
+        "ex_html_tables_twin",
+        "dv_kcenter_select",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -457,3 +457,38 @@ def test_compositions_python_stage_budget(spark, small_corpus):
     )
     cl = checks.python_stage_counts(out)
     assert cl["MapInPandas"] == 1 and cl["ArrowEvalPython"] == 1, cl
+
+
+def test_extract_tables_pushdown_and_single_python_stage(spark, tmp_path):
+    """The html-kind filter must reach the parquet scan (non-html turns
+    never leave the scan, let alone reach Python), and the cell fan-out
+    is exactly ONE MapInPandas."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_tables
+
+    src = str(tmp_path / "t.parquet")
+    pdf = gen_transcripts_pdf(6, seed=2, skew_factor=3)
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).write.parquet(src)
+    q = extract_tables(spark.read.parquet(src))
+    assert "tool" in checks.pushed_filters(q)
+    assert set(checks.read_schema_columns(q)) == {"conv_id", "turn_idx", "text", "tool"}
+    assert checks.python_stage_counts(q)["MapInPandas"] == 1
+    assert checks.count_exchanges(q) == 0
+
+
+def test_line_dedup_shuffle_budget(spark):
+    """line_dedup's algebra: df-count agg + anti-join + reassembly
+    groupBy + totals join — a handful of exchanges, and crucially NO
+    line TEXT in the counting shuffle (hash keys only) and no
+    cartesian/nested-loop anywhere."""
+    from ocr_spark.operators.dedup import line_dedup, release_shingle_caches
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = line_dedup(docs, "text", "doc_id")
+    plan = checks.formatted_plan(out)
+    release_shingle_caches()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # counting side shuffles xxhash64 keys, not line strings: the
+    # aggregate over the distinct (hash, doc) pairs appears
+    assert "xxhash64" in plan
