@@ -860,6 +860,26 @@ def _q_tok_top_oov(spark, sf_dir):
     return top_oov_terms(docs, vocab, k=50)
 
 
+def _q_dq_expectations(spark, sf_dir):
+    """Declarative data-contract checks (operators/expectations.py)
+    over the defect-injected QC corpus — unknown roles, duplicated
+    (conv, turn_idx) keys, whitespace payloads all fire their
+    constraint; the oracle recomputes each violation count in SQL."""
+    from ocr_spark.operators import expectations as X
+
+    corpus = _qc_corpus(spark, sf_dir)
+    return X.check_expectations(
+        corpus,
+        [
+            X.not_null("conv"),
+            X.accepted_values("role", ["user", "assistant", "system", "tool"]),
+            X.in_range("turn_idx", 0, 10_000_000),
+            X.expression_is_true("trim(text) <> ''", "non_empty_text"),
+            X.unique(["conv", "turn_idx"]),
+        ],
+    )
+
+
 def _q_dv_kcenter_select(spark, sf_dir):
     """Greedy k-center exemplar selection (operators/diversity.py) over
     int8-quantized embeddings — exact-integer distances make the REAL
@@ -2534,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_conversation_shape": _q_ts_conversation_shape,
         "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_top_oov": _q_tok_top_oov,
+        "dq_expectations": _q_dq_expectations,
     }
 
 
@@ -4582,6 +4603,42 @@ GROUP BY t.term ORDER BY occurrences DESC, t.term ASC LIMIT 50
 """,
         "dv_kcenter_select": _dv_kcenter_twin_sql(),
         "ex_html_tables_twin": _HTML_TABLES_TWIN_SQL,
+        "dq_expectations": f"""
+WITH c AS ({_QC_CORPUS_SQL}),
+n AS (SELECT count(*) AS total FROM c)
+SELECT 'not_null_conv' AS name, 'not_null' AS kind,
+  (SELECT count(*) FROM c WHERE conv IS NULL) AS violations,
+  (SELECT total FROM n) AS checked,
+  CAST((SELECT count(*) FROM c WHERE conv IS NULL) = 0 AS INTEGER) AS passed
+UNION ALL
+SELECT 'accepted_values_role', 'accepted_values',
+  (SELECT count(*) FROM c WHERE role IS NOT NULL
+     AND role NOT IN ('user','assistant','system','tool')),
+  (SELECT total FROM n),
+  CAST((SELECT count(*) FROM c WHERE role IS NOT NULL
+     AND role NOT IN ('user','assistant','system','tool')) = 0 AS INTEGER)
+UNION ALL
+SELECT 'in_range_turn_idx', 'in_range',
+  (SELECT count(*) FROM c WHERE turn_idx IS NOT NULL
+     AND (turn_idx < 0 OR turn_idx > 10000000)),
+  (SELECT total FROM n),
+  CAST((SELECT count(*) FROM c WHERE turn_idx IS NOT NULL
+     AND (turn_idx < 0 OR turn_idx > 10000000)) = 0 AS INTEGER)
+UNION ALL
+SELECT 'non_empty_text', 'expression_is_true',
+  (SELECT count(*) FROM c WHERE NOT coalesce(trim(text) <> '', false)),
+  (SELECT total FROM n),
+  CAST((SELECT count(*) FROM c
+        WHERE NOT coalesce(trim(text) <> '', false)) = 0 AS INTEGER)
+UNION ALL
+SELECT 'unique_conv_turn_idx', 'unique',
+  (SELECT CAST(coalesce(sum(cnt - 1), 0) AS BIGINT) FROM
+     (SELECT count(*) AS cnt FROM c GROUP BY conv, turn_idx HAVING count(*) > 1)),
+  (SELECT total FROM n),
+  CAST((SELECT coalesce(sum(cnt - 1), 0) FROM
+     (SELECT count(*) AS cnt FROM c GROUP BY conv, turn_idx
+      HAVING count(*) > 1)) = 0 AS INTEGER)
+""",
         "dd_line_dedup": f"""
 WITH d AS (SELECT doc_id, {_LINE_DEDUP_PAYLOAD_SQL} AS payload FROM documents),
 ls AS (SELECT doc_id,

@@ -1,0 +1,169 @@
+"""Data-quality expectations: declarative constraint checks as ONE pass.
+
+Before a 10^12-turn job runs for hours, the input contract should be
+verified in minutes: no-null keys, accepted role values, index ranges,
+key uniqueness, timestamp sanity. ``transcript_qc.py`` diagnoses
+per-conversation STRUCTURE; this module checks column-level CONTRACTS
+on any table, dbt-test / Deequ style, and returns a machine-readable
+violation report a scheduler can gate on.
+
+Design for scale: every row-local constraint compiles to a SUM of a
+violation indicator inside a SINGLE aggregate over one scan (column
+pruning keeps the scan at exactly the referenced columns); uniqueness
+constraints need a groupBy each (count-distinct-exceeds-one on the key
+— one map-side-combined shuffle per unique key set, skew-safe because
+the combine collapses per-key counts before the exchange). The report
+is |constraints| rows.
+
+Constraint constructors return plain dicts so a suite can be declared
+in config. ``check_expectations`` output:
+``(name, kind, violations:long, checked:long, passed:int)``.
+
+Reference analog: the reference validates per-request inputs
+imperatively (file-type checks, data_extraction_service.py:71-78);
+this is the corpus-scale declarative generalization.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str, name: str | None = None) -> Dict:
+    return {"kind": "not_null", "col": col, "name": name or f"not_null_{col}"}
+
+
+def accepted_values(col: str, values: Sequence, name: str | None = None) -> Dict:
+    return {
+        "kind": "accepted_values",
+        "col": col,
+        "values": list(values),
+        "name": name or f"accepted_values_{col}",
+    }
+
+
+def in_range(col: str, lo, hi, name: str | None = None) -> Dict:
+    """Violation when the value falls outside [lo, hi]; NULLs pass (pair
+    with not_null to reject them)."""
+    return {
+        "kind": "in_range",
+        "col": col,
+        "lo": lo,
+        "hi": hi,
+        "name": name or f"in_range_{col}",
+    }
+
+
+def matches_regex(col: str, pattern: str, name: str | None = None) -> Dict:
+    return {
+        "kind": "matches_regex",
+        "col": col,
+        "pattern": pattern,
+        "name": name or f"matches_regex_{col}",
+    }
+
+
+def unique(cols: Sequence[str], name: str | None = None) -> Dict:
+    """Violations = rows beyond the first for each duplicated key."""
+    return {
+        "kind": "unique",
+        "cols": list(cols),
+        "name": name or "unique_" + "_".join(cols),
+    }
+
+
+def expression_is_true(expr: str, name: str, checked_col: str | None = None) -> Dict:
+    """Free-form SQL predicate that must hold on every row; NULL result
+    counts as a violation (the predicate could not be established)."""
+    return {
+        "kind": "expression_is_true",
+        "expr": expr,
+        "name": name,
+        "col": checked_col,
+    }
+
+
+def _violation_col(c: Dict) -> F.Column:
+    kind = c["kind"]
+    if kind == "not_null":
+        return F.col(c["col"]).isNull()
+    if kind == "accepted_values":
+        # NULL passes (pair with not_null to reject it) — dbt semantics
+        v = F.col(c["col"])
+        return v.isNotNull() & ~v.isin(c["values"])
+    if kind == "in_range":
+        v = F.col(c["col"])
+        return v.isNotNull() & ((v < F.lit(c["lo"])) | (v > F.lit(c["hi"])))
+    if kind == "matches_regex":
+        v = F.col(c["col"])
+        return v.isNotNull() & ~v.rlike(c["pattern"])
+    if kind == "expression_is_true":
+        return ~F.coalesce(F.expr(c["expr"]), F.lit(False))
+    raise ValueError(f"unknown constraint kind: {kind!r}")
+
+
+def check_expectations(df: DataFrame, constraints: List[Dict]) -> DataFrame:
+    """Evaluate every constraint; one aggregate pass for all row-local
+    constraints plus one groupBy per ``unique`` constraint, results
+    unioned into the report frame."""
+    spark = df.sparkSession
+    row_local = [c for c in constraints if c["kind"] != "unique"]
+    uniques = [c for c in constraints if c["kind"] == "unique"]
+
+    reports: List[DataFrame] = []
+    if row_local:
+        aggs = []
+        for c in row_local:
+            aggs.append(
+                F.sum(_violation_col(c).cast("long")).alias(f"v_{c['name']}")
+            )
+        aggs.append(F.count(F.lit(1)).alias("_n"))
+        one = df.agg(*aggs)
+        stacked = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c["name"]).alias("name"),
+                            F.lit(c["kind"]).alias("kind"),
+                            F.col(f"v_{c['name']}").alias("violations"),
+                            F.col("_n").alias("checked"),
+                        )
+                        for c in row_local
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        reports.append(stacked)
+    for c in uniques:
+        dup = (
+            df.groupBy(*c["cols"])
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt") - 1)), F.lit(0)
+                ).alias("violations"),
+                F.coalesce(F.sum("_cnt"), F.lit(0)).alias("checked"),
+            )
+            .select(
+                F.lit(c["name"]).alias("name"),
+                F.lit("unique").alias("kind"),
+                F.col("violations").cast("long"),
+                F.col("checked").cast("long"),
+            )
+        )
+        reports.append(dup)
+
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "name",
+        "kind",
+        F.coalesce("violations", F.lit(0)).cast("long").alias("violations"),
+        "checked",
+        (F.coalesce("violations", F.lit(0)) == 0).cast("int").alias("passed"),
+    )

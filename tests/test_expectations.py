@@ -1,0 +1,86 @@
+"""Data-quality expectations (operators/expectations.py)."""
+
+from ocr_spark.operators.expectations import (
+    accepted_values,
+    check_expectations,
+    expression_is_true,
+    in_range,
+    matches_regex,
+    not_null,
+    unique,
+)
+
+SCHEMA = "conv_id string, turn_idx int, role string, score double"
+ROWS = [
+    ("c1", 0, "user", 0.5),
+    ("c1", 1, "assistant", 1.5),   # score out of [0,1]
+    ("c1", 1, "tool", 0.2),        # duplicate (conv_id, turn_idx)
+    ("c2", 0, "narrator", 0.9),    # role not accepted
+    (None, 0, "user", None),       # null conv_id; null score passes range
+]
+
+
+def _report(spark, constraints):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    return {r.name: r for r in check_expectations(df, constraints).collect()}
+
+
+def test_row_local_constraints_one_pass(spark):
+    got = _report(
+        spark,
+        [
+            not_null("conv_id"),
+            accepted_values("role", ["user", "assistant", "tool", "system"]),
+            in_range("score", 0.0, 1.0),
+            in_range("turn_idx", 0, 100),
+            matches_regex("conv_id", r"^c[0-9]+$"),
+        ],
+    )
+    assert (got["not_null_conv_id"].violations, got["not_null_conv_id"].passed) == (1, 0)
+    assert got["accepted_values_role"].violations == 1
+    assert got["in_range_score"].violations == 1  # NULL score passes
+    assert got["in_range_turn_idx"].violations == 0
+    assert got["in_range_turn_idx"].passed == 1
+    # regex: NULL passes, all non-null conv_ids match
+    assert got["matches_regex_conv_id"].violations == 0
+    assert all(r.checked == len(ROWS) for r in got.values())
+
+
+def test_unique_counts_extra_rows(spark):
+    got = _report(spark, [unique(["conv_id", "turn_idx"])])
+    r = got["unique_conv_id_turn_idx"]
+    # one key has two rows -> 1 extra row beyond the first
+    assert r.violations == 1 and r.checked == len(ROWS) and r.passed == 0
+
+
+def test_expression_constraint_null_is_violation(spark):
+    got = _report(
+        spark,
+        [expression_is_true("score <= 1.0 OR score IS NULL", "score_le_1"),
+         expression_is_true("score <= 1.0", "score_le_1_strict")],
+    )
+    assert got["score_le_1"].violations == 1          # only the 1.5
+    assert got["score_le_1_strict"].violations == 2   # 1.5 + NULL (unestablished)
+
+
+def test_all_green_suite(spark):
+    got = _report(spark, [in_range("turn_idx", 0, 100), unique(["conv_id", "turn_idx", "role"])])
+    assert all(r.passed == 1 for r in got.values())
+
+
+def test_single_pass_plan_for_row_local(spark):
+    """All row-local constraints share ONE aggregate over one scan."""
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    rep = check_expectations(
+        df, [not_null("conv_id"), in_range("score", 0.0, 1.0),
+             accepted_values("role", ["user"])]
+    )
+    import re
+
+    plan = checks.formatted_plan(rep)
+    # one aggregation pair (partial + final) over a single scan, one
+    # SinglePartition exchange between them
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.M)) == 2
+    assert checks.count_exchanges(rep) == 1
