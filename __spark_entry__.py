@@ -1117,6 +1117,23 @@ def _q_ret_bm25_scores(spark, sf_dir):
     return scored.select("doc_id", F.round("bm25_raw", 4).alias("bm25"))
 
 
+def _q_ret_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (operators/retrieval.mine_hard_negatives,
+    DPR recipe): every 29th document becomes a query (its own first 40
+    chars), itself the excluded positive; top-5 BM25 negatives per
+    query, scores rounded before ranking so the cutoff is
+    float-association-proof. Full SQL recompute in the oracle."""
+    from ocr_spark.operators.retrieval import mine_hard_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query_text"),
+    )
+    positives = queries.select("query_id", F.col("query_id").alias("doc_id"))
+    return mine_hard_negatives(docs, queries, positives, k_neg=5)
+
+
 def _q_tr_stratified_split(spark, sf_dir):
     """Deterministic stratified train/val/test assignment (pure int64
     multiplicative-hash arithmetic — the identical expression runs in
@@ -2555,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_top_oov": _q_tok_top_oov,
         "dq_expectations": _q_dq_expectations,
+        "ret_hard_negatives": _q_ret_hard_negatives,
     }
 
 
@@ -4227,6 +4245,40 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
+""",
+        "ret_hard_negatives": """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+q AS (SELECT doc_id AS query_id, substr(text, 1, 40) AS qt
+      FROM documents WHERE doc_id % 29 = 0),
+qt AS (SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(lower(qt), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+       FROM q),
+scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(sum( ln((nd.n_docs - stats.df_t + 0.5) / (stats.df_t + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) ), 4) AS bm25
+  FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
+       JOIN stats USING (term), nd, ad
+  GROUP BY qt.query_id, tf.doc_id
+),
+neg AS (SELECT * FROM scored WHERE doc_id <> query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY bm25 DESC, doc_id) AS neg_rank
+      FROM neg)
+SELECT query_id, doc_id, bm25, CAST(neg_rank AS INTEGER) AS neg_rank
+FROM r WHERE neg_rank <= 5
 """,
         "tr_stratified_split": (
             "WITH b AS (SELECT lang, "

@@ -194,3 +194,65 @@ def top_ngrams(
         .agg(F.count("*").alias("cnt"))
     )
     return counts.orderBy(F.desc("cnt"), "gram").limit(k)
+
+
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k_neg: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    score_round: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR
+    recipe, Karpukhin et al. '20): for each query, the top BM25-scored
+    corpus documents that are NOT a known positive — lexically
+    confusable non-matches, the negatives a bi-encoder actually learns
+    from (random negatives are trivially separable).
+
+    ``positives`` is ``(query_id_col, id_col)`` — known relevant pairs
+    (from click logs, near-dup clusters, or the query's source doc);
+    they and nothing else are excluded. Returns
+    ``(query_id, doc_id, bm25, neg_rank)`` with ``neg_rank`` 1..k_neg.
+
+    Determinism: scores are rounded to ``score_round`` decimals BEFORE
+    ranking, ties broken by doc id — so the mined set is identical
+    across runs/partitionings even when float sum re-association moves
+    the last ulp (a reproducible training set is worth 1e-4 of score
+    resolution).
+
+    Scale shape: queries explode to distinct (query, term) pairs and
+    equi-join the term-keyed BM25 index — per-term fan-out is
+    |queries_containing_term| x df(term), the classic impact-ordered
+    retrieval cost (stopword skew is AQE skew-join territory; cap it
+    upstream by dropping ubiquitous terms from queries). Scoring is one
+    map-side-combined (query, doc) groupBy; the positive exclusion is a
+    broadcast-sized anti-join when positives fit, else a co-keyed one;
+    the cutoff is one ranking window per query key."""
+    from pyspark.sql import Window
+
+    idx = bm25_index(docs, text_col, id_col)
+    qterms = queries.select(
+        query_id_col,
+        F.explode(F.array_distinct(terms_col(F.col(query_text_col)))).alias("term"),
+    )
+    scored = (
+        qterms.join(idx, "term")
+        .withColumn("contrib", bm25_score_col(k1, b))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("contrib"), score_round).alias("bm25"))
+    )
+    neg = scored.join(positives, [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("bm25"), F.asc(id_col)
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k_neg)
+        .select(query_id_col, id_col, "bm25", "neg_rank")
+    )

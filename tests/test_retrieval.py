@@ -164,3 +164,66 @@ def test_bm25_topk_tokenizes_query_strings(spark):
     top = bm25_topk(docs, ["hash-join", "merge scan"], k=2).collect()
     assert {r["doc_id"] for r in top} == {1, 2}
     assert all(r["bm25"] > 0 for r in top)
+
+
+def test_mine_hard_negatives_excludes_positives_and_ranks(spark):
+    from ocr_spark.operators.retrieval import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join performance tuning"),
+            (2, "spark shuffle partitions and skew"),       # lexically close
+            (3, "spark join broadcast threshold notes"),
+            (4, "gardening tips for tomato plants"),        # unrelated
+            (5, "shuffle join spark deep dive"),            # the positive
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(100, "spark shuffle join")], ["query_id", "query_text"]
+    )
+    positives = spark.createDataFrame([(100, 5)], ["query_id", "doc_id"])
+    got = (
+        mine_hard_negatives(docs, queries, positives, k_neg=2)
+        .orderBy("neg_rank")
+        .collect()
+    )
+    assert [r.neg_rank for r in got] == [1, 2]
+    ids = [r.doc_id for r in got]
+    assert 5 not in ids          # the positive is excluded
+    assert 4 not in ids          # zero-term-overlap doc never scores
+    assert set(ids) <= {1, 2, 3}
+    assert got[0].bm25 >= got[1].bm25
+
+
+def test_mine_hard_negatives_deterministic_ties(spark):
+    from ocr_spark.operators.retrieval import mine_hard_negatives
+
+    # two docs with IDENTICAL text -> identical scores; tie breaks by id
+    docs = spark.createDataFrame(
+        [(7, "alpha beta"), (3, "alpha beta"), (9, "alpha gamma")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame([(1, "alpha beta")], ["query_id", "query_text"])
+    positives = spark.createDataFrame([(1, -1)], ["query_id", "doc_id"])
+    got = mine_hard_negatives(docs, queries, positives, k_neg=2).orderBy("neg_rank").collect()
+    assert [r.doc_id for r in got] == [3, 7]
+
+
+def test_mine_hard_negatives_per_query_independent(spark):
+    from ocr_spark.operators.retrieval import mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "red apples"), (2, "green apples"), (3, "blue trains")],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [(10, "apples"), (20, "trains")], ["query_id", "query_text"]
+    )
+    positives = spark.createDataFrame([(10, 1), (20, 3)], ["query_id", "doc_id"])
+    got = mine_hard_negatives(docs, queries, positives, k_neg=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    assert by_q[10] == [2]
+    assert 20 not in by_q or by_q[20] == []  # its only match was the positive
