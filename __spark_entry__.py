@@ -860,6 +860,30 @@ def _q_tok_top_oov(spark, sf_dir):
     return top_oov_terms(docs, vocab, k=50)
 
 
+def _q_sim_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids via the GROUPED_AGG pandas-UDF
+    surface (operators/similarity.label_centroids) — centroid packed to
+    a 6dp string for the hash compare (raw arrays are
+    uncanonicalizable), vs a dim-unnest avg twin in DuckDB."""
+    from ocr_spark.operators.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = label_centroids(emb, label_col="label")
+    return out.select(
+        "label",
+        F.concat_ws(
+            ",",
+            F.transform(
+                # micro-unit integers, not float reprs: both engines
+                # stringify the same int64 (float->string reprs differ)
+                "centroid",
+                lambda x: F.round(x * 1e6).cast("bigint").cast("string"),
+            ),
+        ).alias("centroid_packed"),
+        "n",
+    )
+
+
 def _q_dq_expectations(spark, sf_dir):
     """Declarative data-contract checks (operators/expectations.py)
     over the defect-injected QC corpus — unknown roles, duplicated
@@ -2573,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_top_oov": _q_tok_top_oov,
         "dq_expectations": _q_dq_expectations,
         "ret_hard_negatives": _q_ret_hard_negatives,
+        "sim_label_centroids": _q_sim_label_centroids,
     }
 
 
@@ -4245,6 +4270,22 @@ scored AS (
   GROUP BY tf.doc_id
 )
 SELECT doc_id, round(bm25_raw, 4) AS bm25 FROM scored
+""",
+        "sim_label_centroids": """
+WITH e AS (SELECT label, embedding FROM embeddings),
+dims AS (
+  SELECT label, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+  FROM e, unnest(generate_series(1, len(embedding))) AS t(i)
+),
+per_dim AS (SELECT label, dim, avg(v) AS m FROM dims GROUP BY label, dim),
+packed AS (
+  SELECT label,
+    string_agg(CAST(CAST(round(m * 1000000) AS BIGINT) AS VARCHAR),
+               ',' ORDER BY dim) AS centroid_packed
+  FROM per_dim GROUP BY label)
+SELECT p.label, p.centroid_packed, c.n
+FROM packed p JOIN (SELECT label, count(*) AS n FROM e GROUP BY label) c
+  USING (label)
 """,
         "ret_hard_negatives": """
 WITH tok AS (

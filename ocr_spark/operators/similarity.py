@@ -563,3 +563,54 @@ def semantic_admit(
     )
     dominated = dom_cross.unionByName(dom_intra).distinct()
     return inc.drop("_c").join(dominated, id_col, "left_anti")
+
+
+def _make_centroid_aggs():
+    """GROUPED_AGG pandas UDFs, created lazily — a module-level
+    pandas_udf with a DDL-string type parses the type at import time
+    and requires a live SparkContext.
+
+    The centroid agg: per-group mean vector in one numpy reduction.
+    Honest trade-off vs the built-in formulation (posexplode ->
+    groupBy (label, dim) -> avg -> collect_list): grouped-agg UDFs
+    have NO map-side partial combine, so the group's vectors all
+    shuffle — about the same bytes as the exploded form, but 1/dim the
+    row count, no second aggregation, and no risk of the collect_list
+    reassembly misordering dims."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def centroid_agg(vecs: pd.Series) -> list:
+        if len(vecs) == 0:
+            return []
+        return np.mean(np.stack(vecs.to_numpy()), axis=0).tolist()
+
+    @F.pandas_udf(T.LongType())
+    def size_agg(vecs: pd.Series) -> int:
+        return int(len(vecs))
+
+    return centroid_agg, size_agg
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of an embedding column: ``(label, centroid:
+    array<double>, n:long)``. The class-prototype table that seeds IVF
+    lists, summarizes semantic clusters, or feeds a nearest-centroid
+    classifier — output cardinality |labels|.
+
+    This is the engine's GROUPED_AGG pandas-UDF surface (§2.11): the
+    mean reduces map-side within Arrow batches per group, so the wire
+    carries one dim-length vector per (group, task) — not the dim-x
+    exploded rows the pure-SQL formulation shuffles."""
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg ([INVALID_PANDAS_UDF_PLACEMENT]), so the
+    # group size is a second pandas aggregate over the same pass.
+    centroid_agg, size_agg = _make_centroid_aggs()
+    return emb.groupBy(label_col).agg(
+        centroid_agg(F.col(vec_col).cast("array<double>")).alias("centroid"),
+        size_agg(F.col(vec_col)).alias("n"),
+    )

@@ -123,3 +123,25 @@ def test_composes_with_cosine_topk(spark):
 def test_dim_validation():
     with pytest.raises(ValueError):
         E.hashed_embedding(None, dim=0)
+
+
+def test_label_centroids_grouped_agg(spark):
+    """Per-label centroid via the GROUPED_AGG pandas-UDF surface equals
+    the numpy mean, with counts; empty-label impossible by construction
+    (groupBy only sees present labels)."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import label_centroids
+
+    rng = np.random.RandomState(9)
+    rows, want = [], {}
+    for lbl in (0, 1, 2):
+        vs = rng.randn(4 + lbl, 6)
+        want[lbl] = vs.mean(axis=0)
+        rows += [(int(lbl) * 100 + i, vs[i].tolist(), int(lbl)) for i in range(len(vs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r.label: r for r in label_centroids(df).collect()}
+    assert set(got) == {0, 1, 2}
+    for lbl, mean in want.items():
+        assert got[lbl].n == 4 + lbl
+        assert np.allclose(np.array(got[lbl].centroid), mean, atol=1e-12)
