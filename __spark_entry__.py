@@ -1250,6 +1250,21 @@ def _q_dc_decontaminate(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+def _q_dc_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination (contamination.py bloom path):
+    ~12-bit/n-gram broadcast prunes provably-clean docs before the
+    exact confirm join — kept set EXACTLY equals `decontaminate`, so
+    the oracle is the same anti-join SQL as `dc_decontaminate`."""
+    from ocr_spark.operators.contamination import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.expr(_DECON_EVAL_FILTER)).select(
+        F.expr(_DECON_EVAL_TEXT).alias("text")
+    )
+    kept = bloom_decontaminate(docs, evalset, n=3, threshold=0.2)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
 # PII payload, ONE SQL expression valid in both engines: three quarters
 # of documents get typed PII planted (email / ip+card / ssn+phone), one
 # quarter stays clean — so counts, scrub output, and the zero case are
@@ -2598,6 +2613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_expectations": _q_dq_expectations,
         "ret_hard_negatives": _q_ret_hard_negatives,
         "sim_label_centroids": _q_sim_label_centroids,
+        "dc_bloom_decontaminate": _q_dc_bloom_decontaminate,
     }
 
 
@@ -4376,6 +4392,12 @@ FROM r WHERE neg_rank <= 5
             "n_hits * 1.0 / n_grams > 0.2 AS contaminated FROM h"
         ),
         "dc_decontaminate": _DECON_CTE_SQL + (
+            "SELECT source, count(*) AS n_kept FROM documents "
+            "WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
+            "GROUP BY source"
+        ),
+        "dc_bloom_decontaminate": _DECON_CTE_SQL + (
             "SELECT source, count(*) AS n_kept FROM documents "
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "

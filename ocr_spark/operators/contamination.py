@@ -32,6 +32,8 @@ set small enough to broadcast too. No corpus shuffle anywhere.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -153,3 +155,141 @@ def decontaminate(
         broadcast_eval,
     ).filter(F.col("contaminated")).select(id_col)
     return docs.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+# --------------------------------------------------------------- bloom path
+#
+# When the eval set is too large to broadcast as STRINGS (a multi-GB
+# suite of held-out benchmarks), the exact recipe above degrades to a
+# shuffled join of the full corpus's exploded n-grams. The standard
+# engine answer (Spark's own AQE injects runtime bloom filters for
+# exactly this reason) is a Bloom-filter prefilter: ~12 bits per eval
+# n-gram instead of the full string — a 50-100x smaller broadcast —
+# with NO false negatives, so documents whose every n-gram misses the
+# bloom are provably clean and never reach the join. Only bloom
+# CANDIDATES (true hits + the ~0.1% false-positive tail) flow into the
+# exact confirm join, which restores exactness. Result is therefore
+# hash-identical to `decontaminate` while the join input shrinks from
+# |corpus| to |contaminated| + eps.
+
+_BLOOM_BITS_PER_ITEM = 12
+_BLOOM_NUM_HASHES = 8  # optimal k ~= 0.693 * bits_per_item
+
+
+def _bloom_size_bits(n_items: int, bits_per_item: int) -> int:
+    """Power-of-2 bit count (so `mod m` is a mask) >= n*bits_per_item."""
+    m = 64
+    while m < n_items * bits_per_item:
+        m <<= 1
+    return m
+
+
+def _bloom_indices(h64, i: int, m: int):
+    """i-th double-hashed bit index of 64-bit hashes (Kirsch-Mitzenmacher:
+    idx_i = h1 + i*h2 mod m, h2 forced odd so every stride visits all of
+    a power-of-2 table). Pure numpy, wraparound-safe in uint64."""
+    h1 = h64.astype(np.uint64, copy=False)
+    h2 = (h1 >> np.uint64(33)) | np.uint64(1)
+    return (h1 + np.uint64(i) * h2) & np.uint64(m - 1)
+
+
+def build_ngram_bloom(
+    evalset: DataFrame,
+    eval_text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    bits_per_item: int = _BLOOM_BITS_PER_ITEM,
+    num_hashes: int = _BLOOM_NUM_HASHES,
+):
+    """Build `(bits: np.uint64[m/64], m, k)` over the eval set's distinct
+    n-gram xxhash64 values. The collect is eval-sized (the side that is
+    by definition orders of magnitude under the corpus); the corpus
+    never touches the driver."""
+    rows = (
+        eval_ngram_set(evalset, eval_text_col, n)
+        .select(F.xxhash64("gram").alias("h"))
+        .collect()
+    )
+    hashes = np.fromiter((r["h"] for r in rows), dtype=np.int64, count=len(rows))
+    m = _bloom_size_bits(max(len(rows), 1), bits_per_item)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    h64 = hashes.view(np.uint64)
+    for i in range(num_hashes):
+        idx = _bloom_indices(h64, i, m)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+    return bits, m, num_hashes
+
+
+def _make_bloom_any_udf(spark, bits, m: int, k: int):
+    """Arrow-batched membership test over an `array<long>` hash column:
+    True iff ANY element might be in the bloom. Flattens the batch to
+    one vectorized probe (segment-any via cumsum differencing); docs
+    with empty gram arrays are False (provably clean)."""
+    bc = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def bloom_any(hs: pd.Series) -> pd.Series:
+        bts = bc.value
+        lengths = np.fromiter(
+            (0 if a is None else len(a) for a in hs),
+            dtype=np.int64, count=len(hs),
+        )
+        if lengths.sum() == 0:
+            return pd.Series(np.zeros(len(hs), dtype=bool))
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in hs if a is not None and len(a)]
+        )
+        member = np.ones(flat.size, dtype=bool)
+        for i in range(k):
+            idx = _bloom_indices(flat.view(np.uint64), i, m)
+            word = bts[(idx >> np.uint64(6)).astype(np.int64)]
+            member &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) == 1
+        cs = np.concatenate([[0], np.cumsum(member)])
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        return pd.Series((cs[ends] - cs[starts]) > 0)
+
+    return bloom_any
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = DEFAULT_THRESHOLD,
+    bits_per_item: int = _BLOOM_BITS_PER_ITEM,
+    num_hashes: int = _BLOOM_NUM_HASHES,
+) -> DataFrame:
+    """EXACTLY `decontaminate(docs, evalset, ...)` — same kept set, same
+    schema — via a bloom prefilter: bloom-clean documents bypass the
+    n-gram join entirely; bloom candidates are confirmed by the exact
+    report, so false positives cost only wasted probe work, never a
+    wrongly dropped document.
+
+    At 100 TB: the broadcast is `12 bits x |eval n-grams|` (fits at eval
+    sizes where the string set cannot), the corpus is scanned once, and
+    the exact join's exploded input shrinks to the candidate sliver.
+    """
+    spark = docs.sparkSession
+    bits, m, k = build_ngram_bloom(
+        evalset, eval_text_col, n, bits_per_item, num_hashes
+    )
+    bloom_any = _make_bloom_any_udf(spark, bits, m, k)
+    hashed = docs.withColumn(
+        "_maybe",
+        bloom_any(
+            F.transform(word_ngrams_col(text_col, n), lambda g: F.xxhash64(g))
+        ),
+    )
+    clean = hashed.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = hashed.filter(F.col("_maybe")).drop("_maybe")
+    confirmed = decontaminate(
+        candidates, evalset, text_col, id_col, eval_text_col, n, threshold
+    )
+    return clean.unionByName(confirmed)

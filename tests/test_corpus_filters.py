@@ -236,3 +236,59 @@ def test_repetition_engine_validation(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         repetition_stats(df, engine="nope")
+
+
+# ------------------------------------------------- bloom decontamination
+def test_bloom_decontaminate_equals_exact(spark, decon_frames):
+    """The bloom path is a pure prefilter: kept set and schema identical
+    to the exact anti-join, false positives confirmed away."""
+    from ocr_spark.operators.contamination import bloom_decontaminate
+
+    docs, evalset = decon_frames
+    kept = bloom_decontaminate(docs, evalset, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+    assert kept.columns == docs.columns
+    # threshold semantics ride through the confirm join unchanged
+    assert bloom_decontaminate(docs, evalset, n=3, threshold=0.5).count() == 3
+
+
+def test_bloom_decontaminate_larger_corpus(spark):
+    """200 synthetic docs, ~1/4 planted with eval text — bloom kept ids
+    == exact kept ids even with a deliberately tiny (FP-prone) bloom."""
+    from ocr_spark.operators.contamination import (
+        bloom_decontaminate, decontaminate,
+    )
+
+    rows = []
+    for i in range(200):
+        base = f"doc {i} filler alpha beta gamma delta epsilon zeta {i * 7}"
+        if i % 4 == 0:
+            base += " the held out eval phrase occurs here"
+        rows.append((i, base))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    evalset = spark.createDataFrame(
+        [("the held out eval phrase occurs here",)], ["text"]
+    )
+    exact = {r["doc_id"] for r in decontaminate(docs, evalset, n=3).collect()}
+    for bpi in (2, 12):  # 2 bits/item forces false positives; still exact
+        got = {
+            r["doc_id"]
+            for r in bloom_decontaminate(
+                docs, evalset, n=3, bits_per_item=bpi
+            ).collect()
+        }
+        assert got == exact
+
+
+def test_bloom_short_and_empty_docs_are_clean(spark):
+    """Docs with fewer tokens than n have zero n-grams -> provably clean
+    (empty hash array must not trip the segment-any)."""
+    from ocr_spark.operators.contamination import bloom_decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, "the secret benchmark answer leaked")],
+        ["doc_id", "text"],
+    )
+    evalset = spark.createDataFrame([("the secret benchmark answer",)], ["text"])
+    kept = sorted(r["doc_id"] for r in bloom_decontaminate(docs, evalset, n=3).collect())
+    assert kept == [1, 2]
