@@ -1250,6 +1250,42 @@ def _q_dc_decontaminate(spark, sf_dir):
     return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
 
 
+# Encoding-repair payload, ONE SQL expression valid in both engines
+# (chr(n) is codepoint-identical in Spark SQL and DuckDB for n < 256;
+# documents text is ASCII by construction, verified in FIXTURES.md):
+# quarter mojibake 'é', quarter mojibake '©', quarter control bytes,
+# quarter untouched.
+_REPAIR_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'caf' || chr(195) || chr(169) "
+    "|| ' latte ' || substr(text, 1, 30) "
+    "WHEN doc_id % 4 = 1 THEN substr(text, 1, 25) || ' sign ' "
+    "|| chr(194) || chr(169) || ' tail' "
+    "WHEN doc_id % 4 = 2 THEN 'bell ' || chr(7) || substr(text, 1, 20) "
+    "|| chr(31) || ' end' "
+    "ELSE substr(text, 1, 40) END"
+)
+
+
+def _q_tx_text_repair(spark, sf_dir):
+    """ftfy-style encoding repair (operators/text_repair.py) on planted
+    mojibake / control-byte payloads: repaired text + audit flags. The
+    oracle replays the repair as replace() chains — valid because on
+    this payload the whole-string codec round-trip reduces to exactly
+    those substitutions."""
+    from ocr_spark.operators.text_repair import repair_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_REPAIR_PAYLOAD_SQL).alias("text")
+    )
+    rep = repair_report(docs, "text")
+    return rep.select(
+        "doc_id",
+        F.col("text").alias("repaired"),
+        "was_mojibake",
+        "n_controls",
+    )
+
+
 def _q_dc_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (contamination.py bloom path):
     ~12-bit/n-gram broadcast prunes provably-clean docs before the
@@ -2614,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_hard_negatives": _q_ret_hard_negatives,
         "sim_label_centroids": _q_sim_label_centroids,
         "dc_bloom_decontaminate": _q_dc_bloom_decontaminate,
+        "tx_text_repair": _q_tx_text_repair,
     }
 
 
@@ -4396,6 +4433,20 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "tx_text_repair": (
+            f"WITH p AS (SELECT doc_id, {_REPAIR_PAYLOAD_SQL} AS t "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "replace(replace(replace(replace(t, "
+            "chr(195) || chr(169), chr(233)), "
+            "chr(194) || chr(169), chr(169)), "
+            "chr(7), ''), chr(31), '') AS repaired, "
+            "(contains(t, chr(195) || chr(169)) "
+            "OR contains(t, chr(194) || chr(169))) AS was_mojibake, "
+            "CAST((length(t) - length(replace(t, chr(7), ''))) "
+            "+ (length(t) - length(replace(t, chr(31), ''))) AS INTEGER) "
+            "AS n_controls FROM p"
         ),
         "dc_bloom_decontaminate": _DECON_CTE_SQL + (
             "SELECT source, count(*) AS n_kept FROM documents "

@@ -80,3 +80,73 @@ def collapse_ws(text: str) -> str:
     if text is None:
         return ""
     return " ".join(text.split())
+
+
+# ------------------------------------------------------------ text repair
+#
+# ftfy-style encoding repair, reimplemented from the public recipe (the
+# ftfy core heuristic), not ported: web corpora are full of UTF-8 byte
+# streams that were decoded as cp1252/latin-1 upstream ("mojibake":
+# 'cafÃ©'), plus stray C0/C1 control bytes. Both must be
+# fixed BEFORE dedup/quality/tokenization — mojibake splits one token
+# into garbage pairs and defeats exact-hash dedup of otherwise
+# identical pages.
+
+_C0C1 = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]")
+
+
+def _sloppy_cp1252_bytes(t: str):
+    """The string's bytes under "sloppy cp1252" (ftfy's term): cp1252
+    where the five unmapped codepoints (0x81 0x8D 0x8F 0x90 0x9D) keep
+    their latin-1 identity — real mojibake mixes both, because the
+    upstream decoder that created it was exactly this sloppy. None when
+    any char is > U+00FF outside cp1252 (not byte-shaped: no repair)."""
+    try:
+        return t.encode("cp1252")  # fast path: pure cp1252 (incl. ASCII)
+    except UnicodeEncodeError:
+        pass
+    out = bytearray()
+    for ch in t:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o > 0xFF:
+                return None
+            out.append(o)
+    return bytes(out)
+
+
+def _fix_mojibake_once(t: str):
+    """One round of the ftfy core move: reinterpret the string's sloppy
+    cp1252 bytes as UTF-8. Applies ONLY when the whole string survives
+    a strict decode — a pure-ASCII string maps to itself, and genuinely
+    accented latin-1 text fails the UTF-8 decode, so both are left
+    untouched. Returns (text, changed)."""
+    b = _sloppy_cp1252_bytes(t)
+    if b is None:
+        return t, False
+    try:
+        fixed = b.decode("utf-8")
+    except UnicodeDecodeError:
+        return t, False
+    return fixed, fixed != t
+
+
+def repair_text(text: str):
+    """Repair one payload: mojibake undone (up to 3 nested rounds for
+    double/triple-encoded streams), C0+C1 controls stripped (tab /
+    newline / CR kept — canonicalize owns newline policy), NFC
+    normalization last. Returns (repaired, was_mojibake, n_controls)."""
+    if text is None:
+        return "", False, 0
+    t = text
+    was_mojibake = False
+    for _ in range(3):
+        t, changed = _fix_mojibake_once(t)
+        if not changed:
+            break
+        was_mojibake = True
+    stripped = _C0C1.sub("", t)
+    n_controls = len(t) - len(stripped)
+    return unicodedata.normalize("NFC", stripped), was_mojibake, n_controls

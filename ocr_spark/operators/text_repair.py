@@ -1,0 +1,54 @@
+"""Encoding repair over a text column: mojibake + control bytes + NFC.
+
+The web-extraction stage that runs before anything hashes, tokenizes,
+or dedups text (CCNet / RefinedWeb pipelines run ftfy here): UTF-8
+streams decoded as cp1252 upstream ("cafÃ©"), stray C0/C1 control
+bytes, and non-NFC composition all make byte-identical pages hash
+differently and split tokens into garbage. Reference analog: the
+pre-extraction canonicalization role of
+image_processing_service.py:12-85 (normalize before extract), applied
+to the text channel.
+
+Spark-first shape: one Arrow-batched pandas UDF (the kernel is
+`extract/normalize.repair_text`, pure Python string ops — there is no
+JVM builtin for codec reinterpretation), returning a struct so repair
++ both audit flags ride one Python round-trip. Stateless and
+row-local: no shuffle, scales linearly, and composes under
+`mapInPandas` pipelines unchanged at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.extract.normalize import repair_text
+
+_REPAIR_SCHEMA = (
+    "repaired string, was_mojibake boolean, n_controls int"
+)
+
+
+@F.pandas_udf(_REPAIR_SCHEMA)
+def _repair_udf(texts: pd.Series) -> pd.DataFrame:
+    rows = [repair_text(t) for t in texts]
+    return pd.DataFrame(rows, columns=["repaired", "was_mojibake", "n_controls"])
+
+
+def repair_report(
+    df: DataFrame, text_col: str = "text", keep_original: bool = False
+) -> DataFrame:
+    """`df` with `text_col` repaired in place plus audit columns
+    `was_mojibake` (encoding round-trip changed the string) and
+    `n_controls` (C0/C1 bytes stripped). `keep_original=True` retains
+    the raw payload as `<text_col>_raw` for side-by-side QC."""
+    out = df.withColumn("_rep", _repair_udf(F.col(text_col)))
+    if keep_original:
+        out = out.withColumn(f"{text_col}_raw", F.col(text_col))
+    return (
+        out.withColumn(text_col, F.col("_rep.repaired"))
+        .withColumn("was_mojibake", F.col("_rep.was_mojibake"))
+        .withColumn("n_controls", F.col("_rep.n_controls"))
+        .drop("_rep")
+    )

@@ -1,0 +1,77 @@
+"""Encoding repair: ftfy-style mojibake undo + control strip + NFC."""
+
+import pytest
+
+from ocr_spark.extract.normalize import repair_text
+
+MOJI_E = chr(195) + chr(169)  # UTF-8 bytes of 'é' seen through cp1252
+
+
+def test_kernel_mojibake_single_round():
+    out, moji, nctl = repair_text("caf" + MOJI_E + " menu")
+    assert out == "caf" + chr(233) + " menu"
+    assert moji is True and nctl == 0
+
+
+def test_kernel_double_encoded():
+    # 'é' mojibaked twice: Ã -> Ã, © -> Â©
+    twice = chr(195) + chr(131) + chr(194) + chr(169)
+    out, moji, _ = repair_text("a " + twice + " b")
+    assert out == "a " + chr(233) + " b" and moji
+
+
+def test_kernel_sloppy_cp1252_gap_bytes():
+    # curly quotes whose byte 0x9D is unmapped in strict cp1252
+    q = chr(226) + chr(8364) + chr(339) + "q" + chr(226) + chr(8364) + chr(157)
+    out, moji, nctl = repair_text(q)
+    assert out == "“q”" and moji and nctl == 0
+
+
+def test_kernel_leaves_real_accents_and_ascii():
+    for t in ("caf" + chr(233) + " real", "plain ascii", "na" + chr(239) + "ve"):
+        out, moji, nctl = repair_text(t)
+        assert out == t and not moji and nctl == 0
+
+
+def test_kernel_controls_and_nfc():
+    out, moji, nctl = repair_text("bell" + chr(7) + " x" + chr(31) + "\t\nkeep")
+    assert out == "bell x\t\nkeep" and not moji and nctl == 2
+    # decomposed e + combining acute -> composed under NFC
+    out, _, _ = repair_text("étude")
+    assert out == "étude"
+
+
+def test_kernel_none():
+    assert repair_text(None) == ("", False, 0)
+
+
+def test_repair_report_spark(spark):
+    from ocr_spark.operators.text_repair import repair_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "caf" + MOJI_E + " page"),
+            (2, "clean page"),
+            (3, "ding" + chr(7) + " page"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repair_report(df, keep_original=True).collect()}
+    assert got[1].text == "caf" + chr(233) + " page" and got[1].was_mojibake
+    assert got[1].text_raw == "caf" + MOJI_E + " page"
+    assert got[2].text == "clean page" and not got[2].was_mojibake
+    assert got[3].text == "ding page" and got[3].n_controls == 1
+
+
+def test_repair_unifies_exact_dedup(spark):
+    """The motivating composition: a mojibaked twin of a page must
+    collapse into its clean original under exact dedup AFTER repair."""
+    from ocr_spark.operators.dedup import exact_dedup
+    from ocr_spark.operators.text_repair import repair_report
+
+    df = spark.createDataFrame(
+        [(1, "caf" + chr(233) + " au lait"), (2, "caf" + MOJI_E + " au lait")],
+        ["doc_id", "text"],
+    )
+    assert exact_dedup(df, "text").count() == 2  # raw: hashes differ
+    assert exact_dedup(repair_report(df), "text").count() == 1
