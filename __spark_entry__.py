@@ -1286,6 +1286,26 @@ def _q_tx_text_repair(spark, sf_dir):
     )
 
 
+def _q_tr_curriculum_order(spark, sf_dir):
+    """Curriculum schedule materialization (operators/training.py):
+    exact-quantile difficulty stages over token count, hash shards,
+    dense within-(stage, shard) read positions — no global-order
+    window anywhere."""
+    from ocr_spark.operators.training import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", TS.token_count(F.col("text"))
+    )
+    out = curriculum_order(docs, "n_tok", n_stages=4, n_shards=8)
+    return out.select(
+        "doc_id",
+        F.col("difficulty").cast("double").alias("difficulty"),
+        "stage",
+        "shard",
+        "pos",
+    )
+
+
 def _q_dc_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (contamination.py bloom path):
     ~12-bit/n-gram broadcast prunes provably-clean docs before the
@@ -2651,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_label_centroids": _q_sim_label_centroids,
         "dc_bloom_decontaminate": _q_dc_bloom_decontaminate,
         "tx_text_repair": _q_tx_text_repair,
+        "tr_curriculum_order": _q_tr_curriculum_order,
     }
 
 
@@ -4433,6 +4454,20 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "tr_curriculum_order": (
+            f"WITH tok AS (SELECT doc_id, CAST({TS.token_count_sql(txt)} "
+            "AS DOUBLE) AS s FROM documents), "
+            "t AS (SELECT quantile_cont(s, [0.25, 0.5, 0.75]) AS ths "
+            "FROM tok), "
+            "b AS (SELECT doc_id, s, "
+            "CAST(len(list_filter(ths, x -> s > x)) AS INTEGER) AS stage, "
+            "(doc_id * 2654435761 + 40503) % 4294967296 AS hkey "
+            "FROM tok, t) "
+            "SELECT doc_id, s AS difficulty, stage, "
+            "CAST(hkey % 8 AS INTEGER) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY stage, hkey % 8 "
+            "ORDER BY hkey, doc_id) - 1 AS BIGINT) AS pos FROM b"
         ),
         "tx_text_repair": (
             f"WITH p AS (SELECT doc_id, {_REPAIR_PAYLOAD_SQL} AS t "

@@ -419,6 +419,61 @@ def length_buckets(
     )
 
 
+def curriculum_order(
+    df: DataFrame,
+    score_col,
+    id_col: str = "doc_id",
+    n_stages: int = 4,
+    n_shards: int = 8,
+    mult: int = 2654435761,
+    offset: int = 40503,
+) -> DataFrame:
+    """Curriculum schedule materialization: every document gets a
+    ``(stage, shard, pos)`` address — ``stage`` (0..n_stages-1, easy to
+    hard) by exact difficulty quantile, ``shard`` a deterministic hash
+    bucket, ``pos`` the within-(stage, shard) read order (hash-shuffled,
+    so each stage streams in random order with zero RNG state). A
+    trainer consumes stage 0's shards first, then stage 1's — the
+    standard curriculum-learning schedule (Bengio et al. '09)
+    materialized as a table instead of a sampler.
+
+    Scale shape: one corpus aggregation for the (n_stages-1) thresholds
+    (broadcast back via single-row cross join, as ``length_buckets``),
+    stage/shard assignment stateless arithmetic, and the ONLY window is
+    partitioned by (stage, shard) — there is no global-order window
+    anywhere, so no single-partition sort at 10^12 docs.
+    """
+    if n_stages < 1 or n_shards < 1:
+        raise ValueError("n_stages and n_shards must be >= 1")
+    score = F.col(score_col) if isinstance(score_col, str) else score_col
+    sc = df.withColumn("_score", score.cast("double"))
+    fracs = [i / n_stages for i in range(1, n_stages)]
+    if fracs:
+        ths = sc.agg(
+            F.percentile("_score", F.array(*[F.lit(f) for f in fracs])).alias(
+                "_ths"
+            )
+        )
+        stage = F.size(F.filter(F.col("_ths"), lambda t: F.col("_score") > t))
+        sc = sc.crossJoin(F.broadcast(ths))
+    else:
+        stage = F.lit(0)
+    w = Window.partitionBy("stage", "shard").orderBy("_hkey", id_col)
+    return (
+        sc.withColumn("stage", stage.cast("int"))
+        .withColumn("_hkey", _hash_bucket_2_32(F.col(id_col), mult, offset))
+        .withColumn("shard", F.pmod("_hkey", F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            id_col,
+            F.col("_score").alias("difficulty"),
+            "stage",
+            "shard",
+            "pos",
+        )
+    )
+
+
 def _rep_half_up(num: int, den: int) -> float:
     """round(num/den, 4) with Spark's Round semantics: HALF_UP on the
     double's shortest decimal representation (java BigDecimal.valueOf).

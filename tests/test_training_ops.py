@@ -431,3 +431,47 @@ def test_prepare_training_shards_bins_follow_shuffle_order(spark):
     ).collect()
     for r in packed:
         assert r["shard"] == keyed[r["doc_id"]][0]  # shuffle shard honored
+
+
+# ----------------------------------------------------------- curriculum
+def test_curriculum_order_quantile_stages(spark):
+    from ocr_spark.operators.training import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 101)], ["doc_id", "ppl"]
+    )
+    rows = curriculum_order(docs, "ppl", n_stages=4, n_shards=3).collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r["stage"], []).append(r["difficulty"])
+    assert set(by_stage) == {0, 1, 2, 3}
+    assert sorted(len(v) for v in by_stage.values()) == [25, 25, 25, 25]
+    # easy->hard: every stage's max is below the next stage's min
+    for s in range(3):
+        assert max(by_stage[s]) < min(by_stage[s + 1])
+
+
+def test_curriculum_order_pos_dense_and_deterministic(spark):
+    from ocr_spark.operators.training import curriculum_order
+
+    docs = spark.createDataFrame(
+        [(i, float((i * 37) % 50)) for i in range(200)], ["doc_id", "ppl"]
+    )
+    a = curriculum_order(docs, "ppl", n_stages=3, n_shards=4).collect()
+    b = curriculum_order(docs, "ppl", n_stages=3, n_shards=4).collect()
+    key = lambda r: (r["stage"], r["shard"], r["pos"], r["doc_id"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    groups = {}
+    for r in a:
+        groups.setdefault((r["stage"], r["shard"]), []).append(r["pos"])
+    for ps in groups.values():
+        assert sorted(ps) == list(range(len(ps)))  # dense 0..n-1
+
+
+def test_curriculum_order_single_stage(spark):
+    from ocr_spark.operators.training import curriculum_order
+
+    docs = spark.createDataFrame([(1, 5.0), (2, 9.0)], ["doc_id", "ppl"])
+    rows = curriculum_order(docs, "ppl", n_stages=1, n_shards=1).collect()
+    assert {r["stage"] for r in rows} == {0}
+    assert sorted(r["pos"] for r in rows) == [0, 1]
