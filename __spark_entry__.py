@@ -1286,6 +1286,63 @@ def _q_tx_text_repair(spark, sf_dir):
     )
 
 
+# Hyperlink fixture, ONE SQL expression valid in both engines: every
+# page links to its arithmetic successor, every third page adds a
+# fragment-suffixed hop, and every page carries an external link plus
+# an empty href (both must drop out of the resolved graph).
+_LINKS_PAYLOAD_SQL = (
+    "'<p>doc body</p> <a href=\"/page/' "
+    "|| CAST((c_custkey % 997) + 1 AS STRING) || '\">next</a>' "
+    "|| (CASE WHEN c_custkey % 3 = 0 THEN "
+    "' <a href=\"/page/' || CAST(((c_custkey * 2) % 997) + 1 AS STRING) "
+    "|| '#frag\">hop</a>' ELSE '' END) "
+    "|| ' <a href=\"https://example.org/out\">ext</a> "
+    "<a href=\"\">empty</a>'"
+)
+
+
+def _links_corpus(spark, sf_dir):
+    # drop every 7th page: the node count then carries a large prime
+    # factor (1286 = 2*643 at sf0.01), so no rank is a terminating
+    # decimal and rounded outputs sit far from boundary ulps — with all
+    # 1500 nodes (2^2*3*5^3) several ranks land EXACTLY on .5 micro
+    # units, where the engines' summation orders legitimately disagree.
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    return cust.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.expr(_LINKS_PAYLOAD_SQL).alias("text"),
+    )
+
+
+def _q_lg_extract_links(spark, sf_dir):
+    """Hyperlink harvesting (operators/linkgraph.py): one codegen
+    regexp projection turns raw HTML into the (src, href) edge list —
+    fragments stripped, duplicates collapsed, empty hrefs dropped."""
+    from ocr_spark.operators.linkgraph import extract_links
+
+    return extract_links(_links_corpus(spark, sf_dir)).select(
+        F.col("src").cast("long").alias("src"), "href"
+    )
+
+
+def _q_lg_link_rank(spark, sf_dir):
+    """Link authority over the corpus's OWN hyperlink graph: extract ->
+    resolve in-corpus slugs -> PageRank (2 rounds), vs the unrolled SQL
+    twin over DuckDB's regexp-derived edge list."""
+    from ocr_spark.operators.linkgraph import link_rank
+
+    ranks = link_rank(_links_corpus(spark, sf_dir), n_iter=2)
+    # micro-unit int64, not a rounded double: this graph lands rank
+    # values exactly on decimal rounding boundaries, where Spark's
+    # round (HALF_UP on the shortest decimal repr) and DuckDB's
+    # (binary-value) legitimately disagree; round-to-integer of the
+    # same bit-identical double is stable in both.
+    return ranks.select(
+        F.col("id").cast("long").alias("id"),
+        F.round(F.col("rank") * 1e6).cast("bigint").alias("rank_micro"),
+    )
+
+
 def _q_tr_curriculum_order(spark, sf_dir):
     """Curriculum schedule materialization (operators/training.py):
     exact-quantile difficulty stages over token count, hash shards,
@@ -2672,6 +2729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_bloom_decontaminate": _q_dc_bloom_decontaminate,
         "tx_text_repair": _q_tx_text_repair,
         "tr_curriculum_order": _q_tr_curriculum_order,
+        "lg_extract_links": _q_lg_extract_links,
+        "lg_link_rank": _q_lg_link_rank,
     }
 
 
@@ -3572,39 +3631,57 @@ LIMIT 10
 """
 
 
-_PAGERANK_SQL = """
-WITH e AS (
-  SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer
-  WHERE c_custkey % 10 BETWEEN 1 AND 4
-  UNION ALL
-  SELECT c_custkey AS s, c_custkey + 2 AS d FROM customer
-  WHERE c_custkey % 10 = 1),
-nodes AS (SELECT DISTINCT id FROM
-          (SELECT s AS id FROM e UNION ALL SELECT d AS id FROM e)),
-nn AS (SELECT count(*) AS n FROM nodes),
-deg AS (SELECT nodes.id, coalesce(dd.deg, 0) AS deg
-        FROM nodes LEFT JOIN
-             (SELECT s, count(*) AS deg FROM e GROUP BY s) dd
-             ON nodes.id = dd.s),
-r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
-d1 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r0 WHERE deg = 0),
-c1 AS (SELECT e.d AS id, sum(r0.rank / r0.deg) AS cin
-       FROM e JOIN r0 ON e.s = r0.id GROUP BY e.d),
-r1 AS (SELECT deg.id, deg.deg,
-              0.15 / (SELECT n FROM nn)
-              + 0.85 * (SELECT dang FROM d1) / (SELECT n FROM nn)
-              + 0.85 * coalesce(c1.cin, 0) AS rank
-       FROM deg LEFT JOIN c1 ON deg.id = c1.id),
-d2 AS (SELECT coalesce(sum(rank), 0) AS dang FROM r1 WHERE deg = 0),
-c2 AS (SELECT e.d AS id, sum(r1.rank / r1.deg) AS cin
-       FROM e JOIN r1 ON e.s = r1.id GROUP BY e.d),
-r2 AS (SELECT deg.id, deg.deg,
-              0.15 / (SELECT n FROM nn)
-              + 0.85 * (SELECT dang FROM d2) / (SELECT n FROM nn)
-              + 0.85 * coalesce(c2.cin, 0) AS rank
-       FROM deg LEFT JOIN c2 ON deg.id = c2.id)
-SELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank FROM r2
-"""
+def _pagerank_unrolled_sql(
+    edges_cte: str, n_rounds: int = 2, dp: int = 6
+) -> str:
+    """UNROLLED power-iteration PageRank twin generator: `edges_cte` is
+    any SELECT producing (s, d) edges; each round is a mechanically
+    generated (dangling-sum, contribution-sum, recombine) CTE triple —
+    the exact replay of graph.pagerank's per-round algebra, damping
+    0.85, ranks at `dp` decimals."""
+    sql = (
+        f"WITH e AS ({edges_cte}), "
+        "nodes AS (SELECT DISTINCT id FROM "
+        "(SELECT s AS id FROM e UNION ALL SELECT d AS id FROM e)), "
+        "nn AS (SELECT count(*) AS n FROM nodes), "
+        "deg AS (SELECT nodes.id, coalesce(dd.deg, 0) AS deg "
+        "FROM nodes LEFT JOIN "
+        "(SELECT s, count(*) AS deg FROM e GROUP BY s) dd "
+        "ON nodes.id = dd.s), "
+        "r0 AS (SELECT id, deg, 1.0 / (SELECT n FROM nn) AS rank FROM deg)"
+    )
+    for i in range(1, n_rounds + 1):
+        p = i - 1
+        sql += (
+            f", d{i} AS (SELECT coalesce(sum(rank), 0) AS dang "
+            f"FROM r{p} WHERE deg = 0)"
+            f", c{i} AS (SELECT e.d AS id, sum(r{p}.rank / r{p}.deg) AS cin "
+            f"FROM e JOIN r{p} ON e.s = r{p}.id GROUP BY e.d)"
+            f", r{i} AS (SELECT deg.id, deg.deg, "
+            f"0.15 / (SELECT n FROM nn) "
+            f"+ 0.85 * (SELECT dang FROM d{i}) / (SELECT n FROM nn) "
+            f"+ 0.85 * coalesce(c{i}.cin, 0) AS rank "
+            f"FROM deg LEFT JOIN c{i} ON deg.id = c{i}.id)"
+        )
+    if dp is None:  # micro-unit integers (see _q_lg_link_rank)
+        return (
+            sql + " SELECT CAST(id AS BIGINT) AS id, "
+            "CAST(round(rank * 1000000) AS BIGINT) AS rank_micro "
+            f"FROM r{n_rounds}"
+        )
+    return (
+        sql + f" SELECT CAST(id AS BIGINT) AS id, round(rank, {dp}) AS rank "
+        f"FROM r{n_rounds}"
+    )
+
+
+_PAGERANK_SQL = _pagerank_unrolled_sql(
+    "SELECT c_custkey AS s, c_custkey + 1 AS d FROM customer "
+    "WHERE c_custkey % 10 BETWEEN 1 AND 4 "
+    "UNION ALL "
+    "SELECT c_custkey AS s, c_custkey + 2 AS d FROM customer "
+    "WHERE c_custkey % 10 = 1"
+)
 
 
 _KMEANS_LLOYD_SQL = """
@@ -4454,6 +4531,24 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "lg_extract_links": (
+            "SELECT CAST(src AS BIGINT) AS src, href FROM "
+            f"(SELECT c_custkey AS src, unnest(list_distinct("
+            f"regexp_extract_all({_LINKS_PAYLOAD_SQL}, "
+            "'href=\"([^\"#]*)', 1))) AS href FROM customer "
+            "WHERE c_custkey % 7 <> 0) u "
+            "WHERE href <> ''"
+        ),
+        "lg_link_rank": _pagerank_unrolled_sql(
+            "SELECT src AS s, "
+            "CAST(regexp_extract(href, '/page/([0-9]+)', 1) AS BIGINT) AS d "
+            f"FROM (SELECT c_custkey AS src, unnest(list_distinct("
+            f"regexp_extract_all({_LINKS_PAYLOAD_SQL}, "
+            "'href=\"([^\"#]*)', 1))) AS href FROM customer "
+            "WHERE c_custkey % 7 <> 0) u "
+            "WHERE regexp_extract(href, '/page/([0-9]+)', 1) <> ''",
+            dp=None,
         ),
         "tr_curriculum_order": (
             f"WITH tok AS (SELECT doc_id, CAST({TS.token_count_sql(txt)} "

@@ -1,0 +1,44 @@
+"""Hyperlink graph extraction + link authority (operators/linkgraph)."""
+
+import pytest
+
+from ocr_spark.operators.linkgraph import (
+    extract_links,
+    link_rank,
+    resolve_internal,
+)
+
+HTML = (
+    '<p>intro</p> <a href="/page/7#sec">seven</a>'
+    ' <a href="/page/7">seven again</a>'
+    ' <a href="https://example.org/out">ext</a>'
+    ' <a href="">empty</a> <a href="/page/9">nine</a>'
+)
+
+
+def test_extract_links_strips_fragments_dedupes_drops_empty(spark):
+    df = spark.createDataFrame([(1, HTML)], ["doc_id", "text"])
+    got = sorted(r["href"] for r in extract_links(df).collect())
+    # '/page/7#sec' and '/page/7' collapse to one edge; '' dropped
+    assert got == ["/page/7", "/page/9", "https://example.org/out"]
+    multi = extract_links(df, distinct=False).collect()
+    assert len(multi) == 4  # multiplicity kept for weighted graphs
+
+
+def test_resolve_internal_drops_external(spark):
+    df = spark.createDataFrame([(1, HTML)], ["doc_id", "text"])
+    edges = resolve_internal(extract_links(df)).collect()
+    assert sorted((r["src"], r["dst"]) for r in edges) == [(1, 7), (1, 9)]
+
+
+def test_link_rank_sums_to_one_and_favors_hub(spark):
+    # 1..4 all link to page 5; 5 links to 1 — 5 must rank highest
+    rows = [
+        (i, f'<a href="/page/5">hub</a>') for i in range(1, 5)
+    ] + [(5, '<a href="/page/1">back</a>')]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ranks = {r["id"]: r["rank"] for r in link_rank(df, n_iter=5).collect()}
+    assert set(ranks) == {1, 2, 3, 4, 5}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert ranks[5] == max(ranks.values())
+    assert ranks[2] == ranks[3] == ranks[4]  # structural symmetry
