@@ -1343,6 +1343,20 @@ def _q_lg_link_rank(spark, sf_dir):
     )
 
 
+def _q_cls_linear_quality(spark, sf_dir):
+    """fastText-style linear quality gate (operators/classifier.py):
+    integer-exact logit over hashed bag-of-words features, weights as a
+    literal array (the plan-side broadcast), keep/drop from the integer
+    comparison — bit-reproducible across engines."""
+    from ocr_spark.operators import embed as EMB
+    from ocr_spark.operators.classifier import demo_weights, quality_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    out = quality_classify(emb, demo_weights(64))
+    return out.select("doc_id", "score", "keep")
+
+
 def _q_tr_curriculum_order(spark, sf_dir):
     """Curriculum schedule materialization (operators/training.py):
     exact-quantile difficulty stages over token count, hash shards,
@@ -2731,6 +2745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_curriculum_order": _q_tr_curriculum_order,
         "lg_extract_links": _q_lg_extract_links,
         "lg_link_rank": _q_lg_link_rank,
+        "cls_linear_quality": _q_cls_linear_quality,
     }
 
 
@@ -4532,6 +4547,16 @@ FROM r WHERE neg_rank <= 5
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
         ),
+        "cls_linear_quality": _EMB_CTE_SQL + """
+, w AS (SELECT [CAST(((i * 2654435761 + 97) % 4294967296) % 2001 - 1000
+                AS BIGINT) for i in range(0, 64)] AS wv)
+SELECT doc_id, score, score > 0 AS keep FROM (
+  SELECT doc_id,
+    CAST(list_sum([CAST(embedding[CAST(i AS INTEGER)] AS BIGINT)
+                   * wv[CAST(i AS INTEGER)]
+                   for i in range(1, 65)]) AS BIGINT) AS score
+  FROM emb, w) s
+""",
         "lg_extract_links": (
             "SELECT CAST(src AS BIGINT) AS src, href FROM "
             f"(SELECT c_custkey AS src, unnest(list_distinct("

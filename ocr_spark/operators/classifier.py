@@ -1,0 +1,78 @@
+"""Linear quality classification over hashed text features.
+
+The fastText-style quality gate every web-corpus pipeline runs (CCNet's
+LM filter, the GPT-3/LLaMA "looks-like-reference-corpus" logistic
+classifiers): a linear model over cheap bag-of-words features decides
+keep/drop per document. Training happens offline on labeled samples;
+at corpus scale only INFERENCE matters — and inference is a dot
+product, which Spark runs entirely JVM-side.
+
+Spark-first shape: features come from `embed.hashed_embedding` (exact
+int64 signed token counts, the hashing trick — Weinberger et al.
+ICML'09); the weight vector rides into the plan as a dim-sized literal
+array (it IS the broadcast — no join, no UDF); the score is one
+`zip_with` + `aggregate` expression inside whole-stage codegen. With
+integer weights the logit is integer-exact, so keep/drop decisions are
+bit-reproducible across engines and cluster sizes — no float-boundary
+flakiness in what gets dropped at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic demo weights (a "trained model" stand-in): the same
+# multiplicative-hash formula both engines can replay exactly
+_W_MULT = 2654435761
+_W_OFFSET = 97
+_W_MOD = 1 << 32
+_W_RANGE = 2001  # weights in [-1000, 1000]
+
+
+def demo_weights(dim: int) -> list:
+    """Deterministic integer weight vector (micro-units of a logistic
+    model's coefficients): w_i = ((i*mult + 97) mod 2^32) mod 2001
+    - 1000. A fixture model, not a trained one — swap in real exported
+    coefficients (scaled to ints) for production."""
+    return [
+        ((i * _W_MULT + _W_OFFSET) % _W_MOD) % _W_RANGE - (_W_RANGE // 2)
+        for i in range(dim)
+    ]
+
+
+def linear_score(
+    df: DataFrame,
+    weights,
+    vec_col: str = "embedding",
+    out_col: str = "score",
+) -> DataFrame:
+    """Integer-exact logit: ``score = w . x`` as one codegen expression.
+    `weights` is a python list of ints (micro-unit coefficients) —
+    embedded as a literal array, the plan-side equivalent of a
+    broadcast model."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, dot)
+
+
+def quality_classify(
+    df: DataFrame,
+    weights,
+    vec_col: str = "embedding",
+    threshold: int = 0,
+    logit_scale: float = 1e4,
+) -> DataFrame:
+    """`df` + ``score`` (integer-exact logit in weight micro-units),
+    ``prob`` (sigmoid of the rescaled logit, for calibration plots),
+    ``keep`` (score > threshold — the integer comparison, NOT the float
+    prob, decides, so the kept set is exactly reproducible)."""
+    scored = linear_score(df, weights, vec_col)
+    logit = F.col("score") / F.lit(float(logit_scale))
+    return scored.withColumn(
+        "prob", F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    ).withColumn("keep", F.col("score") > F.lit(int(threshold)))

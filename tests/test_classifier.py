@@ -1,0 +1,63 @@
+"""Linear quality classifier over hashed features (operators/classifier)."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.classifier import (
+    demo_weights,
+    linear_score,
+    quality_classify,
+)
+
+
+def test_demo_weights_deterministic_and_bounded():
+    w = demo_weights(64)
+    assert w == demo_weights(64)
+    assert len(w) == 64
+    assert all(-1000 <= x <= 1000 for x in w)
+    assert len(set(w)) > 32  # actually scattered, not constant
+
+
+def test_linear_score_equals_numpy_dot(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randint(-5, 6, size=(20, 8))
+    w = demo_weights(8)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "doc_id long, embedding array<long>",
+    )
+    got = {r.doc_id: r.score for r in linear_score(df, w).collect()}
+    for i in range(20):
+        assert got[i] == int(np.dot(vecs[i], np.array(w)))
+
+
+def test_quality_classify_keep_is_integer_decision(spark):
+    df = spark.createDataFrame(
+        [(1, [3, -2]), (2, [0, 0]), (3, [-3, 2])],
+        "doc_id long, embedding array<long>",
+    )
+    w = [10, 1]
+    rows = {r.doc_id: r for r in quality_classify(df, w).collect()}
+    assert rows[1].score == 28 and rows[1].keep
+    assert rows[2].score == 0 and not rows[2].keep  # zero vector drops
+    assert rows[3].score == -28 and not rows[3].keep
+    assert rows[1].prob == pytest.approx(1 / (1 + np.exp(-28 / 1e4)))
+    # threshold shifts the gate on the integer logit
+    assert not quality_classify(df, w, threshold=30).filter("keep").count()
+
+
+def test_classify_reproducible_under_repartition(spark):
+    """The kept set must not depend on partitioning — integer logits
+    make keep/drop bit-stable at any parallelism."""
+    from ocr_spark.operators.embed import hashed_embedding
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} words alpha beta {i * 3}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    w = demo_weights(16)
+    emb = hashed_embedding(docs, dim=16)
+    a = {r.doc_id for r in quality_classify(emb, w).filter("keep").collect()}
+    emb2 = hashed_embedding(docs.repartition(13), dim=16)
+    b = {r.doc_id for r in quality_classify(emb2, w).filter("keep").collect()}
+    assert a == b
