@@ -1343,6 +1343,19 @@ def _q_lg_link_rank(spark, sf_dir):
     )
 
 
+def _q_tr_mixture_plan(spark, sf_dir):
+    """Data-mixture epoch plan (operators/training.py): per-domain
+    budget targets, repeat factors, and max-epoch caps — exact int64
+    arithmetic end-to-end. Weights derive from the source string
+    itself (len % 3 + 1) so both engines build the same weight table."""
+    from ocr_spark.operators.training import mixture_epoch_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: len(s) % 3 + 1 for s in sources}
+    return mixture_epoch_plan(docs, weights, token_budget=1_000_003)
+
+
 def _q_cls_linear_quality(spark, sf_dir):
     """fastText-style linear quality gate (operators/classifier.py):
     integer-exact logit over hashed bag-of-words features, weights as a
@@ -2746,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lg_extract_links": _q_lg_extract_links,
         "lg_link_rank": _q_lg_link_rank,
         "cls_linear_quality": _q_cls_linear_quality,
+        "tr_mixture_plan": _q_tr_mixture_plan,
     }
 
 
@@ -4546,6 +4560,27 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "tr_mixture_plan": (
+            f"WITH tok AS (SELECT source, CAST({TS.token_count_sql(txt)} "
+            "AS BIGINT) AS n FROM documents), "
+            "a AS (SELECT source, count(*) AS n_docs, sum(n) AS "
+            "avail_tokens FROM tok GROUP BY source), "
+            "w AS (SELECT source, CAST(length(source) % 3 + 1 AS BIGINT) "
+            "AS w FROM (SELECT DISTINCT source FROM documents)), "
+            "sw AS (SELECT sum(w) AS sumw FROM w), "
+            "p AS (SELECT a.source, n_docs, "
+            "CAST(avail_tokens AS BIGINT) AS avail_tokens, "
+            "CAST((1000003 * w) // sumw AS BIGINT) AS target_tokens "
+            "FROM a JOIN w USING (source), sw) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "avail_tokens, target_tokens, "
+            "CAST(CASE WHEN avail_tokens > 0 THEN "
+            "(target_tokens * 1000000) // avail_tokens ELSE 0 END "
+            "AS BIGINT) AS epochs_micro, "
+            "CAST(least(target_tokens, avail_tokens * 4) AS BIGINT) "
+            "AS realized_tokens, "
+            "target_tokens > avail_tokens * 4 AS capped FROM p"
         ),
         "cls_linear_quality": _EMB_CTE_SQL + """
 , w AS (SELECT [CAST(((i * 2654435761 + 97) % 4294967296) % 2001 - 1000

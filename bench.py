@@ -171,6 +171,14 @@ def main() -> None:
         "dd_line_dedup",
         "ex_html_tables_twin",
         "dv_kcenter_select",
+        # round-4 wave 2: bloom-pruned decon (contrast with
+        # dc_contamination_report's exact join), one-pass encoding
+        # repair, all-codegen classifier inference, link graph + rank
+        "dc_bloom_decontaminate",
+        "tx_text_repair",
+        "cls_linear_quality",
+        "lg_link_rank",
+        "tr_curriculum_order",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

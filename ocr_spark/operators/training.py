@@ -419,6 +419,81 @@ def length_buckets(
     )
 
 
+def mixture_epoch_plan(
+    df: DataFrame,
+    weights: dict,
+    token_budget: int,
+    domain_col: str = "source",
+    text_col: str = "text",
+    token_col=None,
+    max_epochs: int = 4,
+) -> DataFrame:
+    """The data-mixture table every pretraining report publishes
+    (LLaMA/Pile-style): given RELATIVE INTEGER weights per domain and a
+    total token budget, one row per domain with its available tokens,
+    budgeted target, repeat factor, and what is actually realizable:
+
+    ``(domain, n_docs, avail_tokens, target_tokens, epochs_micro,
+    realized_tokens, capped)`` where ``target = budget*w div sum(w)``,
+    ``epochs_micro = target*1e6 div avail`` (micro-units — >1e6 means
+    the domain repeats), ``realized = min(target, avail*max_epochs)``
+    and ``capped`` marks domains whose weight wants more repetition
+    than ``max_epochs`` allows (the LLaMA-2 "don't epoch web text more
+    than once" constraint made checkable). Weights are ints so every
+    column is exact int64 arithmetic — the plan is bit-reproducible.
+
+    Scale: one map-side-combined sum per domain; the weight table is
+    dict-sized and broadcast; the corpus is never shuffled.
+    """
+    if token_budget <= 0 or max_epochs < 1:
+        raise ValueError("token_budget and max_epochs must be positive")
+    if not weights or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers per domain")
+    sumw = int(sum(int(w) for w in weights.values()))
+    tokens = (
+        TS.token_count(F.col(text_col))
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    avail = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens).cast("long").alias("avail_tokens"),
+    )
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(weights.items())],
+        f"{domain_col} string, w long",
+    )
+    target = F.expr(f"({int(token_budget)} * w) div {sumw}")
+    plan = (
+        avail.join(F.broadcast(wdf), domain_col)
+        .withColumn("target_tokens", target)
+        .withColumn(
+            "epochs_micro",
+            F.when(
+                F.col("avail_tokens") > 0,
+                F.expr("(target_tokens * 1000000) div avail_tokens"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "realized_tokens",
+            F.least(
+                F.col("target_tokens"),
+                F.col("avail_tokens") * F.lit(int(max_epochs)),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("target_tokens")
+            > F.col("avail_tokens") * F.lit(int(max_epochs)),
+        )
+    )
+    return plan.select(
+        domain_col, "n_docs", "avail_tokens", "target_tokens",
+        "epochs_micro", "realized_tokens", "capped",
+    )
+
+
 def curriculum_order(
     df: DataFrame,
     score_col,

@@ -492,3 +492,46 @@ def test_line_dedup_shuffle_budget(spark):
     # counting side shuffles xxhash64 keys, not line strings: the
     # aggregate over the distinct (hash, doc) pairs appears
     assert "xxhash64" in plan
+
+
+def test_new_round4_ops_plan_shapes(spark):
+    """Round-4 additions hold the efficiency contract:
+    - linear classifier over hashed features: ZERO Python stages (the
+      whole model inference is codegen — weights are a literal array);
+    - text repair: exactly ONE ArrowEvalPython (repair + audit flags
+      ride a single Python round-trip);
+    - link extraction: zero Python stages AND zero shuffles (one
+      regexp projection + explode);
+    - bloom decontamination: exactly ONE ArrowEvalPython probe (the
+      bloom membership test), and the exact confirm join still
+      broadcasts the eval side."""
+    from ocr_spark.operators.classifier import demo_weights, quality_classify
+    from ocr_spark.operators.contamination import bloom_decontaminate
+    from ocr_spark.operators.embed import hashed_embedding
+    from ocr_spark.operators.linkgraph import extract_links
+    from ocr_spark.operators.text_repair import repair_report
+    from ocr_spark.plans import checks
+
+    docs = spark.createDataFrame(
+        [(i, f"some words {i} <a href=\"/page/{i + 1}\">x</a>") for i in range(30)],
+        ["doc_id", "text"],
+    )
+
+    cls = quality_classify(hashed_embedding(docs, dim=16), demo_weights(16))
+    c = checks.python_stage_counts(cls)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+
+    rep = repair_report(docs)
+    c = checks.python_stage_counts(rep)
+    assert c["ArrowEvalPython"] == 1 and c["MapInPandas"] == 0, c
+
+    links = extract_links(docs)
+    c = checks.python_stage_counts(links)
+    assert c["ArrowEvalPython"] == 0 and c["MapInPandas"] == 0, c
+    assert checks.count_exchanges(links) == 0
+
+    evalset = spark.createDataFrame([("some words 3",)], ["text"])
+    dec = bloom_decontaminate(docs, evalset, n=2)
+    c = checks.python_stage_counts(dec)
+    assert c["ArrowEvalPython"] >= 1, c  # the bloom probe
+    assert checks.has_broadcast_join(dec)  # exact confirm join broadcasts

@@ -483,3 +483,50 @@ def test_stream_table_extraction_matches_batch(spark, stream_dirs):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_repair_and_classify_match_batch(spark, tmp_path):
+    """Encoding repair + the linear quality gate are stateless, so the
+    round-4 front-end (repair -> hashed features -> integer-logit
+    keep/drop) runs unchanged on a stream — EXCEPT hashed_embedding,
+    which aggregates per doc; here the repair stage streams and the
+    classifier scores a pre-vectorized column, mirroring a feature
+    store feeding a streaming gate."""
+    from ocr_spark.operators.classifier import demo_weights, quality_classify
+    from ocr_spark.operators.text_repair import repair_report
+
+    moji = "caf" + chr(195) + chr(169)
+    rows = [
+        (1, moji + " page one", [3, -1, 0, 2]),
+        (2, "clean page two", [-5, 1, 1, 0]),
+        (3, "bell" + chr(7) + " page", [0, 0, 0, 0]),
+    ]
+    schema = "doc_id long, text string, embedding array<long>"
+    src = str(tmp_path / "rep_src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    def stages(df):
+        rep = repair_report(df, "text")
+        return quality_classify(rep, demo_weights(4)).select(
+            "doc_id", "text", "was_mojibake", "n_controls", "score", "keep"
+        )
+
+    batch = stages(spark.read.parquet(src)).toPandas()
+
+    stream_in = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "rep_out")
+    q = (
+        stages(stream_in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "rep_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    cols = sorted(batch.columns)
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values("doc_id").reset_index(drop=True),
+        batch[cols].sort_values("doc_id").reset_index(drop=True),
+    )

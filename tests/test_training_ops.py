@@ -475,3 +475,45 @@ def test_curriculum_order_single_stage(spark):
     rows = curriculum_order(docs, "ppl", n_stages=1, n_shards=1).collect()
     assert {r["stage"] for r in rows} == {0}
     assert sorted(r["pos"] for r in rows) == [0, 1]
+
+
+# --------------------------------------------------------- mixture plan
+def test_mixture_epoch_plan_arithmetic(spark):
+    from ocr_spark.operators.training import mixture_epoch_plan
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "web") for i in range(8)]
+        + [(100 + i, "c " * 5, "code") for i in range(2)],
+        ["doc_id", "text", "source"],
+    )
+    # web: 8 docs x 10 tokens = 80 avail; code: 2 x 5 = 10 avail
+    plan = {
+        r["source"]: r
+        for r in mixture_epoch_plan(
+            docs, {"web": 1, "code": 3}, token_budget=120, max_epochs=4
+        ).collect()
+    }
+    web, code = plan["web"], plan["code"]
+    assert (web.avail_tokens, code.avail_tokens) == (80, 10)
+    assert web.target_tokens == 120 * 1 // 4 == 30
+    assert code.target_tokens == 120 * 3 // 4 == 90
+    assert web.epochs_micro == 30 * 1_000_000 // 80  # 0.375 epochs
+    assert code.epochs_micro == 90 * 1_000_000 // 10  # 9 epochs wanted
+    assert not web.capped and code.capped  # 9 > max_epochs=4
+    assert code.realized_tokens == 40  # avail * max_epochs
+    assert web.realized_tokens == 30
+
+
+def test_mixture_epoch_plan_validation_and_absent_domain(spark):
+    import pytest as _pt
+
+    from ocr_spark.operators.training import mixture_epoch_plan
+
+    docs = spark.createDataFrame([(1, "a b", "web")], ["doc_id", "text", "source"])
+    with _pt.raises(ValueError):
+        mixture_epoch_plan(docs, {"web": 1}, token_budget=0)
+    with _pt.raises(ValueError):
+        mixture_epoch_plan(docs, {"web": 0}, token_budget=10)
+    # domain present in corpus but absent from weights drops out
+    out = mixture_epoch_plan(docs, {"other": 2}, token_budget=10).collect()
+    assert out == []
