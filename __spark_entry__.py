@@ -1356,6 +1356,22 @@ def _q_tr_mixture_plan(spark, sf_dir):
     return mixture_epoch_plan(docs, weights, token_budget=1_000_003)
 
 
+def _q_sk_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketches.py): deterministic
+    k-minimum-values estimator over the shared polynomial hash + cubic
+    scramble — unlike HLL, the estimate is engine-portable, so the twin
+    verifies it to the exact integer (with the true distinct count
+    alongside for accuracy audit)."""
+    from ocr_spark.operators.sketches import kmv_distinct_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    out = kmv_distinct_terms(docs, "text", by="source", k=64, with_exact=True)
+    return out.select(
+        "source", "n_kept", "kth_hash", "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+
+
 def _q_cls_linear_quality(spark, sf_dir):
     """fastText-style linear quality gate (operators/classifier.py):
     integer-exact logit over hashed bag-of-words features, weights as a
@@ -2760,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lg_link_rank": _q_lg_link_rank,
         "cls_linear_quality": _q_cls_linear_quality,
         "tr_mixture_plan": _q_tr_mixture_plan,
+        "sk_kmv_distinct": _q_sk_kmv_distinct,
     }
 
 
@@ -4561,6 +4578,38 @@ FROM r WHERE neg_rank <= 5
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
         ),
+        "sk_kmv_distinct": """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+ph AS (
+  SELECT source, tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+              for i in range(1, length(tok) + 1)]),
+           (acc, c) -> (acc * 257 + c) % 1000000007) AS p
+  FROM tok
+),
+th AS (SELECT DISTINCT source,
+              (((p * p) % 1000000007) * p + p) % 1000000007 AS h FROM ph),
+r AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+      FROM th),
+g AS (SELECT source, count(*) AS n_kept, max(h) AS kth_hash
+      FROM r WHERE rk <= 64 GROUP BY source),
+ex AS (SELECT source, count(DISTINCT tok) AS exact_distinct FROM tok
+       GROUP BY source)
+SELECT g.source, CAST(n_kept AS BIGINT) AS n_kept,
+  CAST(kth_hash AS BIGINT) AS kth_hash,
+  CAST(CASE WHEN n_kept < 64 THEN n_kept
+       ELSE (63 * 1000000007) // kth_hash END AS BIGINT) AS est_distinct,
+  CAST(exact_distinct AS BIGINT) AS exact_distinct
+FROM g JOIN ex USING (source)
+""",
         "tr_mixture_plan": (
             f"WITH tok AS (SELECT source, CAST({TS.token_count_sql(txt)} "
             "AS BIGINT) AS n FROM documents), "

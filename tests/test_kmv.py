@@ -1,0 +1,38 @@
+"""KMV distinct-count sketch (operators/sketches.py)."""
+
+import pytest
+
+from ocr_spark.operators.sketches import kmv_distinct_terms
+
+
+def test_kmv_exact_below_k(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "a"), (2, "beta delta", "a")],
+        ["doc_id", "text", "source"],
+    )
+    r = kmv_distinct_terms(docs, k=64, with_exact=True).collect()[0]
+    assert r["n_kept"] == 4 and r["est_distinct"] == 4 == r["exact_distinct"]
+
+
+def test_kmv_estimate_within_bound(spark):
+    # 5000 distinct tokens in one group; k=256 -> stderr ~ 1/sqrt(k-2) ~ 6%
+    words = " ".join(f"tok{i}" for i in range(5000))
+    docs = spark.createDataFrame([(1, words, "g")], ["doc_id", "text", "source"])
+    r = kmv_distinct_terms(docs, k=256, with_exact=True).collect()[0]
+    assert r["exact_distinct"] == 5000
+    assert r["n_kept"] == 256
+    assert abs(r["est_distinct"] - 5000) / 5000 < 0.2
+
+
+def test_kmv_deterministic_and_partition_invariant(spark):
+    rows = [(i, " ".join(f"w{(i * 13 + j) % 800}" for j in range(30)), f"s{i % 3}")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(map(tuple, kmv_distinct_terms(docs, k=32).collect()))
+    b = sorted(map(tuple, kmv_distinct_terms(docs.repartition(17), k=32).collect()))
+    assert a == b
+
+
+def test_kmv_validates_k():
+    with pytest.raises(ValueError):
+        kmv_distinct_terms(None, k=1)
