@@ -1372,6 +1372,27 @@ def _q_sk_kmv_distinct(spark, sf_dir):
     )
 
 
+def _q_sk_countmin_estimates(spark, sf_dir):
+    """Count-min frequency sketch (operators/sketches.py): fixed
+    d=4 x 1024-cell sketch of the corpus term stream, point-queried for
+    the exact top-20 terms — (term, est_cnt, true_cnt), est >= true by
+    the one-sided guarantee, deterministic so hash-verifiable."""
+    from ocr_spark.operators.retrieval import terms_col
+    from ocr_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = countmin_sketch(docs, "text", width=1024)
+    toks = docs.select(F.explode(terms_col(F.col("text"))).alias("term"))
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("term"))
+        .limit(20)
+    )
+    est = countmin_estimate(sk, top.select("term"), width=1024)
+    return top.join(est, "term").select("term", "est_cnt", "true_cnt")
+
+
 def _q_cls_linear_quality(spark, sf_dir):
     """fastText-style linear quality gate (operators/classifier.py):
     integer-exact logit over hashed bag-of-words features, weights as a
@@ -2777,6 +2798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cls_linear_quality": _q_cls_linear_quality,
         "tr_mixture_plan": _q_tr_mixture_plan,
         "sk_kmv_distinct": _q_sk_kmv_distinct,
+        "sk_countmin_estimates": _q_sk_countmin_estimates,
     }
 
 
@@ -4578,6 +4600,42 @@ FROM r WHERE neg_rank <= 5
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
         ),
+        "sk_countmin_estimates": """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+ph AS (
+  SELECT tok,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT)
+              for i in range(1, length(tok) + 1)]),
+           (acc, c) -> (acc * 257 + c) % 1000000007) AS p
+  FROM tok
+),
+rows_t AS (SELECT * FROM (VALUES (0, 48271), (1, 69621), (2, 16807),
+                                 (3, 1103515245)) t(r, mult)),
+sk AS (SELECT r, ((p * mult + r) % 1000000007) % 1024 AS idx,
+              count(*) AS cnt
+       FROM ph, rows_t GROUP BY r, idx),
+ex AS (SELECT tok AS term, count(*) AS true_cnt FROM tok GROUP BY tok
+       ORDER BY true_cnt DESC, term LIMIT 20),
+tk AS (
+  SELECT term, true_cnt, r,
+         ((list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [CAST(ascii(substr(term, CAST(i AS INTEGER), 1)) AS BIGINT)
+                for i in range(1, length(term) + 1)]),
+             (acc, c) -> (acc * 257 + c) % 1000000007) * mult + r)
+          % 1000000007) % 1024 AS idx
+  FROM ex, rows_t
+)
+SELECT term, CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt,
+       CAST(any_value(true_cnt) AS BIGINT) AS true_cnt
+FROM tk LEFT JOIN sk USING (r, idx) GROUP BY term
+""",
         "sk_kmv_distinct": """
 WITH tok AS (
   SELECT source,

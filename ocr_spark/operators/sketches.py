@@ -35,6 +35,84 @@ from ocr_spark.operators.embed import EMBED_HASH_MOD, token_hash_col
 from ocr_spark.operators.retrieval import terms_col
 
 
+# independent-per-row multipliers for the count-min hash family
+# (classic LCG multipliers; all products stay < 1.2e18 — int64-safe)
+CM_ROW_MULTS = (48271, 69621, 16807, 1103515245)
+
+
+def countmin_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode-Muthukrishnan '05) of term frequencies:
+    ``(row, idx, cnt)`` — d=4 hash rows x `width` counters. Fixed-size
+    regardless of vocabulary (d*width cells), mergeable by plain cell
+    sum (daily sketches roll up with one groupBy), and point queries
+    carry the one-sided guarantee ``est >= true`` with overshoot
+    ~ n_tokens/width per row (take the min over rows).
+
+    Spark shape: explode terms (multiplicity kept — this sketches
+    FREQUENCY, unlike the KMV's distinct hashes), fan out d cells per
+    token row-locally, ONE map-side-combining groupBy on (row, idx) —
+    the output is dim-sized however large the corpus."""
+    if width < 2:
+        raise ValueError("width must be >= 2")
+    toks = df.select(F.explode(terms_col(F.col(text_col))).alias("tok"))
+    p = token_hash_col(F.col("tok"))
+    m = F.lit(EMBED_HASH_MOD).cast("long")
+    cells = F.array(*[
+        F.struct(
+            F.lit(j).cast("int").alias("row"),
+            (((p * F.lit(mult).cast("long") + F.lit(j)) % m) % F.lit(width))
+            .cast("int")
+            .alias("idx"),
+        )
+        for j, mult in enumerate(CM_ROW_MULTS)
+    ])
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    terms: DataFrame,
+    term_col: str = "term",
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each term: ``(term, est_cnt)`` =
+    min over the d rows' counters. The term side is dim-sized and
+    broadcast; misses (all-zero cells) estimate 0 via the left join."""
+    p = token_hash_col(F.col(term_col))
+    m = F.lit(EMBED_HASH_MOD).cast("long")
+    keyed = terms.select(
+        term_col,
+        *[
+            (((p * F.lit(mult).cast("long") + F.lit(j)) % m) % F.lit(width))
+            .cast("int")
+            .alias(f"_i{j}")
+            for j, mult in enumerate(CM_ROW_MULTS)
+        ],
+    )
+    probes = keyed.select(
+        term_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).cast("int").alias("row"),
+                    F.col(f"_i{j}").alias("idx"),
+                )
+                for j in range(len(CM_ROW_MULTS))
+            ])
+        ).alias("c"),
+    ).select(term_col, F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
+    joined = probes.join(sketch, ["row", "idx"], "left").fillna(0, ["cnt"])
+    return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))
+
+
 def kmv_distinct_terms(
     df: DataFrame,
     text_col: str = "text",

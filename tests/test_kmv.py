@@ -36,3 +36,35 @@ def test_kmv_deterministic_and_partition_invariant(spark):
 def test_kmv_validates_k():
     with pytest.raises(ValueError):
         kmv_distinct_terms(None, k=1)
+
+
+# ------------------------------------------------------------- count-min
+def test_countmin_one_sided_and_tight_for_heavy_hitters(spark):
+    from ocr_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    # heavy hitter 'spam' x 500 among 2000 singleton terms
+    text = " ".join(["spam"] * 500 + [f"u{i}" for i in range(2000)])
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sk = countmin_sketch(docs, width=1024)
+    terms = spark.createDataFrame([("spam",), ("u7",), ("absent",)], ["term"])
+    est = {r.term: r.est_cnt for r in countmin_estimate(sk, terms).collect()}
+    assert est["spam"] >= 500  # one-sided guarantee
+    assert est["spam"] <= 500 + 2500 // 256  # overshoot ~ n/width per row
+    assert est["u7"] >= 1 and est["u7"] <= 1 + 2500 // 256
+    assert est["absent"] <= 2500 // 256  # never-seen term stays near 0
+
+
+def test_countmin_mergeable_by_cell_sum(spark):
+    from ocr_spark.operators.sketches import countmin_estimate, countmin_sketch
+    import pyspark.sql.functions as F
+
+    a = spark.createDataFrame([(1, "x x y")], ["doc_id", "text"])
+    b = spark.createDataFrame([(2, "x z")], ["doc_id", "text"])
+    merged = (
+        countmin_sketch(a).unionByName(countmin_sketch(b))
+        .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(a.unionByName(b))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    terms = spark.createDataFrame([("x",)], ["term"])
+    assert countmin_estimate(merged, terms).first().est_cnt == 3
