@@ -1302,11 +1302,14 @@ _LINKS_PAYLOAD_SQL = (
 
 
 def _links_corpus(spark, sf_dir):
-    # drop every 7th page: the node count then carries a large prime
-    # factor (1286 = 2*643 at sf0.01), so no rank is a terminating
-    # decimal and rounded outputs sit far from boundary ulps — with all
-    # 1500 nodes (2^2*3*5^3) several ranks land EXACTLY on .5 micro
-    # units, where the engines' summation orders legitimately disagree.
+    # drop every 7th page as a SOURCE: dropped pages still re-enter the
+    # graph as link targets (dangling dst-only nodes), so the realized
+    # node set is sources U targets = 1427 at sf0.01 (prime) instead of
+    # the 10-smooth 1500 (2^2*3*5^3). With n=1500 several ranks land
+    # EXACTLY on .5 micro units (1/n base terms are short decimals) and
+    # the engines' summation orders legitimately disagree there; a
+    # large-prime n keeps every rank a non-terminating decimal, far
+    # from any rounding-boundary ulp.
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
     return cust.select(
         F.col("c_custkey").alias("doc_id"),
@@ -1389,7 +1392,7 @@ def _q_sk_countmin_estimates(spark, sf_dir):
         .orderBy(F.desc("true_cnt"), F.asc("term"))
         .limit(20)
     )
-    est = countmin_estimate(sk, top.select("term"), width=1024)
+    est = countmin_estimate(sk, top.select("term"))
     return top.join(est, "term").select("term", "est_cnt", "true_cnt")
 
 
@@ -4703,8 +4706,8 @@ SELECT doc_id, score, score > 0 AS keep FROM (
             "SELECT CAST(src AS BIGINT) AS src, href FROM "
             f"(SELECT c_custkey AS src, unnest(list_distinct("
             f"regexp_extract_all({_LINKS_PAYLOAD_SQL}, "
-            "'href=\"([^\"#]*)', 1))) AS href FROM customer "
-            "WHERE c_custkey % 7 <> 0) u "
+            "'[hH][rR][eE][fF]\\s*=\\s*[\"'']([^\"''#]*)', 1))) "
+            "AS href FROM customer WHERE c_custkey % 7 <> 0) u "
             "WHERE href <> ''"
         ),
         "lg_link_rank": _pagerank_unrolled_sql(
@@ -4712,8 +4715,8 @@ SELECT doc_id, score, score > 0 AS keep FROM (
             "CAST(regexp_extract(href, '/page/([0-9]+)', 1) AS BIGINT) AS d "
             f"FROM (SELECT c_custkey AS src, unnest(list_distinct("
             f"regexp_extract_all({_LINKS_PAYLOAD_SQL}, "
-            "'href=\"([^\"#]*)', 1))) AS href FROM customer "
-            "WHERE c_custkey % 7 <> 0) u "
+            "'[hH][rR][eE][fF]\\s*=\\s*[\"'']([^\"''#]*)', 1))) "
+            "AS href FROM customer WHERE c_custkey % 7 <> 0) u "
             "WHERE regexp_extract(href, '/page/([0-9]+)', 1) <> ''",
             dp=None,
         ),

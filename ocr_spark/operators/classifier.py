@@ -50,12 +50,30 @@ def linear_score(
     """Integer-exact logit: ``score = w . x`` as one codegen expression.
     `weights` is a python list of ints (micro-unit coefficients) —
     embedded as a literal array, the plan-side equivalent of a
-    broadcast model."""
+    broadcast model.
+
+    A dimension mismatch raises AT EXECUTION (`raise_error`) instead of
+    the zip_with default (null-padding → NULL scores → `keep` NULL →
+    every downstream filter silently drops the whole corpus — the worst
+    possible failure mode for a config typo)."""
     arr = F.array(*[F.lit(int(w)).cast("long") for w in weights])
-    dot = F.aggregate(
-        F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    dot = F.when(
+        F.size(F.col(vec_col)) == len(weights),
+        F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"linear_score: weight vector has {len(weights)} dims "
+                    "but embedding has "
+                ),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        ).cast("long")
     )
     return df.withColumn(out_col, dot)
 

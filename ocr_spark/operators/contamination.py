@@ -201,16 +201,19 @@ def build_ngram_bloom(
     num_hashes: int = _BLOOM_NUM_HASHES,
 ):
     """Build `(bits: np.uint64[m/64], m, k)` over the eval set's distinct
-    n-gram xxhash64 values. The collect is eval-sized (the side that is
-    by definition orders of magnitude under the corpus); the corpus
-    never touches the driver."""
-    rows = (
+    n-gram xxhash64 values. The transfer is eval-sized and rides Arrow
+    as a raw int64 column (8 B/hash — a driver-side list of Row objects
+    would cost ~30-60x that at the multi-gigagram eval sizes this path
+    exists for); the corpus never touches the driver. Beyond what one
+    driver can hold, build partial bitmaps per partition and OR them —
+    the bitmap is the mergeable artifact."""
+    hashes = (
         eval_ngram_set(evalset, eval_text_col, n)
         .select(F.xxhash64("gram").alias("h"))
-        .collect()
+        .toPandas()["h"]
+        .to_numpy(dtype=np.int64)
     )
-    hashes = np.fromiter((r["h"] for r in rows), dtype=np.int64, count=len(rows))
-    m = _bloom_size_bits(max(len(rows), 1), bits_per_item)
+    m = _bloom_size_bits(max(len(hashes), 1), bits_per_item)
     bits = np.zeros(m // 64, dtype=np.uint64)
     h64 = hashes.view(np.uint64)
     for i in range(num_hashes):
@@ -273,23 +276,33 @@ def bloom_decontaminate(
     wrongly dropped document.
 
     At 100 TB: the broadcast is `12 bits x |eval n-grams|` (fits at eval
-    sizes where the string set cannot), the corpus is scanned once, and
-    the exact join's exploded input shrinks to the candidate sliver.
+    sizes where the string set cannot), and the exact join's exploded
+    input shrinks from |corpus| to the candidate sliver. Two corpus
+    scans total — one through the bloom probe to find candidates, one
+    for the final anti-join — the SAME scan count as the exact
+    `decontaminate` (report + anti-join), with the expensive
+    explode+join stage now candidate-sized.
     """
     spark = docs.sparkSession
     bits, m, k = build_ngram_bloom(
         evalset, eval_text_col, n, bits_per_item, num_hashes
     )
     bloom_any = _make_bloom_any_udf(spark, bits, m, k)
-    hashed = docs.withColumn(
-        "_maybe",
+    # one probe pass -> candidates; flagged ids come from the exact
+    # report over candidates only; the kept set is docs minus flagged
+    # (bloom has no false negatives, so non-candidates are never
+    # contaminated and need no branch of their own — a clean/candidate
+    # union would scan the corpus and run the probe twice).
+    candidates = docs.filter(
         bloom_any(
             F.transform(word_ngrams_col(text_col, n), lambda g: F.xxhash64(g))
-        ),
+        )
     )
-    clean = hashed.filter(~F.col("_maybe")).drop("_maybe")
-    candidates = hashed.filter(F.col("_maybe")).drop("_maybe")
-    confirmed = decontaminate(
-        candidates, evalset, text_col, id_col, eval_text_col, n, threshold
+    flagged = (
+        contamination_report(
+            candidates, evalset, text_col, id_col, eval_text_col, n, threshold
+        )
+        .filter(F.col("contaminated"))
+        .select(id_col)
     )
-    return clean.unionByName(confirmed)
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")

@@ -22,9 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# capture stops at the closing quote OR a fragment marker, so
-# '/page/7#sec2' and '/page/7' resolve to the same target
-HREF_PATTERN = r'href="([^"#]*)'
+# case-insensitive attribute name, single- OR double-quoted value
+# (both are common in real web HTML); capture stops at the closing
+# quote OR a fragment marker, so '/page/7#sec2' and '/page/7' resolve
+# to the same target. Unquoted hrefs (legacy HTML) are not harvested —
+# documented recall bound, not a silent one.
+HREF_PATTERN = "[hH][rR][eE][fF]\\s*=\\s*[\"']([^\"'#]*)"
 
 
 def extract_links(

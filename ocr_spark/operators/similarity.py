@@ -602,10 +602,13 @@ def label_centroids(
     lists, summarizes semantic clusters, or feeds a nearest-centroid
     classifier — output cardinality |labels|.
 
-    This is the engine's GROUPED_AGG pandas-UDF surface (§2.11): the
-    mean reduces map-side within Arrow batches per group, so the wire
-    carries one dim-length vector per (group, task) — not the dim-x
-    exploded rows the pure-SQL formulation shuffles."""
+    This is the engine's GROUPED_AGG pandas-UDF surface (§2.11). Honest
+    shuffle accounting (see _make_centroid_aggs): grouped-agg UDFs have
+    NO map-side partial combine, so every group's raw vectors cross the
+    wire — about the same bytes as the posexplode/avg formulation but
+    1/dim the row count, one aggregation instead of two, and no
+    collect_list dim-reassembly ordering risk. Pick the pure-SQL form
+    when partial aggregation matters more than those three."""
     # Spark disallows mixing a grouped-agg pandas UDF with JVM
     # aggregates in one agg ([INVALID_PANDAS_UDF_PLACEMENT]), so the
     # group size is a second pandas aggregate over the same pass.

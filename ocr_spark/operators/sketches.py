@@ -40,6 +40,17 @@ from ocr_spark.operators.retrieval import terms_col
 CM_ROW_MULTS = (48271, 69621, 16807, 1103515245)
 
 
+def _cm_cell_idx(p, j: int, width: int):
+    """Row-j counter index of polynomial hash `p` — the ONE definition
+    of the count-min hash family, shared by sketch build and probe so
+    the two can never drift (a one-sided guarantee silently dies if
+    they do). Swap the modulus here (e.g. a 61-bit prime past ~30k
+    distinct values) and both sides follow."""
+    m = F.lit(EMBED_HASH_MOD).cast("long")
+    mult = F.lit(CM_ROW_MULTS[j]).cast("long")
+    return (((p * mult + F.lit(j)) % m) % F.lit(width)).cast("int")
+
+
 def countmin_sketch(
     df: DataFrame,
     text_col: str = "text",
@@ -55,25 +66,26 @@ def countmin_sketch(
     Spark shape: explode terms (multiplicity kept — this sketches
     FREQUENCY, unlike the KMV's distinct hashes), fan out d cells per
     token row-locally, ONE map-side-combining groupBy on (row, idx) —
-    the output is dim-sized however large the corpus."""
+    the output is dim-sized however large the corpus. The sketch
+    carries its ``width`` as a column so probes can never silently use
+    a mismatched table size; merge sketches with
+    ``groupBy("row", "idx", "width").agg(sum("cnt"))``."""
     if width < 2:
         raise ValueError("width must be >= 2")
     toks = df.select(F.explode(terms_col(F.col(text_col))).alias("tok"))
     p = token_hash_col(F.col("tok"))
-    m = F.lit(EMBED_HASH_MOD).cast("long")
     cells = F.array(*[
         F.struct(
             F.lit(j).cast("int").alias("row"),
-            (((p * F.lit(mult).cast("long") + F.lit(j)) % m) % F.lit(width))
-            .cast("int")
-            .alias("idx"),
+            _cm_cell_idx(p, j, width).alias("idx"),
         )
-        for j, mult in enumerate(CM_ROW_MULTS)
+        for j in range(len(CM_ROW_MULTS))
     ])
     return (
         toks.select(F.explode(cells).alias("c"))
         .groupBy(F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
         .agg(F.count("*").alias("cnt"))
+        .withColumn("width", F.lit(width).cast("int"))
     )
 
 
@@ -81,35 +93,37 @@ def countmin_estimate(
     sketch: DataFrame,
     terms: DataFrame,
     term_col: str = "term",
-    width: int = 1024,
 ) -> DataFrame:
     """Point-query the sketch for each term: ``(term, est_cnt)`` =
-    min over the d rows' counters. The term side is dim-sized and
-    broadcast; misses (all-zero cells) estimate 0 via the left join."""
+    min over the d rows' counters. The width is READ FROM THE SKETCH
+    (one dim-sized job) — probing with a width other than the build
+    width would compute indexes against the wrong table and silently
+    break the est >= true guarantee, so there is no width parameter to
+    get wrong. The term side is dim-sized and broadcast; misses
+    (all-zero cells) estimate 0 via the left join."""
+    widths = [r[0] for r in sketch.select("width").distinct().collect()]
+    if len(widths) != 1:
+        raise ValueError(
+            f"sketch carries {len(widths)} distinct widths ({widths}); "
+            "merge only sketches built with the same width"
+        )
+    width = int(widths[0])
     p = token_hash_col(F.col(term_col))
-    m = F.lit(EMBED_HASH_MOD).cast("long")
-    keyed = terms.select(
-        term_col,
-        *[
-            (((p * F.lit(mult).cast("long") + F.lit(j)) % m) % F.lit(width))
-            .cast("int")
-            .alias(f"_i{j}")
-            for j, mult in enumerate(CM_ROW_MULTS)
-        ],
-    )
-    probes = keyed.select(
+    probes = terms.select(
         term_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(j).cast("int").alias("row"),
-                    F.col(f"_i{j}").alias("idx"),
+                    _cm_cell_idx(p, j, width).alias("idx"),
                 )
                 for j in range(len(CM_ROW_MULTS))
             ])
         ).alias("c"),
     ).select(term_col, F.col("c.row").alias("row"), F.col("c.idx").alias("idx"))
-    joined = probes.join(sketch, ["row", "idx"], "left").fillna(0, ["cnt"])
+    joined = probes.join(
+        sketch.select("row", "idx", "cnt"), ["row", "idx"], "left"
+    ).fillna(0, ["cnt"])
     return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))
 
 

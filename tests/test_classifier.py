@@ -61,3 +61,13 @@ def test_classify_reproducible_under_repartition(spark):
     emb2 = hashed_embedding(docs.repartition(13), dim=16)
     b = {r.doc_id for r in quality_classify(emb2, w).filter("keep").collect()}
     assert a == b
+
+
+def test_linear_score_dim_mismatch_raises(spark):
+    """A weights/embedding dimension mismatch must fail loudly, not
+    null-pad into NULL scores that silently drop the whole corpus."""
+    df = spark.createDataFrame([(1, [1, 2, 3])], "doc_id long, embedding array<long>")
+    from ocr_spark.operators.classifier import linear_score
+
+    with pytest.raises(Exception, match="weight vector has 2 dims"):
+        linear_score(df, [1, 1]).collect()

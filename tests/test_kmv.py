@@ -62,9 +62,21 @@ def test_countmin_mergeable_by_cell_sum(spark):
     b = spark.createDataFrame([(2, "x z")], ["doc_id", "text"])
     merged = (
         countmin_sketch(a).unionByName(countmin_sketch(b))
-        .groupBy("row", "idx").agg(F.sum("cnt").alias("cnt"))
+        .groupBy("row", "idx", "width").agg(F.sum("cnt").alias("cnt"))
     )
     whole = countmin_sketch(a.unionByName(b))
-    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    cols = ["row", "idx", "cnt", "width"]
+    assert (sorted(map(tuple, merged.select(*cols).collect()))
+            == sorted(map(tuple, whole.select(*cols).collect())))
     terms = spark.createDataFrame([("x",)], ["term"])
     assert countmin_estimate(merged, terms).first().est_cnt == 3
+
+
+def test_countmin_estimate_refuses_mixed_widths(spark):
+    from ocr_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    a = countmin_sketch(spark.createDataFrame([(1, "x")], ["doc_id", "text"]), width=512)
+    b = countmin_sketch(spark.createDataFrame([(2, "y")], ["doc_id", "text"]), width=1024)
+    terms = spark.createDataFrame([("x",)], ["term"])
+    with pytest.raises(ValueError, match="distinct widths"):
+        countmin_estimate(a.unionByName(b), terms)

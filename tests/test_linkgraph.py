@@ -42,3 +42,15 @@ def test_link_rank_sums_to_one_and_favors_hub(spark):
     assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
     assert ranks[5] == max(ranks.values())
     assert ranks[2] == ranks[3] == ranks[4]  # structural symmetry
+
+
+def test_extract_links_quote_and_case_variants(spark):
+    """Single-quoted and uppercase-attribute hrefs (common in real web
+    HTML) harvest too; unquoted hrefs are the documented recall bound."""
+    html = (
+        "<a href='/page/3'>sq</a> <A HREF=\"/page/4\">up</A>"
+        " <a href=/page/5>unquoted</a>"
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    got = sorted(r["href"] for r in extract_links(df).collect())
+    assert got == ["/page/3", "/page/4"]
