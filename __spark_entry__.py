@@ -1396,6 +1396,20 @@ def _q_sk_countmin_estimates(spark, sf_dir):
     return top.join(est, "term").select("term", "est_cnt", "true_cnt")
 
 
+def _q_sk_log2_quantiles(spark, sf_dir):
+    """Log2-histogram quantile sketch (operators/sketches.py): integer-
+    exact DDSketch-style buckets over per-doc token counts, per-source
+    p50/p90/p99 estimates with the 2x relative-error bound — histogram
+    and estimates both deterministic, so hash-verified."""
+    from ocr_spark.operators.sketches import histogram_quantiles, log2_histogram
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", TS.token_count(F.col("text"))
+    )
+    hist = log2_histogram(docs, "n_tok", by="source")
+    return histogram_quantiles(hist, [0.5, 0.9, 0.99], by="source")
+
+
 def _q_cls_linear_quality(spark, sf_dir):
     """fastText-style linear quality gate (operators/classifier.py):
     integer-exact logit over hashed bag-of-words features, weights as a
@@ -2802,6 +2816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_mixture_plan": _q_tr_mixture_plan,
         "sk_kmv_distinct": _q_sk_kmv_distinct,
         "sk_countmin_estimates": _q_sk_countmin_estimates,
+        "sk_log2_quantiles": _q_sk_log2_quantiles,
     }
 
 
@@ -4602,6 +4617,25 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "sk_log2_quantiles": (
+            f"WITH tok AS (SELECT source, CAST({TS.token_count_sql(txt)} "
+            "AS BIGINT) AS v FROM documents), "
+            "h AS (SELECT source, CASE WHEN v <= 0 THEN 0 "
+            "ELSE length(bin(v)) END AS bucket, count(*) AS cnt "
+            "FROM tok GROUP BY source, bucket), "
+            "c AS (SELECT source, bucket, "
+            "sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum, "
+            "sum(cnt) OVER (PARTITION BY source) AS tot FROM h), "
+            "pr AS (SELECT source, bucket, cum, tot, "
+            "unnest([50, 90, 99]) AS frac_pct FROM c), "
+            "hit AS (SELECT source, frac_pct, min(bucket) AS bucket "
+            "FROM pr WHERE cum * 100 >= frac_pct * tot "
+            "GROUP BY source, frac_pct) "
+            "SELECT source, CAST(frac_pct AS INTEGER) AS frac_pct, "
+            "CAST(CASE WHEN bucket = 0 THEN 0 "
+            "ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS q_est "
+            "FROM hit"
         ),
         "sk_countmin_estimates": """
 WITH tok AS (

@@ -127,6 +127,80 @@ def countmin_estimate(
     return joined.groupBy(term_col).agg(F.min("cnt").alias("est_cnt"))
 
 
+def log2_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """Log2-bucket histogram of a non-negative integer metric:
+    ``([by,] bucket, cnt)`` where bucket = floor(log2(v)) + 1 and 0 maps
+    to bucket 0 — DDSketch's idea (log-spaced buckets, bounded RELATIVE
+    error) restricted to integer metrics and power-of-2 boundaries so
+    the bucket function is exact integer arithmetic: deterministic,
+    engine-portable, no float-boundary ulps. O(log max) cells per
+    group, mergeable by plain cell sum."""
+    v = F.col(value_col).cast("long")
+    # floor(log2(v)) + 1 via the bit length of v — pure integer ops
+    bucket = F.when(v <= 0, F.lit(0)).otherwise(
+        (F.length(F.conv(v.cast("string"), 10, 2))).cast("int")
+    )
+    keys = ([F.col(by)] if by else []) + [bucket.alias("bucket")]
+    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    fracs,
+    by: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a log2 histogram: for each requested
+    fraction, the UPPER BOUND (2^bucket - 1) of the bucket containing
+    that rank — a deterministic estimate with relative error <= 2x by
+    construction (the bucket width). ``([by,] frac_pct, q_est)``.
+
+    Shape: the histogram is O(log max) rows per group, so the running-
+    sum window and the per-fraction min-match are dashboard-sized
+    whatever the corpus was."""
+    fr = [float(f) for f in fracs]
+    if not fr or any(not (0 < f <= 1) for f in fr):
+        raise ValueError("fracs must be in (0, 1]")
+    keys = [by] if by else []
+    w = (
+        Window.partitionBy(*keys).orderBy("bucket")
+        if by
+        else Window.partitionBy().orderBy("bucket")
+    )
+    tot = (
+        Window.partitionBy(*keys) if by else Window.partitionBy()
+    )
+    cum = hist.withColumn("_cum", F.sum("cnt").over(w)).withColumn(
+        "_tot", F.sum("cnt").over(tot)
+    )
+    probes = cum.select(
+        *keys,
+        "bucket",
+        "_cum",
+        "_tot",
+        F.explode(
+            F.array(*[F.lit(int(round(f * 100))).alias("p") for f in fr])
+        ).alias("frac_pct"),
+    )
+    hit = probes.filter(
+        F.col("_cum") * 100 >= F.col("frac_pct") * F.col("_tot")
+    )
+    # shiftleft's python API wants a literal bit count; the SQL form
+    # takes a column
+    q = F.when(F.col("bucket") == 0, F.lit(0).cast("long")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
+    )
+    return (
+        hit.groupBy(*keys, "frac_pct")
+        .agg(F.min("bucket").alias("bucket"))
+        .withColumn("q_est", q)
+        .drop("bucket")
+    )
+
+
 def kmv_distinct_terms(
     df: DataFrame,
     text_col: str = "text",

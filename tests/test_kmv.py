@@ -80,3 +80,47 @@ def test_countmin_estimate_refuses_mixed_widths(spark):
     terms = spark.createDataFrame([("x",)], ["term"])
     with pytest.raises(ValueError, match="distinct widths"):
         countmin_estimate(a.unionByName(b), terms)
+
+
+# ----------------------------------------------------- log2 histogram
+def test_log2_histogram_buckets_and_merge(spark):
+    from ocr_spark.operators.sketches import log2_histogram
+    import pyspark.sql.functions as F
+
+    vals = [0, 1, 2, 3, 4, 7, 8, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], ["n_tok"])
+    got = {r.bucket: r.cnt for r in log2_histogram(df, "n_tok").collect()}
+    # 0->0; 1->1; 2,3->2; 4,7->3; 8->4; 1000->10
+    assert got == {0: 1, 1: 1, 2: 2, 3: 2, 4: 1, 10: 1}
+    # mergeable by cell sum
+    a, b = df.limit(4), df.subtract(df.limit(4))
+    merged = (
+        log2_histogram(a, "n_tok").unionByName(log2_histogram(b, "n_tok"))
+        .groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {(r.bucket, r.cnt) for r in merged.collect()} == set(got.items())
+
+
+def test_histogram_quantiles_relative_error(spark):
+    import numpy as np
+
+    from ocr_spark.operators.sketches import histogram_quantiles, log2_histogram
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(1, 5000, size=2000)
+    df = spark.createDataFrame([(int(v), "g") for v in vals], ["n_tok", "source"])
+    hist = log2_histogram(df, "n_tok", by="source")
+    q = {
+        r.frac_pct: r.q_est
+        for r in histogram_quantiles(hist, [0.5, 0.9, 0.99], by="source").collect()
+    }
+    for pct, frac in ((50, 0.5), (90, 0.9), (99, 0.99)):
+        true = float(np.quantile(vals, frac))
+        assert q[pct] >= true * 0.5 and q[pct] <= true * 2.1  # 2x bound
+
+
+def test_histogram_quantiles_validates_fracs(spark):
+    from ocr_spark.operators.sketches import histogram_quantiles
+
+    with pytest.raises(ValueError):
+        histogram_quantiles(None, [0.0])

@@ -530,3 +530,62 @@ def test_stream_repair_and_classify_match_batch(spark, tmp_path):
         got[cols].sort_values("doc_id").reset_index(drop=True),
         batch[cols].sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_stream_countmin_merge_equals_batch(spark, tmp_path):
+    """Sketches are mergeable by construction, which makes them the
+    natural streaming statistic: per-micro-batch count-min sketches
+    merged by cell sum (foreachBatch) equal the one-shot batch sketch
+    over the same corpus, so point-query estimates are identical."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.sketches import countmin_estimate, countmin_sketch
+
+    rows = [(i, f"term{i % 7} filler common word{i % 3}") for i in range(40)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "sk_src")
+    # two files so availableNow produces multiple batches
+    spark.createDataFrame(rows[:20], schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows[20:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    state = str(tmp_path / "sk_state")
+
+    def merge_batch(batch_df, batch_id):
+        sk = countmin_sketch(batch_df, "text")
+        import os
+
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state)
+            sk = (
+                prev.unionByName(sk)
+                .groupBy("row", "idx", "width")
+                .agg(F.sum("cnt").alias("cnt"))
+                .select("row", "idx", "cnt", "width")
+            )
+        sk.write.mode("overwrite").parquet(state + ".tmp")
+        batch_df.sparkSession.read.parquet(state + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    stream_in = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_in.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "sk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    merged = spark.read.parquet(state)
+    whole = countmin_sketch(spark.read.parquet(src), "text")
+    cols = ["row", "idx", "cnt", "width"]
+    assert (sorted(map(tuple, merged.select(*cols).collect()))
+            == sorted(map(tuple, whole.select(*cols).collect())))
+    terms = spark.createDataFrame([("term3",), ("common",)], ["term"])
+    est_m = {r.term: r.est_cnt for r in countmin_estimate(merged, terms).collect()}
+    est_w = {r.term: r.est_cnt for r in countmin_estimate(whole, terms).collect()}
+    assert est_m == est_w
