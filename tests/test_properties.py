@@ -212,3 +212,24 @@ def test_jpeg_decoder_never_hangs_or_crashes_on_truncation(seed, data):
         assert len(raw) == 8 * 16 * 3
     except (ValueError, struct.error, IndexError):
         pass
+
+
+# ------------------------------------------------------------ text repair
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_repair_idempotent_and_control_free(s):
+    from ocr_spark.extract.normalize import repair_text
+
+    out, _, _ = repair_text(s)
+    again, moji2, nctl2 = repair_text(out)
+    assert again == out and not moji2 and nctl2 == 0
+    # no C0/C1 controls survive (tab/newline/CR excepted)
+    assert not re.search("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", out)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_repair_printable_ascii_is_identity(s):
+    from ocr_spark.extract.normalize import repair_text
+
+    assert repair_text(s) == (s, False, 0)
