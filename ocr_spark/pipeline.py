@@ -134,7 +134,26 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_transcripts(transcripts: DataFrame, repartition: int | None = None) -> DataFrame:
+def _repair_then_extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Extraction kernel with the ftfy-style encoding repair applied to
+    each payload INSIDE the same Arrow batch — no second Python stage,
+    no extra serialization round-trip."""
+    from ocr_spark.extract.normalize import repair_text
+
+    def gen():
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = [repair_text(t)[0] for t in pdf["text"].tolist()]
+            yield pdf
+
+    return _extract_batches(gen())
+
+
+def extract_transcripts(
+    transcripts: DataFrame,
+    repartition: int | None = None,
+    repair_first: bool = False,
+) -> DataFrame:
     """Run the extraction core over a transcripts DataFrame.
 
     ``repartition``: target partition count for the compute stage. Pass
@@ -142,11 +161,20 @@ def extract_transcripts(transcripts: DataFrame, repartition: int | None = None) 
     full (conv_id, turn_idx) key spreads skewed conversations evenly.
     When None, the input's partitioning is kept (scan-aligned, no
     shuffle) — right when the source is already well-bucketed.
+
+    ``repair_first``: apply `normalize.repair_text` (mojibake undo,
+    control strip, NFC) to every payload before extraction, inside the
+    SAME mapInPandas stage (plan shape unchanged — exactly one Python
+    stage either way). Semantically identical to running
+    `text_repair.repair_report` and extracting the repaired column;
+    note that spans then index into the REPAIRED payload, so span
+    slicing must target the repaired text, not the raw scan.
     """
     df = transcripts
     if repartition:
         df = df.repartition(repartition, "conv_id", "turn_idx")
-    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)
+    kernel = _repair_then_extract if repair_first else _extract_batches
+    return df.mapInPandas(kernel, schema=EXTRACTED_SCHEMA)
 
 
 def load_transcripts(

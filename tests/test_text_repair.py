@@ -75,3 +75,38 @@ def test_repair_unifies_exact_dedup(spark):
     )
     assert exact_dedup(df, "text").count() == 2  # raw: hashes differ
     assert exact_dedup(repair_report(df), "text").count() == 1
+
+
+def test_extract_repair_first_equals_composition(spark):
+    """extract_transcripts(repair_first=True) is EXACTLY the composition
+    repair_report -> extract, with one Python stage instead of two."""
+    from ocr_spark.operators.text_repair import repair_report
+    from ocr_spark.pipeline import extract_transcripts
+    from ocr_spark.plans import checks
+
+    rows = [
+        ("c1", 0, "user", "caf" + MOJI_E + " menu\nsecond line", "plain", None),
+        ("c1", 1, "assistant", "bell" + chr(7) + " clean text here", "plain", None),
+        ("c2", 0, "user", "<p>plain ascii paragraph with words</p>", "html", None),
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    flagged = extract_transcripts(df, repair_first=True)
+    composed = extract_transcripts(
+        repair_report(df).select(*df.columns)
+    )
+    key = ["conv_id", "turn_idx"]
+    a = {tuple(r[k] for k in key): r["clean_text"] for r in flagged.collect()}
+    b = {tuple(r[k] for k in key): r["clean_text"] for r in composed.collect()}
+    assert a == b
+    assert "caf" + chr(233) in a[("c1", 0)]  # mojibake actually repaired
+    # plan shape: still exactly ONE Python stage with the flag...
+    assert checks.python_stage_counts(flagged)["MapInPandas"] == 1
+    assert checks.python_stage_counts(flagged)["ArrowEvalPython"] == 0
+    # ...while the composition pays two
+    comp_counts = checks.python_stage_counts(composed)
+    assert comp_counts["MapInPandas"] + comp_counts["ArrowEvalPython"] == 2
