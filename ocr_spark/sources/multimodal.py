@@ -435,3 +435,41 @@ def synth_png(width: int, height: int, seed: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def load_binary_media(
+    spark,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion for the multimodal stack: Spark's built-in
+    `binaryFile` source scans a directory tree into binary rows, which
+    this normalizes to the media frame the downstream stages consume:
+    ``(media_id, path, payload, n_bytes, modified)``.
+
+    - ``media_id`` = xxhash64(path): stable across runs/rescans, no
+      global counter, join-ready for any per-file metadata table;
+    - ``glob`` -> pathGlobFilter: pruning happens AT THE LISTING (files
+      never read), the multimodal analog of partition pruning;
+    - ``max_bytes``: the D2 size-guard analog — oversized payloads are
+      dropped by the `length` FILE METADATA column, i.e. before the
+      content is materialized into the row.
+
+    At 100 TB: binaryFile splits by file (one row per file), so
+    parallelism = file count; compact many-small-file corpora into
+    parquet with a binary column (write the frame this returns) and
+    scan that instead — the row shape is identical either way."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= int(max_bytes))
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        "path",
+        F.col("content").alias("payload"),
+        F.col("length").cast("int").alias("n_bytes"),
+        F.col("modificationTime").alias("modified"),
+    )

@@ -294,3 +294,41 @@ def test_decode_and_resize_spark(spark):
     assert (h, w, c) == (10, 12, 3)
     assert bytes(out[20].pixels) == bytes(resize_pixels(h, w, c, raw, 5, 6))
     assert out[9].decode_error is not None and out[9].pixels is None
+
+
+def test_load_binary_media_roundtrip(spark, tmp_path):
+    """binaryFile ingestion -> media frame -> real pixel decode: files
+    written to disk come back byte-identical and decode to the same
+    pixel stats as the in-memory path; glob prunes at the listing and
+    max_bytes guards by file metadata."""
+    import os
+
+    from ocr_spark.sources.multimodal import (
+        decode_pixel_stats,
+        load_binary_media,
+        synth_png,
+    )
+
+    d = str(tmp_path / "media")
+    os.makedirs(d)
+    payloads = {}
+    for i, (w, h) in enumerate([(4, 3), (6, 2)]):
+        p = synth_png(w, h, seed=i)
+        payloads[f"img{i}.png"] = p
+        open(os.path.join(d, f"img{i}.png"), "wb").write(p)
+    open(os.path.join(d, "notes.txt"), "wb").write(b"not media")
+
+    media = load_binary_media(spark, d, glob="*.png")
+    rows = media.collect()
+    assert len(rows) == 2  # txt pruned at the listing
+    by_name = {os.path.basename(r.path): bytes(r.payload) for r in rows}
+    assert by_name == payloads  # byte-identical round trip
+    assert len({r.media_id for r in rows}) == 2  # stable distinct ids
+
+    stats = decode_pixel_stats(media.select("media_id", "payload")).collect()
+    assert sorted((r.width, r.height) for r in stats) == [(4, 3), (6, 2)]
+    assert all(r.decode_error is None for r in stats)
+
+    # size guard drops by file-metadata length, before content use
+    small = load_binary_media(spark, d, glob="*.png", max_bytes=1)
+    assert small.count() == 0
