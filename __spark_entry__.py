@@ -1359,6 +1359,28 @@ def _q_tr_mixture_plan(spark, sf_dir):
     return mixture_epoch_plan(docs, weights, token_budget=1_000_003)
 
 
+# the synthetic documents text has NO sentence terminators (verified:
+# every doc is one regex-sentence), so the twin plants them at fixed
+# offsets — 4 sentences per doc — or the window/assignment path would
+# go untested. substr past the end is '' in both engines; empties drop.
+_SENT_PAYLOAD_SQL = (
+    "substr(text, 1, 60) || '. ' || substr(text, 61, 50) || '! ' || "
+    "substr(text, 111, 70) || '? ' || substr(text, 181, 100)"
+)
+
+
+def _q_tr_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary chunking (operators/training.py): RE2-portable
+    extract pattern, chars-before div target assignment, in-order
+    reassembly — the RAG chunker whose chunks are whole sentences."""
+    from ocr_spark.operators.training import chunk_by_sentences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SENT_PAYLOAD_SQL).alias("text")
+    )
+    return chunk_by_sentences(docs, target_chars=80)
+
+
 def _q_sk_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (operators/sketches.py): deterministic
     k-minimum-values estimator over the shared polynomial hash + cubic
@@ -2817,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_kmv_distinct": _q_sk_kmv_distinct,
         "sk_countmin_estimates": _q_sk_countmin_estimates,
         "sk_log2_quantiles": _q_sk_log2_quantiles,
+        "tr_sentence_chunks": _q_tr_sentence_chunks,
     }
 
 
@@ -4617,6 +4640,25 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "tr_sentence_chunks": (
+            "WITH sl AS (SELECT doc_id, "
+            f"regexp_extract_all({_SENT_PAYLOAD_SQL}, "
+            "'[^.!?]+[.!?]*') AS ss "
+            "FROM documents), "
+            "s0 AS (SELECT doc_id, i AS idx, trim(ss[i]) AS s FROM sl, "
+            "unnest(generate_series(1, len(ss))) AS t(i)), "
+            "f AS (SELECT * FROM s0 WHERE s <> ''), "
+            "c AS (SELECT doc_id, idx, s, coalesce(sum(length(s)) OVER ("
+            "PARTITION BY doc_id ORDER BY idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb "
+            "FROM f) "
+            "SELECT doc_id, CAST(cb // 80 AS BIGINT) AS chunk_id, "
+            "string_agg(s, ' ' ORDER BY idx) AS chunk_text, "
+            "CAST(count(*) AS BIGINT) AS n_sentences, "
+            "CAST(length(string_agg(s, ' ' ORDER BY idx)) AS BIGINT) "
+            "AS n_chars "
+            "FROM c GROUP BY doc_id, cb // 80"
         ),
         "sk_log2_quantiles": (
             f"WITH tok AS (SELECT source, CAST({TS.token_count_sql(txt)} "

@@ -419,6 +419,59 @@ def length_buckets(
     )
 
 
+def chunk_by_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_chars: int = 512,
+) -> DataFrame:
+    """Sentence-boundary chunking — the RAG-style complement to
+    `chunk_documents`' char windows: sentences never split mid-way, so
+    a chunk is always well-formed prose for an embedder or retriever.
+
+    ``(id, chunk_id, chunk_text, n_sentences, n_chars)``: sentences are
+    maximal runs of non-terminators plus their trailing ``.!?`` (an
+    extract pattern, NOT a lookbehind split — RE2 engines like the
+    DuckDB oracle have no lookbehind), trimmed, empties dropped; chunk
+    assignment is ``chars-before div target_chars`` over the in-doc
+    sentence order, so a chunk can overshoot the target by at most one
+    sentence (the standard greedy bound). Documents with no sentence
+    characters produce no rows.
+
+    Scale: one row-local extract+explode, ONE doc-key window for the
+    running sum, one doc-key groupBy — both shuffles on the same key.
+    """
+    if target_chars < 1:
+        raise ValueError("target_chars must be >= 1")
+    sents = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0)
+    )
+    ex = (
+        df.select(id_col, F.posexplode(sents).alias("idx", "_raw"))
+        .withColumn("s", F.trim("_raw"))
+        .filter(F.col("s") != "")
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = ex.withColumn(
+        "_cb", F.coalesce(F.sum(F.length("s")).over(w), F.lit(0).cast("long"))
+    ).withColumn("chunk_id", F.expr(f"_cb div {int(target_chars)}"))
+    out = chunked.groupBy(id_col, "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "s"))),
+                lambda e: e["s"],
+            ),
+        ).alias("chunk_text"),
+        F.count("*").alias("n_sentences"),
+    )
+    return out.withColumn("n_chars", F.length("chunk_text").cast("long"))
+
+
 def mixture_epoch_plan(
     df: DataFrame,
     weights: dict,

@@ -517,3 +517,40 @@ def test_mixture_epoch_plan_validation_and_absent_domain(spark):
     # domain present in corpus but absent from weights drops out
     out = mixture_epoch_plan(docs, {"other": 2}, token_budget=10).collect()
     assert out == []
+
+
+# --------------------------------------------------- sentence chunking
+def test_chunk_by_sentences_boundaries_and_reconstruction(spark):
+    from ocr_spark.operators.training import chunk_by_sentences
+
+    text = "First sentence here. Second one! Third? Fourth has no terminator"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_by_sentences(df, target_chars=25).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # no sentence is ever split: every chunk is whole trimmed sentences
+    all_sents = [s.strip() for s in
+                 ["First sentence here.", "Second one!", "Third?",
+                  "Fourth has no terminator"]]
+    rebuilt = " ".join(r.chunk_text for r in rows)
+    assert rebuilt == " ".join(all_sents)
+    assert sum(r.n_sentences for r in rows) == 4
+    # greedy bound: a chunk starts because the previous crossed target
+    assert all(r.chunk_id >= 0 for r in rows) and len(rows) >= 2
+
+
+def test_chunk_by_sentences_edges(spark):
+    import pytest as _pt
+
+    from ocr_spark.operators.training import chunk_by_sentences
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "One tiny.")], ["doc_id", "text"]
+    )
+    rows = chunk_by_sentences(df, target_chars=100).collect()
+    assert [(r.doc_id, r.chunk_id, r.chunk_text) for r in rows] == [
+        (3, 0, "One tiny.")
+    ]
+    with _pt.raises(ValueError):
+        chunk_by_sentences(df, target_chars=0)
