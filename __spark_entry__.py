@@ -1381,6 +1381,37 @@ def _q_tr_sentence_chunks(spark, sf_dir):
     return chunk_by_sentences(docs, target_chars=80)
 
 
+# multilingual payload, literal UTF-8 shared verbatim by both engines
+# (chr() parity only holds below 256, but literal characters in the SQL
+# source are engine-neutral): quarter cyrillic-dominant, quarter greek,
+# quarter cjk, quarter pure latin.
+_SCRIPT_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 12) "
+    "|| ' привет мир это очень длинная русская строка' "
+    "WHEN doc_id % 4 = 1 THEN 'γειά σου κόσμε αυτό είναι ελληνικό κείμενο ' "
+    "|| substr(text, 1, 15) "
+    "WHEN doc_id % 4 = 2 THEN substr(text, 1, 8) "
+    "|| ' 你好世界你好世界你好世界你好' "
+    "ELSE substr(text, 1, 40) END"
+)
+
+
+def _q_tx_script_mix(spark, sf_dir):
+    """Unicode-script composition (functions/text_stats.py): per-script
+    char counts + dominant script — the multilingual routing signal
+    lang-ID's stopword votes can't give. Literal character ranges, not
+    \\p{...} classes, so Java regex and RE2 agree."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SCRIPT_PAYLOAD_SQL).alias("text")
+    )
+    counts = TS.script_counts("text")
+    return docs.select(
+        "doc_id",
+        *[counts[n].cast("int").alias(f"n_{n}") for n in TS.SCRIPT_RANGES],
+        TS.dominant_script("text").alias("dominant"),
+    )
+
+
 def _q_sk_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch (operators/sketches.py): deterministic
     k-minimum-values estimator over the shared polynomial hash + cubic
@@ -2840,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_countmin_estimates": _q_sk_countmin_estimates,
         "sk_log2_quantiles": _q_sk_log2_quantiles,
         "tr_sentence_chunks": _q_tr_sentence_chunks,
+        "tx_script_mix": _q_tx_script_mix,
     }
 
 
@@ -4640,6 +4672,15 @@ FROM r WHERE neg_rank <= 5
             "WHERE doc_id NOT IN "
             "(SELECT doc_id FROM h WHERE n_hits * 1.0 / n_grams > 0.2) "
             "GROUP BY source"
+        ),
+        "tx_script_mix": (
+            f"WITH p AS (SELECT doc_id, {_SCRIPT_PAYLOAD_SQL} AS t "
+            "FROM documents) SELECT doc_id, "
+            + ", ".join(
+                f"CAST({sql} AS INTEGER) AS n_{name}"
+                for name, sql in TS.script_counts_sql("t").items()
+            )
+            + f", {TS.dominant_script_sql('t')} AS dominant FROM p"
         ),
         "tr_sentence_chunks": (
             "WITH sl AS (SELECT doc_id, "

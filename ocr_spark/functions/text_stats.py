@@ -137,3 +137,64 @@ def fingerprint(col) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g'))))"
+
+
+# ------------------------------------------------------------ script mix
+#
+# Unicode-script composition of a payload — the multilingual-curation
+# signal lang-ID can't give (stopword votes need WORDS; script counts
+# work on any text, catch mixed-script spam/mojibake survivors, and
+# route documents to per-script tokenizers). Ranges are LITERAL
+# characters, not \p{...} classes or \u escapes: Java regex and RE2
+# (the DuckDB oracle) name script properties differently, but both
+# treat literal UTF-8 range endpoints identically.
+SCRIPT_RANGES = {
+    "latin": "a-zA-Z",
+    "cyrillic": "а-яА-ЯёЁ",
+    "greek": "α-ωΑ-Ωίόέάήώύ",
+    "cjk": "一-鿿",
+}
+
+
+def script_counts(col) -> dict:
+    """Per-script character counts as columns: length of the text with
+    every NON-script char deleted — one codegen regexp_replace per
+    script, no explode."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.length(F.regexp_replace(c, f"[^{rng}]", ""))
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col) -> Column:
+    """Argmax script by character count, 'none' when no script char
+    occurs; deterministic tie-break by SCRIPT_RANGES order
+    (strictly-greater wins), the same fold shape as lang_id."""
+    counts = script_counts(col)
+    best_name = F.lit("none")
+    best_n = F.lit(0)
+    for name in SCRIPT_RANGES:
+        take = counts[name] > best_n
+        best_name = F.when(take, F.lit(name)).otherwise(best_name)
+        best_n = F.when(take, counts[name]).otherwise(best_n)
+    return best_name
+
+
+def script_counts_sql(expr: str) -> dict:
+    return {
+        name: f"length(regexp_replace({expr}, '[^{rng}]', '', 'g'))"
+        for name, rng in SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script_sql(expr: str) -> str:
+    counts = script_counts_sql(expr)
+    sql = "'none'"
+    best = "0"
+    for name in SCRIPT_RANGES:
+        sql = f"CASE WHEN {counts[name]} > {best} THEN '{name}' ELSE {sql} END"
+        best = (
+            f"greatest({best}, {counts[name]})" if best != "0" else counts[name]
+        )
+    return sql

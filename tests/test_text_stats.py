@@ -61,3 +61,31 @@ def test_edge_cases(spark):
     assert got[0][0] == 0 and got[1][0] == 0
     assert got[2][0] == 1 and got[3][0] == 4
     assert got[4][1] > 0.5
+
+
+# ------------------------------------------------------------ script mix
+def test_script_counts_and_dominant(spark):
+    from ocr_spark.functions import text_stats as TS
+
+    rows = [
+        (1, "hello world plain latin"),
+        (2, "привет мир это русский текст ok"),
+        (3, "γειά σου κόσμε"),
+        (4, "你好世界你好世界 hi"),
+        (5, "12345 !!!"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    counts = TS.script_counts("text")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[counts[n].alias(f"n_{n}") for n in TS.SCRIPT_RANGES],
+            TS.dominant_script("text").alias("dom"),
+        ).collect()
+    }
+    assert got[1].dom == "latin" and got[1].n_cyrillic == 0
+    assert got[2].dom == "cyrillic" and got[2].n_latin == 2  # 'ok'
+    assert got[3].dom == "greek"
+    assert got[4].dom == "cjk" and got[4].n_cjk == 8
+    assert got[5].dom == "none"  # digits/punct score no script
