@@ -1346,6 +1346,25 @@ def _q_lg_link_rank(spark, sf_dir):
     )
 
 
+def _q_cls_soft_sample(spark, sf_dir):
+    """Soft quality sampling (operators/classifier.py): sigmoid keep
+    probability over the integer logit, decided by a deterministic
+    hash stream in micro-units — borderline docs survive in proportion
+    to quality instead of cliff-dropping at a threshold."""
+    from ocr_spark.operators import embed as EMB
+    from ocr_spark.operators.classifier import (
+        demo_weights,
+        quality_classify,
+        soft_quality_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    scored = quality_classify(emb, demo_weights(64))
+    out = soft_quality_sample(scored)
+    return out.select("doc_id", "score", "p_micro", "kept")
+
+
 def _q_tr_mixture_plan(spark, sf_dir):
     """Data-mixture epoch plan (operators/training.py): per-domain
     budget targets, repeat factors, and max-epoch caps — exact int64
@@ -2872,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_log2_quantiles": _q_sk_log2_quantiles,
         "tr_sentence_chunks": _q_tr_sentence_chunks,
         "tx_script_mix": _q_tx_script_mix,
+        "cls_soft_sample": _q_cls_soft_sample,
     }
 
 
@@ -4809,6 +4829,23 @@ FROM g JOIN ex USING (source)
             "AS realized_tokens, "
             "target_tokens > avail_tokens * 4 AS capped FROM p"
         ),
+        "cls_soft_sample": _EMB_CTE_SQL + """
+, w AS (SELECT [CAST(((i * 2654435761 + 97) % 4294967296) % 2001 - 1000
+                AS BIGINT) for i in range(0, 64)] AS wv),
+sc AS (
+  SELECT doc_id,
+    CAST(list_sum([CAST(embedding[CAST(i AS INTEGER)] AS BIGINT)
+                   * wv[CAST(i AS INTEGER)]
+                   for i in range(1, 65)]) AS BIGINT) AS score
+  FROM emb, w),
+pm AS (SELECT doc_id, score,
+  CAST(round(1000000.0 / (1.0 + exp(-(score * 1.0) / 10000.0)))
+       AS BIGINT) AS p_micro FROM sc)
+SELECT doc_id, score, p_micro,
+  (((doc_id * 2246822519 + 424243) % 4294967296) * 1000000
+   // 4294967296) < p_micro AS kept
+FROM pm
+""",
         "cls_linear_quality": _EMB_CTE_SQL + """
 , w AS (SELECT [CAST(((i * 2654435761 + 97) % 4294967296) % 2001 - 1000
                 AS BIGINT) for i in range(0, 64)] AS wv)

@@ -78,6 +78,47 @@ def linear_score(
     return df.withColumn(out_col, dot)
 
 
+def soft_quality_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    midpoint: int = 0,
+    logit_scale: float = 1e4,
+    mult: int = 2246822519,
+    offset: int = 424243,
+) -> DataFrame:
+    """Soft quality gate (the alternative to a hard threshold): keep
+    probability ``p = sigmoid((score - midpoint) / logit_scale)``, so
+    borderline documents survive in proportion to their quality instead
+    of cliff-dropping at the threshold — the soft-filter recipe
+    FineWeb-class pipelines use to avoid the classifier's decision
+    boundary imprinting on the corpus.
+
+    Deterministic: p is quantized to integer MICRO-units and the keep
+    decision is an independent multiplicative-hash stream of the id
+    (the `temperature_resample` recipe — rerun-identical, growth-stable,
+    no RNG state). Adds ``p_micro`` and ``kept``; filter on ``kept``.
+
+    Scale: two stateless projections — no shuffle, no Python."""
+    from ocr_spark.operators.training import _hash_bucket_2_32
+
+    p = F.lit(1e6) / (
+        F.lit(1.0)
+        + F.exp(
+            -(F.col(score_col) - F.lit(int(midpoint)))
+            / F.lit(float(logit_scale))
+        )
+    )
+    # integer draw in [0, 1e6): hash * 1e6 div 2^32 — overflow-safe
+    # (hash < 2^32, product < 2^52) and exactly the quantization
+    # temperature_resample's oracle replays
+    h = _hash_bucket_2_32(F.col(id_col), mult, offset)
+    draw = F.floor(h * F.lit(1_000_000) / F.lit(1 << 32)).cast("long")
+    return df.withColumn("p_micro", F.round(p).cast("long")).withColumn(
+        "kept", draw < F.col("p_micro")
+    )
+
+
 def quality_classify(
     df: DataFrame,
     weights,

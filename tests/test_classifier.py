@@ -71,3 +71,27 @@ def test_linear_score_dim_mismatch_raises(spark):
 
     with pytest.raises(Exception, match="weight vector has 2 dims"):
         linear_score(df, [1, 1]).collect()
+
+
+def test_soft_quality_sample_probabilities_and_determinism(spark):
+    from ocr_spark.operators.classifier import soft_quality_sample
+
+    rows = (
+        [(i, 200_000) for i in range(100)]            # sigmoid(20) -> p=1
+        + [(1000 + i, -200_000) for i in range(100)]  # sigmoid(-20) -> p=0
+        + [(2000 + i, 0) for i in range(2000)]        # p = 0.5
+    )
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    out = soft_quality_sample(df)
+    got = out.collect()
+    hi = [r for r in got if r.score == 200_000]
+    lo = [r for r in got if r.score == -200_000]
+    mid = [r for r in got if r.score == 0]
+    assert all(r.kept for r in hi) and all(r.p_micro == 1_000_000 for r in hi)
+    assert not any(r.kept for r in lo) and all(r.p_micro == 0 for r in lo)
+    assert all(r.p_micro == 500_000 for r in mid)
+    frac = sum(r.kept for r in mid) / len(mid)
+    assert 0.45 < frac < 0.55  # hash stream tracks p
+    # deterministic: identical rerun
+    again = {(r.doc_id, r.kept) for r in soft_quality_sample(df).collect()}
+    assert again == {(r.doc_id, r.kept) for r in got}
