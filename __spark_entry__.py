@@ -1516,6 +1516,34 @@ def _q_tr_curriculum_order(spark, sf_dir):
     )
 
 
+# copied-passage fixture over 40 docs (doc_id % 25 < 2): the scaffold
+# phrase is shared CORPUS-WIDE (so every pair matches — C(40,2)=780
+# rows, all islands exercised) while the block-numbered digits extend
+# the matched interval only for same-block pairs, giving span variety.
+# The integer-division group id is spelled with arithmetic valid in
+# BOTH engines (no div vs // dialect split).
+_SPANS_PAYLOAD_SQL = (
+    "substr(text, 1, 30) || ' shared passage block ' "
+    "|| CAST(CAST((doc_id - doc_id % 50) / 50 AS BIGINT) AS STRING) "
+    "|| ' quick brown fox jumps high'"
+)
+_SPANS_FILTER_SQL = "doc_id % 25 < 2"
+
+
+def _q_dd_winnow_spans(spark, sf_dir):
+    """Copied-passage localization (dedup.winnow_match_spans): merged
+    matched intervals per pair side over the normalized stream — the
+    span-level audit artifact behind winnow_match_pairs."""
+    from ocr_spark.operators.dedup import winnow_match_spans
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.expr(_SPANS_FILTER_SQL))
+        .select("doc_id", F.expr(_SPANS_PAYLOAD_SQL).alias("text"))
+    )
+    return winnow_match_spans(docs, min_shared=2)
+
+
 def _q_dc_bloom_decontaminate(spark, sf_dir):
     """Bloom-prefiltered decontamination (contamination.py bloom path):
     ~12-bit/n-gram broadcast prunes provably-clean docs before the
@@ -2892,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_sentence_chunks": _q_tr_sentence_chunks,
         "tx_script_mix": _q_tx_script_mix,
         "cls_soft_sample": _q_cls_soft_sample,
+        "dd_winnow_spans": _q_dd_winnow_spans,
     }
 
 
@@ -4533,6 +4562,81 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "AS BIGINT) AS bin_id, "
             "CAST(tokens AS BIGINT) AS tokens FROM t"
         ),
+        "dd_winnow_spans": f"""
+WITH src AS (
+  SELECT doc_id, {_SPANS_PAYLOAD_SQL} AS text FROM documents
+  WHERE {_SPANS_FILTER_SQL}
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+  FROM src
+),
+g AS (
+  SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS pos
+  FROM norm WHERE length(t) >= 5
+),
+h AS (
+  SELECT doc_id, pos,
+         (ascii(substr(t, CAST(pos AS INTEGER), 1))
+          + ascii(substr(t, CAST(pos AS INTEGER) + 1, 1)) * 257
+          + ascii(substr(t, CAST(pos AS INTEGER) + 2, 1)) * 66049
+          + ascii(substr(t, CAST(pos AS INTEGER) + 3, 1)) * 16974593
+          + ascii(substr(t, CAST(pos AS INTEGER) + 4, 1)) * 4362470401
+         ) % 1000000007 AS gh
+  FROM g
+),
+wmin AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM h
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM wmin),
+pf AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+pc AS (SELECT id_a, id_b, count(*) AS shared_fps FROM pf
+       GROUP BY id_a, id_b HAVING count(*) >= 2),
+pfs AS (SELECT pf.* FROM pf JOIN pc USING (id_a, id_b)),
+pos_u AS (
+  SELECT id_a, id_b, 'a' AS side, w.pos
+  FROM pfs JOIN wmin w ON w.doc_id = pfs.id_a AND w.fp = pfs.fp
+  UNION
+  SELECT id_a, id_b, 'b', w.pos
+  FROM pfs JOIN wmin w ON w.doc_id = pfs.id_b AND w.fp = pfs.fp
+),
+il AS (
+  SELECT id_a, id_b, side, pos,
+    CASE WHEN lag(pos) OVER (PARTITION BY id_a, id_b, side ORDER BY pos)
+              IS NULL
+         OR pos - lag(pos) OVER (PARTITION BY id_a, id_b, side
+                                 ORDER BY pos) > 8
+         THEN 1 ELSE 0 END AS brk
+  FROM pos_u
+),
+isl AS (
+  SELECT id_a, id_b, side, pos,
+    sum(brk) OVER (PARTITION BY id_a, id_b, side ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM il
+),
+sp AS (
+  SELECT id_a, id_b, side, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY id_a, id_b, side, isl
+),
+pk AS (
+  SELECT id_a, id_b, side,
+    string_agg(CAST(s AS VARCHAR) || '-' || CAST(e AS VARCHAR),
+               ',' ORDER BY s, e) AS spans
+  FROM sp GROUP BY id_a, id_b, side
+)
+SELECT pc.id_a, pc.id_b, CAST(pc.shared_fps AS BIGINT) AS shared_fps,
+       pa.spans AS spans_a, pb.spans AS spans_b
+FROM pc
+JOIN pk pa ON pa.id_a = pc.id_a AND pa.id_b = pc.id_b AND pa.side = 'a'
+JOIN pk pb ON pb.id_a = pc.id_a AND pb.id_b = pc.id_b AND pb.side = 'b'
+""",
         "dd_winnow_fingerprints": """
 WITH norm AS (
   SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t

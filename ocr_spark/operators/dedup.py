@@ -572,6 +572,20 @@ def winnow_fingerprints(
     (one shuffle on the id), distinct. Tail windows (< w grams) are
     included — selection is a superset of strict winnowing with
     identical guarantees, mirrored exactly in the oracle twin."""
+    return (
+        _winnow_window_fps(df, text_col, id_col, k, w)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def _winnow_window_fps(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """The winnowing pipeline WITH window positions kept: ``(id, pos,
+    fp)`` — one row per window start position over the normalized char
+    stream (1-based). `winnow_fingerprints` is the distinct projection;
+    `winnow_match_spans` needs the positions to localize matches."""
     t = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
     base = df.select(F.col(id_col), t.alias("t")).filter(F.length("t") >= k)
     g = base.select(
@@ -586,10 +600,8 @@ def winnow_fingerprints(
         )
     hashed = g.select(id_col, "pos", (h % _WINNOW_MOD).alias("gh"))
     wspec = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
-    return (
-        hashed.withColumn("fp", F.min("gh").over(wspec))
-        .select(id_col, "fp")
-        .distinct()
+    return hashed.withColumn("fp", F.min("gh").over(wspec)).select(
+        id_col, "pos", "fp"
     )
 
 
@@ -637,6 +649,106 @@ def winnow_match_pairs(
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def winnow_match_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 5, w: int = 4, min_shared: int = 2,
+    merge_gap: Optional[int] = None,
+) -> DataFrame:
+    """WHERE the copied passages are, not just that they exist:
+    ``(id_a, id_b, shared_fps, spans_a, spans_b)`` — for every pair
+    `winnow_match_pairs` would report, the matched regions of EACH side
+    as merged '[start-end]' intervals over the NORMALIZED char stream
+    (lowercased, non-alphanumerics stripped — map back through the
+    normalization to cite raw text). The audit artifact a dedup
+    reviewer or plagiarism checker actually reads.
+
+    Spans: every window position whose fingerprint is shared by the
+    pair marks chars ``[pos, pos + k + w - 2]``; positions closer than
+    ``merge_gap`` (default k + w - 1) merge into one interval — the
+    classic gaps-and-islands fold, per (pair, side), as a lag window +
+    running sum.
+
+    Scale shape: the pair discovery is the same fingerprint
+    inverted-index self-join as `winnow_match_pairs` (never O(n^2));
+    position recovery is two equi-joins of the window-position frame
+    against the pair-shared fingerprints (keys: (id, fp)); islands are
+    one window + one groupBy per (pair, side). At corpus scale, drop
+    stop fingerprints first (see `winnow_match_pairs.max_doc_frac`) —
+    hot boilerplate fps inflate exactly this self-join.
+    """
+    gap = int(merge_gap) if merge_gap is not None else (k + w - 1)
+    win = _winnow_window_fps(df, text_col, id_col, k, w)
+    fps = win.select(id_col, "fp").distinct()
+    pair_fps = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.fp").alias("fp"),
+        )
+    )
+    pairs = (
+        pair_fps.groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )
+    pf = pair_fps.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"])
+    sides = []
+    for side, key in (("a", "id_a"), ("b", "id_b")):
+        sides.append(
+            pf.join(
+                win.withColumnRenamed(id_col, "_wid"),
+                (F.col("_wid") == F.col(key)) & (win["fp"] == pf["fp"]),
+            )
+            .select("id_a", "id_b", F.lit(side).alias("side"), "pos")
+            .distinct()
+        )
+    pos_u = sides[0].unionByName(sides[1])
+    wspec = Window.partitionBy("id_a", "id_b", "side").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(wspec).isNull()
+        | (F.col("pos") - F.lag("pos").over(wspec) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = (
+        pos_u.withColumn("_brk", brk)
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(
+                wspec.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("id_a", "id_b", "side", "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + F.lit(k + w - 2)).alias("e"),
+        )
+    )
+    packed = islands.groupBy("id_a", "id_b", "side").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "e"))),
+                lambda x: F.concat(
+                    x["s"].cast("string"), F.lit("-"), x["e"].cast("string")
+                ),
+            ),
+        ).alias("spans")
+    )
+    a = packed.filter(F.col("side") == "a").select(
+        "id_a", "id_b", F.col("spans").alias("spans_a")
+    )
+    b = packed.filter(F.col("side") == "b").select(
+        "id_a", "id_b", F.col("spans").alias("spans_b")
+    )
+    return pairs.join(a, ["id_a", "id_b"]).join(b, ["id_a", "id_b"])
 
 
 _SIMHASH_CHUNK_WORDS = 1 << 17  # bounds the (words, 64) transient to ~32 MB

@@ -838,3 +838,56 @@ def test_line_dedup_fully_boilerplate_doc(spark):
     got = {r.doc_id: r for r in line_dedup(df, max_doc_freq=2).collect()}
     release_shingle_caches()
     assert all(g.deduped_text == "" and g.n_removed == 1 for g in got.values())
+
+
+# ------------------------------------------------------ winnow match spans
+def test_winnow_match_spans_localizes_copied_passage(spark):
+    from ocr_spark.operators.dedup import winnow_match_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared.upper() + " and tail one"),
+            (2, "different start. " + shared + "! closing remarks two"),
+            (3, "entirely unrelated content about spark physical plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = winnow_match_spans(docs).collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    r = rows[0]
+
+    def norm(s):
+        import re
+        return re.sub("[^a-z0-9]", "", s.lower())
+
+    # the reported interval must contain the passage's normalized
+    # location on each side, within the k+w-2 window slack
+    slack = 5 + 4 - 2
+    for doc_text, spans in (
+        ("intro words " + shared.upper() + " and tail one", r.spans_a),
+        ("different start. " + shared + "! closing remarks two", r.spans_b),
+    ):
+        n = norm(doc_text)
+        start = n.index(norm(shared)) + 1  # 1-based
+        end = start + len(norm(shared)) - 1
+        lo, hi = map(int, spans.split(",")[0].split("-"))
+        assert lo <= start and hi >= end - slack
+
+
+def test_winnow_match_spans_two_islands(spark):
+    from ocr_spark.operators.dedup import winnow_match_spans
+
+    p1 = "alpha bravo charlie delta echo foxtrot"
+    p2 = "zulu yankee xray whiskey victor uniform"
+    docs = spark.createDataFrame(
+        [
+            (1, p1 + " 1111111111 2222222222 3333333333 " + p2),
+            (2, p1 + " aaaaaaaaaa bbbbbbbbbb cccccccccc " + p2),
+        ],
+        ["doc_id", "text"],
+    )
+    r = winnow_match_spans(docs).collect()[0]
+    # the unshared middles break the match into two intervals per side
+    assert len(r.spans_a.split(",")) == 2
+    assert len(r.spans_b.split(",")) == 2
