@@ -355,6 +355,24 @@ def main() -> None:
         timed_best(run_curation_bench, TRIALS), 3
     )
 
+    # round-4 web front-end composition: encoding repair -> lang/script
+    # routing -> hashed-feature soft quality gate -> near-dup dedup ->
+    # curriculum addressing, one call (prepare_web_corpus)
+    from ocr_spark.operators.curation import prepare_web_corpus  # noqa: E402
+
+    def run_web_pipeline_bench():
+        materialize(
+            prepare_web_corpus(
+                docs_tbl, jaccard_threshold=0.9,
+                sample_midpoint=-10_000_000,  # keep-all: bench the full flow
+            )
+        )
+        release_shingle_caches()
+
+    times["cur_web_pipeline"] = round(
+        timed_best(run_web_pipeline_bench, TRIALS), 3
+    )
+
     # IVF partition-pruning win: probe the materialized index (scans only
     # n_probe of 8 list-partitions) vs scoring the FULL stored table, both
     # through the same numpy scoring path — the delta is pure pruning.

@@ -215,3 +215,90 @@ def corpus_report(
             F.round(F.avg(F.col("keep").cast("int")), 4).alias("quality_pass_rate"),
         )
     )
+
+
+def prepare_web_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    weights=None,
+    sample_midpoint: int = 0,
+    jaccard_threshold: float = 0.9,
+    n_stages: int = 4,
+    n_shards: int = 8,
+) -> DataFrame:
+    """The round-4 web-scale front-end as ONE composition, in the order
+    the stages must run to stay sound:
+
+    1. encoding repair (`text_repair.repair_report`) — BEFORE anything
+       hashes text: a mojibaked twin of a clean page must dedup against
+       it, not survive as a distinct document;
+    2. routing annotations (`lang_id`, `dominant_script`) — codegen
+       projections on the repaired payload;
+    3. quality gate: hashed features -> integer logit
+       (`classifier.quality_classify`) -> soft sampling
+       (`soft_quality_sample`) — borderline docs survive
+       proportionally, and the cheap row-local drop shrinks every later
+       stage's input;
+    4. near-dup dedup (`dedup.near_dup_dedup`, banded LSH end-to-end)
+       on the repaired text of the survivors;
+    5. curriculum addressing (`training.curriculum_order` over token
+       count): every kept document gets its (stage, shard, pos) read
+       address.
+
+    Returns ``(id, text, lang, script, score, p_micro, cluster_size,
+    stage, shard, pos)``. Every stage is individually oracle- or
+    golden-verified; this composition is plan-light glue — no stage
+    recomputes another's input (each consumes the previous frame once).
+    """
+    from ocr_spark.functions import text_stats as TS
+    from ocr_spark.operators.classifier import (
+        demo_weights,
+        quality_classify,
+        soft_quality_sample,
+    )
+    from ocr_spark.operators.dedup import near_dup_dedup
+    from ocr_spark.operators.embed import hashed_embedding
+    from ocr_spark.operators.text_repair import repair_report
+    from ocr_spark.operators.training import curriculum_order
+
+    # multi-consumer frames are PINNED (same live-cache registry the
+    # shingle caches use; caller releases with release_shingle_caches):
+    # `annotated` feeds the feature branch AND the keep join, `kept`
+    # feeds the dedup's checkpoint pass AND its canonical selection,
+    # `deduped` feeds the curriculum's percentile agg AND the final
+    # join — without pinning, the repair Arrow stage executes once PER
+    # BRANCH (6 ArrowEvalPython in the unpinned plan; exactly the
+    # round-3 pack_sft_bins double-compute class).
+    from ocr_spark.operators.dedup import _persist_shingles as _pin
+
+    w = list(weights) if weights is not None else demo_weights(dim)
+    repaired = repair_report(docs, text_col).drop("was_mojibake", "n_controls")
+    annotated = _pin(
+        repaired.withColumn("lang", TS.lang_id(F.col(text_col))).withColumn(
+            "script", TS.dominant_script(text_col)
+        )
+    )
+    emb = hashed_embedding(annotated, text_col, id_col, dim=dim)
+    scored = soft_quality_sample(
+        quality_classify(emb, w), id_col=id_col, midpoint=sample_midpoint
+    )
+    kept_ids = scored.filter(F.col("kept")).select(id_col, "score", "p_micro")
+    kept = _pin(annotated.join(kept_ids, id_col))
+    deduped = _pin(
+        near_dup_dedup(
+            kept, text_col, id_col, jaccard_threshold=jaccard_threshold
+        )
+    )
+    addressed = curriculum_order(
+        deduped.withColumn("_n_tok", TS.token_count(F.col(text_col))),
+        "_n_tok",
+        id_col=id_col,
+        n_stages=n_stages,
+        n_shards=n_shards,
+    ).select(id_col, "stage", "shard", "pos")
+    return deduped.join(addressed, id_col).select(
+        id_col, text_col, "lang", "script", "score", "p_micro",
+        "cluster_size", "stage", "shard", "pos",
+    )

@@ -236,3 +236,54 @@ def test_line_dedup_stage_opt_in(spark):
     # the non-boilerplate body survived the rewrite
     assert out.filter(F.length("text") > 50).count() == n
     out.unpersist()
+
+
+# ------------------------------------------------------ web corpus front-end
+def test_prepare_web_corpus_end_to_end(spark):
+    """The round-4 composition holds its invariants: mojibake twins
+    collapse via repair-before-dedup, low-quality docs drop at the soft
+    gate, survivors carry routing annotations and dense curriculum
+    addresses."""
+    from ocr_spark.operators.curation import prepare_web_corpus
+
+    moji_e = chr(195) + chr(169)
+    base = "caf" + chr(233) + " quality prose for the corpus here today"
+    rows = [
+        (1, base + " version one of the document body", "web"),
+        # mojibaked twin of doc 1 (same text after repair)
+        (2, (base + " version one of the document body").replace(
+            chr(233), moji_e[0] + moji_e[1]), "web"),
+        (3, "another independent long document about spark plans and joins", "web"),
+        (4, "короткий русский документ про качество данных и скрипты", "web"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = prepare_web_corpus(
+        docs, dim=16, sample_midpoint=-10_000_000  # p ~= 1: keep all
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    # repair-before-dedup: the mojibaked twin collapsed into doc 1
+    assert 2 not in by_id and by_id[1].cluster_size == 2
+    assert set(by_id) == {1, 3, 4}
+    assert by_id[4].script == "cyrillic"
+    assert by_id[1].script == "latin"
+    # curriculum addresses present and dense per (stage, shard)
+    groups = {}
+    for r in out:
+        groups.setdefault((r.stage, r.shard), []).append(r.pos)
+    for ps in groups.values():
+        assert sorted(ps) == list(range(len(ps)))
+    # the soft gate actually gates: midpoint way above any score -> p~0
+    none_kept = prepare_web_corpus(docs, dim=16, sample_midpoint=10_000_000)
+    assert none_kept.count() == 0
+
+    # single-execution of the Python stage (the round-3 double-compute
+    # lesson): exactly ONE ArrowEvalPython — the repair — in the plan
+    from ocr_spark.plans import checks
+
+    again = prepare_web_corpus(docs, dim=16, sample_midpoint=-10_000_000)
+    counts = checks.python_stage_counts(again)
+    assert counts["ArrowEvalPython"] == 1 and counts["MapInPandas"] == 0
+
+    from ocr_spark.operators.dedup import release_shingle_caches
+
+    release_shingle_caches()
