@@ -1328,6 +1328,18 @@ def _q_lg_extract_links(spark, sf_dir):
     )
 
 
+def _q_lg_anchor_texts(spark, sf_dir):
+    """Anchor-text harvesting (operators/linkgraph.py): (src, href,
+    anchor) pairs — the linking page's description of the target, a
+    DPR-style retrieval-pair signal. Two group extractions over one
+    pattern, zipped row-locally."""
+    from ocr_spark.operators.linkgraph import extract_anchor_texts
+
+    return extract_anchor_texts(_links_corpus(spark, sf_dir)).select(
+        F.col("src").cast("long").alias("src"), "href", "anchor"
+    )
+
+
 def _q_lg_link_rank(spark, sf_dir):
     """Link authority over the corpus's OWN hyperlink graph: extract ->
     resolve in-corpus slugs -> PageRank (2 rounds), vs the unrolled SQL
@@ -2921,6 +2933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_script_mix": _q_tx_script_mix,
         "cls_soft_sample": _q_cls_soft_sample,
         "dd_winnow_spans": _q_dd_winnow_spans,
+        "lg_anchor_texts": _q_lg_anchor_texts,
     }
 
 
@@ -4960,6 +4973,21 @@ SELECT doc_id, score, score > 0 AS keep FROM (
                    for i in range(1, 65)]) AS BIGINT) AS score
   FROM emb, w) s
 """,
+        "lg_anchor_texts": (
+            "WITH p AS (SELECT c_custkey AS src, "
+            f"{_LINKS_PAYLOAD_SQL} AS t FROM customer "
+            "WHERE c_custkey % 7 <> 0), "
+            "x AS (SELECT src, "
+            "regexp_extract_all(t, '[hH][rR][eE][fF]\\s*=\\s*"
+            "[\"'']([^\"''#]*)[^\"'']*[\"''][^>]*>([^<]*)', 1) AS hs, "
+            "regexp_extract_all(t, '[hH][rR][eE][fF]\\s*=\\s*"
+            "[\"'']([^\"''#]*)[^\"'']*[\"''][^>]*>([^<]*)', 2) AS ans "
+            "FROM p), "
+            "u AS (SELECT src, hs[i] AS href, trim(ans[i]) AS anchor "
+            "FROM x, unnest(generate_series(1, len(hs))) AS t(i)) "
+            "SELECT CAST(src AS BIGINT) AS src, href, anchor FROM u "
+            "WHERE href <> '' AND anchor <> ''"
+        ),
         "lg_extract_links": (
             "SELECT CAST(src AS BIGINT) AS src, href FROM "
             f"(SELECT c_custkey AS src, unnest(list_distinct("

@@ -49,6 +49,42 @@ def extract_links(
     )
 
 
+# two-group variant: group 1 the fragment-stripped href, group 2 the
+# anchor TEXT (first text node after the opening tag)
+ANCHOR_PATTERN = (
+    "[hH][rR][eE][fF]\\s*=\\s*[\"']([^\"'#]*)[^\"']*[\"'][^>]*>([^<]*)"
+)
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(src, href, anchor)`` — the anchor TEXT alongside each link.
+    Anchor texts are a training signal in their own right (DPR-style
+    retrieval pairs, query synthesis, link-context corpora): the
+    linking page describes the target in a few words. Same single
+    codegen projection as `extract_links`: two group extractions over
+    the SAME pattern (so the match spans align), zipped row-locally.
+    Whitespace-only anchors and empty hrefs drop; anchors are trimmed.
+    Duplicates kept — (href, anchor) multiplicity IS the signal."""
+    pat = F.lit(ANCHOR_PATTERN)
+    zipped = F.arrays_zip(
+        F.regexp_extract_all(F.col(text_col), pat, 1).alias("href"),
+        F.regexp_extract_all(F.col(text_col), pat, 2).alias("anchor"),
+    )
+    return (
+        df.select(F.col(id_col).alias("src"), F.explode(zipped).alias("z"))
+        .select(
+            "src",
+            F.col("z.href").alias("href"),
+            F.trim(F.col("z.anchor")).alias("anchor"),
+        )
+        .filter((F.col("href") != "") & (F.col("anchor") != ""))
+    )
+
+
 def resolve_internal(
     edges: DataFrame, slug_pattern: str = r"/page/([0-9]+)"
 ) -> DataFrame:

@@ -54,3 +54,16 @@ def test_extract_links_quote_and_case_variants(spark):
     df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
     got = sorted(r["href"] for r in extract_links(df).collect())
     assert got == ["/page/3", "/page/4"]
+
+
+def test_extract_anchor_texts(spark):
+    from ocr_spark.operators.linkgraph import extract_anchor_texts
+
+    html = (
+        '<a href="/page/7#sec" class="x">Seven Pages</a>'
+        " <a href='/p/8'>eight</a>"
+        ' <a href="/empty-anchor">  </a> <a href="">nameless</a>'
+    )
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    got = sorted((r.href, r.anchor) for r in extract_anchor_texts(df).collect())
+    assert got == [("/p/8", "eight"), ("/page/7", "Seven Pages")]
