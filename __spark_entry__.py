@@ -1296,8 +1296,8 @@ _LINKS_PAYLOAD_SQL = (
     "|| (CASE WHEN c_custkey % 3 = 0 THEN "
     "' <a href=\"/page/' || CAST(((c_custkey * 2) % 997) + 1 AS STRING) "
     "|| '#frag\">hop</a>' ELSE '' END) "
-    "|| ' <a href=\"https://example.org/out\">ext</a> "
-    "<a href=\"\">empty</a>'"
+    "|| ' <a href=\"https://ex' || CAST(c_custkey % 5 AS STRING) "
+    "|| '.example.org/out\">ext</a> <a href=\"\">empty</a>'"
 )
 
 
@@ -1337,6 +1337,18 @@ def _q_lg_anchor_texts(spark, sf_dir):
 
     return extract_anchor_texts(_links_corpus(spark, sf_dir)).select(
         F.col("src").cast("long").alias("src"), "href", "anchor"
+    )
+
+
+def _q_lg_host_stats(spark, sf_dir):
+    """Per-host outbound-link profile (operators/linkgraph.py): the
+    host-reputation aggregation web curation keys on — absolute hrefs
+    only, lowercased authority, links + distinct source pages."""
+    from ocr_spark.operators.linkgraph import external_host_stats, extract_links
+
+    links = extract_links(_links_corpus(spark, sf_dir))
+    return external_host_stats(links).select(
+        "host", "n_links", F.col("n_src_pages").cast("long").alias("n_src_pages")
     )
 
 
@@ -2934,6 +2946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cls_soft_sample": _q_cls_soft_sample,
         "dd_winnow_spans": _q_dd_winnow_spans,
         "lg_anchor_texts": _q_lg_anchor_texts,
+        "lg_host_stats": _q_lg_host_stats,
     }
 
 
@@ -4973,6 +4986,20 @@ SELECT doc_id, score, score > 0 AS keep FROM (
                    for i in range(1, 65)]) AS BIGINT) AS score
   FROM emb, w) s
 """,
+        "lg_host_stats": (
+            "WITH p AS (SELECT c_custkey AS src, "
+            f"{_LINKS_PAYLOAD_SQL} AS t FROM customer "
+            "WHERE c_custkey % 7 <> 0), "
+            "u AS (SELECT src, unnest(list_distinct("
+            "regexp_extract_all(t, '[hH][rR][eE][fF]\\s*=\\s*"
+            "[\"'']([^\"''#]*)', 1))) AS href FROM p), "
+            "h AS (SELECT src, lower(regexp_extract(href, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS host "
+            "FROM u WHERE href <> '') "
+            "SELECT host, CAST(count(*) AS BIGINT) AS n_links, "
+            "CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages "
+            "FROM h WHERE host <> '' GROUP BY host"
+        ),
         "lg_anchor_texts": (
             "WITH p AS (SELECT c_custkey AS src, "
             f"{_LINKS_PAYLOAD_SQL} AS t FROM customer "

@@ -98,6 +98,34 @@ def resolve_internal(
     )
 
 
+HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+
+
+def host_of(col) -> F.Column:
+    """Lowercased authority of an absolute URL ('' for relative
+    hrefs) — one regexp, RE2-portable (no lookarounds)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_extract(c, HOST_PATTERN, 1))
+
+
+def external_host_stats(
+    edges: DataFrame,
+) -> DataFrame:
+    """Per-host outbound-link profile from an `extract_links` edge list:
+    ``(host, n_links, n_src_pages)``. The host-reputation aggregation
+    web curation keys on (allowlists, spam-host ratios, per-host crawl
+    budgets); relative hrefs (no authority) drop out. One map-side
+    combining groupBy over a host-keyed shuffle — hot hosts are the
+    AQE skew-join case, nothing collects."""
+    hosted = edges.withColumn("host", host_of("href")).filter(
+        F.col("host") != ""
+    )
+    return hosted.groupBy("host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src").alias("n_src_pages"),
+    )
+
+
 def link_rank(
     docs: DataFrame,
     text_col: str = "text",

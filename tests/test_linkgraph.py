@@ -67,3 +67,18 @@ def test_extract_anchor_texts(spark):
     df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
     got = sorted((r.href, r.anchor) for r in extract_anchor_texts(df).collect())
     assert got == [("/p/8", "eight"), ("/page/7", "Seven Pages")]
+
+
+def test_external_host_stats(spark):
+    from ocr_spark.operators.linkgraph import external_host_stats, extract_links
+
+    rows = [
+        (1, '<a href="https://Spam.example.com/a">x</a> <a href="/rel">r</a>'),
+        (2, '<a href="https://spam.example.com/b">y</a>'
+            ' <a href="http://ok.example.net/c?q=1">z</a>'),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.host: (r.n_links, r.n_src_pages)
+           for r in external_host_stats(extract_links(df)).collect()}
+    # case-folded authority, query string excluded, relative href dropped
+    assert got == {"spam.example.com": (2, 2), "ok.example.net": (1, 1)}
