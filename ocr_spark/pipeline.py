@@ -191,7 +191,10 @@ def load_transcripts(
     if fmt == "orc":
         return reader.orc(path)
     if fmt == "json":
-        # timestamps serialized as ISO-8601 by write_transcripts
+        # timestamps serialized as ISO-8601 by write_transcripts.
+        # .json.gz dumps read transparently (tested) — but gzip is not
+        # splittable: parallelism = file count, so dumps must arrive
+        # sharded (they do) or be recompressed to a splittable layout.
         return reader.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").json(path)
     if fmt == "csv":
         # multiLine: payloads embed newlines (quoted by the writer)

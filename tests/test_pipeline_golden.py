@@ -148,3 +148,44 @@ def test_metrics_rollup_by_kind(spark, small_corpus, extracted):
     for r in m:
         got[r.tool] += r.turns
     assert got == want
+
+
+def test_gzip_jsonl_ingestion_matches_parquet(spark, small_corpus, tmp_path):
+    """Web dumps ship as gzip JSONL; Spark's text readers decompress
+    .gz transparently, and extraction output is byte-identical to the
+    parquet source. Caveat asserted implicitly: a .gz file is NOT
+    splittable (one task per file), so the writer shards into several
+    files — the layout a real dump uses."""
+    import glob
+    import gzip
+    import os
+
+    from ocr_spark.pipeline import load_transcripts, write_transcripts
+
+    src = spark.createDataFrame(small_corpus["transcripts"]).limit(200)
+    plain = str(tmp_path / "t_jsonl")
+    write_transcripts(src.repartition(3), plain, "json")
+    gz_dir = str(tmp_path / "t_jsonl_gz")
+    os.makedirs(gz_dir)
+    parts = sorted(glob.glob(os.path.join(plain, "part-*.json")))
+    assert len(parts) == 3  # sharded layout: parallelism survives .gz
+    for p in parts:
+        with open(p, "rb") as f, gzip.open(
+            os.path.join(gz_dir, os.path.basename(p) + ".gz"), "wb"
+        ) as g:
+            g.write(f.read())
+
+    back = load_transcripts(spark, gz_dir, "json")
+    assert back.schema == src.schema
+    a = sorted(
+        extract_transcripts(back)
+        .select("conv_id", "turn_idx", "clean_text")
+        .collect()
+    )
+    b = sorted(
+        extract_transcripts(src)
+        .select("conv_id", "turn_idx", "clean_text")
+        .collect()
+    )
+    assert a == b
+    assert back.rdd.getNumPartitions() >= 3  # one task per gz file, not one total
