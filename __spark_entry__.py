@@ -4861,11 +4861,11 @@ FROM r WHERE neg_rank <= 5
             "sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum, "
             "sum(cnt) OVER (PARTITION BY source) AS tot FROM h), "
             "pr AS (SELECT source, bucket, cum, tot, "
-            "unnest([50, 90, 99]) AS frac_pct FROM c), "
-            "hit AS (SELECT source, frac_pct, min(bucket) AS bucket "
-            "FROM pr WHERE cum * 100 >= frac_pct * tot "
-            "GROUP BY source, frac_pct) "
-            "SELECT source, CAST(frac_pct AS INTEGER) AS frac_pct, "
+            "unnest([500000, 900000, 990000]) AS frac_micro FROM c), "
+            "hit AS (SELECT source, frac_micro, min(bucket) AS bucket "
+            "FROM pr WHERE cum * 1000000 >= frac_micro * tot "
+            "GROUP BY source, frac_micro) "
+            "SELECT source, CAST(frac_micro AS BIGINT) AS frac_micro, "
             "CAST(CASE WHEN bucket = 0 THEN 0 "
             "ELSE (CAST(1 AS BIGINT) << bucket) - 1 END AS BIGINT) AS q_est "
             "FROM hit"

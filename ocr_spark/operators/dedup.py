@@ -679,7 +679,14 @@ def winnow_match_spans(
     hot boilerplate fps inflate exactly this self-join.
     """
     gap = int(merge_gap) if merge_gap is not None else (k + w - 1)
-    win = _winnow_window_fps(df, text_col, id_col, k, w)
+    # the window-position frame is the corpus's most expensive stage
+    # here (per-CHAR gram explode + hash + window min) and has 4
+    # consumers (fps self-join a/b + the two per-side position joins) —
+    # pin it, or the explode re-executes once per consumer (the round-3
+    # double-compute class). Registered in the shared live-cache
+    # registry; callers wrap consumption in `shingle_cache_scope()` or
+    # call `release_shingle_caches()` when done, as with the LSH ops.
+    win = _persist_shingles(_winnow_window_fps(df, text_col, id_col, k, w))
     fps = win.select(id_col, "fp").distinct()
     pair_fps = (
         fps.alias("a")
@@ -694,6 +701,9 @@ def winnow_match_spans(
             F.col("a.fp").alias("fp"),
         )
     )
+    # pair_fps also has two consumers (the count filter and the
+    # position-recovery join) — pin it too
+    pair_fps = _persist_shingles(pair_fps)
     pairs = (
         pair_fps.groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))

@@ -145,7 +145,11 @@ def log2_histogram(
         (F.length(F.conv(v.cast("string"), 10, 2))).cast("int")
     )
     keys = ([F.col(by)] if by else []) + [bucket.alias("bucket")]
-    return df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    # NULL metrics carry no information and would sort NULLS FIRST into
+    # the quantile running sum, shifting every estimate — drop them
+    return df.filter(v.isNotNull()).groupBy(*keys).agg(
+        F.count("*").alias("cnt")
+    )
 
 
 def histogram_quantiles(
@@ -156,7 +160,11 @@ def histogram_quantiles(
     """Quantile estimates from a log2 histogram: for each requested
     fraction, the UPPER BOUND (2^bucket - 1) of the bucket containing
     that rank — a deterministic estimate with relative error <= 2x by
-    construction (the bucket width). ``([by,] frac_pct, q_est)``.
+    construction (the bucket width). ``([by,] frac_micro, q_est)`` with
+    the fraction keyed in MICRO-units (1e6 = p100), so p0.4 and p99.4
+    survive quantization — a percent-grained key silently collapsed
+    sub-percent fracs to rank 0, where the filter is vacuously true and
+    the estimate degrades to the minimum bucket.
 
     Shape: the histogram is O(log max) rows per group, so the running-
     sum window and the per-fraction min-match are dashboard-sized
@@ -164,6 +172,11 @@ def histogram_quantiles(
     fr = [float(f) for f in fracs]
     if not fr or any(not (0 < f <= 1) for f in fr):
         raise ValueError("fracs must be in (0, 1]")
+    micro = [int(round(f * 1_000_000)) for f in fr]
+    if len(set(micro)) != len(micro) or any(m < 1 for m in micro):
+        raise ValueError(
+            f"fracs collide or vanish at micro-unit precision: {fr}"
+        )
     keys = [by] if by else []
     w = (
         Window.partitionBy(*keys).orderBy("bucket")
@@ -182,11 +195,12 @@ def histogram_quantiles(
         "_cum",
         "_tot",
         F.explode(
-            F.array(*[F.lit(int(round(f * 100))).alias("p") for f in fr])
-        ).alias("frac_pct"),
+            F.array(*[F.lit(m).cast("long") for m in micro])
+        ).alias("frac_micro"),
     )
     hit = probes.filter(
-        F.col("_cum") * 100 >= F.col("frac_pct") * F.col("_tot")
+        F.col("_cum") * F.lit(1_000_000)
+        >= F.col("frac_micro") * F.col("_tot")
     )
     # shiftleft's python API wants a literal bit count; the SQL form
     # takes a column
@@ -194,7 +208,7 @@ def histogram_quantiles(
         F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1")
     )
     return (
-        hit.groupBy(*keys, "frac_pct")
+        hit.groupBy(*keys, "frac_micro")
         .agg(F.min("bucket").alias("bucket"))
         .withColumn("q_est", q)
         .drop("bucket")

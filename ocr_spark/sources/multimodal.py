@@ -470,6 +470,8 @@ def load_binary_media(
         F.xxhash64("path").alias("media_id"),
         "path",
         F.col("content").alias("payload"),
-        F.col("length").cast("int").alias("n_bytes"),
+        # keep the long: casting to int throws CAST_OVERFLOW under ANSI
+        # for any file >= 2 GiB (one large video would kill the scan)
+        F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified"),
     )

@@ -111,10 +111,10 @@ def test_histogram_quantiles_relative_error(spark):
     df = spark.createDataFrame([(int(v), "g") for v in vals], ["n_tok", "source"])
     hist = log2_histogram(df, "n_tok", by="source")
     q = {
-        r.frac_pct: r.q_est
+        r.frac_micro: r.q_est
         for r in histogram_quantiles(hist, [0.5, 0.9, 0.99], by="source").collect()
     }
-    for pct, frac in ((50, 0.5), (90, 0.9), (99, 0.99)):
+    for pct, frac in ((500_000, 0.5), (900_000, 0.9), (990_000, 0.99)):
         true = float(np.quantile(vals, frac))
         assert q[pct] >= true * 0.5 and q[pct] <= true * 2.1  # 2x bound
 
@@ -124,3 +124,22 @@ def test_histogram_quantiles_validates_fracs(spark):
 
     with pytest.raises(ValueError):
         histogram_quantiles(None, [0.0])
+    # sub-micro fracs and micro-duplicates must fail loudly, not
+    # silently collapse (the percent-grained key bug)
+    with pytest.raises(ValueError, match="collide or vanish"):
+        histogram_quantiles(None, [0.0000001])
+    with pytest.raises(ValueError, match="collide or vanish"):
+        histogram_quantiles(None, [0.5, 0.5000001])
+
+
+def test_histogram_sub_percent_fracs_and_null_metrics(spark):
+    from ocr_spark.operators.sketches import histogram_quantiles, log2_histogram
+
+    rows = [(1,)] + [(1000,)] * 999 + [(None,)]
+    df = spark.createDataFrame(rows, "n_tok int")
+    hist = log2_histogram(df, "n_tok")
+    assert {r.bucket for r in hist.collect()} == {1, 10}  # NULL dropped
+    q = {r.frac_micro: r.q_est
+         for r in histogram_quantiles(hist, [0.004, 0.5]).collect()}
+    # p0.4 must NOT degrade to the minimum bucket: true value 1000
+    assert q[4000] == 1023 and q[500_000] == 1023
