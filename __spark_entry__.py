@@ -838,6 +838,92 @@ def _q_ts_conversation_shape(spark, sf_dir):
     return conversation_shape(corpus, conv_col="conv")
 
 
+# Markdown payload for the section-chunk twin: H1/H2 per doc, a closed-ATX
+# heading, a code fence with a literal '#' line (must NOT become structure)
+# every 4th doc, an H3 + later H2 (deep-level invalidation) every 6th.
+# One expression, valid in both engines.
+_MD_SECTIONS_PAYLOAD_SQL = (
+    "'# T' || CAST(doc_id % 5 AS STRING) || chr(10) || "
+    "'intro ' || substr(coalesce(text, ''), 1, 25) || chr(10) || "
+    "'## S' || CAST(doc_id % 3 AS STRING) || ' ##' || chr(10) || "
+    "substr(coalesce(text, ''), 26, 30) || chr(10) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '```' || chr(10) || '# fenced' || chr(10) "
+    "|| '```' || chr(10) ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '### D' || chr(10) || 'deep' || chr(10) "
+    "|| '## S9' || chr(10) ELSE '' END || "
+    "'tail ' || substr(coalesce(text, ''), 56, 20)"
+)
+
+
+def _q_md_section_chunks(spark, sf_dir):
+    """Markdown breadcrumbs + section-aware RAG chunks
+    (operators/sections.py): heading-scope window algebra (fence state,
+    per-level last-heading scope with shallower-invalidation, island
+    sections) recomputed independently in SQL."""
+    from ocr_spark.operators.sections import markdown_section_chunks
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _MD_SECTIONS_PAYLOAD_SQL + " AS text"
+    )
+    return markdown_section_chunks(docs)
+
+
+# Tool-call chain fixture: deterministic runs (floor(doc_id/194) changes
+# every 2 turns within a conversation -> natural retry bursts), NULL tool
+# every 7th doc (text turns between calls must not split a run). Same
+# SELECT list in both engines.
+_TOOLCHAIN_CORPUS_EXPRS = [
+    "CAST(doc_id % 97 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 97) AS INT) AS turn_idx",
+    "CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS STRING) "
+    "ELSE CASE CAST((CAST(floor(doc_id / 194) AS BIGINT) + doc_id % 97) % 4 AS INT) "
+    "WHEN 0 THEN 'search' WHEN 1 THEN 'browse' WHEN 2 THEN 'code' "
+    "ELSE 'fetch' END END AS tool",
+]
+
+_TOOLCHAIN_RUNS_CTE = (
+    "WITH c AS (SELECT "
+    + ", ".join(_TOOLCHAIN_CORPUS_EXPRS)
+    + " FROM documents), "
+    "calls AS (SELECT conv, turn_idx, tool FROM c WHERE tool IS NOT NULL), "
+    "f AS (SELECT conv, turn_idx, tool, "
+    "CASE WHEN lag(tool) OVER (PARTITION BY conv ORDER BY turn_idx) = tool "
+    "THEN 0 ELSE 1 END AS new_run FROM calls), "
+    "r AS (SELECT conv, tool, turn_idx, "
+    "sum(new_run) OVER (PARTITION BY conv ORDER BY turn_idx) AS run_id FROM f), "
+    "runs AS (SELECT conv, run_id, tool, count(*) AS run_len "
+    "FROM r GROUP BY conv, run_id, tool)"
+)
+
+
+def _toolchain_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(*_TOOLCHAIN_CORPUS_EXPRS)
+
+
+def _q_ts_retry_bursts(spark, sf_dir):
+    """Agent-loop retry-burst detection (transcript_stats.
+    tool_retry_bursts): islands-and-gaps runs of identical consecutive
+    tool calls per conversation — the 'agent is spinning' curation
+    signal. Twin recomputes the lag + cumulative-sum-run machinery in
+    SQL windows."""
+    from ocr_spark.operators.transcript_stats import tool_retry_bursts
+
+    return tool_retry_bursts(
+        _toolchain_corpus(spark, sf_dir), conv_col="conv"
+    )
+
+
+def _q_ts_tool_chains(spark, sf_dir):
+    """Corpus-wide tool-workflow mining (transcript_stats.
+    tool_chain_signatures): run-compressed per-conversation tool chains
+    ('search>browse>code'), counted across conversations."""
+    from ocr_spark.operators.transcript_stats import tool_chain_signatures
+
+    return tool_chain_signatures(
+        _toolchain_corpus(spark, sf_dir), conv_col="conv"
+    )
+
+
 def _q_tok_vocab_coverage(spark, sf_dir):
     """Per-document vocabulary coverage / OOV accounting against the
     corpus top-10 vocabulary (deliberately small: the fixture word pool is ~31 terms, so OOV accounting does real work) (operators/tokenizer.py) — the
@@ -1139,6 +1225,64 @@ def _q_ret_bm25_scores(spark, sf_dir):
         .agg(F.sum("contrib").alias("bm25_raw"))
     )
     return scored.select("doc_id", F.round("bm25_raw", 4).alias("bm25"))
+
+
+def _q_ret_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.reciprocal_rank_fusion):
+    system A = BM25 over the probe terms, system B = hashed-embedding
+    cosine to doc 7's vector (the dense-retriever stand-in whose whole
+    chain is already hash-verified in emb_hashed_ann) — each ranked
+    top-20 with round-before-rank + id tie-breaks, fused via
+    integer-micro-unit RRF. Every stage is engine-portable arithmetic,
+    so the fused ranking hash-verifies end-to-end."""
+    from ocr_spark.operators import embed as EMB
+    from ocr_spark.operators import retrieval as RET
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = RET.bm25_index(docs, "text", "doc_id")
+    bm = (
+        idx.filter(F.col("term").isin(_BM25_QUERY_TERMS))
+        .withColumn("contrib", RET.bm25_score_col())
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 4).alias("s"))
+    )
+    wa = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    sys_a = (
+        bm.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= 20)
+        .select(F.lit(0).alias("query_id"), "doc_id", "rank")
+    )
+    emb = EMB.hashed_embedding(docs, "text", "doc_id", dim=64)
+    q = emb.filter(F.col("doc_id") == 7).select(F.col("embedding").alias("qvec"))
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            F.round(
+                EMB.cosine_to_query_col(F.col("embedding"), F.col("qvec")), 4
+            ).alias("cs"),
+        )
+        .filter(F.col("cs").isNotNull())
+    )
+    sys_b = (
+        cos.withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cs"), F.asc("doc_id"))))
+        .filter(F.col("rank") <= 20)
+        .select(F.lit(0).alias("query_id"), "doc_id", "rank")
+    )
+    return RET.reciprocal_rank_fusion([sys_a, sys_b], k_rrf=60, k_out=10)
+
+
+def _q_ds_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, Xie et al.
+    NeurIPS'23): raw = the documents corpus, target = its English
+    slice; per-doc log likelihood ratio over hashed unigram+bigram
+    buckets (the shared polynomial hash), Laplace-smoothed. The full
+    model-estimate + score path recomputed independently in SQL."""
+    from ocr_spark.operators.dsir import dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_log_weights(docs, target)
 
 
 def _q_ret_hard_negatives(spark, sf_dir):
@@ -2947,6 +3091,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow_spans": _q_dd_winnow_spans,
         "lg_anchor_texts": _q_lg_anchor_texts,
         "lg_host_stats": _q_lg_host_stats,
+        "ret_rrf_fusion": _q_ret_rrf_fusion,
+        "ds_dsir_weights": _q_ds_dsir_weights,
+        "ts_retry_bursts": _q_ts_retry_bursts,
+        "ts_tool_chains": _q_ts_tool_chains,
+        "md_section_chunks": _q_md_section_chunks,
     }
 
 
@@ -4985,6 +5134,167 @@ SELECT doc_id, score, score > 0 AS keep FROM (
                    * wv[CAST(i AS INTEGER)]
                    for i in range(1, 65)]) AS BIGINT) AS score
   FROM emb, w) s
+""",
+        "md_section_chunks": f"""
+WITH p AS (SELECT doc_id, {_MD_SECTIONS_PAYLOAD_SQL} AS payload FROM documents),
+ls AS (SELECT doc_id, string_split(payload, chr(10)) AS l FROM p),
+ln AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, l[CAST(i AS INTEGER)] AS line
+       FROM ls, unnest(generate_series(1, len(l))) AS t(i)),
+st AS (SELECT doc_id, pos, line,
+       CASE WHEN regexp_matches(line, '^```') THEN 1 ELSE 0 END AS fence,
+       coalesce(sum(CASE WHEN regexp_matches(line, '^```') THEN 1 ELSE 0 END)
+         OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2
+         AS incode
+       FROM ln),
+ty AS (SELECT doc_id, pos, line, fence,
+       CASE WHEN incode = 0 AND fence = 0
+                 AND length(regexp_extract(line, '^(#{{1,6}})[ \\t]', 1))
+                     BETWEEN 1 AND 3
+            THEN length(regexp_extract(line, '^(#{{1,6}})[ \\t]', 1)) END
+         AS level,
+       trim(regexp_replace(
+              regexp_extract(line, '^#{{1,6}}[ \\t]+(.*)', 1),
+              '[ \\t]*#+[ \\t]*$', '')) AS ht
+       FROM st),
+sc AS (SELECT doc_id, pos, line, fence, level,
+       sum(CASE WHEN level IS NOT NULL THEN 1 ELSE 0 END) OVER wcur
+         AS section_id,
+       last_value(CASE WHEN level = 1 THEN ht END IGNORE NULLS) OVER wcur AS t1,
+       last_value(CASE WHEN level = 2 THEN ht END IGNORE NULLS) OVER wcur AS t2,
+       last_value(CASE WHEN level = 3 THEN ht END IGNORE NULLS) OVER wcur AS t3,
+       last_value(CASE WHEN level = 1 THEN pos END IGNORE NULLS) OVER wcur AS p1,
+       last_value(CASE WHEN level = 2 THEN pos END IGNORE NULLS) OVER wcur AS p2,
+       last_value(CASE WHEN level = 3 THEN pos END IGNORE NULLS) OVER wcur AS p3
+       FROM ty
+       WINDOW wcur AS (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+bc AS (SELECT doc_id, pos, line, fence, level, section_id,
+       concat_ws(' > ',
+         CASE WHEN p1 IS NOT NULL THEN t1 END,
+         CASE WHEN p2 IS NOT NULL AND p2 > coalesce(p1, -1) THEN t2 END,
+         CASE WHEN p3 IS NOT NULL
+               AND p3 > greatest(coalesce(p1, -1), coalesce(p2, -1))
+              THEN t3 END) AS breadcrumb
+       FROM sc)
+SELECT doc_id, CAST(section_id AS BIGINT) AS section_id,
+       max(breadcrumb) AS breadcrumb,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+         FILTER (WHERE level IS NULL AND fence = 0 AND trim(line) <> ''), '')
+         AS chunk_text,
+       CAST(count(*) FILTER (WHERE level IS NULL AND fence = 0
+                             AND trim(line) <> '') AS BIGINT) AS n_lines
+FROM bc GROUP BY doc_id, section_id
+""",
+        "ts_retry_bursts": _TOOLCHAIN_RUNS_CTE
+        + " SELECT conv, CAST(sum(run_len) AS BIGINT) AS n_tool_calls, "
+        "CAST(count(*) AS BIGINT) AS n_runs, "
+        "CAST(sum(CASE WHEN run_len >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bursts, CAST(max(run_len) AS BIGINT) AS max_run_len "
+        "FROM runs GROUP BY conv",
+        "ts_tool_chains": _TOOLCHAIN_RUNS_CTE
+        + ", lim AS (SELECT * FROM runs WHERE run_id <= 32), "
+        "ch AS (SELECT conv, string_agg(tool, '>' ORDER BY run_id) AS chain "
+        "FROM lim GROUP BY conv) "
+        "SELECT chain, CAST(count(*) AS BIGINT) AS n_convs FROM ch GROUP BY chain",
+        "ds_dsir_weights": """
+WITH t0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id,
+         unnest(toks || CASE WHEN len(toks) >= 2
+           THEN list_transform(range(1, len(toks)),
+                               i -> toks[CAST(i AS INTEGER)] || ' '
+                                    || toks[CAST(i AS INTEGER) + 1])
+           ELSE [] END) AS gram
+  FROM t0
+),
+hb AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             [CAST(ascii(substr(gram, CAST(i AS INTEGER), 1)) AS BIGINT)
+              for i in range(1, length(gram) + 1)]),
+           (acc, c) -> (acc * 257 + c) % 1000000007) % 4096 AS bucket
+  FROM g0
+),
+tgt AS (SELECT hb.bucket FROM hb JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'),
+rb AS (SELECT bucket, count(*) AS c_raw FROM hb GROUP BY bucket),
+tb AS (SELECT bucket, count(*) AS c_tgt FROM tgt GROUP BY bucket),
+tots AS (SELECT (SELECT count(*) FROM hb) AS t_raw,
+                (SELECT count(*) FROM tgt) AS t_tgt),
+model AS (
+  SELECT rb.bucket,
+         ln((coalesce(tb.c_tgt, 0) + 1.0) / (tots.t_tgt + 4096.0))
+         - ln((rb.c_raw + 1.0) / (tots.t_raw + 4096.0)) AS log_ratio
+  FROM rb LEFT JOIN tb USING (bucket), tots
+),
+sc AS (
+  SELECT hb.doc_id, count(*) AS n_grams,
+         round(sum(m.log_ratio), 4) AS logw
+  FROM hb JOIN model m USING (bucket) GROUP BY hb.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(sc.logw, 0.0) AS logw
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
+        "ret_rrf_fusion": _EMB_CTE_SQL
+        + """
+, q AS (SELECT embedding AS qv FROM emb WHERE doc_id = 7),
+cosd AS (
+  SELECT e.doc_id,
+    round(
+      list_sum([CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                * CAST(q.qv[CAST(i AS INTEGER)] AS DOUBLE) for i in range(1, 65)])
+      / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding]))
+         * sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in q.qv]))),
+      4) AS cs
+  FROM emb e, q
+  WHERE list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in e.embedding]) > 0
+),
+tok2 AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum( ln((nd.n_docs - stats.df_t + 0.5) / (stats.df_t + 0.5) + 1.0)
+              * (tf.tf * 2.2)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / ad.avgdl)) ), 4) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN stats USING (term), nd, ad
+  WHERE tf.term IN ('hash', 'merge', 'scan')
+  GROUP BY tf.doc_id
+),
+ra AS (SELECT doc_id, r FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm) WHERE r <= 20),
+rb AS (SELECT doc_id, r FROM (
+  SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r FROM cosd) WHERE r <= 20),
+uni AS (
+  SELECT doc_id, 1000000 // (60 + r) AS contrib FROM ra
+  UNION ALL
+  SELECT doc_id, 1000000 // (60 + r) AS contrib FROM rb
+),
+f AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_systems,
+         CAST(sum(contrib) AS BIGINT) AS rrf_micro
+  FROM uni GROUP BY doc_id
+)
+SELECT CAST(0 AS INTEGER) AS query_id, doc_id, n_systems, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS INTEGER)
+         AS fused_rank
+FROM f QUALIFY fused_rank <= 10
 """,
         "lg_host_stats": (
             "WITH p AS (SELECT c_custkey AS src, "

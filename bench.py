@@ -179,6 +179,12 @@ def main() -> None:
         "cls_linear_quality",
         "lg_link_rank",
         "tr_curriculum_order",
+        # round-4 wave 3: hybrid retrieval (BM25 + hashed-embedding
+        # cosine fused via integer-exact RRF) and DSIR data selection
+        "ret_rrf_fusion",
+        "ds_dsir_weights",
+        "ts_retry_bursts",
+        "md_section_chunks",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1,0 +1,208 @@
+"""DSIR-style data selection: hashed n-gram importance weighting.
+
+Xie et al., "Data Selection for Language Models via Importance
+Resampling" (NeurIPS 2023): given a small TARGET corpus (the
+distribution you want more of — wiki-quality text, a domain, a
+language register) and a huge RAW corpus, score every raw document by
+the log likelihood ratio of its hashed n-gram features under
+bag-of-features unigram models of the two corpora,
+
+    logw(doc) = sum over grams g of  ln p_target(bucket(g))
+                                   - ln p_raw(bucket(g)),
+
+then keep the top-weighted documents. Hashing grams into a fixed
+number of buckets bounds both model sizes regardless of vocabulary, so
+the models broadcast.
+
+Why it scales (the whole point of DSIR over classifier/perplexity
+selection at 100 TB):
+
+- the two feature models are each ONE map-side-combined groupBy over
+  exploded grams, producing at most ``n_buckets`` rows — broadcast
+  material by construction;
+- scoring is explode -> broadcast equi-join on bucket -> one
+  map-side-combined per-doc sum. No corpus-sized shuffle anywhere
+  except the per-doc aggregation keyed by the document id itself;
+- selection is ``orderBy(...).limit(k)`` — Spark compiles this to
+  TakeOrderedAndProject (per-partition top-k, then a k-sized merge on
+  the driver), NOT a global sort.
+
+Determinism / engine portability: tokenization is
+``retrieval.terms_col`` (lowercase alphanumeric runs — ASCII by
+construction, so the polynomial gram hash ``embed.token_hash_col``
+folds identical byte values in Spark and DuckDB); weights are rounded
+BEFORE the top-k cutoff with document-id tie-breaks, the same
+round-before-rank discipline as ``retrieval.mine_hard_negatives``.
+``ln`` over doubles agrees between the engines at the rounded
+precision (the BM25 oracle twins established this).
+
+Reference parity: the reference has no data-selection stage (it
+extracts and classifies; selection is out of its scope) — this
+operator is part of the training-data toolkit layered on the
+extraction engine, like dedup/contamination/similarity.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.embed import token_hash_col
+from ocr_spark.operators.retrieval import terms_col
+
+DSIR_BUCKETS = 4096
+DSIR_ALPHA = 1.0  # Laplace smoothing pseudo-count per bucket
+DSIR_NS: Sequence[int] = (1, 2)  # unigrams + bigrams, as in the paper
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined, multiplicity kept) from an already
+    tokenized array — the arrays_zip-of-shifted-slices shape from
+    ``contamination.word_ngrams_col`` (evaluates the tokenization once,
+    not once per gram position)."""
+    if n == 1:
+        return toks
+    m = F.size(toks) - (n - 1)
+    slices = [
+        F.slice(toks, i + 1, F.greatest(m, F.lit(0))).alias(f"_s{i}")
+        for i in range(n)
+    ]
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.arrays_zip(*slices),
+            lambda e: F.concat_ws(" ", *[e[f"_s{i}"] for i in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    ns: Sequence[int] = DSIR_NS,
+) -> DataFrame:
+    """(id, bucket) with multiplicity — one row per gram occurrence,
+    hashed into ``n_buckets``. The feature extraction both model
+    estimation and scoring share (one definition, or the ratio model
+    and the scored features drift). ``id_col=None`` drops the id (model
+    estimation only needs the bucket stream)."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be >= 1")
+    toks = terms_col(F.col(text_col))
+    grams = F.flatten(F.array(*[_word_grams(toks, n) for n in ns]))
+    keys = [id_col] if id_col is not None else []
+    exploded = df.select(*keys, F.explode(grams).alias("gram"))
+    return exploded.select(
+        *keys, (token_hash_col(F.col("gram")) % F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def bucket_log_ratio(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    ns: Sequence[int] = DSIR_NS,
+) -> DataFrame:
+    """The broadcastable importance model: per observed bucket,
+    ``log_ratio = ln p_target(b) - ln p_raw(b)`` under Laplace-smoothed
+    bucket-count models. Only buckets observed in either corpus are
+    materialized (unobserved buckets can never be joined by a scored
+    gram drawn from the raw corpus itself); smoothing still normalizes
+    over the FULL ``n_buckets`` domain."""
+    rb = (
+        gram_buckets(raw, text_col, None, n_buckets, ns)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_raw"))
+    )
+    tb = (
+        gram_buckets(target, text_col, None, n_buckets, ns)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    joined = rb.join(tb, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("c_raw", F.lit(0)).alias("c_raw"),
+        F.coalesce("c_tgt", F.lit(0)).alias("c_tgt"),
+    )
+    # Totals via an unpartitioned window, NOT a separate .agg() consumer:
+    # a second consumer of `joined` would re-run both corpus-sized gram
+    # aggregations (the round-3 double-compute lesson); the window runs
+    # on the already-aggregated <= n_buckets rows, where single-partition
+    # is free.
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    totaled = joined.select(
+        "bucket",
+        "c_raw",
+        "c_tgt",
+        F.sum("c_raw").over(wall).alias("t_raw"),
+        F.sum("c_tgt").over(wall).alias("t_tgt"),
+    )
+    return totaled.select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + F.lit(alpha)) / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
+            - F.log((F.col("c_raw") + F.lit(alpha)) / (F.col("t_raw") + F.lit(alpha * n_buckets)))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    ns: Sequence[int] = DSIR_NS,
+    weight_round: int = 4,
+) -> DataFrame:
+    """Per-raw-document importance log-weight:
+    ``(id_col, n_grams, logw)``. Documents with no grams keep a row
+    with ``n_grams = 0, logw = 0.0`` (a selector must see every
+    candidate, not silently drop the empty ones). ``logw`` is rounded
+    so downstream cutoffs are reproducible across partitionings."""
+    model = bucket_log_ratio(raw, target, text_col, n_buckets, alpha, ns)
+    feats = gram_buckets(raw, text_col, id_col, n_buckets, ns)
+    scored = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(F.sum("log_ratio"), weight_round).alias("logw"),
+        )
+    )
+    return raw.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce("logw", F.lit(0.0)).alias("logw"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    ns: Sequence[int] = DSIR_NS,
+) -> DataFrame:
+    """The top-``k`` raw documents by importance weight (the
+    deterministic-argmax variant of the paper's Gumbel resampling —
+    reproducible, and what a curation pipeline actually wants to
+    re-run). ``orderBy().limit(k)`` compiles to TakeOrderedAndProject:
+    per-partition heaps + a k-sized driver merge, no global sort
+    shuffle. Ties at the cutoff break by ascending id."""
+    if k <= 0:
+        raise ValueError("k must be >= 1")
+    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets, alpha, ns)
+    return w.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)

@@ -256,3 +256,64 @@ def mine_hard_negatives(
         .filter(F.col("neg_rank") <= k_neg)
         .select(query_id_col, id_col, "bm25", "neg_rank")
     )
+
+
+def reciprocal_rank_fusion(
+    ranked: Sequence[DataFrame],
+    k_rrf: int = 60,
+    k_out: int | None = None,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Hybrid-retrieval fusion via Reciprocal Rank Fusion (Cormack et
+    al., SIGIR'09): each input is one system's per-query ranking
+    ``(query_col, id_col, rank_col)`` with rank 1 = best; a document's
+    fused score is the sum over systems of ``1 / (k_rrf + rank)``. The
+    standard way to combine BM25 with a dense (embedding) retriever —
+    rank-based, so the systems' incomparable score scales never meet.
+
+    Determinism: contributions are computed as integer micro-units
+    ``scale div (k_rrf + rank)`` — exact 64-bit arithmetic in any
+    engine, monotone in rank, within 1/scale of the real-valued RRF —
+    so the fused ranking is reproducible across runs, partitionings,
+    and engines (same discipline as the round-before-rank rule in
+    mine_hard_negatives). Ties broken by document id.
+
+    Returns ``(query_col, id_col, n_systems, rrf_micro, fused_rank)``,
+    cut to ``k_out`` per query when given.
+
+    Scale shape: inputs are already top-k-per-query slivers (tiny
+    relative to the corpus — the expensive retrieval happened upstream
+    in bm25_topk / cosine_topk); the fusion itself is one unionByName,
+    one map-side-combined (query, doc) groupBy, and one ranking window
+    on the query key. No corpus-sized shuffle anywhere."""
+    from pyspark.sql import Window
+
+    if not ranked:
+        raise ValueError("reciprocal_rank_fusion needs at least one ranking")
+    if k_rrf < 0:
+        raise ValueError("k_rrf must be >= 0")
+    contribs = [
+        df.select(
+            query_col,
+            id_col,
+            (F.lit(scale) / (F.lit(k_rrf) + F.col(rank_col)))
+            .cast("long")
+            .alias("contrib"),
+        )
+        for df in ranked
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = allc.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_systems"),
+        F.sum("contrib").alias("rrf_micro"),
+    )
+    w = Window.partitionBy(query_col).orderBy(F.desc("rrf_micro"), F.asc(id_col))
+    out = fused.withColumn("fused_rank", F.row_number().over(w))
+    if k_out is not None:
+        out = out.filter(F.col("fused_rank") <= k_out)
+    return out.select(query_col, id_col, "n_systems", "rrf_micro", "fused_rank")

@@ -1,0 +1,197 @@
+"""Markdown section breadcrumbs + section-aware RAG chunks.
+
+A RAG corpus built from markdown (docs sites, READMEs, wikis, agent
+markdown payloads — the `markdown` kind of the extraction dispatch,
+extract/markdown.py) retrieves much better when every chunk carries its
+heading context: "Deploy > Kubernetes > Secrets" disambiguates a chunk
+that just says "rotate them monthly". This module derives that
+breadcrumb per line and materializes one chunk per section, entirely
+with declarative window algebra — no Python stage:
+
+- lines: one map-side posexplode per document;
+- fence state: a cumulative sum of ```-marker lines (strictly before
+  the current line) mod 2 — headings inside code fences are literal
+  text, not structure;
+- per-level scope: ``last(heading at level L, ignorenulls)`` over the
+  document order, with a heading position comparison so a later
+  higher-level heading invalidates deeper ones (an H2 after an H3
+  clears the H3 from scope);
+- sections: islands keyed by a cumulative heading count; one groupBy
+  per (doc, section) assembles the chunk.
+
+Every window and the final groupBy are on the document key — one
+shuffle's worth of co-partitioned passes, the same skew exposure as
+extraction itself (one hot document = one task; per-line state is
+O(max_level)).
+
+Grammar scope (shared with the DuckDB oracle twin, which recomputes
+everything in SQL): ATX headings ``#``-``######`` with at least one
+space/tab after the marker; closed-ATX trailing hash runs stripped;
+levels deeper than ``max_level`` are treated as content (they rarely
+carry retrieval signal and keeping the scope vector fixed-width keeps
+the operator cheap); setext headings (`====` underlines) are out of
+scope, as in extract/markdown.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MD_MAX_LEVEL = 3
+_HEAD_RX = r"^(#{1,6})[ \t]"
+_HEAD_TEXT_RX = r"^#{1,6}[ \t]+(.*)"
+_ATX_CLOSE_RX = r"[ \t]*#+[ \t]*$"
+
+
+def markdown_breadcrumbs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_level: int = MD_MAX_LEVEL,
+) -> DataFrame:
+    """Per line: ``(id, pos, line, level, section_id, breadcrumb)``.
+
+    ``level`` is the ATX heading level (null for content lines and for
+    headings deeper than ``max_level`` or inside code fences);
+    ``section_id`` increments at every in-scope heading (0 = preamble
+    before the first heading); ``breadcrumb`` is the ' > '-joined
+    heading scope including the section's own heading."""
+    if not 1 <= max_level <= 6:
+        raise ValueError("max_level must be in 1..6")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wcur = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    )
+    fence = F.col("line").rlike(r"^```").cast("int")
+    lines = lines.withColumn("_fence", fence).withColumn(
+        "_in_code",
+        (F.coalesce(F.sum("_fence").over(wprev), F.lit(0)) % 2 == 1),
+    )
+    marker = F.regexp_extract("line", _HEAD_RX, 1)
+    level = (
+        F.when(
+            (~F.col("_in_code"))
+            & (F.col("_fence") == 0)
+            & (F.length(marker) > 0)
+            & (F.length(marker) <= max_level),
+            F.length(marker),
+        )
+    ).alias("level")
+    htext = F.trim(
+        F.regexp_replace(
+            F.regexp_extract("line", _HEAD_TEXT_RX, 1), _ATX_CLOSE_RX, ""
+        )
+    )
+    typed = lines.select(
+        id_col,
+        "pos",
+        "line",
+        level,
+        F.when(F.col("_fence") == 1, F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_fence"),
+        htext.alias("_ht"),
+    )
+    scoped = typed.select(
+        id_col,
+        "pos",
+        "line",
+        "level",
+        "is_fence",
+        F.sum(F.col("level").isNotNull().cast("int")).over(wcur).alias("section_id"),
+        *[
+            F.last(
+                F.when(F.col("level") == L, F.col("_ht")), ignorenulls=True
+            )
+            .over(wcur)
+            .alias(f"_t{L}")
+            for L in range(1, max_level + 1)
+        ],
+        *[
+            F.last(
+                F.when(F.col("level") == L, F.col("pos")), ignorenulls=True
+            )
+            .over(wcur)
+            .alias(f"_p{L}")
+            for L in range(1, max_level + 1)
+        ],
+    )
+    # level-L heading is in scope iff no shallower heading came after it
+    comps = []
+    for L in range(1, max_level + 1):
+        shallower = [F.coalesce(F.col(f"_p{K}"), F.lit(-1)) for K in range(1, L)]
+        if not shallower:
+            newer = F.lit(-1)
+        elif len(shallower) == 1:
+            newer = shallower[0]
+        else:
+            newer = F.greatest(*shallower)
+        comps.append(
+            F.when(
+                F.col(f"_p{L}").isNotNull() & (F.col(f"_p{L}") > newer),
+                F.col(f"_t{L}"),
+            )
+        )
+    return scoped.select(
+        id_col,
+        "pos",
+        "line",
+        "level",
+        "is_fence",
+        F.col("section_id").cast("long").alias("section_id"),
+        F.concat_ws(" > ", *comps).alias("breadcrumb"),
+    )
+
+
+def markdown_section_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_level: int = MD_MAX_LEVEL,
+) -> DataFrame:
+    """One chunk per (document, section):
+    ``(id, section_id, breadcrumb, chunk_text, n_lines)``.
+
+    ``chunk_text`` joins the section's content lines (headings, fence
+    markers, and blank lines excluded; code-fence CONTENT kept — code
+    is retrievable) in document order; ``n_lines`` counts them. A
+    heading immediately followed by another heading still yields its
+    (empty-chunk) section — the breadcrumb skeleton is itself useful.
+    Feed the output to ``training.chunk_documents`` /
+    ``tr_sentence_chunks`` for size-bounded RAG windows that keep the
+    breadcrumb column."""
+    lines = markdown_breadcrumbs(df, text_col, id_col, max_level)
+    content = (
+        F.col("level").isNull()
+        & (~F.col("is_fence"))
+        & (F.trim(F.col("line")) != "")
+    ).cast("int")
+    marked = lines.withColumn("_content", content)
+    return (
+        marked.groupBy(id_col, "section_id")
+        .agg(
+            F.max("breadcrumb").alias("breadcrumb"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_content") == 1,
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("chunk_text"),
+            F.sum("_content").cast("long").alias("n_lines"),
+        )
+    )

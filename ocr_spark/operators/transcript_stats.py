@@ -88,3 +88,89 @@ def conversation_shape(df: DataFrame, conv_col: str = "conv_id") -> DataFrame:
             F.round(F.avg("duration_s"), 2).alias("avg_duration_s"),
         )
     )
+
+
+def _tool_runs(
+    df: DataFrame, conv_col: str, idx_col: str
+) -> DataFrame:
+    """(conv, run_id, tool, run_len): maximal runs of consecutive
+    same-tool calls per conversation (non-tool turns dropped first, so
+    'consecutive' means consecutive AMONG tool calls — an assistant
+    text turn between two identical calls does not split the run).
+    One lag window + one cumulative-sum window + one groupBy, all on
+    the conversation key: a single shuffle's worth of co-partitioned
+    passes, the same exposure as extraction itself."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    calls = df.filter(F.col("tool").isNotNull()).select(
+        conv_col, idx_col, "tool"
+    )
+    flagged = calls.select(
+        conv_col,
+        idx_col,
+        "tool",
+        F.when(F.lag("tool").over(w) == F.col("tool"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_new_run"),
+    )
+    runs = flagged.select(
+        conv_col,
+        "tool",
+        F.sum("_new_run").over(w).alias("run_id"),
+    )
+    return runs.groupBy(conv_col, "run_id", "tool").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+
+
+def tool_retry_bursts(
+    df: DataFrame, conv_col: str = "conv_id", idx_col: str = "turn_idx"
+) -> DataFrame:
+    """Agent-loop health: per conversation, how often the agent calls
+    the SAME tool repeatedly (retry bursts — rate-limit loops, flaky
+    tools, stuck agents). A burst is a maximal run of >= 2 consecutive
+    identical tool calls (islands-and-gaps over the turn order).
+
+    Returns ``(conv, n_tool_calls, n_runs, n_bursts, max_run_len)``;
+    conversations with zero tool calls are absent (nothing to report).
+    The curation signal: a transcript whose longest run is 20 is an
+    agent spinning, not 20 examples of tool use."""
+    runs = _tool_runs(df, conv_col, idx_col)
+    return runs.groupBy(conv_col).agg(
+        F.sum("run_len").alias("n_tool_calls"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum((F.col("run_len") >= 2).cast("long")).alias("n_bursts"),
+        F.max("run_len").alias("max_run_len"),
+    )
+
+
+def tool_chain_signatures(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    max_runs: int = 32,
+) -> DataFrame:
+    """Frequent tool-call patterns across the corpus: each
+    conversation's run-compressed tool sequence ('search>browse>code' —
+    consecutive repeats collapse, so retry storms and single calls look
+    alike) counted corpus-wide. The workflow-mining read on an agent
+    corpus: which chains dominate, which never appear.
+
+    Chains keep the first ``max_runs`` runs (bounds the signature and
+    the per-conv state at 10^12 turns; a conversation with more runs
+    than that IS its own signal — see tool_retry_bursts). Conversations
+    without tool calls are absent. Returns ``(chain, n_convs)``."""
+    if max_runs <= 0:
+        raise ValueError("max_runs must be >= 1")
+    runs = _tool_runs(df, conv_col, idx_col).filter(F.col("run_id") <= max_runs)
+    chains = runs.groupBy(conv_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("run_id", "tool"))),
+                lambda s: s["tool"],
+            ),
+            ">",
+        ).alias("chain")
+    )
+    return chains.groupBy("chain").agg(
+        F.count(F.lit(1)).alias("n_convs")
+    )

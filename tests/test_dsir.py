@@ -1,0 +1,89 @@
+"""DSIR importance resampling (operators/dsir.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    gram_buckets,
+)
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(
+        [
+            (0, "braise the onion stock then simmer the broth"),
+            (1, "simmer garlic butter and braise the onion"),
+            (2, "shuffle partitions broadcast join spark executor"),
+            (3, "spark shuffle stage codegen partition pruning"),
+            (4, "braise broth simmer stock simmer braise"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [
+            (100, "simmer the stock braise the garlic broth"),
+            (101, "butter onion broth simmer braise stock"),
+        ],
+        ["doc_id", "text"],
+    )
+    return raw, target
+
+
+def test_gram_buckets_counts_unigrams_and_bigrams(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], ["doc_id", "text"])
+    # 3 unigrams + 2 bigrams = 5 gram occurrences
+    assert gram_buckets(df).count() == 5
+    with pytest.raises(ValueError):
+        gram_buckets(df, n_buckets=0)
+
+
+def test_dsir_ranks_target_like_docs_first(spark, corpora):
+    """Cooking docs must out-weigh Spark docs when the target corpus is
+    cooking text — the core DSIR property."""
+    raw, target = corpora
+    w = {r.doc_id: r.logw for r in dsir_log_weights(raw, target).collect()}
+    assert min(w[0], w[1], w[4]) > max(w[2], w[3])
+
+
+def test_dsir_empty_doc_keeps_row(spark, corpora):
+    raw, target = corpora
+    rows = {r.doc_id: r for r in dsir_log_weights(raw, target).collect()}
+    assert len(rows) == raw.count()
+    assert rows[5].n_grams == 0 and rows[5].logw == 0.0
+
+
+def test_dsir_select_topk(spark, corpora):
+    """The cutoff keeps exactly the k highest (logw, then lowest id)
+    rows of the weights frame. (On a tiny corpus Laplace smoothing can
+    pull every non-empty doc's sum negative, so the empty doc's 0.0 may
+    legitimately place — the selection contract is about the weights,
+    not about which doc 'looks better' to a human.)"""
+    raw, target = corpora
+    w = dsir_log_weights(raw, target).collect()
+    expected = [
+        r.doc_id for r in sorted(w, key=lambda r: (-r.logw, r.doc_id))[:3]
+    ]
+    picked = dsir_select(raw, target, k=3).collect()
+    assert [r.doc_id for r in picked] == expected
+    with pytest.raises(ValueError):
+        dsir_select(raw, target, k=0)
+
+
+def test_dsir_weights_partitioning_invariant(spark, corpora):
+    """Rounded weights are identical whatever the input partitioning
+    (the round-before-cutoff discipline)."""
+    raw, target = corpora
+    a = sorted(dsir_log_weights(raw, target).collect())
+    b = sorted(dsir_log_weights(raw.repartition(7), target).collect())
+    assert a == b
+
+
+def test_dsir_select_plan_is_take_ordered(spark, corpora):
+    """Top-k must compile to TakeOrderedAndProject, not a global sort."""
+    raw, target = corpora
+    plan = dsir_select(raw, target, k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

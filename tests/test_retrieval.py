@@ -227,3 +227,57 @@ def test_mine_hard_negatives_per_query_independent(spark):
         by_q.setdefault(r.query_id, []).append(r.doc_id)
     assert by_q[10] == [2]
     assert 20 not in by_q or by_q[20] == []  # its only match was the positive
+
+
+# ------------------------------------------------------------------ RRF
+
+
+def _rrf(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "doc_id", "rank"])
+
+
+def test_rrf_fuses_two_systems(spark):
+    """Doc present in both systems outranks single-system docs; the
+    integer micro-unit contributions match the closed form."""
+    from ocr_spark.operators.retrieval import reciprocal_rank_fusion
+
+    a = _rrf(spark, [(0, 10, 1), (0, 11, 2), (0, 12, 3)])
+    b = _rrf(spark, [(0, 11, 1), (0, 13, 2)])
+    rows = {r.doc_id: r for r in reciprocal_rank_fusion([a, b]).collect()}
+    assert rows[11].fused_rank == 1 and rows[11].n_systems == 2
+    assert rows[11].rrf_micro == 1_000_000 // 61 + 1_000_000 // 62
+    assert rows[10].rrf_micro == 1_000_000 // 61
+    # rank-1 in A (16393) beats rank-2 in B (16129) beats rank-3 in A (15873)
+    assert rows[10].fused_rank == 2 and rows[13].fused_rank == 3
+    assert rows[12].fused_rank == 4
+
+
+def test_rrf_queries_fuse_independently(spark):
+    """Per-query windows: the same doc id in different queries gets its
+    own fused rank; k_out cuts per query, not globally."""
+    from ocr_spark.operators.retrieval import reciprocal_rank_fusion
+
+    a = _rrf(spark, [(0, 10, 1), (0, 11, 2), (1, 10, 1), (1, 12, 2)])
+    b = _rrf(spark, [(0, 11, 1), (1, 12, 1)])
+    out = reciprocal_rank_fusion([a, b], k_out=1).collect()
+    top = {r.query_id: r.doc_id for r in out}
+    assert len(out) == 2 and top == {0: 11, 1: 12}
+
+
+def test_rrf_tie_breaks_by_doc_id(spark):
+    """Equal fused scores order by ascending doc id — deterministic
+    across partitionings."""
+    from ocr_spark.operators.retrieval import reciprocal_rank_fusion
+
+    a = _rrf(spark, [(0, 20, 1), (0, 7, 1)])  # same rank -> same contrib
+    out = reciprocal_rank_fusion([a]).orderBy("fused_rank").collect()
+    assert [r.doc_id for r in out] == [7, 20]
+
+
+def test_rrf_validation(spark):
+    from ocr_spark.operators.retrieval import reciprocal_rank_fusion
+
+    with pytest.raises(ValueError):
+        reciprocal_rank_fusion([])
+    with pytest.raises(ValueError):
+        reciprocal_rank_fusion([_rrf(spark, [(0, 1, 1)])], k_rrf=-1)

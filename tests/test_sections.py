@@ -1,0 +1,81 @@
+"""Markdown breadcrumbs + section chunks (operators/sections.py)."""
+
+import pytest
+
+from ocr_spark.operators.sections import (
+    markdown_breadcrumbs,
+    markdown_section_chunks,
+)
+
+DOC = "\n".join(
+    [
+        "preamble line",          # section 0, no breadcrumb
+        "# Alpha",                # section 1
+        "intro",
+        "## Beta ##",             # section 2 (closed ATX)
+        "body one",
+        "",                       # blank: dropped from chunks
+        "### Gamma",              # section 3
+        "deep text",
+        "## Delta",               # section 4: Gamma out of scope
+        "```",
+        "# not a heading",        # inside fence: content
+        "```",
+        "tail",
+        "# Omega",                # section 5: resets everything
+        "#### too deep",          # > max_level: content line
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    df = spark.createDataFrame([(1, DOC)], ["doc_id", "text"])
+    return {
+        r.section_id: r for r in markdown_section_chunks(df).collect()
+    }
+
+
+def test_section_breadcrumbs(spark, chunks):
+    assert chunks[0].breadcrumb == ""
+    assert chunks[1].breadcrumb == "Alpha"
+    assert chunks[2].breadcrumb == "Alpha > Beta"
+    assert chunks[3].breadcrumb == "Alpha > Beta > Gamma"
+    # H2 Delta invalidates the deeper Gamma
+    assert chunks[4].breadcrumb == "Alpha > Delta"
+    # H1 Omega invalidates Beta/Delta/Gamma
+    assert chunks[5].breadcrumb == "Omega"
+
+
+def test_section_chunk_content(spark, chunks):
+    assert chunks[0].chunk_text == "preamble line"
+    assert chunks[2].chunk_text == "body one" and chunks[2].n_lines == 1
+    # fence markers dropped, fenced "heading" kept as content
+    assert chunks[4].chunk_text == "# not a heading\ntail"
+    assert chunks[4].n_lines == 2
+    # too-deep heading rides as content
+    assert chunks[5].chunk_text == "#### too deep"
+
+
+def test_heading_followed_by_heading_keeps_empty_section(spark):
+    df = spark.createDataFrame([(1, "# A\n## B\ntext")], ["doc_id", "text"])
+    got = {r.section_id: r for r in markdown_section_chunks(df).collect()}
+    assert got[1].chunk_text == "" and got[1].n_lines == 0
+    assert got[2].chunk_text == "text"
+
+
+def test_breadcrumbs_per_line_and_validation(spark):
+    df = spark.createDataFrame([(1, "# A\nx")], ["doc_id", "text"])
+    rows = sorted(markdown_breadcrumbs(df).collect(), key=lambda r: r.pos)
+    assert rows[0].level == 1 and rows[1].level is None
+    assert rows[1].breadcrumb == "A" and rows[1].section_id == 1
+    with pytest.raises(ValueError):
+        markdown_breadcrumbs(df, max_level=0)
+
+
+def test_skipped_level_breadcrumb(spark):
+    """H3 directly under H1 (no H2): breadcrumb skips the missing
+    level rather than inventing one."""
+    df = spark.createDataFrame([(1, "# A\n### C\nz")], ["doc_id", "text"])
+    got = {r.section_id: r for r in markdown_section_chunks(df).collect()}
+    assert got[2].breadcrumb == "A > C" and got[2].chunk_text == "z"

@@ -60,3 +60,51 @@ def test_conversation_shape_buckets(spark):
     assert got[2].avg_duration_s == 300.0  # 12:00 -> 12:05
     assert got[1].avg_duration_s == 180.0
     assert got[2].avg_roles == 3.0
+
+
+def _tool_corpus(spark):
+    # conv A: search search search | browse | search search  (runs: 3,1,2)
+    # a NULL-tool turn inside the first run must NOT split it
+    rows = [
+        ("a", 0, "search"), ("a", 1, "search"), ("a", 2, None),
+        ("a", 3, "search"), ("a", 4, "browse"), ("a", 5, "search"),
+        ("a", 6, "search"),
+        # conv B: one lonely call
+        ("b", 0, "code"),
+        # conv C: no tool calls at all
+        ("c", 0, None),
+    ]
+    return spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+
+
+def test_tool_retry_bursts(spark):
+    from ocr_spark.operators.transcript_stats import tool_retry_bursts
+
+    got = {r.conv_id: r for r in tool_retry_bursts(_tool_corpus(spark)).collect()}
+    assert set(got) == {"a", "b"}  # conv c (no calls) absent
+    a = got["a"]
+    assert a.n_tool_calls == 6 and a.n_runs == 3
+    assert a.n_bursts == 2 and a.max_run_len == 3
+    b = got["b"]
+    assert b.n_tool_calls == 1 and b.n_runs == 1 and b.n_bursts == 0
+
+
+def test_tool_chain_signatures(spark):
+    from ocr_spark.operators.transcript_stats import tool_chain_signatures
+
+    got = {r.chain: r.n_convs for r in
+           tool_chain_signatures(_tool_corpus(spark)).collect()}
+    assert got == {"search>browse>search": 1, "code": 1}
+
+
+def test_tool_chain_truncation(spark):
+    from ocr_spark.operators.transcript_stats import tool_chain_signatures
+
+    import pytest as _pt
+
+    rows = [("a", i, t) for i, t in enumerate(["x", "y"] * 5)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "tool"])
+    got = tool_chain_signatures(df, max_runs=3).collect()
+    assert got[0].chain == "x>y>x"
+    with _pt.raises(ValueError):
+        tool_chain_signatures(df, max_runs=0)
