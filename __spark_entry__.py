@@ -868,6 +868,87 @@ def _q_md_section_chunks(spark, sf_dir):
     return markdown_section_chunks(docs)
 
 
+# Code-clone fixture: 7 distinct programs (doc_id % 7), each instance
+# decorated with per-doc comment noise ('#' line every 3rd, '//' trailer on
+# evens, '/* */' block every 5th), alternating space/tab indentation, and a
+# '://'-URL line every 11th (splits its group — the URL must SURVIVE
+# normalization). Every normalization stage does real work. One expression,
+# valid in both engines.
+_CODE_CLONES_PAYLOAD_SQL = (
+    "'def f' || CAST(doc_id % 7 AS STRING) || '():' || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN '# note ' || CAST(doc_id AS STRING) "
+    "|| chr(10) ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '    ' ELSE chr(9) END || "
+    "'return ' || CAST(doc_id % 7 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '  // trail ' || CAST(doc_id AS STRING) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN chr(10) || '/* block' || chr(10) || "
+    "CAST(doc_id AS STRING) || ' */' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'u = ' || chr(39) || "
+    "'http://h' || CAST(doc_id % 7 AS STRING) || '/x' || chr(39) "
+    "ELSE '' END"
+)
+
+
+def _q_cd_code_clones(spark, sf_dir):
+    """Comment/whitespace-insensitive code-clone mapping
+    (operators/code_dedup.py): 8-stage codegen normalization ->
+    fingerprint-keyed winner/size windows. The oracle recomputes the
+    identical normalization in RE2 and groups by the normalized string
+    itself (no hash exposed), so the verdict columns must coincide."""
+    from ocr_spark.operators.code_dedup import code_clone_map
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _CODE_CLONES_PAYLOAD_SQL + " AS text"
+    )
+    return code_clone_map(docs)
+
+
+# Span-integrity fixture: two well-formed spans per doc plus injected
+# defects — out-of-bounds tail every 13th doc, unsorted duplicate every
+# 17th, sorted-but-overlapping every 19th (when start order allows),
+# empty span set every 29th. Encoded 'start:end:kind|...' so BOTH engines
+# parse the identical payload. raw_len = 20 + doc_id % 10.
+_SPANS_FIXTURE_SQL = (
+    "CASE WHEN doc_id % 29 = 0 THEN '' ELSE "
+    "'0:' || CAST(5 + doc_id % 3 AS STRING) || ':text|8:' || "
+    "CAST(8 + doc_id % 7 AS STRING) || ':code' || "
+    "CASE WHEN doc_id % 13 = 0 THEN '|' || CAST(19 + doc_id % 10 AS STRING) "
+    "|| ':' || CAST(24 + doc_id % 10 AS STRING) || ':tail' ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 0 THEN '|2:4:dup' ELSE '' END || "
+    "CASE WHEN doc_id % 19 = 0 AND doc_id % 7 <> 0 THEN '|' || "
+    "CAST(7 + doc_id % 7 AS STRING) || ':' || CAST(10 + doc_id % 7 AS STRING) "
+    "|| ':ov' ELSE '' END END"
+)
+
+
+def _q_sq_span_integrity(spark, sf_dir):
+    """Span-contract integrity QC (operators/span_qc.py): per-turn
+    bounds/order/overlap verdicts via higher-order array algebra (zero
+    shuffle, zero Python). Oracle parses the identical span encoding and
+    recomputes every verdict with DuckDB list comprehensions."""
+    from ocr_spark.operators.span_qc import span_integrity
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "CAST(20 + doc_id % 10 AS INT) AS raw_len",
+            _SPANS_FIXTURE_SQL + " AS spans_str",
+        )
+        .selectExpr(
+            "doc_id",
+            "raw_len",
+            "transform(filter(split(spans_str, '\\\\|'), x -> x <> ''), "
+            "x -> named_struct("
+            "'start', CAST(split(x, ':')[0] AS INT), "
+            "'end', CAST(split(x, ':')[1] AS INT), "
+            "'kind', split(x, ':')[2])) AS spans",
+        )
+    )
+    return span_integrity(docs, len_col="raw_len", keys=("doc_id",))
+
+
 # Tool-call chain fixture: deterministic runs (floor(doc_id/194) changes
 # every 2 turns within a conversation -> natural retry bursts), NULL tool
 # every 7th doc (text turns between calls must not split a run). Same
@@ -3096,6 +3177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_retry_bursts": _q_ts_retry_bursts,
         "ts_tool_chains": _q_ts_tool_chains,
         "md_section_chunks": _q_md_section_chunks,
+        "cd_code_clones": _q_cd_code_clones,
+        "sq_span_integrity": _q_sq_span_integrity,
     }
 
 
@@ -5185,6 +5268,52 @@ SELECT doc_id, CAST(section_id AS BIGINT) AS section_id,
        CAST(count(*) FILTER (WHERE level IS NULL AND fence = 0
                              AND trim(line) <> '') AS BIGINT) AS n_lines
 FROM bc GROUP BY doc_id, section_id
+""",
+        "cd_code_clones": f"""
+WITH c AS (SELECT doc_id, {_CODE_CLONES_PAYLOAD_SQL} AS text FROM documents),
+n AS (SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    replace(
+      regexp_replace(regexp_replace(regexp_replace(
+        replace(coalesce(text, ''), '://', chr(1)),
+        '(?s)/\\*.*?\\*/', ' ', 'g'),
+        '//[^\\n]*', '', 'g'),
+        '#[^\\n]*', '', 'g'),
+      chr(1), '://'),
+    '[ \\t]+', ' ', 'g'),
+    '(?m)^ +| +$', '', 'g'),
+    '\\n+', chr(10), 'g'),
+    '^\\n+|\\n+$', '', 'g') AS norm
+  FROM c)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY norm) AS canonical_id,
+  CAST(count(*) OVER (PARTITION BY norm) AS BIGINT) AS group_size,
+  doc_id = min(doc_id) OVER (PARTITION BY norm) AS kept
+FROM n
+""",
+        "sq_span_integrity": f"""
+WITH c AS (SELECT doc_id, CAST(20 + doc_id % 10 AS INTEGER) AS raw_len,
+                  {_SPANS_FIXTURE_SQL} AS spans_str FROM documents),
+p AS (SELECT doc_id, raw_len,
+  [struct_pack(s := CAST(string_split(x, ':')[1] AS INTEGER),
+               e := CAST(string_split(x, ':')[2] AS INTEGER),
+               k := string_split(x, ':')[3])
+   for x in list_filter(string_split(spans_str, '|'), x -> x <> '')] AS sp
+  FROM c),
+v AS (SELECT doc_id,
+  CAST(len(sp) AS INTEGER) AS n_spans,
+  len(list_filter(sp, s -> s.s < 0 OR s.e < s.s OR s.e > raw_len)) = 0
+    AS ok_bounds,
+  len([i for i in generate_series(2, len(sp)) if sp[i].s < sp[i-1].s]) = 0
+    AS ok_sorted,
+  len([i for i in generate_series(2, len(sp)) if sp[i].s < sp[i-1].e]) = 0
+    AS ok_disjoint,
+  CAST(coalesce(list_sum([s.e - s.s for s in sp]), 0) AS BIGINT)
+    AS covered_chars
+  FROM p)
+SELECT doc_id, n_spans, ok_bounds, ok_sorted, ok_disjoint, covered_chars,
+       ok_bounds AND ok_sorted AND ok_disjoint AS ok
+FROM v
 """,
         "ts_retry_bursts": _TOOLCHAIN_RUNS_CTE
         + " SELECT conv, CAST(sum(run_len) AS BIGINT) AS n_tool_calls, "

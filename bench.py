@@ -185,6 +185,8 @@ def main() -> None:
         "ds_dsir_weights",
         "ts_retry_bursts",
         "md_section_chunks",
+        "cd_code_clones",
+        "sq_span_integrity",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

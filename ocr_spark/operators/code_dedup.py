@@ -1,0 +1,120 @@
+"""Comment- and whitespace-insensitive code deduplication.
+
+Code corpora (The Stack, StarCoder pipeline) are full of files that are
+byte-distinct but identical programs: a license header was added, comments
+were translated, indentation was re-formatted. Exact dedup misses all of
+them; MinHash over word shingles catches some but treats comment text as
+signal. The standard fix (Kocetkov et al., The Stack '22; Allal et al.,
+SantaCoder '23) is to dedup on a *normalized* form: strip comments,
+collapse whitespace, then fingerprint.
+
+Reference analog: /root/reference/app/services/ocr_service.py normalizes
+extracted text before its duplicate check (lowercase + whitespace
+collapse); this module is that idea specialized to code payloads in the
+transcripts corpus (tool='code' turns, fenced code blocks).
+
+Scale shape (10^12 turns):
+- ``normalize_code_col`` is a pure codegen expression chain (8
+  regexp_replace/replace stages) — no Python, no shuffle, whole-stage
+  codegen keeps it fused with the scan.
+- ``code_clone_map`` projects to ``(id, xxhash64(norm))`` BEFORE the
+  shuffle: the corpus's code text never crosses the wire, only 16 bytes
+  per row. One shuffle on the 64-bit fingerprint, two window functions
+  over it (min-id winner + group size) computed in the same exchange.
+- Output is a per-row verdict (id -> canonical id), so the caller can
+  anti-join losers out or keep the mapping as lineage.
+
+Determinism: the normalization is exact 8-stage string rewriting with
+identical semantics in Spark (Java regex) and DuckDB (RE2) — no flags
+beyond (?s)/(?m), no lookaround (RE2 has none), verified by the
+``cd_code_clones`` oracle twin.
+
+Known (documented) false merges: a ``#`` or ``//`` inside a string
+literal is treated as a comment opener. That is the industry-standard
+trade-off for a *dedup key* — the normalized form is never shown to a
+user, only hashed — and ``://`` URLs are explicitly protected so the
+dominant real-world case survives.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_code_col", "normalize_code", "code_clone_map", "code_dedup"]
+
+
+def normalize_code_col(col: F.Column) -> F.Column:
+    """Comment/whitespace-insensitive canonical form of a code string.
+
+    Stages (order matters, each a codegen built-in):
+      1. protect ``://`` (URLs) behind a \\x01 sentinel
+      2. drop ``/* ... */`` block comments, DOTALL non-greedy
+      3. drop ``// ...`` line comments
+      4. drop ``# ...`` line comments
+      5. restore ``://``
+      6. collapse horizontal whitespace runs to one space
+      7. trim line edges ((?m) anchors)
+      8. collapse newline runs, strip outer newlines
+
+    Empty/NULL input maps to '' so downstream grouping never sees NULL.
+    """
+    s = F.coalesce(col, F.lit(""))
+    s = F.replace(s, F.lit("://"), F.lit("\x01"))
+    s = F.regexp_replace(s, r"(?s)/\*.*?\*/", " ")
+    s = F.regexp_replace(s, r"//[^\n]*", "")
+    s = F.regexp_replace(s, r"#[^\n]*", "")
+    s = F.replace(s, F.lit("\x01"), F.lit("://"))
+    s = F.regexp_replace(s, r"[ \t]+", " ")
+    s = F.regexp_replace(s, r"(?m)^ +| +$", "")
+    s = F.regexp_replace(s, r"\n+", "\n")
+    return F.regexp_replace(s, r"^\n+|\n+$", "")
+
+
+def normalize_code(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_code"
+) -> DataFrame:
+    """Attach the normalized-code column (narrow, codegen-only)."""
+    return df.withColumn(out_col, normalize_code_col(F.col(text_col)))
+
+
+def code_clone_map(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document clone verdict: ``(id, canonical_id, group_size, kept)``.
+
+    canonical_id = the smallest id whose normalized code is identical
+    (comment/whitespace-insensitive); kept = this row IS the canonical.
+    The shuffle key is ``xxhash64(norm)`` and the shuffled payload is
+    just ``(id, fp)`` — 16 bytes/row regardless of file size, the same
+    discipline as ``dedup.exact_dedup``. Both windows share one exchange
+    (same partition key), and the post-aggregation frame has one
+    consumer, so nothing upstream runs twice.
+    """
+    slim = df.select(
+        F.col(id_col),
+        F.xxhash64(normalize_code_col(F.col(text_col))).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    return slim.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    ).withColumn("kept", F.col(id_col) == F.col("canonical_id"))
+
+
+def code_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative per comment-insensitive clone group.
+
+    Returns the original rows (all columns) of the canonical members
+    only, plus ``clone_count``. Implemented as clone_map -> filter kept
+    -> join back on the id key, so the wide text payload crosses the
+    wire once (the join on ``id_col``), never keyed by its own bytes.
+    """
+    winners = (
+        code_clone_map(df, text_col=text_col, id_col=id_col)
+        .where(F.col("kept"))
+        .select(F.col(id_col), F.col("group_size").alias("clone_count"))
+    )
+    return df.join(winners, id_col)

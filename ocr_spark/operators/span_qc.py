@@ -1,0 +1,106 @@
+"""Span-contract integrity QC for extraction output.
+
+The north-rule extraction contract is (clean text + char-offset spans per
+turn), spans indexing into the RAW turn payload (`pipeline.slice_spans`
+consumes them with `substring`). Any downstream consumer — span slicing,
+loss-mask alignment, annotation tooling — silently corrupts data if a span
+is out of bounds, inverted, or overlapping. This module is the cheap
+corpus-wide gate that proves the contract holds BEFORE those consumers run,
+the span analog of `operators/expectations.py`'s input contracts.
+
+Reference analog: /root/reference/app/services/ocr_service.py:214-260
+trusts its OCR API's bounding boxes unchecked; at 10^12 turns a validator
+must be a first-class operator, not an assert in a notebook.
+
+Scale shape:
+- ``span_integrity`` is a pure projection: every check is higher-order
+  array algebra (`forall` / `aggregate` / `zip_with` over the spans
+  column) — whole-stage codegen, zero Python, ZERO shuffle. At 10^12
+  turns it rides the same scan as the extraction write.
+- ``span_integrity_summary`` is the one map-side-combined groupBy that
+  turns per-turn verdicts into a run report (violation counts by type),
+  O(1) output rows.
+
+Consecutive-pair checks use ``zip_with(spans, shifted)`` rather than a
+posexplode + lag window: the window would shuffle the corpus on the turn
+key for a per-row-local property. Empty/NULL span arrays are vacuously
+valid (a turn with no extractable payload is not a violation).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["span_integrity", "span_integrity_summary"]
+
+
+def span_integrity(
+    extracted: DataFrame,
+    spans_col: str = "spans",
+    len_col: str | None = None,
+    keys: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Per-turn span-contract verdicts.
+
+    ``len_col`` names the column holding the LENGTH of the payload the
+    spans index (pass ``length(text)`` of the raw turn if you joined it
+    back); if None, the upper-bound check degrades to ``end >= start``
+    only and ``ok_bounds`` reflects non-negativity alone.
+
+    Output per input row: ``n_spans``, ``ok_bounds`` (0 <= start <= end
+    [<= len]), ``ok_sorted`` (starts non-decreasing), ``ok_disjoint``
+    (no overlap between consecutive spans — requires sortedness to mean
+    full pairwise disjointness, which is exactly the producer contract),
+    ``covered_chars``, ``ok`` (conjunction). NULL spans arrays count as
+    empty.
+    """
+    sp = F.coalesce(
+        F.col(spans_col), F.expr(f"CAST(array() AS {_spans_ddl(extracted, spans_col)})")
+    )
+    n = F.size(sp)
+    upper = (
+        (lambda s: s["end"] <= F.col(len_col)) if len_col else (lambda s: F.lit(True))
+    )
+    ok_bounds = F.forall(
+        sp, lambda s: (s["start"] >= 0) & (s["end"] >= s["start"]) & upper(s)
+    )
+    # consecutive pairs: zip spans[0:n-1] with spans[1:n]
+    head = F.slice(sp, 1, F.greatest(n - 1, F.lit(0)))
+    tail = F.slice(sp, 2, F.greatest(n - 1, F.lit(0)))
+    pairs_sorted = F.zip_with(head, tail, lambda a, b: b["start"] >= a["start"])
+    pairs_disjoint = F.zip_with(head, tail, lambda a, b: b["start"] >= a["end"])
+    ok_sorted = F.forall(pairs_sorted, lambda x: x)
+    ok_disjoint = F.forall(pairs_disjoint, lambda x: x)
+    covered = F.aggregate(
+        sp, F.lit(0).cast("long"), lambda acc, s: acc + (s["end"] - s["start"])
+    )
+    out = extracted.select(
+        *[F.col(k) for k in keys],
+        n.alias("n_spans"),
+        ok_bounds.alias("ok_bounds"),
+        ok_sorted.alias("ok_sorted"),
+        ok_disjoint.alias("ok_disjoint"),
+        covered.alias("covered_chars"),
+    )
+    return out.withColumn(
+        "ok", F.col("ok_bounds") & F.col("ok_sorted") & F.col("ok_disjoint")
+    )
+
+
+def span_integrity_summary(report: DataFrame) -> DataFrame:
+    """Run-level rollup: one row, violation counts by type (the number a
+    pipeline gate thresholds on). One map-side-combined aggregate."""
+    return report.agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.col("n_spans").cast("long")).alias("n_spans"),
+        F.sum((~F.col("ok_bounds")).cast("long")).alias("n_bounds_violations"),
+        F.sum((~F.col("ok_sorted")).cast("long")).alias("n_order_violations"),
+        F.sum((~F.col("ok_disjoint")).cast("long")).alias("n_overlap_violations"),
+        F.sum((~F.col("ok")).cast("long")).alias("n_bad_turns"),
+        F.sum("covered_chars").alias("covered_chars"),
+    )
+
+
+def _spans_ddl(df: DataFrame, spans_col: str) -> str:
+    """DDL string of the spans column's type (for the empty-array cast)."""
+    return dict(df.dtypes)[spans_col]

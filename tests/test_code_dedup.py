@@ -1,0 +1,78 @@
+"""Comment/whitespace-insensitive code dedup (operators/code_dedup.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.code_dedup import (
+    code_clone_map,
+    code_dedup,
+    normalize_code,
+)
+
+
+def _norms(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [r.n for r in normalize_code(df, out_col="n").select("n").collect()]
+
+
+def test_comment_stripping_and_whitespace(spark):
+    a = "int main() { // entry point\n  return 0; /* all\ndone */\n}\n"
+    b = "int main() {\n\treturn 0;\n}"
+    na, nb = _norms(spark, [a, b])
+    assert na == nb == "int main() {\nreturn 0;\n}"
+
+
+def test_hash_comments_and_url_protection(spark):
+    a = "x = 1  # set x\nurl = 'http://a.b/c'\n# whole line\ny = 2"
+    (n,) = _norms(spark, [a])
+    # the # comment goes, the :// protocol marker survives, blank line collapses
+    assert n == "x = 1\nurl = 'http://a.b/c'\ny = 2"
+    # documented trade-off: a second // later in the line IS treated as a
+    # comment opener (dedup key, not content rewriting)
+    (n2,) = _norms(spark, ["u = 'http://a.b//c'"])
+    assert n2 == "u = 'http://a.b"
+
+
+def test_null_and_empty(spark):
+    df = spark.createDataFrame([(None,), ("",), ("  \n\n  ",)], "text string")
+    assert _norms(spark, []) == [] and [
+        r.n for r in normalize_code(df, out_col="n").select("n").collect()
+    ] == ["", "", ""]
+
+
+def test_clone_map_groups_and_winner(spark):
+    rows = [
+        (1, "def f():\n    return 1  # one"),
+        (2, "def f():\n\treturn 1"),
+        (3, "def g(): pass"),
+        (4, "# only a comment"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in code_clone_map(df).collect()}
+    assert out[1].canonical_id == 1 and out[2].canonical_id == 1
+    assert out[1].group_size == 2 and out[2].kept is False and out[1].kept is True
+    assert out[3].group_size == 1 and out[3].kept
+    # comment-only and empty normalize to '' -> one group, min id 4 wins
+    assert out[4].canonical_id == 4 and out[5].canonical_id == 4
+
+
+def test_code_dedup_keeps_one_per_group(spark):
+    rows = [
+        (1, "a = 1 // x"),
+        (2, "a = 1"),
+        (3, "a=1"),  # different: whitespace INSIDE tokens is not added
+        (4, "b = 2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = code_dedup(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in kept] == [1, 3, 4]
+    assert kept[0].clone_count == 2 and kept[1].clone_count == 1
+
+
+def test_no_python_stages_and_slim_shuffle(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = code_clone_map(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    # the text column must be projected away before the exchange
+    assert plan.count("Exchange") == 1

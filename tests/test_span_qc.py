@@ -1,0 +1,90 @@
+"""Span-contract integrity QC (operators/span_qc.py)."""
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.span_qc import span_integrity, span_integrity_summary
+
+_SCHEMA = (
+    "conv_id string, turn_idx int, raw_len int, "
+    "spans array<struct<start:int,end:int,kind:string>>"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _report(spark, rows):
+    df = _df(spark, rows)
+    rep = span_integrity(df, len_col="raw_len")
+    return {(r.conv_id, r.turn_idx): r for r in rep.collect()}
+
+
+def test_valid_sorted_disjoint(spark):
+    out = _report(
+        spark,
+        [("c", 0, 20, [(0, 5, "text"), (5, 9, "code"), (12, 20, "text")])],
+    )
+    r = out[("c", 0)]
+    assert r.ok and r.ok_bounds and r.ok_sorted and r.ok_disjoint
+    assert r.n_spans == 3 and r.covered_chars == 5 + 4 + 8
+
+
+def test_violations_flagged_independently(spark):
+    rows = [
+        ("b", 0, 10, [(-1, 3, "t")]),            # negative start
+        ("b", 1, 10, [(4, 2, "t")]),              # inverted
+        ("b", 2, 10, [(0, 12, "t")]),             # past end of payload
+        ("b", 3, 10, [(5, 7, "t"), (0, 2, "t")]), # unsorted (and "overlap" per contract)
+        ("b", 4, 10, [(0, 5, "t"), (3, 8, "t")]), # sorted but overlapping
+    ]
+    out = _report(spark, rows)
+    assert not out[("b", 0)].ok_bounds and out[("b", 0)].ok_sorted
+    assert not out[("b", 1)].ok_bounds
+    assert not out[("b", 2)].ok_bounds and out[("b", 2)].ok_sorted
+    assert not out[("b", 3)].ok_sorted and not out[("b", 3)].ok_disjoint
+    assert out[("b", 4)].ok_sorted and not out[("b", 4)].ok_disjoint
+    assert all(not out[k].ok for k in out)
+
+
+def test_empty_and_null_vacuously_valid(spark):
+    out = _report(spark, [("e", 0, 5, []), ("e", 1, 5, None)])
+    for k in out:
+        r = out[k]
+        assert r.ok and r.n_spans == 0 and r.covered_chars == 0
+
+
+def test_touching_spans_are_disjoint(spark):
+    out = _report(spark, [("t", 0, 10, [(0, 4, "a"), (4, 10, "b")])])
+    assert out[("t", 0)].ok_disjoint and out[("t", 0)].ok
+
+
+def test_no_len_col_degrades_gracefully(spark):
+    df = _df(spark, [("n", 0, 3, [(0, 999, "t")])])
+    r = span_integrity(df).collect()[0]
+    assert r.ok_bounds  # no payload length -> upper bound not checkable
+
+
+def test_summary_rollup(spark):
+    rows = [
+        ("s", 0, 10, [(0, 5, "t")]),
+        ("s", 1, 10, [(9, 12, "t")]),             # bounds
+        ("s", 2, 10, [(0, 3, "t"), (1, 4, "t")]), # overlap
+    ]
+    df = _df(spark, rows)
+    s = span_integrity_summary(span_integrity(df, len_col="raw_len")).collect()[0]
+    assert s.n_turns == 3 and s.n_spans == 4
+    assert s.n_bounds_violations == 1 and s.n_overlap_violations == 1
+    assert s.n_order_violations == 0 and s.n_bad_turns == 2
+    assert s.covered_chars == 5 + 3 + 3 + 3
+
+
+def test_zero_shuffle_zero_python(spark):
+    df = _df(spark, [("p", 0, 10, [(0, 5, "t")])])
+    plan = (
+        span_integrity(df, len_col="raw_len")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
