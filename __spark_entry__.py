@@ -949,6 +949,43 @@ def _q_sq_span_integrity(spark, sf_dir):
     return span_integrity(docs, len_col="raw_len", keys=("doc_id",))
 
 
+# Secret-scan fixture: deterministic fake credentials minted from md5 of
+# the doc key (identical in both engines) — AWS key every 3rd doc, GitHub
+# token every 4th, JWT every 5th, hex digest every 7th, a low-entropy
+# hex-shaped 'aaaa...' run every 11th (must be REJECTED by the randomness
+# gate), base64-ish blob every 13th. One expression, valid in both engines.
+_SECRETS_PAYLOAD_SQL = (
+    "'log line ' || CAST(doc_id AS STRING) || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' KEY=AKIA' || "
+    "upper(substr(md5('a' || CAST(doc_id AS STRING)), 1, 16)) ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' tok ghp_' || "
+    "substr(md5('b' || CAST(doc_id AS STRING)), 1, 32) || "
+    "substr(md5('c' || CAST(doc_id AS STRING)), 1, 4) ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' jwt eyJ' || "
+    "substr(md5('d' || CAST(doc_id AS STRING)), 1, 10) || '.' || "
+    "substr(md5('e' || CAST(doc_id AS STRING)), 1, 10) || '.' || "
+    "substr(md5('f' || CAST(doc_id AS STRING)), 1, 10) ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN ' h ' || "
+    "md5('g' || CAST(doc_id AS STRING)) ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN ' pad ' || repeat('a', 40) ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN ' b A9z' || "
+    "substr(md5('h' || CAST(doc_id AS STRING)), 1, 21) ELSE '' END"
+)
+
+
+def _q_sc_secret_scan(spark, sf_dir):
+    """Secret/credential scanning (operators/secrets.py): token-anchored
+    pattern families + integer-exact randomness gate. Oracle replays the
+    identical tokenization, cascade, and distinct-char arithmetic in
+    DuckDB/RE2."""
+    from ocr_spark.operators.secrets import secret_candidates
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _SECRETS_PAYLOAD_SQL + " AS text"
+    )
+    return secret_candidates(docs)
+
+
 # Tool-call chain fixture: deterministic runs (floor(doc_id/194) changes
 # every 2 turns within a conversation -> natural retry bursts), NULL tool
 # every 7th doc (text turns between calls must not split a run). Same
@@ -3179,6 +3216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "md_section_chunks": _q_md_section_chunks,
         "cd_code_clones": _q_cd_code_clones,
         "sq_span_integrity": _q_sq_span_integrity,
+        "sc_secret_scan": _q_sc_secret_scan,
     }
 
 
@@ -5314,6 +5352,40 @@ v AS (SELECT doc_id,
 SELECT doc_id, n_spans, ok_bounds, ok_sorted, ok_disjoint, covered_chars,
        ok_bounds AND ok_sorted AND ok_disjoint AS ok
 FROM v
+""",
+        "sc_secret_scan": f"""
+WITH c AS (SELECT doc_id, {_SECRETS_PAYLOAD_SQL} AS text FROM documents),
+s AS (SELECT doc_id,
+             string_split_regex(coalesce(text, ''), '[^A-Za-z0-9_.+/-]+')
+               AS toks FROM c),
+t AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS tok_idx,
+             toks[CAST(i AS INTEGER)] AS tok
+      FROM s, unnest(generate_series(1, len(toks))) AS u(i)),
+f AS (SELECT doc_id, tok_idx, tok,
+       CAST(len(list_distinct([tok[i] for i in
+                               generate_series(1, len(tok))])) * 100
+            // len(tok) AS INTEGER) AS distinct_pct
+      FROM t WHERE len(tok) >= 16 AND len(tok) <= 512),
+k AS (SELECT doc_id, tok_idx, tok, distinct_pct,
+       CASE
+         WHEN regexp_full_match(tok, 'AKIA[0-9A-Z]{{16}}') THEN 'aws_key'
+         WHEN regexp_full_match(tok, 'gh[pousr]_[A-Za-z0-9]{{36,}}')
+           THEN 'github_token'
+         WHEN regexp_full_match(tok,
+           'eyJ[A-Za-z0-9_-]{{8,}}\\.[A-Za-z0-9_-]{{8,}}\\.[A-Za-z0-9_-]{{8,}}')
+           THEN 'jwt'
+         WHEN regexp_full_match(tok, '[0-9a-fA-F]{{32,}}')
+              AND distinct_pct >= 25 THEN 'hex_secret'
+         WHEN regexp_full_match(tok, '[A-Za-z0-9+/]{{24,}}')
+              AND distinct_pct >= 40
+              AND regexp_matches(tok, '[0-9]')
+              AND regexp_matches(tok, '[A-Z]')
+              AND regexp_matches(tok, '[a-z]') THEN 'b64_secret'
+       END AS kind
+      FROM f)
+SELECT doc_id, tok_idx, kind, CAST(len(tok) AS INTEGER) AS tok_len,
+       distinct_pct, substr(tok, 1, 4) || '...' AS preview
+FROM k WHERE kind IS NOT NULL
 """,
         "ts_retry_bursts": _TOOLCHAIN_RUNS_CTE
         + " SELECT conv, CAST(sum(run_len) AS BIGINT) AS n_tool_calls, "

@@ -187,6 +187,7 @@ def main() -> None:
         "md_section_chunks",
         "cd_code_clones",
         "sq_span_integrity",
+        "sc_secret_scan",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1,0 +1,128 @@
+"""Secret / credential scanning over text payloads.
+
+Code and agent-transcript corpora leak credentials: AWS keys pasted into
+tool output, bearer tokens in curl examples, JWTs in debug logs. The
+BigCode pipeline (Allal et al., SantaCoder '23; Kocetkov et al., The
+Stack '22) runs a detect-secrets-style scan — pattern families plus a
+randomness gate — before any release. This module is that scan as a
+Spark-native operator over the transcripts corpus.
+
+Reference analog: /root/reference/app/services/ocr_service.py extracts
+credential-shaped fields from OCR'd documents; here the same shape
+detection protects the corpus instead of populating it.
+
+Design — tokens, not free regex:
+- The payload is split on non-token characters and WHOLE tokens are
+  classified with anchored patterns. This avoids lookarounds (so the
+  DuckDB/RE2 oracle replays the exact semantics) and avoids partial
+  matches inside longer identifiers.
+- The randomness gate is integer-exact: ``distinct_pct = 100 *
+  n_distinct_chars / len`` (integer division). True Shannon entropy
+  needs floats whose summation order is engine-dependent; the distinct
+  ratio is the standard cheap surrogate (H <= log2(n_distinct), so a
+  LOW distinct ratio certifies low entropy — exactly what the gate
+  rejects: 'aaaa...' hex-shaped runs, padding artifacts).
+
+Scale shape (10^12 turns): split + posexplode is a map-side 1:N fan-out
+bounded by token count; classification is row-local codegen (anchored
+``rlike`` + char-distinct algebra on <=128-char tokens); candidates are
+a tiny fraction of rows, so the only shuffle (``secret_scan_report``'s
+groupBy) sees secret-bearing turns only, map-side combined. No Python
+anywhere.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["secret_candidates", "secret_scan_report", "SECRET_KINDS"]
+
+# (kind, anchored pattern, min distinct_pct, extra required patterns),
+# ordered: first match wins (a token can shape-match several families; the
+# cascade order below is specificity-desc).
+SECRET_KINDS = (
+    ("aws_key", r"^AKIA[0-9A-Z]{16}$", 0, ()),
+    ("github_token", r"^gh[pousr]_[A-Za-z0-9]{36,}$", 0, ()),
+    ("jwt", r"^eyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}$", 0, ()),
+    # hex/base64 blobs are only secrets when random enough: min distinct_pct;
+    # b64 additionally requires all three char classes, killing path-like
+    # tokens ('src/main/java/Config') that are charset-legal but not random
+    ("hex_secret", r"^[0-9a-fA-F]{32,}$", 25, ()),
+    ("b64_secret", r"^[A-Za-z0-9+/]{24,}$", 40, ("[0-9]", "[A-Z]", "[a-z]")),
+)
+
+# '=' splits (KEY=value assignments are the dominant context; base64 padding
+# is lost but the pattern does not require it)
+_TOKEN_SPLIT = r"[^A-Za-z0-9_.+/-]+"
+_MAX_TOKEN = 512  # longer runs are data blobs, not credentials; cap the
+# char-distinct work per token (the distinct count is O(len) state via
+# aggregate, but there is no reason to scan megabyte tokens)
+
+
+def _distinct_pct() -> F.Column:
+    """Integer percent of distinct characters in ``tok`` (codegen only)."""
+    return F.expr(
+        "CAST(size(array_distinct(transform(sequence(1, length(tok)), "
+        "i -> substring(tok, i, 1)))) * 100 DIV length(tok) AS INT)"
+    )
+
+
+def secret_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 16,
+) -> DataFrame:
+    """Per-token secret verdicts: ``(id, tok_idx, kind, tok_len,
+    distinct_pct, preview)``.
+
+    ``preview`` is the first 4 characters + '...' — enough for triage
+    tooling without re-leaking the credential. Tokens matching no family
+    (or failing a family's randomness floor) are dropped before any
+    shuffle.
+    """
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), _TOKEN_SPLIT)
+            ).alias("tok_idx", "tok"),
+        )
+        .where(
+            (F.length("tok") >= min_len) & (F.length("tok") <= _MAX_TOKEN)
+        )
+    )
+    pct = _distinct_pct().alias("distinct_pct")
+    kind = F.lit(None).cast("string")
+    for name, pat, floor, extra in reversed(SECRET_KINDS):
+        cond = F.col("tok").rlike(pat)
+        if floor:
+            cond = cond & (F.col("distinct_pct") >= floor)
+        for e in extra:
+            cond = cond & F.col("tok").rlike(e)
+        kind = F.when(cond, F.lit(name)).otherwise(kind)
+    return (
+        toks.select(F.col(id_col), "tok_idx", "tok", pct)
+        .withColumn("kind", kind)
+        .where(F.col("kind").isNotNull())
+        .select(
+            F.col(id_col),
+            "tok_idx",
+            "kind",
+            F.length("tok").alias("tok_len"),
+            "distinct_pct",
+            F.concat(F.substring("tok", 1, 4), F.lit("...")).alias("preview"),
+        )
+    )
+
+
+def secret_scan_report(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document counts by secret kind — the release-gate number.
+    One map-side-combined groupBy over secret-bearing rows only."""
+    return (
+        secret_candidates(df, text_col=text_col, id_col=id_col)
+        .groupBy(id_col, "kind")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
