@@ -986,6 +986,37 @@ def _q_sc_secret_scan(spark, sf_dir):
     return secret_candidates(docs)
 
 
+# FIM fixture: variable-length slices of the documents text (5..41 chars,
+# some under min_len -> must pass through as 'plain').
+_FIM_PAYLOAD_SQL = "substr(coalesce(text, ''), 1, 5 + doc_id % 37)"
+
+
+def _q_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle training transform (operators/fim.py):
+    hash-deterministic cut points + PSM/SPM serialization, pure codegen
+    projection. The oracle evaluates the IDENTICAL expression pair
+    (fim.fim_case_sql is shared by both engines), so any drift between
+    the operator and the documented semantics fails the hash."""
+    from ocr_spark.operators.fim import fim_transform
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _FIM_PAYLOAD_SQL + " AS text"
+    )
+    return fim_transform(docs, fim_pct=60, spm_pct=40).select(
+        "doc_id", "fim_format", "fim_text"
+    )
+
+
+def _fim_oracle_sql() -> str:
+    from ocr_spark.operators.fim import fim_case_sql
+
+    fmt, text = fim_case_sql("text", "doc_id", fim_pct=60, spm_pct=40)
+    return (
+        f"WITH c AS (SELECT doc_id, {_FIM_PAYLOAD_SQL} AS text FROM documents) "
+        f"SELECT doc_id, {fmt} AS fim_format, {text} AS fim_text FROM c"
+    )
+
+
 # Tool-call chain fixture: deterministic runs (floor(doc_id/194) changes
 # every 2 turns within a conversation -> natural retry bursts), NULL tool
 # every 7th doc (text turns between calls must not split a run). Same
@@ -3217,6 +3248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cd_code_clones": _q_cd_code_clones,
         "sq_span_integrity": _q_sq_span_integrity,
         "sc_secret_scan": _q_sc_secret_scan,
+        "fim_transform": _q_fim_transform,
     }
 
 
@@ -5387,6 +5419,7 @@ SELECT doc_id, tok_idx, kind, CAST(len(tok) AS INTEGER) AS tok_len,
        distinct_pct, substr(tok, 1, 4) || '...' AS preview
 FROM k WHERE kind IS NOT NULL
 """,
+        "fim_transform": _fim_oracle_sql(),
         "ts_retry_bursts": _TOOLCHAIN_RUNS_CTE
         + " SELECT conv, CAST(sum(run_len) AS BIGINT) AS n_tool_calls, "
         "CAST(count(*) AS BIGINT) AS n_runs, "

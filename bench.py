@@ -188,6 +188,7 @@ def main() -> None:
         "cd_code_clones",
         "sq_span_integrity",
         "sc_secret_scan",
+        "fim_transform",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1,0 +1,111 @@
+"""Fill-in-the-middle (FIM) training transform.
+
+Code models are trained with a fraction of documents rearranged as
+prefix/suffix -> middle completions (Bavarian et al. '22 "Efficient
+Training of Language Models to Fill in the Middle"; used by StarCoder,
+Code Llama). The transform picks two cut points, splits the document into
+(prefix, middle, suffix), and re-serializes with sentinel tokens in PSM
+(<fim_prefix>P<fim_suffix>S<fim_middle>M) or SPM order.
+
+Training-data determinism matters: a re-run must produce byte-identical
+shards (the resume/lineage story), so the "random" choices here are a
+hash of the document key, not an RNG — the same discipline as
+``training.shuffle_to_shards``. The hash is an affine map mod a large
+prime with a cubic scramble (plain affine is visibly non-uniform on
+dense integer keys).
+
+Scale shape (10^12 turns): everything is a row-local codegen projection —
+two substrings and a concat per row, zero shuffle, zero Python. FIM rides
+whatever scan feeds the shard writer.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fim_transform", "fim_case_sql", "FIM_PREFIX", "FIM_MIDDLE", "FIM_SUFFIX"]
+
+FIM_PREFIX = "<fim_prefix>"
+FIM_MIDDLE = "<fim_middle>"
+FIM_SUFFIX = "<fim_suffix>"
+
+_P = 1_000_003  # prime modulus for the per-decision hash lanes
+
+
+def _lane(id_col: str, salt: int) -> str:
+    """Deterministic pseudo-random lane in [0, _P): cubic scramble of an
+    affine map, SQL identical in Spark and DuckDB (BIGINT throughout —
+    the intermediate never exceeds ~2^60)."""
+    a = f"((CAST({id_col} AS BIGINT) + {salt}) * 1000000007 % {_P})"
+    return f"(({a} * {a} % {_P}) * {a} % {_P})"
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_pct: int = 50,
+    spm_pct: int = 50,
+    min_len: int = 8,
+) -> DataFrame:
+    """Attach ``fim_text`` (the serialized training document) and
+    ``fim_format`` ('psm' | 'spm' | 'plain').
+
+    - A document is FIM-transformed iff its rate lane falls under
+      ``fim_pct`` (percent) AND it has at least ``min_len`` characters;
+      otherwise it passes through unchanged as 'plain'.
+    - Cut points: ``lo`` uniform in [1, len-1], ``hi`` uniform in
+      [lo, len-1] — middle is never empty-by-construction only when
+      lo < hi; an empty middle (lo == hi) is legal FIM (teaches the
+      model to insert nothing) and kept.
+    - PSM vs SPM chosen per document by an independent lane.
+
+    All decisions are pure functions of (id, fim_pct, spm_pct), so
+    re-runs and engine replays are byte-identical.
+    """
+    fmt_sql, text_sql = fim_case_sql(text_col, id_col, fim_pct, spm_pct, min_len)
+    return df.withColumn("fim_format", F.expr(fmt_sql)).withColumn(
+        "fim_text", F.expr(text_sql)
+    )
+
+
+def fim_case_sql(
+    text_col: str,
+    id_col: str,
+    fim_pct: int = 50,
+    spm_pct: int = 50,
+    min_len: int = 8,
+) -> tuple:
+    """(fim_format_sql, fim_text_sql) — ONE expression pair, valid in both
+    Spark SQL and DuckDB (length/substring/%/||/CASE only), used by the
+    operator AND its oracle twin so the two can never drift."""
+    if not 0 <= fim_pct <= 100 or not 0 <= spm_pct <= 100:
+        raise ValueError("fim_pct and spm_pct must be in [0, 100]")
+    t = f"coalesce({text_col}, '')"
+    n = f"length({t})"
+    apply_fim = f"({_lane(id_col, 1)} % 100 < {fim_pct}) AND {n} >= {min_len}"
+    lo = f"(1 + {_lane(id_col, 2)} % ({n} - 1))"
+    hi = f"({lo} + {_lane(id_col, 3)} % ({n} - {lo}))"
+    pre = f"substring({t}, 1, {lo})"
+    mid = f"substring({t}, {lo} + 1, {hi} - {lo})"
+    suf = f"substring({t}, {hi} + 1, {n} - {hi})"
+    psm = (
+        f"'{FIM_PREFIX}' || {pre} || '{FIM_SUFFIX}' || {suf} || "
+        f"'{FIM_MIDDLE}' || {mid}"
+    )
+    spm = (
+        f"'{FIM_SUFFIX}' || {suf} || '{FIM_PREFIX}' || {pre} || "
+        f"'{FIM_MIDDLE}' || {mid}"
+    )
+    use_spm = f"({_lane(id_col, 4)} % 100 < {spm_pct})"
+    fmt = (
+        f"CASE WHEN {apply_fim} THEN "
+        f"CASE WHEN {use_spm} THEN 'spm' ELSE 'psm' END "
+        f"ELSE 'plain' END"
+    )
+    text = (
+        f"CASE WHEN {apply_fim} THEN "
+        f"CASE WHEN {use_spm} THEN {spm} ELSE {psm} END "
+        f"ELSE {t} END"
+    )
+    return fmt, text

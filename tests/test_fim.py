@@ -1,0 +1,80 @@
+"""Fill-in-the-middle transform (operators/fim.py)."""
+import pytest
+
+from ocr_spark.operators.fim import (
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    fim_transform,
+)
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r.doc_id: r for r in fim_transform(df, **kw).collect()}
+
+
+def test_reconstruction_exact(spark):
+    """Prefix+middle+suffix always reassembles the original text."""
+    rows = [(i, f"0123456789abcdefghij-{i}") for i in range(40)]
+    out = _run(spark, rows, fim_pct=100)
+    for i, text in rows:
+        r = out[i]
+        assert r.fim_format in ("psm", "spm")
+        if r.fim_format == "psm":
+            assert r.fim_text.startswith(FIM_PREFIX)
+            body = r.fim_text[len(FIM_PREFIX):]
+            pre, rest = body.split(FIM_SUFFIX, 1)
+            suf, mid = rest.split(FIM_MIDDLE, 1)
+        else:
+            assert r.fim_text.startswith(FIM_SUFFIX)
+            body = r.fim_text[len(FIM_SUFFIX):]
+            suf, rest = body.split(FIM_PREFIX, 1)
+            pre, mid = rest.split(FIM_MIDDLE, 1)
+        assert pre + mid + suf == text
+        assert len(pre) >= 1  # lo >= 1
+
+
+def test_rate_zero_is_identity(spark):
+    rows = [(i, f"some document body {i}") for i in range(10)]
+    out = _run(spark, rows, fim_pct=0)
+    assert all(out[i].fim_format == "plain" and out[i].fim_text == t for i, t in rows)
+
+
+def test_short_docs_pass_through(spark):
+    out = _run(spark, [(1, "tiny"), (2, None)], fim_pct=100)
+    assert out[1].fim_format == "plain" and out[1].fim_text == "tiny"
+    assert out[2].fim_format == "plain" and out[2].fim_text == ""
+
+
+def test_deterministic_across_runs_and_partitioning(spark):
+    rows = [(i, f"alpha beta gamma delta {i}") for i in range(50)]
+    a = _run(spark, rows, fim_pct=60, spm_pct=40)
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    b = {r.doc_id: r for r in fim_transform(df, fim_pct=60, spm_pct=40).collect()}
+    assert all(
+        a[i].fim_text == b[i].fim_text and a[i].fim_format == b[i].fim_format
+        for i in a
+    )
+
+
+def test_rates_roughly_hold(spark):
+    rows = [(i, "x" * 64) for i in range(400)]
+    out = _run(spark, rows, fim_pct=50, spm_pct=50)
+    fimmed = [r for r in out.values() if r.fim_format != "plain"]
+    assert 120 <= len(fimmed) <= 280  # ~200 expected
+    spm = sum(1 for r in fimmed if r.fim_format == "spm")
+    assert 0.25 <= spm / len(fimmed) <= 0.75
+
+
+def test_invalid_rates_raise(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        fim_transform(df, fim_pct=101)
+
+
+def test_pure_projection_plan(spark):
+    df = spark.createDataFrame([(1, "abcdefgh" * 4)], "doc_id long, text string")
+    plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
