@@ -49,6 +49,8 @@ from ocr_spark.operators import lm_quality as LMQ
 from ocr_spark.operators import quantize as QZO
 from ocr_spark.operators import tokenizer as TKZO
 from ocr_spark.operators import snapshot as SNP
+from ocr_spark.operators import transcript_qc as TQC
+from ocr_spark.operators import linkgraph as LG
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
@@ -3061,6 +3063,249 @@ def _q_lm_trigram_ppl(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-4 wave 3: transcript-native curation ops
+# ---------------------------------------------------------------------------
+
+_CTX_BUDGET = 60
+
+
+def _q_ctx_budget_tail(spark, sf_dir):
+    """Context-window fitting (transcript_qc.truncate_to_budget): longest
+    whole-turn suffix per conversation within a token budget, final turn
+    always kept. One descending cumulative window — the oracle is the
+    identical window algebra in DuckDB."""
+    from ocr_spark.functions import text_stats as _TS
+    from ocr_spark.operators.transcript_qc import truncate_to_budget
+
+    out = truncate_to_budget(
+        _conv_corpus(spark, sf_dir),
+        budget=_CTX_BUDGET,
+        conv_col="conv",
+        tokens=_TS.token_count(F.col("text")).cast("long"),
+    )
+    return out.select("conv", "turn_idx", "role", "tail_tokens")
+
+
+# Boilerplate-prefix fixture: the first turn of each conversation is one
+# of 7 templated system preambles (with whitespace jitter the normalizer
+# must collapse), except every 13th conversation gets a unique preamble
+# (a singleton the min_convs=2 gate must drop). Later turns carry
+# document text. Same SELECT list on both engines.
+_PREFIX_CORPUS_EXPRS = [
+    "CAST(doc_id % 101 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 101) AS INT) AS turn_idx",
+    "CASE WHEN floor(doc_id / 101) = 0 THEN "
+    "CASE WHEN doc_id % 13 = 0 THEN 'unique preamble for conv ' "
+    "|| CAST(doc_id % 101 AS STRING) "
+    "ELSE 'You are' || CASE WHEN doc_id % 2 = 0 THEN '  ' ELSE ' ' END || "
+    "'assistant variant ' || CAST(doc_id % 7 AS STRING) END "
+    "ELSE substr(coalesce(text, ''), 1, 80) END AS text",
+]
+_PREFIX_CORPUS_SQL = "SELECT " + ", ".join(_PREFIX_CORPUS_EXPRS) + " FROM documents"
+
+
+def _q_qc_prefix_clusters(spark, sf_dir):
+    """Boilerplate-prompt mining (transcript_qc.prefix_clusters):
+    conversations clustered by normalized first turn; clusters below
+    min_convs dropped. Oracle replays the first-turn window + the
+    whitespace-collapsing normalizer in DuckDB."""
+    from ocr_spark.operators.transcript_qc import prefix_clusters
+
+    convs = _t(spark, sf_dir, "documents").selectExpr(*_PREFIX_CORPUS_EXPRS)
+    return prefix_clusters(convs, conv_col="conv", min_convs=2)
+
+
+# Response-quality fixture: roles cycle user/assistant/tool/assistant in
+# turn order (73 % 4 == 1, so doc_id % 4 advances one step per turn);
+# assistant payloads are fully controlled — refusal openers, mid-sentence
+# cutoffs (long, no terminal punctuation), and empty-after-tool turns all
+# injected deterministically.
+_FLAGS_CORPUS_EXPRS = [
+    "CAST(doc_id % 73 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 73) AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "WHEN 2 THEN 'tool' ELSE 'assistant' END AS role",
+    "CASE WHEN doc_id % 4 = 3 AND doc_id % 5 = 0 THEN '' "
+    "WHEN doc_id % 4 = 1 AND doc_id % 3 = 0 THEN "
+    "'I cannot help with that request ' || CAST(doc_id % 11 AS STRING) "
+    "WHEN doc_id % 4 = 1 AND doc_id % 3 = 1 THEN "
+    "'providing the requested summary of section ' || "
+    "CAST(doc_id % 7 AS STRING) || ' which continues without any closing' "
+    "WHEN doc_id % 4 IN (1, 3) THEN 'Completed step ' || "
+    "CAST(doc_id % 9 AS STRING) || '.' "
+    "ELSE substr(coalesce(text, ''), 1, 50) END AS text",
+]
+_FLAGS_CORPUS_SQL = "SELECT " + ", ".join(_FLAGS_CORPUS_EXPRS) + " FROM documents"
+
+
+def _q_qc_assistant_flags(spark, sf_dir):
+    """Assistant-turn response-quality heuristics (transcript_qc.
+    assistant_turn_flags): truncation / refusal / swallowed-tool-result
+    flags, pure codegen predicates + one lag window. Oracle recomputes
+    all three from the identical fixture in DuckDB/RE2."""
+    from ocr_spark.operators.transcript_qc import assistant_turn_flags
+
+    convs = _t(spark, sf_dir, "documents").selectExpr(*_FLAGS_CORPUS_EXPRS)
+    return assistant_turn_flags(convs, conv_col="conv")
+
+
+# Retry-collapse fixture: turns cycle user/assistant/assistant (role from
+# turn_idx % 3), so every conversation has consecutive same-role pairs;
+# the second assistant turn repeats the first's token set exactly
+# (conv%4=0 -> superseded), with one extra token (conv%4=1 -> Jaccard
+# 7/8, still >= 4/5 -> superseded), or with six extra tokens (conv%4 in
+# 2,3 -> Jaccard 7/13 -> kept).
+_RETRY_CORPUS_EXPRS = [
+    "CAST(doc_id % 61 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 61) AS INT) AS turn_idx",
+    "CASE WHEN floor(doc_id / 61) % 3 = 0 THEN 'user' ELSE 'assistant' END "
+    "AS role",
+    "CASE WHEN floor(doc_id / 61) % 3 = 0 THEN 'question ' "
+    "|| CAST(doc_id % 61 AS STRING) || ' ' || CAST(floor(doc_id / 61) AS STRING) "
+    "ELSE 'alpha beta gamma delta epsilon answer ' "
+    "|| CAST((doc_id % 61 + floor(floor(doc_id / 61) / 3)) % 9 AS STRING) "
+    "|| CASE WHEN floor(doc_id / 61) % 3 = 1 THEN '' "
+    "WHEN doc_id % 61 % 4 = 0 THEN '' "
+    "WHEN doc_id % 61 % 4 = 1 THEN ' revised' "
+    "ELSE ' plus many extra different tokens now' END END AS text",
+]
+_RETRY_CORPUS_SQL = "SELECT " + ", ".join(_RETRY_CORPUS_EXPRS) + " FROM documents"
+
+
+def _q_qc_retry_collapse(spark, sf_dir):
+    """Same-role retry collapse (transcript_qc.collapse_retries): a turn
+    superseded by a near-identical successor (integer-exact token-set
+    Jaccard >= 4/5) is dropped. Oracle replays the lead window and the
+    list-intersection arithmetic in DuckDB."""
+    from ocr_spark.operators.transcript_qc import collapse_retries
+
+    convs = _t(spark, sf_dir, "documents").selectExpr(*_RETRY_CORPUS_EXPRS)
+    out = collapse_retries(convs, conv_col="conv", num=4, den=5)
+    return out.select("conv", "turn_idx", "role")
+
+
+def _q_sq_span_overlap(spark, sf_dir):
+    """Interval-overlap join between two per-document span sets
+    (span_qc.span_overlap_join) — the redaction planner's "which
+    extraction spans hit a PII span" question. Equi-join on the doc key
+    with the half-open interval predicate; oracle is the identical join
+    in DuckDB."""
+    from ocr_spark.operators.span_qc import span_overlap_join
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.selectExpr(
+        "doc_id",
+        "CAST(0 AS INT) AS start",
+        "CAST(5 + doc_id % 7 AS INT) AS end",
+    ).unionAll(
+        docs.selectExpr(
+            "doc_id",
+            "CAST(10 AS INT) AS start",
+            "CAST(15 + doc_id % 5 AS INT) AS end",
+        )
+    )
+    right = docs.selectExpr(
+        "doc_id",
+        "CAST(3 + doc_id % 5 AS INT) AS start",
+        "CAST(9 AS INT) AS end",
+    ).unionAll(
+        docs.selectExpr(
+            "doc_id",
+            "CAST(12 + doc_id % 3 AS INT) AS start",
+            "CAST(20 AS INT) AS end",
+        )
+    )
+    return span_overlap_join(left, right, key="doc_id")
+
+
+def _q_dd_cluster_best(spark, sf_dir):
+    """Quality-aware near-dup survivor (dedup.best_in_cluster): the
+    highest-quality member of each connected component survives (tie ->
+    min id) — FineWeb-style keep-best, vs canonical_docs' min-id rule.
+    Pair fixture chains ids into runs of five, so the oracle knows each
+    component in closed form and replays the argmax window."""
+    from ocr_spark.operators.dedup import best_in_cluster
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST(floor(doc_id / 2) % 50 AS BIGINT) AS quality"
+    )
+    pairs = docs.filter("doc_id % 5 != 0").selectExpr(
+        "doc_id - doc_id % 5 AS id_a", "doc_id AS id_b"
+    )
+    out = best_in_cluster(docs, pairs, quality_col="quality")
+    return out.select("doc_id", "quality", F.col("cluster_size").cast("long").alias("cluster_size"))
+
+
+def _q_tr_split_leakage(spark, sf_dir):
+    """Split-boundary leakage audit (training.split_leakage_report):
+    near-dup pairs whose members landed in different train/val/test
+    splits. Pairs chain ids into runs of three; the split is the
+    deterministic multiplicative-hash assignment, so the oracle
+    recomputes both sides exactly."""
+    from ocr_spark.operators.training import split_leakage_report, stratified_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    asg = stratified_split(docs)
+    pairs = docs.filter("doc_id % 3 != 0").selectExpr(
+        "doc_id - doc_id % 3 AS id_a", "doc_id AS id_b"
+    )
+    return split_leakage_report(asg, pairs)
+
+
+def _q_emb_conv_pool(spark, sf_dir):
+    """Conversation-level embedding by mean-pooling turn vectors
+    (embed.mean_pool_groups) over int8-quantized vectors
+    (quantize.quantize_embeddings) — per-dim SUMS, so every value is
+    int64-exact and the packed string hashes identically in DuckDB."""
+    from ocr_spark.operators.embed import mean_pool_groups
+
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "CAST(vec_id % 97 AS BIGINT) AS conv", "embedding"
+    )
+    q = QZO.quantize_embeddings(emb)
+    pooled = mean_pool_groups(
+        q.select("conv", F.col("q_vec").alias("embedding")),
+        "conv",
+        sum_only=True,
+    )
+    return pooled.select(
+        "conv",
+        "n_vecs",
+        F.array_join(
+            F.transform("pooled", lambda v: v.cast("string")), ","
+        ).alias("pooled_sums"),
+    )
+
+
+# URL-dedup fixture: scheme/host case jitter, trailing slashes, tracking
+# params, fragments — all variants of host=doc_id%10 x page=doc_id%50
+# addresses the canonicalizer must merge. One expression, both engines.
+_URL_FIXTURE_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example' ELSE 'www.example' END || "
+    "CAST(doc_id % 10 AS STRING) || '.com/page' || "
+    "CAST(doc_id % 50 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '?utm_source=news&ref=tw&item=' || "
+    "CAST(doc_id % 7 AS STRING) ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN '#section-' || "
+    "CAST(doc_id % 5 AS STRING) ELSE '' END"
+)
+
+
+def _q_lg_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (linkgraph.canonical_url + url_dedup): the
+    payload-free first dedup pass of a web corpus. The oracle replays
+    the identical RE2 canonicalization chain CTE-by-CTE in DuckDB."""
+    from ocr_spark.operators.linkgraph import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _URL_FIXTURE_SQL + " AS url"
+    )
+    return url_dedup(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -3249,6 +3494,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_span_integrity": _q_sq_span_integrity,
         "sc_secret_scan": _q_sc_secret_scan,
         "fim_transform": _q_fim_transform,
+        # -- round-4 wave 3: transcript-native curation ops
+        "ctx_budget_tail": _q_ctx_budget_tail,
+        "qc_prefix_clusters": _q_qc_prefix_clusters,
+        "qc_assistant_flags": _q_qc_assistant_flags,
+        "qc_retry_collapse": _q_qc_retry_collapse,
+        "sq_span_overlap": _q_sq_span_overlap,
+        "dd_cluster_best": _q_dd_cluster_best,
+        "tr_split_leakage": _q_tr_split_leakage,
+        "emb_conv_pool": _q_emb_conv_pool,
+        "lg_url_dedup": _q_lg_url_dedup,
     }
 
 
@@ -5982,4 +6237,131 @@ SELECT ls.doc_id, coalesce(a.deduped_text, '') AS deduped_text,
   CAST(len(ls.arr) - coalesce(a.kept_n, 0) AS BIGINT) AS n_removed
 FROM ls LEFT JOIN agg a USING (doc_id)
 """,
+        # -- round-4 wave 3: transcript-native curation ops
+        "ctx_budget_tail": (
+            f"WITH c AS ({_CONV_CORPUS_SQL}), "
+            f"t AS (SELECT conv, turn_idx, role, "
+            f"CAST({TS.token_count_sql('text')} AS BIGINT) AS tok FROM c), "
+            "w AS (SELECT conv, turn_idx, role, "
+            "sum(tok) OVER (PARTITION BY conv ORDER BY turn_idx DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tail_tokens, "
+            "row_number() OVER (PARTITION BY conv ORDER BY turn_idx DESC) "
+            "AS pos FROM t) "
+            "SELECT conv, turn_idx, role, CAST(tail_tokens AS BIGINT) "
+            f"AS tail_tokens FROM w WHERE tail_tokens <= {_CTX_BUDGET} OR pos = 1"
+        ),
+        "qc_prefix_clusters": (
+            f"WITH c AS ({_PREFIX_CORPUS_SQL}), "
+            "f AS (SELECT conv, text, row_number() OVER "
+            "(PARTITION BY conv ORDER BY turn_idx) AS rn FROM c), "
+            "h AS (SELECT conv, trim(regexp_replace(lower("
+            "substr(coalesce(text, ''), 1, 200)), '\\s+', ' ', 'g')) "
+            "AS prefix_norm FROM f WHERE rn = 1) "
+            "SELECT prefix_norm, CAST(count(*) AS BIGINT) AS n_convs, "
+            "min(conv) AS sample_conv FROM h GROUP BY prefix_norm "
+            "HAVING count(*) >= 2"
+        ),
+        "qc_assistant_flags": (
+            f"WITH c AS ({_FLAGS_CORPUS_SQL}), "
+            "l AS (SELECT conv, turn_idx, role, "
+            "trim(coalesce(text, '')) AS txt, "
+            "lag(role) OVER (PARTITION BY conv ORDER BY turn_idx) "
+            "AS prev_role FROM c) "
+            "SELECT conv, turn_idx, "
+            "CAST(CASE WHEN length(txt) >= 40 AND NOT regexp_matches(txt, "
+            f"'{TQC._TERMINAL_TAIL.replace(chr(39), chr(39) * 2)}') "
+            "THEN 1 ELSE 0 END AS INT) AS truncated, "
+            "CAST(CASE WHEN regexp_matches(txt, "
+            f"'{TQC.REFUSAL_PATTERN.replace(chr(39), chr(39) * 2)}') "
+            "THEN 1 ELSE 0 END AS INT) AS refusal, "
+            "CAST(CASE WHEN length(txt) = 0 AND prev_role = 'tool' "
+            "THEN 1 ELSE 0 END AS INT) AS empty_after_tool "
+            "FROM l WHERE role = 'assistant'"
+        ),
+        "qc_retry_collapse": (
+            f"WITH c AS ({_RETRY_CORPUS_SQL}), "
+            "t AS (SELECT conv, turn_idx, role, "
+            "list_filter(string_split_regex(lower(coalesce(text, '')), "
+            "'[^a-z0-9]+'), x -> x <> '') AS toks FROM c), "
+            "l AS (SELECT conv, turn_idx, role, toks, "
+            "lead(role) OVER (PARTITION BY conv ORDER BY turn_idx) AS nrole, "
+            "lead(toks) OVER (PARTITION BY conv ORDER BY turn_idx) AS ntoks "
+            "FROM t) "
+            "SELECT conv, turn_idx, role FROM l "
+            "WHERE NOT (nrole IS NOT NULL AND nrole = role "
+            "AND len(list_distinct(list_concat(toks, ntoks))) > 0 "
+            "AND len(list_intersect(toks, ntoks)) * 5 >= "
+            "len(list_distinct(list_concat(toks, ntoks))) * 4)"
+        ),
+        "sq_span_overlap": (
+            "WITH d AS (SELECT doc_id FROM documents), "
+            "l AS (SELECT doc_id, 0 AS s, 5 + doc_id % 7 AS e FROM d "
+            "UNION ALL SELECT doc_id, 10, 15 + doc_id % 5 FROM d), "
+            "r AS (SELECT doc_id, 3 + doc_id % 5 AS s, 9 AS e FROM d "
+            "UNION ALL SELECT doc_id, 12 + doc_id % 3, 20 FROM d) "
+            "SELECT l.doc_id, CAST(l.s AS INTEGER) AS start_a, "
+            "CAST(l.e AS INTEGER) AS end_a, CAST(r.s AS INTEGER) AS start_b, "
+            "CAST(r.e AS INTEGER) AS end_b, "
+            "CAST(least(l.e, r.e) - greatest(l.s, r.s) AS BIGINT) "
+            "AS overlap_len "
+            "FROM l JOIN r ON l.doc_id = r.doc_id AND l.s < r.e AND r.s < l.e"
+        ),
+        "dd_cluster_best": (
+            "WITH d AS (SELECT doc_id, "
+            "CAST(floor(doc_id / 2) % 50 AS BIGINT) AS quality, "
+            "doc_id - doc_id % 5 AS cl FROM documents), "
+            "s AS (SELECT cl, count(*) AS csz FROM d GROUP BY cl), "
+            "r AS (SELECT d.doc_id, d.quality, s.csz, "
+            "row_number() OVER (PARTITION BY d.cl "
+            "ORDER BY d.quality DESC, d.doc_id) AS rk "
+            "FROM d JOIN s USING (cl)) "
+            "SELECT doc_id, quality, CAST(csz AS BIGINT) AS cluster_size "
+            "FROM r WHERE rk = 1"
+        ),
+        "tr_split_leakage": (
+            "WITH b AS (SELECT doc_id, "
+            "((doc_id * 2654435761) % 4294967296) % 1000 AS bucket "
+            "FROM documents), "
+            "a AS (SELECT doc_id, CASE WHEN bucket < 800 THEN 'train' "
+            "WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split FROM b), "
+            "p AS (SELECT doc_id - doc_id % 3 AS id_a, doc_id AS id_b "
+            "FROM documents WHERE doc_id % 3 <> 0), "
+            "j AS (SELECT least(sa.split, sb.split) AS split_a, "
+            "greatest(sa.split, sb.split) AS split_b "
+            "FROM p JOIN a sa ON p.id_a = sa.doc_id "
+            "JOIN a sb ON p.id_b = sb.doc_id) "
+            "SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS INT) "
+            "AS is_leak FROM j GROUP BY split_a, split_b"
+        ),
+        "emb_conv_pool": (
+            "WITH e AS (SELECT CAST(vec_id % 97 AS BIGINT) AS conv, "
+            f"{QZO._sql_quantize('embedding')[1]} AS q_vec FROM embeddings), "
+            "u AS (SELECT conv, unnest(q_vec) AS v, "
+            "unnest(generate_series(1, len(q_vec))) AS pos FROM e), "
+            "p AS (SELECT conv, pos, CAST(sum(CAST(v AS BIGINT)) AS BIGINT) "
+            "AS s, count(*) AS c FROM u GROUP BY conv, pos) "
+            "SELECT conv, CAST(max(c) AS BIGINT) AS n_vecs, "
+            "string_agg(CAST(s AS VARCHAR), ',' ORDER BY pos) AS pooled_sums "
+            "FROM p GROUP BY conv"
+        ),
+        "lg_url_dedup": (
+            f"WITH u0 AS (SELECT doc_id, {_URL_FIXTURE_SQL} AS url "
+            "FROM documents), "
+            "u1 AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') "
+            "AS s FROM u0), "
+            f"u2 AS (SELECT doc_id, lower(regexp_extract(s, "
+            f"'{LG._URL_SCHEME_AUTH}')) || substr(s, length(regexp_extract(s, "
+            f"'{LG._URL_SCHEME_AUTH}')) + 1) AS s FROM u1), "
+            f"u3 AS (SELECT doc_id, regexp_replace(regexp_replace("
+            f"regexp_replace(s, '{LG._URL_TRK_MID}', '', 'g'), "
+            f"'{LG._URL_TRK_FIRST}', '?', 'g'), "
+            f"'{LG._URL_TRK_ONLY}', '', 'g') AS s FROM u2), "
+            "u4 AS (SELECT doc_id, CASE WHEN s LIKE '%/' "
+            "AND NOT regexp_matches(s, '://$') "
+            "THEN substr(s, 1, length(s) - 1) ELSE s END AS canon_url "
+            "FROM u3) "
+            "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls, "
+            "min(doc_id) AS keep_id FROM u4 GROUP BY canon_url"
+        ),
     }

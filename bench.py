@@ -189,6 +189,14 @@ def main() -> None:
         "sq_span_integrity",
         "sc_secret_scan",
         "fim_transform",
+        # round-4 wave 4: transcript-native curation (context-budget
+        # window fitting, same-role retry collapse, quality-aware
+        # near-dup survivor over connected components)
+        "ctx_budget_tail",
+        "qc_retry_collapse",
+        "dd_cluster_best",
+        "lg_url_dedup",
+        "emb_conv_pool",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

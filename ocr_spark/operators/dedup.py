@@ -385,6 +385,40 @@ def canonical_docs(
     )
 
 
+def best_in_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware cluster representative: like ``canonical_docs``,
+    but the survivor of each near-dup cluster is its HIGHEST-``quality_col``
+    member (ties broken by min id), not the min-id one. When a quality
+    signal exists (Gopher score, classifier logit, length), keeping the
+    best copy instead of an arbitrary one is strictly better curation —
+    FineWeb/Dolma keep-best is this exact rule.
+
+    Plan: connected components over the pair graph (O(log D) rounds),
+    one cluster-size aggregate, one argmax ranking window on the
+    cluster key — the same shuffle count as ``canonical_docs`` plus one
+    window on cluster-cardinality rows. Isolated documents survive
+    unchanged with ``cluster_size`` = 1."""
+    comps = connected_components(
+        pairs, nodes=df.select(id_col), src="id_a", dst="id_b"
+    )
+    labeled = df.join(comps, df[id_col] == comps.id).drop("id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    cw = Window.partitionBy("cluster")
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(cw))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "cluster")
+    )
+
+
 def near_dup_dedup(
     df: DataFrame,
     text_col: str = "text",

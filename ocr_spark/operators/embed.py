@@ -144,3 +144,53 @@ def cosine_to_query_col(vec: Column, qvec: Column) -> Column:
         F.aggregate(qvec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return F.when((n1 > 0) & (n2 > 0), dot / (n1 * n2)).otherwise(F.lit(None))
+
+
+def mean_pool_groups(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    out_col: str = "pooled",
+    sum_only: bool = False,
+) -> DataFrame:
+    """Group-level embedding from member vectors: the conversation (or
+    document) representation = element-wise mean of its turn (or chunk)
+    embeddings — the standard cheap aggregation before conversation-level
+    semantic dedup / clustering / retrieval.
+
+    Output: (``group_col``, ``n_vecs``, ``out_col``). ``sum_only=True``
+    emits exact per-dimension SUMS instead of means — over int-quantized
+    vectors (operators/quantize.py) every value stays int64-exact, which
+    is what the oracle twin hashes (a mean would hash fine too, but sums
+    make the arithmetic engine-portable by construction).
+
+    Plan: posexplode -> one map-side-combined (group, dim) aggregate ->
+    one group aggregate collecting the dim-sized result. The explode
+    multiplies rows by the dimension, but each exploded row is three
+    narrow columns and the first aggregate combines map-side, so the
+    shuffle carries |groups| x dim partial sums, not |vectors| x dim
+    values. No Python anywhere.
+    """
+    cast_to = "bigint" if sum_only else "double"
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    )
+    per = ex.groupBy(group_col, "pos").agg(
+        F.sum(F.col("val").cast(cast_to)).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    gathered = per.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("s")))).alias(
+            "_a"
+        ),
+        F.max("c").cast("long").alias("n_vecs"),
+    )
+    if sum_only:
+        pooled = F.transform(F.col("_a"), lambda st: st["s"].cast("bigint"))
+    else:
+        pooled = F.transform(
+            F.col("_a"), lambda st: st["s"] / F.col("n_vecs").cast("double")
+        )
+    return gathered.select(
+        F.col(group_col), F.col("n_vecs"), pooled.alias(out_col)
+    )

@@ -142,3 +142,80 @@ def link_rank(
         extract_links(docs, text_col, id_col), slug_pattern
     )
     return pagerank(edges, n_iter=n_iter, damping=damping)
+
+
+# URL canonicalization — every regex here is RE2-portable (no
+# backreferences, no lookarounds) and shared verbatim with the DuckDB
+# oracle twin via canonical_url_sql(); change them in both forms or the
+# gate hash-verifies the drift immediately.
+_URL_SCHEME_AUTH = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_URL_TRACKING = r"(utm_[a-z]+|fbclid|gclid|msclkid|ref)"
+_URL_TRK_MID = r"&" + _URL_TRACKING + r"=[^&#]*"
+_URL_TRK_FIRST = r"\?" + _URL_TRACKING + r"=[^&#]*&"
+_URL_TRK_ONLY = r"\?" + _URL_TRACKING + r"=[^&#]*$"
+
+
+def canonical_url(col) -> F.Column:
+    """Canonical form of a URL, regex-only:
+
+    1. strip the fragment;
+    2. lowercase ``scheme://authority`` (path/query case preserved —
+       paths are case-significant on most origins);
+    3. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+       ``msclkid``, ``ref``) wherever they sit in the query string;
+    4. drop one trailing ``/`` (not the one in ``scheme://``).
+
+    Deliberately NOT done: query-param reordering (kept params keep
+    their order — reordering changes semantics on some origins) and
+    percent-decoding (lossy). The dedup this feeds treats those
+    variants as distinct, which under-merges — the safe direction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.regexp_replace(c, r"#.*", "")
+    head = F.regexp_extract(s, _URL_SCHEME_AUTH, 0)
+    s = F.concat(
+        F.lower(head), s.substr(F.length(head) + 1, F.length(s))
+    )
+    s = F.regexp_replace(s, _URL_TRK_MID, "")
+    s = F.regexp_replace(s, _URL_TRK_FIRST, "?")
+    s = F.regexp_replace(s, _URL_TRK_ONLY, "")
+    return F.when(
+        s.endswith("/") & ~s.rlike(r"://$"),
+        s.substr(F.lit(1), F.length(s) - 1),
+    ).otherwise(s)
+
+
+def canonical_url_sql(expr: str) -> str:
+    """The identical canonicalization as one DuckDB SQL expression (RE2,
+    global-replace flags where Spark replaces all occurrences)."""
+    s0 = f"regexp_replace({expr}, '#.*', '', 'g')"
+    head = f"regexp_extract({s0}, '{_URL_SCHEME_AUTH}')"
+    s1 = f"(lower({head}) || substr({s0}, length({head}) + 1))"
+    # DuckDB single-quoted strings pass backslashes through verbatim, so
+    # the Python pattern (one backslash before '?') embeds as-is.
+    s2 = f"regexp_replace({s1}, '{_URL_TRK_MID}', '', 'g')"
+    s3 = f"regexp_replace({s2}, '{_URL_TRK_FIRST}', '?', 'g')"
+    s4 = f"regexp_replace({s3}, '{_URL_TRK_ONLY}', '', 'g')"
+    return (
+        f"CASE WHEN {s4} LIKE '%/' AND NOT regexp_matches({s4}, '://$') "
+        f"THEN substr({s4}, 1, length({s4}) - 1) ELSE {s4} END"
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster pages by canonical URL — the cheapest dedup pass a web
+    corpus gets (fragment/tracking-param/case variants of one address),
+    run BEFORE any content-based dedup because it needs no payload at
+    all. Output: (``canon_url``, ``n_urls``, ``keep_id`` = min id — the
+    deterministic survivor). One projection + one map-side-combined
+    groupBy on the canonical string."""
+    return (
+        df.select(F.col(id_col), canonical_url(url_col).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["span_integrity", "span_integrity_summary"]
+__all__ = ["span_integrity", "span_integrity_summary", "span_overlap_join"]
 
 
 def span_integrity(
@@ -104,3 +104,49 @@ def span_integrity_summary(report: DataFrame) -> DataFrame:
 def _spans_ddl(df: DataFrame, spans_col: str) -> str:
     """DDL string of the spans column's type (for the empty-array cast)."""
     return dict(df.dtypes)[spans_col]
+
+
+def span_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "doc_id",
+    start: str = "start",
+    end: str = "end",
+    suffixes: tuple = ("_a", "_b"),
+) -> DataFrame:
+    """Interval-overlap join between two per-document span sets — e.g.
+    "which extraction spans intersect a detected PII/secret span" (the
+    redaction planner's core question) or "which code spans overlap a
+    copied-passage span". Intervals are half-open ``[start, end)``.
+
+    Output: one row per overlapping pair — the key, both spans'
+    endpoints (suffixed), and ``overlap_len``.
+
+    Plan shape: an EQUI-join on the document key with the interval
+    predicate as a post-join filter — Spark hash-partitions both sides
+    on the key, so the quadratic term is bounded by spans-per-document
+    (tens), never corpus-wide. This is deliberately NOT a broadcast
+    range join: at 10^12 turns neither side broadcasts, and the per-key
+    cross product is the textbook distributed interval join. A document
+    whose span count is pathological (10^5+) would skew one task —
+    upstream `span_integrity` bounds span counts before this runs.
+    """
+    sa, sb = suffixes
+    l = left.select(
+        F.col(key),
+        F.col(start).alias(f"{start}{sa}"),
+        F.col(end).alias(f"{end}{sa}"),
+    )
+    r = right.select(
+        F.col(key),
+        F.col(start).alias(f"{start}{sb}"),
+        F.col(end).alias(f"{end}{sb}"),
+    )
+    cond = (F.col(f"{start}{sa}") < F.col(f"{end}{sb}")) & (
+        F.col(f"{start}{sb}") < F.col(f"{end}{sa}")
+    )
+    joined = l.join(r, on=key, how="inner").filter(cond)
+    overlap = F.least(F.col(f"{end}{sa}"), F.col(f"{end}{sb}")) - F.greatest(
+        F.col(f"{start}{sa}"), F.col(f"{start}{sb}")
+    )
+    return joined.withColumn("overlap_len", overlap.cast("long"))

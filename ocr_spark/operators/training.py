@@ -159,6 +159,42 @@ def stratified_split(
     return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
 
 
+def split_leakage_report(
+    assignments: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Near-duplicate leakage audit across split boundaries: given the
+    split assignment and a near-dup pair set, count the pairs whose two
+    members landed in DIFFERENT splits — each such pair is a document
+    the model trains on and is then evaluated against (the quiet way
+    held-out metrics go stale). Dedup-THEN-split avoids this by
+    construction; this operator is the proof, run after either order.
+
+    Output: one row per ordered ``(split_a, split_b)`` boundary with
+    ``n_pairs`` (pair splits ordered lexically so (train,test) and
+    (test,train) land in one row), plus cross-boundary totals are
+    derivable. Plan: two broadcast-or-shuffled equi-joins of the pair
+    set against the (id, split) projection — the pair set is the small
+    side post-dedup, and the assignment projection is two narrow
+    columns off the corpus scan."""
+    asg = assignments.select(F.col(id_col), F.col(split_col))
+    a = asg.withColumnRenamed(id_col, "id_a").withColumnRenamed(split_col, "_sa")
+    b = asg.withColumnRenamed(id_col, "id_b").withColumnRenamed(split_col, "_sb")
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    lo = F.least(F.col("_sa"), F.col("_sb")).alias("split_a")
+    hi = F.greatest(F.col("_sa"), F.col("_sb")).alias("split_b")
+    return (
+        joined.select(lo, hi)
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
 # quality_filter thresholds (documented rule; the oracle twin inlines the
 # same constants)
 MIN_TOKENS = 5

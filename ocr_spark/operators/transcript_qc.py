@@ -132,3 +132,206 @@ def repair_turn_order(
     ``out_col``; one ranking window on the conversation key."""
     w = Window.partitionBy(conv_col).orderBy(ts_col, turn_col)
     return df.withColumn(out_col, (F.row_number().over(w) - 1).cast("int"))
+
+
+def truncate_to_budget(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    tokens=None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window fitting: keep the longest SUFFIX of whole turns
+    per conversation whose summed token count fits ``budget`` — the
+    truncation every chat pipeline applies before packing, done
+    corpus-wide as one window. The FINAL turn always survives (a
+    conversation must keep its latest exchange even if that one turn
+    exceeds the budget on its own; downstream hard-truncates the text).
+
+    ``tokens``: optional Column of per-turn token counts; defaults to
+    the whitespace token count of ``text_col``. Appends
+    ``tail_tokens`` (tokens from the end of the conversation up to and
+    including this turn) and returns only the kept rows.
+
+    Plan: ONE window on the conversation key (descending turn order,
+    cumulative sum) + a filter — whole-stage codegen, no Python, and
+    the same conv-hash exchange every neighbouring transcript op uses,
+    so Catalyst reuses the shuffle when composed with assembly/QC.
+    Scale: state per conversation is one running sum; never the turn
+    list. Reference analog: the reference truncates page batches to the
+    OCR API's request cap before submission
+    (/root/reference/app/services/pdf_processing_service.py:391-407) —
+    per-request, imperatively; this is the corpus-scale declarative
+    form."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    tok = (
+        tokens
+        if tokens is not None
+        else F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pos = Window.partitionBy(conv_col).orderBy(F.col(turn_col).desc())
+    out = df.withColumn("tail_tokens", F.sum(tok).over(w).cast("long")).withColumn(
+        "_pos_from_end", F.row_number().over(pos)
+    )
+    return out.filter(
+        (F.col("tail_tokens") <= budget) | (F.col("_pos_from_end") == 1)
+    ).drop("_pos_from_end")
+
+
+def prefix_clusters(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    min_convs: int = 2,
+    prefix_chars: int = 200,
+) -> DataFrame:
+    """Boilerplate-prompt mining: cluster conversations by their
+    normalized FIRST turn (system prompts, templated greetings,
+    harness preambles repeat verbatim across millions of conversations
+    and should be weighted once, not 10^6 times, in training mixes).
+
+    Normalization: first ``prefix_chars`` chars, lowercased, runs of
+    whitespace collapsed. Output: one row per cluster seen in
+    ``min_convs``+ conversations — (``prefix_norm``, ``n_convs``,
+    ``sample_conv`` = min conv id).
+
+    Plan: one first-turn selection window on the conv key, then one
+    groupBy on the (short, bounded) normalized prefix — two shuffles,
+    the second over |convs| rows of ≤``prefix_chars`` keys. Skew-safe:
+    a mega-cluster (every conv sharing one system prompt) is a single
+    two-level aggregation key, and Spark's partial aggregation
+    map-side-combines it before the exchange."""
+    first = Window.partitionBy(conv_col).orderBy(turn_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix_chars)),
+            r"\s+",
+            " ",
+        )
+    )
+    heads = (
+        df.withColumn("_rn", F.row_number().over(first))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(conv_col).alias("conv"), norm.alias("prefix_norm"))
+    )
+    return (
+        heads.groupBy("prefix_norm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.min("conv").alias("sample_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+REFUSAL_PATTERN = (
+    r"(?i)^\s*(i('m| am) sorry|i cannot|i can't|i am unable|"
+    r"i('m| am) not able|as an ai)"
+)
+_TERMINAL_TAIL = r"[.!?:\)\]\}`'\"]\s*$"
+
+
+def assistant_turn_flags(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_truncation_len: int = 40,
+) -> DataFrame:
+    """Per-assistant-turn response-quality heuristics for SFT curation
+    — the cheap, corpus-wide pass that routes conversations away from
+    the training mix before any model-based scoring:
+
+    - ``truncated``: ≥``min_truncation_len`` chars but no terminal
+      punctuation / closing bracket / quote / backtick at the end — a
+      mid-sentence cutoff (generation hit a length cap or the writer
+      died mid-stream);
+    - ``refusal``: opens with a refusal/apology template;
+    - ``empty_after_tool``: empty assistant text right after a tool
+      turn (the tool result was swallowed).
+
+    Returns the assistant rows with the three INT flags appended. All
+    three are codegen predicates (regexp + one lag window on the conv
+    key); zero Python. Aggregate per conversation downstream — counts,
+    not payloads, cross the second shuffle."""
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    truncated = (
+        (F.length(txt) >= min_truncation_len)
+        & ~(txt.rlike(_TERMINAL_TAIL))
+    )
+    refusal = txt.rlike(REFUSAL_PATTERN)
+    # The lag must be MATERIALIZED before the assistant filter — using
+    # the window expression in the post-filter select would recompute it
+    # over assistant rows only (prev assistant, not prev turn).
+    # eqNullSafe: a conversation-opening assistant turn has no previous
+    # role; the flag must be 0 there, not NULL (oracle-hash parity).
+    empty_after_tool = (F.length(txt) == 0) & F.col("_prev_role").eqNullSafe(
+        "tool"
+    )
+    return (
+        df.withColumn("_prev_role", prev_role)
+        .filter(F.col(role_col) == "assistant")
+        .select(
+            F.col(conv_col),
+            F.col(turn_col),
+            truncated.cast("int").alias("truncated"),
+            refusal.cast("int").alias("refusal"),
+            empty_after_tool.cast("int").alias("empty_after_tool"),
+        )
+    )
+
+
+def collapse_retries(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    num: int = 9,
+    den: int = 10,
+) -> DataFrame:
+    """Collapse same-role retry bursts: when consecutive turns in a
+    conversation share a role and near-identical content (token-set
+    Jaccard ≥ num/den), the LATER turn supersedes the earlier one —
+    regenerated/retried writes should contribute one turn, not N.
+
+    A turn is DROPPED when the NEXT turn has the same role and token
+    overlap ``inter * den >= union * num`` (exact integer arithmetic —
+    no float threshold, so the DuckDB oracle reproduces the decision
+    bit-for-bit). Tokens: lowercase alphanumeric runs, set semantics.
+
+    Plan: one lead window on the conversation key; the token arrays
+    exist only inside the projection (never shuffled — the window
+    moves the raw text one row, and text is already being carried).
+    Returns surviving rows with original columns."""
+    toks = F.array_remove(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z0-9]+"),
+        "",
+    )
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    next_role = F.lead(F.col(role_col)).over(w)
+    next_toks = F.lead(toks).over(w)
+    inter = F.size(F.array_intersect(toks, next_toks))
+    uni = F.size(F.array_union(toks, next_toks))
+    superseded = (
+        next_role.isNotNull()
+        & (next_role == F.col(role_col))
+        & (uni > 0)
+        & (inter * den >= uni * num)
+    )
+    return (
+        df.withColumn("_superseded", superseded)
+        .filter(~F.coalesce(F.col("_superseded"), F.lit(False)))
+        .drop("_superseded")
+    )

@@ -891,3 +891,20 @@ def test_winnow_match_spans_two_islands(spark):
     # the unshared middles break the match into two intervals per side
     assert len(r.spans_a.split(",")) == 2
     assert len(r.spans_b.split(",")) == 2
+
+
+def test_best_in_cluster_keeps_max_quality(spark):
+    from ocr_spark.operators.dedup import best_in_cluster
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (7, 5), (8, 5), (9, 1)],
+        "doc_id long, quality long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.quality, r.cluster_size)
+           for r in best_in_cluster(docs, pairs, "quality").collect()}
+    # cluster {1,2,3}: max quality 99 -> doc 2; cluster {7,8}: tie on
+    # quality 5 -> min id 7; isolated 9 survives as its own cluster
+    assert out == {2: (99, 3), 7: (5, 2), 9: (1, 1)}

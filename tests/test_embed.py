@@ -145,3 +145,27 @@ def test_label_centroids_grouped_agg(spark):
     for lbl, mean in want.items():
         assert got[lbl].n == 4 + lbl
         assert np.allclose(np.array(got[lbl].centroid), mean, atol=1e-12)
+
+
+def test_mean_pool_groups_means(spark):
+    from ocr_spark.operators.embed import mean_pool_groups
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        "conv string, embedding array<double>",
+    )
+    out = {r["conv"]: (r["n_vecs"], r["pooled"])
+           for r in mean_pool_groups(df, "conv").collect()}
+    assert out["a"] == (2, [2.0, 4.0])
+    assert out["b"] == (1, [5.0, 5.0])
+
+
+def test_mean_pool_groups_sum_only_exact(spark):
+    from ocr_spark.operators.embed import mean_pool_groups
+
+    df = spark.createDataFrame(
+        [("a", [1, -2, 3]), ("a", [10, 20, -30])],
+        "conv string, embedding array<int>",
+    )
+    row = mean_pool_groups(df, "conv", sum_only=True).collect()[0]
+    assert row["pooled"] == [11, 18, -27] and row["n_vecs"] == 2

@@ -82,3 +82,42 @@ def test_external_host_stats(spark):
            for r in external_host_stats(extract_links(df)).collect()}
     # case-folded authority, query string excluded, relative href dropped
     assert got == {"spam.example.com": (2, 2), "ok.example.net": (1, 1)}
+
+
+def test_canonical_url_variants(spark):
+    from ocr_spark.operators.linkgraph import canonical_url
+    import pyspark.sql.functions as F
+
+    urls = [
+        "HTTP://WWW.Example.COM/Page1/",
+        "http://www.example.com/Page1",
+        "http://a.com/x?utm_source=n&id=2&fbclid=z",
+        "http://a.com/x?id=2",
+        "http://b.com/y?utm_campaign=c",
+        "http://b.com/y#frag",
+        "http://c.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    assert out[0] == out[1] == "http://www.example.com/Page1"
+    assert out[2] == out[3] == "http://a.com/x?id=2"
+    assert out[4] == out[5] == "http://b.com/y"
+    assert out[6] == "http://c.com"
+
+
+def test_url_dedup_clusters(spark):
+    from ocr_spark.operators.linkgraph import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x/"),
+            (2, "HTTP://A.com/x"),
+            (3, "http://a.com/x?utm_source=s"),
+            (4, "http://other.com/"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canon_url"]: (r["n_urls"], r["keep_id"])
+           for r in url_dedup(df).collect()}
+    assert out["http://a.com/x"] == (3, 1)
+    assert out["http://other.com"] == (1, 4)

@@ -88,3 +88,32 @@ def test_zero_shuffle_zero_python(spark):
     )
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# span_overlap_join (round-4 wave 3)
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.span_qc import span_overlap_join  # noqa: E402
+
+
+def _spans(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, start int, end int")
+
+
+def test_span_overlap_basic(spark):
+    left = _spans(spark, [(1, 0, 10), (1, 20, 30), (2, 0, 5)])
+    right = _spans(spark, [(1, 5, 25), (2, 5, 9)])
+    out = sorted(
+        (r["start_a"], r["start_b"], r["overlap_len"])
+        for r in span_overlap_join(left, right).collect()
+    )
+    # [0,10)x[5,25) -> 5 ; [20,30)x[5,25) -> 5 ; doc 2: [0,5)x[5,9) NO
+    # (half-open: touching endpoints do not overlap)
+    assert out == [(0, 5, 5), (20, 5, 5)]
+
+
+def test_span_overlap_key_isolation(spark):
+    left = _spans(spark, [(1, 0, 100)])
+    right = _spans(spark, [(2, 0, 100)])
+    assert span_overlap_join(left, right).count() == 0

@@ -554,3 +554,27 @@ def test_chunk_by_sentences_edges(spark):
     ]
     with _pt.raises(ValueError):
         chunk_by_sentences(df, target_chars=0)
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_report (round-4 wave 3)
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.training import split_leakage_report  # noqa: E402
+
+
+def test_split_leakage_counts_cross_boundary_pairs(spark):
+    asg = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "val")],
+        "doc_id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r["split_a"], r["split_b"]): (r["n_pairs"], r["is_leak"])
+        for r in split_leakage_report(asg, pairs).collect()
+    }
+    assert out[("train", "train")] == (1, 0)
+    assert out[("test", "train")] == (1, 1)  # ordered lexically
+    assert out[("test", "val")] == (1, 1)

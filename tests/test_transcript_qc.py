@@ -118,3 +118,130 @@ def test_single_shuffle_plan(spark, small_corpus):
         transcript_integrity(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange") <= 2  # conv hash (+ distinct-expand), no more
+
+
+# ---------------------------------------------------------------------------
+# round-4 wave 3: budget truncation / prefix clusters / flags / retries
+# ---------------------------------------------------------------------------
+
+from ocr_spark.operators.transcript_qc import (  # noqa: E402
+    assistant_turn_flags,
+    collapse_retries,
+    prefix_clusters,
+    truncate_to_budget,
+)
+
+
+def test_truncate_to_budget_keeps_suffix(spark):
+    # tokens per turn: 3 / 4 / 2 / 5  (whitespace count of the words)
+    rows = [
+        ("c", 0, "user", "a b c", _ts(0)),
+        ("c", 1, "assistant", "d e f g", _ts(1)),
+        ("c", 2, "user", "h i", _ts(2)),
+        ("c", 3, "assistant", "j k l m n", _ts(3)),
+    ]
+    out = truncate_to_budget(_mk(spark, rows), budget=7)
+    kept = sorted((r["turn_idx"], r["tail_tokens"]) for r in out.collect())
+    # suffix sums from the end: t3=5, t2=7, t1=11 (over) -> keep t2, t3
+    assert kept == [(2, 7), (3, 5)]
+
+
+def test_truncate_to_budget_always_keeps_final_turn(spark):
+    rows = [
+        ("c", 0, "user", "a b", _ts(0)),
+        ("c", 1, "assistant", "one two three four five six", _ts(1)),
+    ]
+    out = truncate_to_budget(_mk(spark, rows), budget=3)
+    kept = [r["turn_idx"] for r in out.collect()]
+    assert kept == [1]  # final turn survives even though 6 > 3
+
+
+def test_truncate_budget_whole_conv_fits(spark):
+    rows = [
+        ("c", 0, "user", "a", _ts(0)),
+        ("c", 1, "assistant", "b", _ts(1)),
+    ]
+    out = truncate_to_budget(_mk(spark, rows), budget=100)
+    assert out.count() == 2
+
+
+def test_prefix_clusters_normalizes_and_thresholds(spark):
+    rows = [
+        ("a", 0, "system", "You are  helpful", _ts(0)),
+        ("a", 1, "user", "x", _ts(1)),
+        ("b", 0, "system", "you are helpful", _ts(0)),
+        ("c", 0, "system", "totally unique", _ts(0)),
+    ]
+    out = prefix_clusters(_mk(spark, rows), min_convs=2).collect()
+    assert len(out) == 1
+    assert out[0]["prefix_norm"] == "you are helpful"
+    assert out[0]["n_convs"] == 2 and out[0]["sample_conv"] == "a"
+
+
+def test_assistant_flags(spark):
+    long_no_punct = "word " * 12 + "ending without any terminal marker"
+    rows = [
+        ("c", 0, "user", "hi", _ts(0)),
+        ("c", 1, "assistant", "I cannot help with that.", _ts(1)),
+        ("c", 2, "tool", "result", _ts(2)),
+        ("c", 3, "assistant", "", _ts(3)),
+        ("c", 4, "assistant", long_no_punct, _ts(4)),
+        ("c", 5, "assistant", "Fine.", _ts(5)),
+    ]
+    out = {
+        r["turn_idx"]: (r["truncated"], r["refusal"], r["empty_after_tool"])
+        for r in assistant_turn_flags(_mk(spark, rows)).collect()
+    }
+    assert out[1] == (0, 1, 0)
+    assert out[3] == (0, 0, 1)  # empty right after the tool turn
+    assert out[4] == (1, 0, 0)
+    assert out[5] == (0, 0, 0)
+    assert set(out) == {1, 3, 4, 5}  # non-assistant rows dropped
+
+
+def test_assistant_flags_lag_precedes_filter(spark):
+    # the turn BEFORE the empty assistant turn is a user turn -> no flag,
+    # even though the previous ASSISTANT-only row would be... irrelevant.
+    rows = [
+        ("c", 0, "tool", "r", _ts(0)),
+        ("c", 1, "user", "q", _ts(1)),
+        ("c", 2, "assistant", "", _ts(2)),
+    ]
+    out = assistant_turn_flags(_mk(spark, rows)).collect()
+    assert out[0]["empty_after_tool"] == 0
+
+
+def test_collapse_retries_drops_superseded(spark):
+    rows = [
+        ("c", 0, "user", "the question", _ts(0)),
+        ("c", 1, "assistant", "alpha beta gamma delta", _ts(1)),
+        ("c", 2, "assistant", "alpha beta gamma delta", _ts(2)),  # retry
+        ("c", 3, "user", "next", _ts(3)),
+        ("c", 4, "assistant", "totally different answer here", _ts(4)),
+        ("c", 5, "assistant", "unrelated follow up content", _ts(5)),
+    ]
+    kept = sorted(
+        r["turn_idx"] for r in collapse_retries(_mk(spark, rows)).collect()
+    )
+    assert kept == [0, 2, 3, 4, 5]  # only the exact-retry predecessor drops
+
+
+def test_collapse_retries_role_boundary(spark):
+    # identical text but different roles -> no collapse
+    rows = [
+        ("c", 0, "user", "same words here", _ts(0)),
+        ("c", 1, "assistant", "same words here", _ts(1)),
+    ]
+    assert collapse_retries(_mk(spark, rows)).count() == 2
+
+
+def test_collapse_retries_threshold_integer_exact(spark):
+    # 7 shared tokens, 1 extra -> J = 7/8; kept at 9/10, dropped at 4/5
+    a = "t1 t2 t3 t4 t5 t6 t7"
+    b = a + " extra"
+    rows = [
+        ("c", 0, "assistant", a, _ts(0)),
+        ("c", 1, "assistant", b, _ts(1)),
+    ]
+    assert collapse_retries(_mk(spark, rows)).count() == 2
+    assert collapse_retries(_mk(spark, rows), num=4, den=5).count() == 1
