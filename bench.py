@@ -197,6 +197,8 @@ def main() -> None:
         "dd_cluster_best",
         "lg_url_dedup",
         "emb_conv_pool",
+        "dd_lsh_recall",
+        "dq_skew_report",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

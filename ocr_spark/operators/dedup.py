@@ -1153,3 +1153,68 @@ def line_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    sample_mod: int = 1,
+) -> DataFrame:
+    """Measured recall of the MinHash-LSH near-dup path against EXACT
+    n-gram Jaccard on a deterministic sample — approximation QA as an
+    operator, not a notebook one-off. Banded LSH trades recall for the
+    linear candidate generation the 100 TB path requires; this is the
+    number that says what the trade actually cost on THIS corpus (pair
+    recall at the configured threshold), so banding/threshold tuning is
+    measured, never guessed.
+
+    ``sample_mod``: keep only ids with ``id % sample_mod == 0`` first —
+    the exact side is an inverted-index self-join (linear in shared
+    shingles, but heavier than LSH), so at corpus scale the report runs
+    on a hash-gated sample; pair recall on a uniform sample is an
+    unbiased estimate of corpus pair recall.
+
+    Output: ONE row — ``n_exact`` (true pairs at ``threshold``),
+    ``n_lsh`` (pairs the LSH path verified), ``n_missed``,
+    ``recall_ppm`` (int-exact parts-per-million; 1e6 when no true pair
+    exists). Both sides share one cached shingle frame per call; caches
+    release via the usual scope.
+    """
+    sample = df.filter((F.col(id_col) % sample_mod) == 0) if sample_mod > 1 else df
+    with shingle_cache_scope():
+        exact = ngram_jaccard_pairs(sample, text_col, id_col, threshold).select(
+            "id_a", "id_b"
+        )
+        lsh = minhash_near_dups(sample, text_col, id_col, threshold).select(
+            "id_a", "id_b"
+        )
+        missed = exact.join(lsh, ["id_a", "id_b"], "left_anti")
+        report = exact.agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        ).crossJoin(
+            lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+        ).crossJoin(
+            missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed"))
+        )
+        out = report.select(
+            "n_exact",
+            "n_lsh",
+            "n_missed",
+            F.when(F.col("n_exact") == 0, F.lit(1_000_000))
+            .otherwise(
+                F.floor(
+                    (F.col("n_exact") - F.col("n_missed"))
+                    * 1_000_000
+                    / F.col("n_exact")
+                )
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        # materialize inside the cache scope: the three counts consume
+        # the cached shingle frame; afterwards only 4 longs remain
+        rows = out.collect()
+    spark = df.sparkSession
+    return spark.createDataFrame(rows, out.schema)

@@ -167,3 +167,98 @@ def check_expectations(df: DataFrame, constraints: List[Dict]) -> DataFrame:
         "checked",
         (F.coalesce("violations", F.lit(0)) == 0).cast("int").alias("passed"),
     )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Per-column statistical profile in (mostly) one scan: ``col_name``,
+    ``n_rows``, ``n_null``, ``n_distinct`` (exact), ``min_len`` /
+    ``max_len`` / ``sum_len`` of the value's string form. The
+    between-snapshot input to ``profile_drift`` — the corpus version of
+    "did the upstream writer change something" (null-rate jump, distinct
+    collapse, length distribution shift).
+
+    All outputs integer-exact (no ratios — consumers derive them), so
+    the profile is engine-portable and byte-stable across runs. The
+    exact countDistinct per column costs one expand pass; for monitoring
+    at 10^12 rows swap in approx_count_distinct — exactness here is what
+    the oracle gate hashes.
+    """
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        s = F.length(col.cast("string"))
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"_n_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}"),
+            F.countDistinct(col).cast("long").alias(f"_dist_{c}"),
+            F.min(s).cast("int").alias(f"_minl_{c}"),
+            F.max(s).cast("int").alias(f"_maxl_{c}"),
+            F.sum(F.coalesce(s, F.lit(0))).cast("long").alias(f"_suml_{c}"),
+        ]
+    row = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _n_{c}, _null_{c}, _dist_{c}, _minl_{c}, _maxl_{c}, _suml_{c}"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {parts}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_len, max_len, sum_len)"
+    )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Column-profile drift between two corpus snapshots: one row per
+    column with both profiles' counters and integer deltas
+    (``d_null``, ``d_distinct``, ``d_sum_len``). Join is on the
+    |cols|-row profile frames — free at any corpus size; the cost is
+    the two profile scans."""
+    po = profile_columns(old, cols)
+    pn = profile_columns(new, cols)
+    o = po.select(
+        "col_name",
+        F.col("n_rows").alias("old_rows"),
+        F.col("n_null").alias("old_null"),
+        F.col("n_distinct").alias("old_distinct"),
+        F.col("sum_len").alias("old_sum_len"),
+    )
+    n = pn.select(
+        "col_name",
+        F.col("n_rows").alias("new_rows"),
+        F.col("n_null").alias("new_null"),
+        F.col("n_distinct").alias("new_distinct"),
+        F.col("sum_len").alias("new_sum_len"),
+    )
+    j = o.join(n, "col_name")
+    return j.select(
+        "col_name",
+        "old_rows",
+        "new_rows",
+        "old_null",
+        "new_null",
+        (F.col("new_null") - F.col("old_null")).alias("d_null"),
+        "old_distinct",
+        "new_distinct",
+        (F.col("new_distinct") - F.col("old_distinct")).alias("d_distinct"),
+        (F.col("new_sum_len") - F.col("old_sum_len")).alias("d_sum_len"),
+    )
+
+
+def profile_columns_sql(src: str, cols: Sequence[str]) -> str:
+    """DuckDB twin of ``profile_columns`` over the same column list."""
+    parts = []
+    for c in cols:
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_null, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min(length(CAST({c} AS VARCHAR))) AS INTEGER) AS min_len, "
+            f"CAST(max(length(CAST({c} AS VARCHAR))) AS INTEGER) AS max_len, "
+            f"CAST(sum(coalesce(length(CAST({c} AS VARCHAR)), 0)) AS BIGINT) "
+            f"AS sum_len FROM ({src})"
+        )
+    return " UNION ALL ".join(parts)

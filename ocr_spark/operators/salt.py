@@ -81,3 +81,48 @@ def skew_safe_collect_sorted(
     return merged.select(
         *keys, F.transform("_sorted", lambda s: s[value]).alias(alias)
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Hot-key diagnosis BEFORE a shuffle melts on it: the top-k
+    heaviest keys with each key's row count, its share of the corpus,
+    and its multiple of the mean key weight — the numbers that decide
+    whether a key needs `salted_repartition` (or AQE skew-join) and
+    with how many salts.
+
+    Output (top_k rows, heaviest first): ``key``, ``n_rows``,
+    ``share_ppm`` (parts-per-million of all rows, integer-exact),
+    ``x_mean_pct`` (100 * n_rows / mean rows-per-key, integer-exact).
+
+    Plan: ONE map-side-combined groupBy on the key + a size-top_k
+    TakeOrdered; the two corpus totals ride a crossJoin of a single
+    aggregated row (broadcast by construction), nothing collects. At
+    10^12 turns this is the cheapest possible full-corpus pass — the
+    same cost as the count-by-key every pipeline already runs.
+
+    Integer-exact outputs (ppm / pct as int64, explicit floor — a bare
+    double->int cast truncates in Spark but ROUNDS in DuckDB) keep the
+    report engine-portable.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").cast("long").alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("_n_keys"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.col("key")).limit(top_k)
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "n_rows",
+        F.floor(F.col("n_rows") * 1_000_000 / F.col("_total"))
+        .cast("long")
+        .alias("share_ppm"),
+        F.floor(F.col("n_rows") * 100 * F.col("_n_keys") / F.col("_total"))
+        .cast("long")
+        .alias("x_mean_pct"),
+    )

@@ -908,3 +908,39 @@ def test_best_in_cluster_keeps_max_quality(spark):
     # cluster {1,2,3}: max quality 99 -> doc 2; cluster {7,8}: tie on
     # quality 5 -> min id 7; isolated 9 survives as its own cluster
     assert out == {2: (99, 3), 7: (5, 2), 9: (1, 1)}
+
+
+def test_lsh_recall_report_clone_corpus_is_perfect(spark):
+    from ocr_spark.operators.dedup import lsh_recall_report
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)]
+        + [(i + 100, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    r = lsh_recall_report(docs, threshold=0.9999).collect()[0]
+    assert r["n_exact"] == 3 and r["n_lsh"] == 3
+    assert r["n_missed"] == 0 and r["recall_ppm"] == 1_000_000
+
+
+def test_lsh_recall_report_arithmetic_and_sample_gate(spark):
+    from ocr_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "unrelated")],
+        "doc_id long, text string",
+    )
+    # sample_mod=2 keeps ids 0 and 2 only — the clone pair survives
+    r = lsh_recall_report(docs, threshold=0.9999, sample_mod=2).collect()[0]
+    assert r["n_exact"] == 1 and r["recall_ppm"] == 1_000_000
+    # empty exact side -> recall defined as 1e6 (nothing to miss)
+    lone = spark.createDataFrame(
+        [(1, "just one document")], "doc_id long, text string"
+    )
+    r2 = lsh_recall_report(lone, threshold=0.9999).collect()[0]
+    assert r2["n_exact"] == 0 and r2["recall_ppm"] == 1_000_000

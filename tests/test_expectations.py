@@ -84,3 +84,30 @@ def test_single_pass_plan_for_row_local(spark):
     # SinglePartition exchange between them
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, flags=re.M)) == 2
     assert checks.count_exchanges(rep) == 1
+
+
+def test_profile_columns_counters(spark):
+    from ocr_spark.operators.expectations import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, None), (3, "aa"), (4, "bbbb")],
+        "id long, s string",
+    )
+    out = {r["col_name"]: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"]["n_rows"] == 4 and out["id"]["n_null"] == 0
+    assert out["id"]["n_distinct"] == 4
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_len"] == 2 and out["s"]["max_len"] == 4
+    assert out["s"]["sum_len"] == 8  # 2 + 0(null) + 2 + 4
+
+
+def test_profile_drift_deltas(spark):
+    from ocr_spark.operators.expectations import profile_drift
+
+    old = spark.createDataFrame([(1, "xx"), (2, "yy")], "id long, s string")
+    new = spark.createDataFrame([(1, None), (2, "yy")], "id long, s string")
+    out = {r["col_name"]: r for r in profile_drift(old, new, ["id", "s"]).collect()}
+    assert out["s"]["d_null"] == 1
+    assert out["s"]["d_distinct"] == -1
+    assert out["s"]["d_sum_len"] == -2
+    assert out["id"]["d_null"] == 0 and out["id"]["d_distinct"] == 0

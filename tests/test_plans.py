@@ -535,3 +535,65 @@ def test_new_round4_ops_plan_shapes(spark):
     c = checks.python_stage_counts(dec)
     assert c["ArrowEvalPython"] >= 1, c  # the bloom probe
     assert checks.has_broadcast_join(dec)  # exact confirm join broadcasts
+
+
+def test_wave4_transcript_ops_plan_shapes(spark):
+    """Round-4 transcript-curation wave holds the efficiency contract:
+    - truncate_to_budget: zero Python stages, exactly ONE shuffle (the
+      conversation-key window exchange — the desc-cumsum and the
+      position rank share it);
+    - collapse_retries / assistant_turn_flags: zero Python, one conv
+      exchange (lead/lag windows);
+    - canonical-URL dedup: zero Python, one exchange (the groupBy; the
+      canonicalization itself is a pure projection);
+    - skew_report: the totals side joins via BROADCAST (no sort-merge
+      join of a 2-column one-row frame);
+    - profile_columns: zero Python stages (stack-unpivot of one
+      aggregate row)."""
+    from ocr_spark.operators.expectations import profile_columns
+    from ocr_spark.operators.linkgraph import url_dedup
+    from ocr_spark.operators.salt import skew_report
+    from ocr_spark.operators.transcript_qc import (
+        assistant_turn_flags,
+        collapse_retries,
+        truncate_to_budget,
+    )
+    from ocr_spark.plans import checks
+
+    convs = spark.createDataFrame(
+        [("c%d" % (i % 5), i // 5, "user" if i % 2 else "assistant",
+          "words here %d" % i, i)
+         for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string, ts long",
+    )
+
+    tb = truncate_to_budget(convs, budget=10)
+    c = checks.python_stage_counts(tb)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+    assert checks.count_exchanges(tb) == 1
+
+    cr = collapse_retries(convs)
+    c = checks.python_stage_counts(cr)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+    assert checks.count_exchanges(cr) == 1
+
+    fl = assistant_turn_flags(convs)
+    assert checks.count_exchanges(fl) == 1
+
+    urls = spark.createDataFrame(
+        [(i, "http://h%d.com/p%d/" % (i % 3, i)) for i in range(20)],
+        "doc_id long, url string",
+    )
+    ud = url_dedup(urls)
+    c = checks.python_stage_counts(ud)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+    assert checks.count_exchanges(ud) == 1
+
+    keys = spark.createDataFrame([(i % 7,) for i in range(50)], "key long")
+    sk = skew_report(keys, "key")
+    assert checks.has_broadcast_join(sk)
+    assert not checks.has_sort_merge_join(sk)
+
+    prof = profile_columns(convs, ["conv_id", "text"])
+    c = checks.python_stage_counts(prof)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c

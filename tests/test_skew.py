@@ -127,3 +127,19 @@ def test_aqe_splits_skewed_join_live(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skew_report_flags_hot_key(spark):
+    from ocr_spark.operators.salt import skew_report
+
+    # key 0: 60 rows; keys 1..20: 2 rows each -> 100 rows, 21 keys
+    rows = [(0,)] * 60 + [(k,) for k in range(1, 21) for _ in range(2)]
+    df = spark.createDataFrame(rows, "key long")
+    out = skew_report(df, "key", top_k=3).collect()
+    assert [r["key"] for r in out][0] == 0
+    hot = out[0]
+    assert hot["n_rows"] == 60
+    assert hot["share_ppm"] == 600_000  # 60/100
+    assert hot["x_mean_pct"] == 1260  # 60 / (100/21) = 12.6x
+    # ties below the hot key break by key ascending
+    assert [r["key"] for r in out[1:]] == [1, 2]
