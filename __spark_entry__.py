@@ -3369,6 +3369,57 @@ def _q_dq_profile_drift(spark, sf_dir):
     return profile_drift(docs, new, list(_DRIFT_COLS))
 
 
+# Transcript-curation composition fixture: event-time inversions (every
+# 13th doc's ts dips two slots back), same-role retry pairs (turns 1,2 of
+# each 4-cycle are both assistant; conv%3 picks exact-retry / long-divergent
+# / near-identical), over-budget conversations, and truncation-flagged
+# assistant turns (the long-suffix texts end without terminal punctuation).
+_CTRX = "CAST(doc_id % 53 AS BIGINT)"
+_CTRT = "CAST(floor(doc_id / 53) AS INT)"
+_CUR_TRX_EXPRS = [
+    f"{_CTRX} AS conv",
+    f"{_CTRT} AS turn_idx",
+    f"CASE CAST({_CTRT} % 4 AS INT) WHEN 0 THEN 'user' "
+    "WHEN 3 THEN 'tool' ELSE 'assistant' END AS role",
+    f"CASE CAST({_CTRT} % 4 AS INT) "
+    f"WHEN 0 THEN 'ask ' || CAST({_CTRX} AS STRING) || ' ' || "
+    f"CAST({_CTRT} AS STRING) "
+    f"WHEN 3 THEN 'tool output row ' || CAST({_CTRT} AS STRING) "
+    # CAST ... AS BIGINT before stringifying: floor() is BIGINT in Spark
+    # but DOUBLE in DuckDB ('2' vs '2.0' would shift the text across the
+    # 40-char truncation threshold)
+    f"ELSE 'reply alpha beta gamma delta ' || "
+    f"CAST(CAST(({_CTRX} + floor({_CTRT} / 4)) AS BIGINT) % 9 AS STRING) || "
+    f"CASE WHEN {_CTRT} % 4 = 1 THEN '' "
+    f"WHEN {_CTRX} % 3 = 0 THEN '' "
+    f"WHEN {_CTRX} % 3 = 1 THEN "
+    "' with many extra very different tokens appended here' "
+    "ELSE ' revised' END END AS text",
+    f"CAST({_CTRT} AS BIGINT) * 100 + doc_id % 7 + "
+    "CASE WHEN doc_id % 13 = 0 THEN -150 ELSE 0 END AS ts",
+]
+_CUR_TRX_SQL = "SELECT " + ", ".join(_CUR_TRX_EXPRS) + " FROM documents"
+_CUR_TRX_BUDGET = 25
+
+
+def _q_cr_transcript_pipeline(spark, sf_dir):
+    """The conversation-level curation front-end END-TO-END
+    (curation.curate_transcripts): event-time repair -> retry collapse
+    on the repaired order -> token-budget suffix fitting -> truncated-
+    assistant conversation gate. Every stage is conv-key window algebra,
+    so the oracle replays the ENTIRE composition in SQL."""
+    from ocr_spark.operators.curation import curate_transcripts
+
+    convs = _t(spark, sf_dir, "documents").selectExpr(*_CUR_TRX_EXPRS)
+    return curate_transcripts(
+        convs,
+        conv_col="conv",
+        budget=_CUR_TRX_BUDGET,
+        retry_num=4,
+        retry_den=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -3570,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_lsh_recall": _q_dd_lsh_recall,
         "dq_skew_report": _q_dq_skew_report,
         "dq_profile_drift": _q_dq_profile_drift,
+        "cr_transcript_pipeline": _q_cr_transcript_pipeline,
     }
 
 
@@ -6487,5 +6539,43 @@ FROM p
             "pn.n_distinct - po.n_distinct AS d_distinct, "
             "pn.sum_len - po.sum_len AS d_sum_len "
             "FROM po JOIN pn USING (col_name)"
+        ),
+        "cr_transcript_pipeline": (
+            f"WITH c AS ({_CUR_TRX_SQL}), "
+            "r AS (SELECT conv, role, text, "
+            "CAST(row_number() OVER (PARTITION BY conv ORDER BY ts, turn_idx) "
+            "- 1 AS INT) AS nt FROM c), "
+            "tk AS (SELECT conv, nt, role, text, "
+            "list_filter(string_split_regex(lower(coalesce(text, '')), "
+            "'[^a-z0-9]+'), x -> x <> '') AS toks FROM r), "
+            "ld AS (SELECT conv, nt, role, text, toks, "
+            "lead(role) OVER (PARTITION BY conv ORDER BY nt) AS nrole, "
+            "lead(toks) OVER (PARTITION BY conv ORDER BY nt) AS ntoks "
+            "FROM tk), "
+            "k AS (SELECT conv, nt, role, text FROM ld "
+            "WHERE NOT (nrole IS NOT NULL AND nrole = role "
+            "AND len(list_distinct(list_concat(toks, ntoks))) > 0 "
+            "AND len(list_intersect(toks, ntoks)) * 5 >= "
+            "len(list_distinct(list_concat(toks, ntoks))) * 4)), "
+            "tc AS (SELECT conv, nt, role, text, "
+            "CAST(len(regexp_split_to_array(trim(coalesce(text, '')), "
+            "'\\s+')) AS BIGINT) AS tok FROM k), "
+            "tb AS (SELECT conv, nt, role, text, "
+            "sum(tok) OVER (PARTITION BY conv ORDER BY nt DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS tail_tokens, "
+            "row_number() OVER (PARTITION BY conv ORDER BY nt DESC) AS pos "
+            "FROM tc), "
+            "fit AS (SELECT conv, nt, role, text, "
+            "CAST(tail_tokens AS BIGINT) AS tail_tokens FROM tb "
+            f"WHERE tail_tokens <= {_CUR_TRX_BUDGET} OR pos = 1), "
+            "fl AS (SELECT conv, CASE WHEN "
+            "length(trim(coalesce(text, ''))) >= 40 AND NOT "
+            f"regexp_matches(trim(coalesce(text, '')), "
+            f"'{TQC._TERMINAL_TAIL.replace(chr(39), chr(39) * 2)}') "
+            "THEN 1 ELSE 0 END AS tr FROM k WHERE role = 'assistant'), "
+            "bad AS (SELECT conv FROM fl GROUP BY conv HAVING sum(tr) > 0) "
+            "SELECT conv, nt AS new_turn_idx, role, text, tail_tokens "
+            "FROM fit WHERE conv NOT IN (SELECT conv FROM bad)"
         ),
     }

@@ -199,6 +199,7 @@ def main() -> None:
         "emb_conv_pool",
         "dd_lsh_recall",
         "dq_skew_report",
+        "cr_transcript_pipeline",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

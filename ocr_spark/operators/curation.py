@@ -302,3 +302,85 @@ def prepare_web_corpus(
         id_col, text_col, "lang", "script", "score", "p_micro",
         "cluster_size", "stage", "shard", "pos",
     )
+
+
+def curate_transcripts(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    budget: int = 2048,
+    retry_num: int = 4,
+    retry_den: int = 5,
+    min_truncation_len: int = 40,
+) -> DataFrame:
+    """The conversation-level data-prep front-end as ONE leakage-safe
+    composition — the chat analog of ``curate_corpus``:
+
+    1. ``repair_turn_order``: dense event-time order (upstream writers
+       WILL ship inverted/duplicated indexes — QC'd, then repaired);
+    2. ``collapse_retries`` on the REPAIRED order: same-role
+       near-identical successors supersede their predecessors;
+    3. ``truncate_to_budget``: longest whole-turn suffix within the
+       token budget (final turn always kept);
+    4. response-quality gate: conversations containing ANY truncated
+       assistant turn (mid-sentence cutoff) are dropped whole — a
+       cut-off assistant reply poisons every later turn's context.
+
+    Stage order matters: repair must precede collapse (retry detection
+    reads CONSECUTIVE turns — wrong order hides pairs); collapse must
+    precede truncation (a collapsed retry must not consume budget);
+    the gate reads post-collapse turns so a superseded cutoff doesn't
+    kill a conversation whose final retry is clean.
+
+    Every stage is window/aggregate algebra on the SAME conversation
+    key — one hash exchange feeds the whole chain (plan-asserted), the
+    SQL twin replays it end-to-end, and at 10^12 turns the composition
+    costs what one conv-keyed window costs. Output: surviving turns as
+    (conv, ``new_turn_idx``, role, text, ``tail_tokens``).
+    """
+    from ocr_spark.operators.transcript_qc import (
+        assistant_turn_flags,
+        collapse_retries,
+        repair_turn_order,
+        truncate_to_budget,
+    )
+
+    repaired = repair_turn_order(
+        df, conv_col=conv_col, turn_col=turn_col, ts_col=ts_col
+    )
+    collapsed = collapse_retries(
+        repaired,
+        conv_col=conv_col,
+        turn_col="new_turn_idx",
+        role_col=role_col,
+        text_col=text_col,
+        num=retry_num,
+        den=retry_den,
+    )
+    fitted = truncate_to_budget(
+        collapsed,
+        budget=budget,
+        conv_col=conv_col,
+        turn_col="new_turn_idx",
+        text_col=text_col,
+    )
+    flags = assistant_turn_flags(
+        collapsed,
+        conv_col=conv_col,
+        turn_col="new_turn_idx",
+        role_col=role_col,
+        text_col=text_col,
+        min_truncation_len=min_truncation_len,
+    )
+    bad_convs = (
+        flags.groupBy(conv_col)
+        .agg(F.sum("truncated").alias("_n_trunc"))
+        .filter(F.col("_n_trunc") > 0)
+        .select(conv_col)
+    )
+    return fitted.join(bad_convs, conv_col, "left_anti").select(
+        conv_col, "new_turn_idx", role_col, text_col, "tail_tokens"
+    )

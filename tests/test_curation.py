@@ -287,3 +287,72 @@ def test_prepare_web_corpus_end_to_end(spark):
     from ocr_spark.operators.dedup import release_shingle_caches
 
     release_shingle_caches()
+
+
+# ---------------------------------------------------------------------------
+# curate_transcripts (round-4: the conversation-level front-end)
+# ---------------------------------------------------------------------------
+
+
+def test_curate_transcripts_end_to_end(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+
+    rows = [
+        # conv "a": ts inversion (turn 1 written late), exact retry at
+        # turns 2/3, all short clean replies -> survives, repaired order
+        ("a", 0, "user", "hello there", 100),
+        ("a", 1, "assistant", "hi how can i help", 300),   # ts after turn 2!
+        ("a", 2, "assistant", "hi how can i help", 200),   # true 2nd slot
+        ("a", 3, "user", "thanks bye", 400),
+        # conv "b": one truncated assistant turn (>=40 chars, no terminal
+        # punctuation) -> whole conversation gated away
+        ("b", 0, "user", "question", 100),
+        ("b", 1, "assistant", "a very long reply that just stops midway through the sent", 200),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    out = curate_transcripts(df, budget=100, retry_num=4, retry_den=5)
+    got = sorted(
+        (r["conv_id"], r["new_turn_idx"], r["text"]) for r in out.collect()
+    )
+    convs = {c for c, _, _ in got}
+    assert convs == {"a"}  # b gated by the truncated assistant turn
+    # repaired order: ts 100,200,300,400 -> turn 1 (ts 300) lands at slot 2;
+    # the retry pair is then (slot1: ts200, slot2: ts300) -> slot1 dropped
+    texts = [t for _, _, t in got]
+    assert texts.count("hi how can i help") == 1
+    assert len(got) == 3
+
+
+def test_curate_transcripts_budget_suffix(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+
+    rows = [
+        ("c", i, "user" if i % 2 == 0 else "assistant",
+         "five words in this text.", i * 10)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    out = curate_transcripts(df, budget=12)  # 5 tokens/turn -> last 2 turns
+    kept = sorted(r["new_turn_idx"] for r in out.collect())
+    assert kept == [4, 5]
+
+
+def test_curate_transcripts_plan_is_window_algebra(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame(
+        [("c%d" % (i % 4), i // 4, "assistant" if i % 2 else "user",
+          "some words here ok.", i) for i in range(40)],
+        "conv_id string, turn_idx int, role string, text string, ts long",
+    )
+    out = curate_transcripts(df, budget=10)
+    c = checks.python_stage_counts(out)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+    # the whole chain rides conversation-key exchanges: repair/collapse/
+    # fit/flags reuse one hash partitioning; the gate join adds no scan
+    assert checks.count_exchanges(out) <= 3
