@@ -335,17 +335,22 @@ def curate_transcripts(
     the gate reads post-collapse turns so a superseded cutoff doesn't
     kill a conversation whose final retry is clean.
 
-    Every stage is window/aggregate algebra on the SAME conversation
-    key — one hash exchange feeds the whole chain (plan-asserted), the
-    SQL twin replays it end-to-end, and at 10^12 turns the composition
-    costs what one conv-keyed window costs. Output: surviving turns as
-    (conv, ``new_turn_idx``, role, text, ``tail_tokens``).
+    Every stage is window algebra on the SAME conversation key, and the
+    chain is SINGLE-CONSUMER by construction: the gate is a max-over-
+    conversation window on the collapsed frame — NOT a separate
+    aggregate joined back, which would execute the whole repair+collapse
+    chain twice (the round-3 pack_sft_bins lesson, applied up front and
+    plan-asserted). One hash exchange feeds everything; at 10^12 turns
+    the composition costs what one conv-keyed window chain costs.
+    Output: surviving turns as (conv, ``new_turn_idx``, role, text,
+    ``tail_tokens``).
     """
+    from pyspark.sql import Window
     from ocr_spark.operators.transcript_qc import (
-        assistant_turn_flags,
         collapse_retries,
         repair_turn_order,
         truncate_to_budget,
+        truncation_flag,
     )
 
     repaired = repair_turn_order(
@@ -360,27 +365,21 @@ def curate_transcripts(
         num=retry_num,
         den=retry_den,
     )
+    bad = F.when(
+        (F.col(role_col) == "assistant")
+        & truncation_flag(F.col(text_col), min_truncation_len),
+        1,
+    ).otherwise(0)
+    gated = collapsed.withColumn(
+        "_conv_bad", F.max(bad).over(Window.partitionBy(conv_col))
+    ).filter(F.col("_conv_bad") == 0)
     fitted = truncate_to_budget(
-        collapsed,
+        gated,
         budget=budget,
         conv_col=conv_col,
         turn_col="new_turn_idx",
         text_col=text_col,
     )
-    flags = assistant_turn_flags(
-        collapsed,
-        conv_col=conv_col,
-        turn_col="new_turn_idx",
-        role_col=role_col,
-        text_col=text_col,
-        min_truncation_len=min_truncation_len,
-    )
-    bad_convs = (
-        flags.groupBy(conv_col)
-        .agg(F.sum("truncated").alias("_n_trunc"))
-        .filter(F.col("_n_trunc") > 0)
-        .select(conv_col)
-    )
-    return fitted.join(bad_convs, conv_col, "left_anti").select(
+    return fitted.select(
         conv_col, "new_turn_idx", role_col, text_col, "tail_tokens"
     )

@@ -239,6 +239,15 @@ REFUSAL_PATTERN = (
 _TERMINAL_TAIL = r"[.!?:\)\]\}`'\"]\s*$"
 
 
+def truncation_flag(text_col, min_len: int = 40) -> F.Column:
+    """Mid-sentence-cutoff predicate on a text column: long enough to be
+    a real reply but no terminal punctuation / closing bracket / quote
+    at the end. Shared by ``assistant_turn_flags`` and the
+    ``curate_transcripts`` gate so the two can't drift."""
+    txt = F.trim(F.coalesce(text_col, F.lit("")))
+    return (F.length(txt) >= min_len) & ~txt.rlike(_TERMINAL_TAIL)
+
+
 def assistant_turn_flags(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -266,10 +275,7 @@ def assistant_turn_flags(
     txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
     w = Window.partitionBy(conv_col).orderBy(turn_col)
     prev_role = F.lag(F.col(role_col)).over(w)
-    truncated = (
-        (F.length(txt) >= min_truncation_len)
-        & ~(txt.rlike(_TERMINAL_TAIL))
-    )
+    truncated = truncation_flag(F.col(text_col), min_truncation_len)
     refusal = txt.rlike(REFUSAL_PATTERN)
     # The lag must be MATERIALIZED before the assistant filter — using
     # the window expression in the post-filter select would recompute it

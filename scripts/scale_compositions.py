@@ -33,7 +33,10 @@ from bench import (  # noqa: E402
     materialize,
     shuffle_write_bytes,
 )
-from ocr_spark.operators.curation import curate_corpus  # noqa: E402
+from ocr_spark.operators.curation import (  # noqa: E402
+    curate_corpus,
+    curate_transcripts,
+)
 from ocr_spark.operators.dedup import release_shingle_caches  # noqa: E402
 from ocr_spark.operators.transcript_qc import (  # noqa: E402
     repair_turn_order,
@@ -108,6 +111,14 @@ def main() -> None:
     materialize(repair_turn_order(tr))
     t_qc = time.time() - t1
     b_qc = shuffle_write_bytes(spark) - b1
+
+    # the conversation-level curation front-end end-to-end on the same
+    # corpus (repair -> retry collapse -> budget fit -> assistant gate)
+    b2 = shuffle_write_bytes(spark)
+    t2 = time.time()
+    materialize(curate_transcripts(tr, budget=512))
+    t_ctr = time.time() - t2
+    b_ctr = shuffle_write_bytes(spark) - b2
     tr.unpersist(blocking=False)
 
     print(
@@ -127,6 +138,13 @@ def main() -> None:
                     "turns_per_sec": round(n_turns / t_qc, 1),
                     "shuffle_write_bytes": b_qc,
                     "shuffle_bytes_per_turn": round(b_qc / n_turns, 1),
+                },
+                "curate_transcripts": {
+                    "turns": n_turns,
+                    "sec": round(t_ctr, 2),
+                    "turns_per_sec": round(n_turns / t_ctr, 1),
+                    "shuffle_write_bytes": b_ctr,
+                    "shuffle_bytes_per_turn": round(b_ctr / n_turns, 1),
                 },
             }
         )

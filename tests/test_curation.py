@@ -353,6 +353,7 @@ def test_curate_transcripts_plan_is_window_algebra(spark):
     out = curate_transcripts(df, budget=10)
     c = checks.python_stage_counts(out)
     assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
-    # the whole chain rides conversation-key exchanges: repair/collapse/
-    # fit/flags reuse one hash partitioning; the gate join adds no scan
-    assert checks.count_exchanges(out) <= 3
+    # the whole chain — repair, collapse, gate, budget fit — rides ONE
+    # conversation-key hash exchange (single-consumer by construction:
+    # the gate is a max-over-conv window, not an aggregate joined back)
+    assert checks.count_exchanges(out) == 1

@@ -589,3 +589,59 @@ def test_stream_countmin_merge_equals_batch(spark, tmp_path):
     est_m = {r.term: r.est_cnt for r in countmin_estimate(merged, terms).collect()}
     est_w = {r.term: r.est_cnt for r in countmin_estimate(whole, terms).collect()}
     assert est_m == est_w
+
+
+def test_stream_curate_transcripts_matches_batch(spark, tmp_path):
+    """curate_transcripts is conversation-local (every stage is a window
+    or aggregate on the conv key), so a foreachBatch drain over
+    conversation-complete micro-batches equals the one-shot batch run —
+    the micro-batch ingestion shape for transcript feeds that deliver
+    whole conversations (session close, export jobs)."""
+    from ocr_spark.operators.curation import curate_transcripts
+
+    schema = "conv_id string, turn_idx int, role string, text string, ts long"
+    batch0 = [
+        ("a", 0, "user", "hello there friend", 100),
+        ("a", 1, "assistant", "short clean reply.", 200),
+        ("b", 0, "user", "question", 100),
+        ("b", 1, "assistant",
+         "a very long reply that just stops midway through the sent", 200),
+    ]
+    batch1 = [
+        ("c", 0, "user", "hi", 100),
+        ("c", 1, "assistant", "same words here exactly", 300),  # ts-late
+        ("c", 2, "assistant", "same words here exactly", 200),  # retry pair
+    ]
+    src = str(tmp_path / "ctr_src")
+    spark.createDataFrame(batch0, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "ctr_out")
+
+    def drain(bdf, batch_id):
+        curate_transcripts(bdf, budget=50).write.mode("append").parquet(out)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(drain)
+        .option("checkpointLocation", str(tmp_path / "ctr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["conv_id"], r["new_turn_idx"], r["text"], r["tail_tokens"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["conv_id"], r["new_turn_idx"], r["text"], r["tail_tokens"])
+        for r in curate_transcripts(
+            spark.createDataFrame(batch0 + batch1, schema), budget=50
+        ).collect()
+    )
+    assert got == want and len(got) > 0
