@@ -3420,6 +3420,44 @@ def _q_cr_transcript_pipeline(spark, sf_dir):
     )
 
 
+# Novelty fixture: 80-char slices with a shared sentence planted on every
+# 5th doc so cross-document gram overlap exists (otherwise synthetic text
+# is near-all-unique and the signal degenerates to 1e6 everywhere).
+_NOVELTY_PAYLOAD_SQL = (
+    "substr(coalesce(text, ''), 1, 80) || CASE WHEN doc_id % 5 = 0 THEN "
+    "' the quick brown fox jumps over the lazy dog' ELSE '' END"
+)
+
+
+def _q_tx_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs the corpus (lm_quality.
+    ngram_novelty): distinct trigrams, corpus-unique trigrams,
+    novelty_ppm. The oracle rebuilds the gram inventory with DuckDB list
+    comprehensions and replays the document-frequency join."""
+    from ocr_spark.operators.lm_quality import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _NOVELTY_PAYLOAD_SQL + " AS text"
+    )
+    return ngram_novelty(docs)
+
+
+def _q_tr_recency_weights(spark, sf_dir):
+    """Freshness weighting (training.recency_weights): half-life decay
+    anchored at the corpus max timestamp, weight = floor(1e6 / 2^bucket)
+    — exact in both engines. Synthetic epoch seconds from doc_id."""
+    from ocr_spark.operators.training import recency_weights
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "CAST((doc_id * 37) % 1000 AS BIGINT) * 500 AS ts"
+    )
+    out = recency_weights(docs, half_life=3600, max_buckets=20)
+    return out.select(
+        "doc_id", "ts", F.col("age_buckets").cast("int").alias("age_buckets"),
+        "weight_ppm",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -3437,6 +3475,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sft_packed_bins/pk_bin_materialize); the demoted drills keep their
     entries right after the boundary and stay replica-verified (driver-green
     history: CORRECTNESS_r01-r03).
+
+    Round-4 wave-3 re-curation (same rule): cr_transcript_pipeline (the
+    conversation-level curation flagship — the whole four-stage chain
+    oracle-replayed) and dd_lsh_recall (measured LSH recall — the
+    approximation-QA row) take the slots of km_lloyd_assign (⊂
+    sim_semantic_dedup's assign->mean->reassign composition) and
+    fz_token_sort_scalar (⊂ ex_fuzzy_cascade_twin); the demoted pair sits
+    right after the boundary, driver-green history r3.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -3475,14 +3521,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "sim_semantic_admit": _q_sim_semantic_admit,
         "dv_kcenter_select": _q_dv_kcenter_select,
-        "km_lloyd_assign": _q_km_lloyd_assign,
+        "dd_lsh_recall": _q_dd_lsh_recall,
         "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
         "emb_hashed_ann": _q_emb_hashed_ann,
         # -- learned tokenizer
         "tok_bpe_encode": _q_tok_bpe_encode,
-        # -- fuzzy scalar functions
-        "fz_token_sort_scalar": _q_fz_token_sort_scalar,
+        # -- transcript-curation flagship composition (round-4 wave 3)
+        "cr_transcript_pipeline": _q_cr_transcript_pipeline,
         # -- text analysis + training-data ops
         "tx_text_stats": _q_tx_text_stats,
         "tx_quality_filter": _q_tx_quality_filter,
@@ -3497,6 +3543,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
         "cr_corpus_report": _q_cr_corpus_report,
+        # ---- driver-scored window boundary (~50) ----
+        # demoted round-4: km_lloyd_assign ⊂ sim_semantic_dedup (the
+        # composition runs assign->mean->reassign), fz_token_sort_scalar ⊂
+        # ex_fuzzy_cascade_twin (the cascade exercises the scalar);
+        # both driver-green r3, still replica-verified every run.
+        "km_lloyd_assign": _q_km_lloyd_assign,
+        "fz_token_sort_scalar": _q_fz_token_sort_scalar,
         "tr_source_cap": _q_tr_source_cap,
         "tr_chunk_documents": _q_tr_chunk_documents,
         "tr_shuffle_shards": _q_tr_shuffle_shards,
@@ -3618,10 +3671,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_split_leakage": _q_tr_split_leakage,
         "emb_conv_pool": _q_emb_conv_pool,
         "lg_url_dedup": _q_lg_url_dedup,
-        "dd_lsh_recall": _q_dd_lsh_recall,
         "dq_skew_report": _q_dq_skew_report,
         "dq_profile_drift": _q_dq_profile_drift,
-        "cr_transcript_pipeline": _q_cr_transcript_pipeline,
+        "tx_ngram_novelty": _q_tx_ngram_novelty,
+        "tr_recency_weights": _q_tr_recency_weights,
     }
 
 
@@ -6577,5 +6630,50 @@ FROM p
             "bad AS (SELECT conv FROM fl GROUP BY conv HAVING sum(tr) > 0) "
             "SELECT conv, nt AS new_turn_idx, role, text, tail_tokens "
             "FROM fit WHERE conv NOT IN (SELECT conv FROM bad)"
+        ),
+        "tx_ngram_novelty": f"""
+WITH src AS (SELECT doc_id, {_NOVELTY_PAYLOAD_SQL} AS text FROM documents),
+w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS words
+  FROM src
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([words[i+1] || ' ' || words[i+2] || ' '
+                    || words[i+3] for i in range(0, len(words) - 2)])
+              ELSE [] END AS grams
+  FROM w
+),
+e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+dfreq AS (SELECT gr, count(*) AS c FROM e GROUP BY gr),
+per AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CASE WHEN dfreq.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM e JOIN dfreq USING (gr) GROUP BY e.doc_id
+)
+SELECT s.doc_id,
+       coalesce(per.n_distinct, 0) AS n_distinct,
+       coalesce(per.n_unique, 0) AS n_unique,
+       CAST(CASE WHEN coalesce(per.n_distinct, 0) = 0 THEN 0
+            ELSE floor(per.n_unique * 1000000 / per.n_distinct) END
+            AS BIGINT) AS novelty_ppm
+FROM src s LEFT JOIN per USING (doc_id)
+""",
+        "tr_recency_weights": (
+            "WITH d AS (SELECT doc_id, "
+            "CAST((doc_id * 37) % 1000 AS BIGINT) * 500 AS ts "
+            "FROM documents), "
+            "m AS (SELECT max(ts) AS mx FROM d), "
+            "b AS (SELECT doc_id, ts, CAST(least("
+            "floor((m.mx - ts) / 3600), 20) AS INTEGER) AS age_buckets "
+            "FROM d, m) "
+            "SELECT doc_id, ts, age_buckets, "
+            "CAST(floor(1000000 / power(2, age_buckets)) AS BIGINT) "
+            "AS weight_ppm FROM b"
         ),
     }

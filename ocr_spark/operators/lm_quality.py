@@ -40,6 +40,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ocr_spark.operators.contamination import word_ngrams_col
+
 V = 27  # |alphabet| after normalization: a-z + space
 DEFAULT_K = 0.1
 
@@ -291,3 +293,60 @@ SELECT d.id AS {id_col},
 FROM (SELECT DISTINCT {id_col} AS id FROM {docs_table}) d
 LEFT JOIN per_doc p USING (id)
 """
+
+
+def ngram_novelty(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> "DataFrame":
+    """Per-document n-gram novelty against the whole corpus — the cheap
+    self-BLEU-style diversity signal: what fraction of a document's
+    distinct n-grams appear in NO other document. Templated/boilerplate
+    documents score near 0, genuinely novel content near 1e6; mixture
+    builders cap low-novelty sources the way they cap domains.
+
+    Output: (``id_col``, ``n_distinct`` distinct n-grams,
+    ``n_unique`` grams with corpus document-frequency 1,
+    ``novelty_ppm`` = floor(n_unique * 1e6 / n_distinct); 0 for docs
+    shorter than n tokens).
+
+    Plan: one explode of DISTINCT per-doc grams (codegen array algebra,
+    contamination.word_ngrams_col) -> one map-side-combined gram
+    groupBy (document frequency) -> one gram-keyed join back -> one doc
+    groupBy. Gram keys are high-cardinality (skew-safe by nature); hot
+    boilerplate grams are exactly what AQE's skew split handles. The
+    gram strings cross the wire once each way; at 10^12 turns hash the
+    gram (xxhash64) before the shuffle — kept as strings here because
+    the oracle twin groups by the gram text.
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams_col(text_col, n)).alias("g")
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    per_doc = (
+        grams.join(df_counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+    )
+    return out.withColumn(
+        "novelty_ppm",
+        F.when(F.col("n_distinct") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.col("n_unique") * 1_000_000 / F.col("n_distinct"))
+        )
+        .cast("long"),
+    )

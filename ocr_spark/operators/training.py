@@ -974,3 +974,43 @@ def materialize_packed_bins(
         F.flatten(F.transform("_rows", lambda r: r["_t"])).alias("token_ids"),
         F.transform("_rows", lambda r: r["_o"]).alias("doc_offsets"),
     )
+
+
+def recency_weights(
+    df: DataFrame,
+    ts_col: str = "ts",
+    half_life: int = 86400 * 30,
+    max_buckets: int = 20,
+) -> DataFrame:
+    """Freshness weighting for training mixes: weight halves every
+    ``half_life`` (same units as ``ts_col``, e.g. epoch seconds),
+    anchored at the CORPUS MAX timestamp so the weights are a pure
+    function of the data — no wall-clock, re-runs reproduce exactly.
+
+    Appends ``age_buckets`` = floor(age / half_life) (capped at
+    ``max_buckets``) and ``weight_ppm`` = floor(1e6 / 2^age_buckets).
+    Small powers of two and their quotients are EXACT in IEEE doubles,
+    so the weights are bit-identical in any engine (no float exp());
+    the cap keeps 2^k small and floors stale data to 0 ppm.
+
+    Plan: one global max (map-side combined, one row) broadcast back
+    via crossJoin + a pure projection — the same zero-collect totals
+    shape as salt.skew_report."""
+    if half_life < 1:
+        raise ValueError("half_life must be >= 1")
+    mx = df.agg(F.max(F.col(ts_col)).alias("_max_ts"))
+    out = df.crossJoin(F.broadcast(mx))
+    bucket = F.least(
+        F.floor((F.col("_max_ts") - F.col(ts_col)) / F.lit(half_life)),
+        F.lit(max_buckets),
+    ).cast("int")
+    return (
+        out.withColumn("age_buckets", bucket)
+        .withColumn(
+            "weight_ppm",
+            F.floor(
+                F.lit(1_000_000) / F.pow(F.lit(2.0), F.col("age_buckets"))
+            ).cast("long"),
+        )
+        .drop("_max_ts")
+    )

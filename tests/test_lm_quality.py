@@ -157,3 +157,23 @@ class TestCompressionStats:
             assert rows[i]["raw_len"] == 0
             assert rows[i]["compressed_len"] == 0
             assert rows[i]["compression_ratio"] == 1.0
+
+
+def test_ngram_novelty(spark):
+    from ocr_spark.operators.lm_quality import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # grams: abc, bcd (abc shared w/ 2)
+            (2, "a b c x"),            # grams: abc, bcx
+            (3, "totally unique words here"),  # all df==1
+            (4, "xy"),                 # < 3 tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["n_distinct"] == 2 and out[1]["n_unique"] == 1
+    assert out[1]["novelty_ppm"] == 500_000
+    assert out[2]["n_unique"] == 1
+    assert out[3]["novelty_ppm"] == 1_000_000
+    assert out[4]["n_distinct"] == 0 and out[4]["novelty_ppm"] == 0

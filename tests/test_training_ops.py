@@ -578,3 +578,17 @@ def test_split_leakage_counts_cross_boundary_pairs(spark):
     assert out[("train", "train")] == (1, 0)
     assert out[("test", "train")] == (1, 1)  # ordered lexically
     assert out[("test", "val")] == (1, 1)
+
+
+def test_recency_weights_half_life(spark):
+    from ocr_spark.operators.training import recency_weights
+
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 900), (3, 750), (4, 0)], "doc_id long, ts long"
+    )
+    out = {r["doc_id"]: (r["age_buckets"], r["weight_ppm"])
+           for r in recency_weights(df, half_life=100, max_buckets=5).collect()}
+    assert out[1] == (0, 1_000_000)   # the max-ts row
+    assert out[2] == (1, 500_000)     # one half-life old
+    assert out[3] == (2, 250_000)
+    assert out[4] == (5, 31_250)      # capped at max_buckets
