@@ -3458,6 +3458,24 @@ def _q_tr_recency_weights(spark, sf_dir):
     )
 
 
+def _q_tr_epoch_materialize(spark, sf_dir):
+    """Epoch-plan materialization (training.materialize_epochs): each
+    doc emitted floor(capped-epochs) times plus a hash-gated remainder
+    copy, with epoch_idx. The oracle replays the plan arithmetic, the
+    multiplicative gate, and the copy fan-out via generate_series."""
+    from ocr_spark.operators.training import (
+        materialize_epochs,
+        mixture_epoch_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: len(s) % 3 + 1 for s in sources}
+    plan = mixture_epoch_plan(docs, weights, token_budget=59_999)
+    out = materialize_epochs(docs.select("doc_id", "source"), plan)
+    return out.select("doc_id", "source", "epoch_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -3675,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile_drift": _q_dq_profile_drift,
         "tx_ngram_novelty": _q_tx_ngram_novelty,
         "tr_recency_weights": _q_tr_recency_weights,
+        "tr_epoch_materialize": _q_tr_epoch_materialize,
     }
 
 
@@ -6664,6 +6683,27 @@ SELECT s.doc_id,
             AS BIGINT) AS novelty_ppm
 FROM src s LEFT JOIN per USING (doc_id)
 """,
+        "tr_epoch_materialize": (
+            f"WITH tok AS (SELECT doc_id, source, "
+            f"CAST({TS.token_count_sql(txt)} AS BIGINT) AS n FROM documents), "
+            "a AS (SELECT source, sum(n) AS avail FROM tok GROUP BY source), "
+            "w AS (SELECT source, CAST(length(source) % 3 + 1 AS BIGINT) "
+            "AS w FROM (SELECT DISTINCT source FROM documents)), "
+            "sw AS (SELECT sum(w) AS sumw FROM w), "
+            "p AS (SELECT a.source, "
+            "CASE WHEN avail > 0 THEN (least((59999 * w) // sumw, "
+            "avail * 4) * 1000000) // avail ELSE 0 END AS em "
+            "FROM a JOIN w USING (source), sw), "
+            "d AS (SELECT t.doc_id, t.source, "
+            "CAST(p.em // 1000000 AS BIGINT) AS fullc, "
+            "CAST(p.em % 1000000 AS BIGINT) AS frac, "
+            "((t.doc_id * 2246822519) % 4294967296) % 1000000 AS gate "
+            "FROM tok t JOIN p USING (source)), "
+            "n AS (SELECT doc_id, source, fullc + CASE WHEN gate < frac "
+            "THEN 1 ELSE 0 END AS nc FROM d) "
+            "SELECT doc_id, source, CAST(i AS INTEGER) AS epoch_idx "
+            "FROM n, unnest(range(0, CAST(nc AS BIGINT))) AS r(i)"
+        ),
         "tr_recency_weights": (
             "WITH d AS (SELECT doc_id, "
             "CAST((doc_id * 37) % 1000 AS BIGINT) * 500 AS ts "

@@ -1014,3 +1014,66 @@ def recency_weights(
         )
         .drop("_max_ts")
     )
+
+
+def materialize_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Turn a ``mixture_epoch_plan`` into the actual epoch dataset: each
+    document appears ``floor(epochs)`` times plus once more for a
+    deterministic hash-gated fraction of its domain (so a domain at
+    epochs_micro = 2_400_000 emits every doc twice and 40% of docs — by
+    multiplicative-hash gate, not RNG — a third time). Emitted rows get
+    ``epoch_idx`` (0-based copy number) so shard shuffling downstream
+    can interleave copies instead of clustering them.
+
+    The fractional gate reuses the overflow-safe multiplicative hash
+    with a DIFFERENT multiplier (xxhash's prime, not the split's Knuth
+    constant), so which docs carry the remainder copy is stable across
+    reruns AND uncorrelated with the split assignment (same property
+    family as ``domain_keep_probs``).
+
+    Plan shape: broadcast the dim-sized plan, ``explode(sequence(...))``
+    per doc — a pure projection fan-out, no shuffle; the output is
+    consumed by ``shuffle_to_shards``/``pack_sequences`` which impose
+    their own shard order anyway. At 10^12 docs the fan-out multiplies
+    rows but never bytes-per-row; nothing collects.
+    """
+    # copies derive from REALIZED tokens, not the raw desire: a domain
+    # whose weight wants 9.6 epochs against max_epochs=4 materializes 4
+    # (realized_tokens already encodes the cap: min(target, avail*max)).
+    p = plan.select(
+        F.col(domain_col),
+        F.when(
+            F.col("avail_tokens") > 0,
+            F.expr("(realized_tokens * 1000000) div avail_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("_em"),
+    )
+    joined = df.join(F.broadcast(p), domain_col, "inner")
+    full = (F.col("_em") / F.lit(1_000_000)).cast("long").alias("_full")
+    frac = (F.col("_em") % F.lit(1_000_000)).alias("_frac")
+    gate_bucket = F.pmod(
+        _hash_bucket_2_32(F.col(id_col), 2246822519),
+        F.lit(1_000_000),
+    )
+    n_copies = (
+        F.col("_full") + F.when(gate_bucket < F.col("_frac"), 1).otherwise(0)
+    ).alias("_n")
+    out = (
+        joined.withColumn("_full", full)
+        .withColumn("_frac", frac)
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "epoch_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+        )
+        .withColumn("epoch_idx", F.col("epoch_idx").cast("int"))
+        .drop("_em", "_full", "_frac", "_n")
+    )
+    return out

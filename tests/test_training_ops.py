@@ -592,3 +592,60 @@ def test_recency_weights_half_life(spark):
     assert out[2] == (1, 500_000)     # one half-life old
     assert out[3] == (2, 250_000)
     assert out[4] == (5, 31_250)      # capped at max_buckets
+
+
+def test_materialize_epochs_counts_and_cap(spark):
+    from ocr_spark.operators.training import (
+        materialize_epochs,
+        mixture_epoch_plan,
+    )
+
+    # domain "a": 2 docs x 10 tokens; domain "b": 2 docs x 10 tokens
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 10), (2, "a", "w " * 10),
+         (3, "b", "w " * 10), (4, "b", "w " * 10)],
+        "doc_id long, source string, text string",
+    )
+    # weights 3:1, budget 40 -> a target 30 (1.5 epochs), b target 10
+    # (0.5 epochs); max_epochs=4 not binding
+    plan = mixture_epoch_plan(docs, {"a": 3, "b": 1}, token_budget=40)
+    out = materialize_epochs(docs.select("doc_id", "source"), plan)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch_idx"])
+    # expected copies from the documented arithmetic: em(a) = 1.5e6
+    # (full 1 + gate < 500k), em(b) = 0.5e6 (gate < 500k only), where
+    # gate(id) = ((id * 2246822519) % 2^32) % 1e6 — replicated here
+    def gate(i):
+        return ((i * 2246822519) % (1 << 32)) % 1_000_000
+
+    want = {
+        1: 1 + (gate(1) < 500_000),
+        2: 1 + (gate(2) < 500_000),
+        3: 0 + (gate(3) < 500_000),
+        4: 0 + (gate(4) < 500_000),
+    }
+    for d, n in want.items():
+        assert len(per_doc.get(d, [])) == n, (d, n, per_doc)
+    # the gate realizes the fraction in expectation; over these 4 ids
+    # at least one remainder copy must exist or the fixture is inert
+    assert sum(want.values()) > 2
+    # epoch_idx is dense 0..n-1 per doc
+    for d, idxs in per_doc.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_materialize_epochs_respects_max_epochs(spark):
+    from ocr_spark.operators.training import (
+        materialize_epochs,
+        mixture_epoch_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a", "w " * 10)], "doc_id long, source string, text string"
+    )
+    # target 1000 tokens over 10 available wants 100 epochs; cap = 2
+    plan = mixture_epoch_plan(docs, {"a": 1}, token_budget=1000, max_epochs=2)
+    out = materialize_epochs(docs.select("doc_id", "source"), plan)
+    assert out.count() == 2
