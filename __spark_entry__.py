@@ -6547,9 +6547,8 @@ FROM ls LEFT JOIN agg a USING (doc_id)
             f"regexp_replace(s, '{LG._URL_TRK_MID}', '', 'g'), "
             f"'{LG._URL_TRK_FIRST}', '?', 'g'), "
             f"'{LG._URL_TRK_ONLY}', '', 'g') AS s FROM u2), "
-            "u4 AS (SELECT doc_id, CASE WHEN s LIKE '%/' "
-            "AND NOT regexp_matches(s, '://$') "
-            "THEN substr(s, 1, length(s) - 1) ELSE s END AS canon_url "
+            "u4 AS (SELECT doc_id, CASE WHEN regexp_matches(s, '[^:/]/+$') "
+            "THEN regexp_replace(s, '/+$', '', 'g') ELSE s END AS canon_url "
             "FROM u3) "
             "SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls, "
             "min(doc_id) AS keep_id FROM u4 GROUP BY canon_url"

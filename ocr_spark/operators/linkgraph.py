@@ -163,7 +163,10 @@ def canonical_url(col) -> F.Column:
        paths are case-significant on most origins);
     3. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
        ``msclkid``, ``ref``) wherever they sit in the query string;
-    4. drop one trailing ``/`` (not the one in ``scheme://``).
+    4. drop the trailing slash RUN (all of it — one-at-a-time would
+       break the canon(canon(u)) == canon(u) fixpoint on '//' tails,
+       pytest-asserted), guarded so ``scheme://`` itself never loses
+       its slashes.
 
     Deliberately NOT done: query-param reordering (kept params keep
     their order — reordering changes semantics on some origins) and
@@ -180,8 +183,7 @@ def canonical_url(col) -> F.Column:
     s = F.regexp_replace(s, _URL_TRK_FIRST, "?")
     s = F.regexp_replace(s, _URL_TRK_ONLY, "")
     return F.when(
-        s.endswith("/") & ~s.rlike(r"://$"),
-        s.substr(F.lit(1), F.length(s) - 1),
+        s.rlike(r"[^:/]/+$"), F.regexp_replace(s, r"/+$", "")
     ).otherwise(s)
 
 
@@ -197,8 +199,8 @@ def canonical_url_sql(expr: str) -> str:
     s3 = f"regexp_replace({s2}, '{_URL_TRK_FIRST}', '?', 'g')"
     s4 = f"regexp_replace({s3}, '{_URL_TRK_ONLY}', '', 'g')"
     return (
-        f"CASE WHEN {s4} LIKE '%/' AND NOT regexp_matches({s4}, '://$') "
-        f"THEN substr({s4}, 1, length({s4}) - 1) ELSE {s4} END"
+        f"CASE WHEN regexp_matches({s4}, '[^:/]/+$') "
+        f"THEN regexp_replace({s4}, '/+$', '', 'g') ELSE {s4} END"
     )
 
 

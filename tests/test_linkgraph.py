@@ -121,3 +121,32 @@ def test_url_dedup_clusters(spark):
            for r in url_dedup(df).collect()}
     assert out["http://a.com/x"] == (3, 1)
     assert out["http://other.com"] == (1, 4)
+
+
+def test_canonical_url_idempotent_on_adversarial_inputs(spark):
+    """canonicalization is a fixpoint: canon(canon(u)) == canon(u), even
+    on degenerate inputs (relative hrefs, bare fragments, repeated
+    tracking params, no scheme, trailing-slash roots)."""
+    from ocr_spark.operators.linkgraph import canonical_url
+    import pyspark.sql.functions as F
+
+    urls = [
+        "", "/", "#", "?utm_source=x", "relative/path/",
+        "HTTPS://Host.COM", "https://host.com/",
+        "http://a.com/p?utm_a=1&utm_b=2&utm_c=3",
+        "http://a.com/p?utm_a=1&id=2&utm_b=3&ref=z",
+        "http://a.com/p?ref=only",
+        "http://a.com/p/?ref=only",
+        "ftp://X.Y/Z/", "http://a.com//double//slash//",
+        "http://a.com/p#frag?not-a-query",
+        "http://a.com/p?q=%20encoded#f",
+        "scheme+odd-1.0://MiXeD.Case/Path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonical_url("url").alias("c"))
+    twice = once.select(F.col("c").alias("url")).select(
+        canonical_url("url").alias("c")
+    )
+    a = [r["c"] for r in once.collect()]
+    b = [r["c"] for r in twice.collect()]
+    assert a == b

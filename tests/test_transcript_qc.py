@@ -245,3 +245,59 @@ def test_collapse_retries_threshold_integer_exact(spark):
     ]
     assert collapse_retries(_mk(spark, rows)).count() == 2
     assert collapse_retries(_mk(spark, rows), num=4, den=5).count() == 1
+
+
+def test_truncate_and_collapse_invariants_bulk(spark):
+    """Bulk invariants over a many-conversation corpus:
+    - truncate_to_budget keeps a SUFFIX of each conversation (no gaps
+      after the first kept turn) and never exceeds the budget except
+      via the always-keep-final rule;
+    - collapse_retries only drops turns whose ORIGINAL next turn shares
+      the role with token-set Jaccard >= num/den."""
+    import pyspark.sql.functions as F
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    for c in range(25):
+        for t in range(8):
+            role = ["user", "assistant", "assistant"][t % 3]
+            body = " ".join(words[(c + t + j) % 6] for j in range((c + t) % 5 + 1))
+            rows.append((f"c{c}", t, role, body, t))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+
+    out = truncate_to_budget(df, budget=9).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r["conv_id"], []).append(r)
+    src_tokens = {
+        (c, t): len(body.split())
+        for (c, t, _role, body, _ts) in rows
+    }
+    for c, kept in by_conv.items():
+        idxs = sorted(r["turn_idx"] for r in kept)
+        assert idxs == list(range(idxs[0], 8))  # contiguous suffix to the end
+        total = sum(src_tokens[(c, t)] for t in idxs)
+        if len(idxs) > 1:
+            assert total <= 9
+    assert set(by_conv) == {f"c{c}" for c in range(25)}  # final turn rule
+
+    collapsed = {(r["conv_id"], r["turn_idx"])
+                 for r in collapse_retries(df, num=4, den=5).collect()}
+    toks = {
+        (c, t): set(body.lower().split())
+        for (c, t, _role, body, _ts) in rows
+    }
+    roles = {(c, t): ["user", "assistant", "assistant"][t % 3]
+             for c in range(25) for t in range(8)}
+    for c in range(25):
+        for t in range(8):
+            key = (f"c{c}", t)
+            if key in collapsed:
+                continue
+            nkey = (f"c{c}", t + 1)
+            a, b = toks[(c, t)], toks[(c, t + 1)]
+            inter, uni = len(a & b), len(a | b)
+            assert roles[(c, t)] == roles[(c, t + 1)]
+            assert uni > 0 and inter * 5 >= uni * 4, (key, inter, uni)
