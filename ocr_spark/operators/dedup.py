@@ -934,6 +934,34 @@ def simhash_candidate_buckets(
     return sigs.select(id_col, sim_col, F.explode(keys).alias("bucket"))
 
 
+def hamming_pairs_from_signatures(
+    sigs: DataFrame, id_col: str = "doc_id", sim_col: str = "sim",
+    max_hamming: int = 3, n_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Hamming-<=d pair join over ANY 64-bit signature column
+    (SimHash text fingerprints, perceptual image aHashes, ...):
+    block-combination LSH candidates -> exact ``bit_count(xor)``
+    verify. Linear candidate generation, exact recall by pigeonhole."""
+    banded = simhash_candidate_buckets(
+        sigs, id_col, max_hamming, n_blocks, sim_col=sim_col
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "bucket"
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()  # a pair may share several clean-block combinations
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def simhash_near_dups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     max_hamming: int = 3, n_blocks: Optional[int] = None,
@@ -946,21 +974,8 @@ def simhash_near_dups(
     exactly the hamming-<=d self-join, computed without the O(n^2) cross
     join the round-1 prefix bucketing degraded to."""
     sh = df.select(id_col, simhash64(F.col(text_col)).alias("sim"))
-    banded = simhash_candidate_buckets(sh, id_col, max_hamming, n_blocks)
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sim").alias("sim_a"), "bucket"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sim").alias("sim_b"), "bucket"
-    )
-    return (
-        a.join(b, ["bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()  # a pair may share several clean-block combinations
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return hamming_pairs_from_signatures(
+        sh, id_col, "sim", max_hamming, n_blocks
     )
 
 

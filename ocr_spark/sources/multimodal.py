@@ -475,3 +475,81 @@ def load_binary_media(
         F.col("length").alias("n_bytes"),
         F.col("modificationTime").alias("modified"),
     )
+
+
+def average_hash(height: int, width: int, channels: int, raw) -> int:
+    """Perceptual average-hash (aHash) of a decoded sample buffer:
+    grayscale -> 8x8 area downsample -> 64-bit mask of cells above the
+    mean. Robust to resizing/re-encoding/brightness-preserving edits
+    (the hash compares each cell to the IMAGE'S OWN mean, so global
+    exposure shifts cancel); near-duplicate images land within a few
+    hamming bits. Pure numpy; deterministic area mapping (each of the
+    8x8 cells averages its exact pixel block, no interpolation)."""
+    a = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(height, width, channels)
+    gray = a.mean(axis=2)  # luma proxy: channel mean (deterministic)
+    ys = [(y * height) // 8 for y in range(9)]
+    xs = [(x * width) // 8 for x in range(9)]
+    cells = np.empty((8, 8), dtype=np.float64)
+    for y in range(8):
+        for x in range(8):
+            block = gray[ys[y] : max(ys[y + 1], ys[y] + 1),
+                         xs[x] : max(xs[x + 1], xs[x] + 1)]
+            cells[y, x] = float(block.mean())
+    bits = (cells > cells.mean()).ravel()
+    h = 0
+    for b in bits:
+        h = (h << 1) | int(b)
+    # int64-safe: store as signed
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(media_id, ahash int64) per decodable payload — the image analog
+    of SimHash: identical/re-encoded/resized copies collide or land
+    within a few hamming bits, so near-duplicate IMAGE dedup reuses the
+    text stack's hamming candidate generation
+    (`dedup.simhash_candidate_buckets` block-combination LSH) on this
+    column. Arrow-batched mapInPandas; decode failures degrade to NULL
+    hash + error string, never a task failure."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"], "ahash": [], "decode_error": []}
+            for payload in pdf["payload"]:
+                try:
+                    h, w, c, raw = decode_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    out["ahash"].append(average_hash(h, w, c, raw))
+                    out["decode_error"].append(None)
+                except Exception as e:  # noqa: BLE001 — degrade per row
+                    out["ahash"].append(None)
+                    out["decode_error"].append(type(e).__name__)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+def near_dup_images(
+    media: DataFrame, max_hamming: int = 4
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: aHash -> the
+    SimHash block-combination LSH candidate path -> exact hamming
+    verify. Returns (id_a, id_b, hamming). Candidate generation is
+    linear (bucket equi-join), never the all-pairs cross join."""
+    from ocr_spark.operators.dedup import hamming_pairs_from_signatures
+
+    sigs = perceptual_hashes(media).filter(F.col("ahash").isNotNull()).select(
+        F.col("media_id").alias("doc_id"), F.col("ahash").alias("sim")
+    )
+    return hamming_pairs_from_signatures(sigs, max_hamming=max_hamming)

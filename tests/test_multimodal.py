@@ -332,3 +332,67 @@ def test_load_binary_media_roundtrip(spark, tmp_path):
     # size guard drops by file-metadata length, before content use
     small = load_binary_media(spark, d, glob="*.png", max_bytes=1)
     assert small.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing + near-dup images (round-4)
+# ---------------------------------------------------------------------------
+
+
+def test_average_hash_identity_and_brightness_invariance():
+    from ocr_spark.sources.multimodal import average_hash, decode_pixels, synth_png
+
+    png = synth_png(32, 24, seed=5)
+    h, w, c, raw = decode_pixels(png)
+    a1 = average_hash(h, w, c, raw)
+    a2 = average_hash(h, w, c, raw)
+    assert a1 == a2  # deterministic
+    # global brightness shift (saturating +30): cells move WITH the mean,
+    # so the hash stays within a few bits
+    import numpy as np
+
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.int32)
+    bright = bytearray(np.clip(arr + 30, 0, 255).astype(np.uint8).tobytes())
+    a3 = average_hash(h, w, c, bright)
+    assert bin((a1 ^ a3) & ((1 << 64) - 1)).count("1") <= 6
+    # a different image is far away
+    h2, w2, c2, raw2 = decode_pixels(synth_png(32, 24, seed=99))
+    a4 = average_hash(h2, w2, c2, raw2)
+    assert bin((a1 ^ a4) & ((1 << 64) - 1)).count("1") > 10
+
+
+def test_average_hash_resize_stability():
+    # smooth content (gradient): area means survive nearest-neighbor
+    # resampling, so the hash is resize-stable. (White-noise synthetic
+    # images are legitimately unstable under NN resize — each cell's
+    # surviving pixels are a different random sample.)
+    from ocr_spark.sources.multimodal import average_hash, resize_pixels
+
+    h, w, c = 48, 64, 3
+    raw = bytearray(
+        ((x * 3 + y * 2) % 256)
+        for y in range(h)
+        for x in range(w)
+        for _ in range(c)
+    )
+    big = average_hash(h, w, c, raw)
+    small_raw = resize_pixels(h, w, c, raw, 24, 32)
+    small = average_hash(24, 32, c, small_raw)
+    assert bin((big ^ small) & ((1 << 64) - 1)).count("1") <= 6
+
+
+def test_near_dup_images_finds_reencoded_copy(spark):
+    from ocr_spark.sources.multimodal import near_dup_images, synth_png
+
+    png_a = synth_png(32, 24, seed=7)
+    png_b = synth_png(32, 24, seed=7)   # identical content
+    png_c = synth_png(32, 24, seed=42)  # different content
+    media = spark.createDataFrame(
+        [(1, bytearray(png_a)), (2, bytearray(png_b)), (3, bytearray(png_c)),
+         (4, bytearray(b"not an image"))],
+        "media_id long, payload binary",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in near_dup_images(media, max_hamming=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(p == (1, 2) for p in pairs)  # no cross-content pair, no crash
