@@ -1,0 +1,86 @@
+"""spark-submit entry point for the conversation-level curation job.
+
+Production deploy shape (same as run_pipeline.py):
+
+    spark-submit --py-files ocr_spark.zip scripts/run_transcript_curation.py \
+        --input  <transcripts parquet path> \
+        --output <curated transcripts root> \
+        [--budget 2048] [--retry-num 4] [--retry-den 5] \
+        [--min-truncation-len 40] [--shards 64]
+
+Runs ``operators/curation.curate_transcripts`` (event-time repair ->
+same-role retry collapse on the repaired order -> token-budget suffix
+fitting -> truncated-assistant conversation gate) and materializes the
+survivors partitioned by a conversation-hash shard (so downstream
+readers get even files regardless of conversation skew), printing one
+JSON line of per-stage accounting for the run log.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.curation import curate_transcripts
+from ocr_spark.pipeline import load_transcripts
+from ocr_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--fmt", default="parquet")
+    ap.add_argument("--budget", type=int, default=2048)
+    ap.add_argument("--retry-num", type=int, default=4)
+    ap.add_argument("--retry-den", type=int, default=5)
+    ap.add_argument("--min-truncation-len", type=int, default=40)
+    ap.add_argument("--shards", type=int, default=64)
+    args = ap.parse_args()
+
+    spark = get_spark("transcript_curation")
+    t0 = time.time()
+    tr = load_transcripts(spark, args.input, fmt=args.fmt)
+    n_turns = tr.count()
+    n_convs = tr.select("conv_id").distinct().count()
+
+    out = curate_transcripts(
+        tr,
+        budget=args.budget,
+        retry_num=args.retry_num,
+        retry_den=args.retry_den,
+        min_truncation_len=args.min_truncation_len,
+    ).withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"), F.lit(args.shards)).cast("int")
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(args.output)
+
+    kept = spark.read.parquet(args.output)
+    k_turns = kept.count()
+    k_convs = kept.select("conv_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "input_turns": n_turns,
+                "input_convs": n_convs,
+                "kept_turns": k_turns,
+                "kept_convs": k_convs,
+                "dropped_turns": n_turns - k_turns,
+                "gated_convs": n_convs - k_convs,
+                "sec": round(time.time() - t0, 2),
+                "turns_per_sec": round(n_turns / max(time.time() - t0, 1e-9), 1),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
