@@ -3476,6 +3476,34 @@ def _q_tr_epoch_materialize(spark, sf_dir):
     return out.select("doc_id", "source", "epoch_idx")
 
 
+# Tool-latency fixture: roles cycle user/assistant/tool/assistant (73%4=1
+# advances one step per turn); BIGINT event time mostly monotone with a
+# planted clock-skew dip on every 13th doc (negative latency counter must
+# fire). Tool kind from doc arithmetic.
+_LAT_CORPUS_EXPRS = [
+    "CAST(doc_id % 73 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 73) AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 2 THEN 'tool' "
+    "ELSE 'assistant' END AS role",
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'records' WHEN 1 THEN 'html' "
+    "ELSE 'json_tool' END AS tool",
+    "CAST(floor(doc_id / 73) AS BIGINT) * 100 + doc_id % 7 + "
+    "CASE WHEN doc_id % 13 = 0 THEN -250 ELSE 0 END AS ts",
+]
+_LAT_CORPUS_SQL = "SELECT " + ", ".join(_LAT_CORPUS_EXPRS) + " FROM documents"
+
+
+def _q_ts_tool_latency(spark, sf_dir):
+    """Per-tool latency profile from transcript timestamps
+    (transcript_stats.tool_latency_stats): request-to-result deltas,
+    int64-exact sum/max + clock-skew counter. Oracle replays the lag
+    window and aggregation in DuckDB."""
+    from ocr_spark.operators.transcript_stats import tool_latency_stats
+
+    convs = _t(spark, sf_dir, "documents").selectExpr(*_LAT_CORPUS_EXPRS)
+    return tool_latency_stats(convs, conv_col="conv")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -3694,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_ngram_novelty": _q_tx_ngram_novelty,
         "tr_recency_weights": _q_tr_recency_weights,
         "tr_epoch_materialize": _q_tr_epoch_materialize,
+        "ts_tool_latency": _q_ts_tool_latency,
     }
 
 
@@ -6702,6 +6731,20 @@ FROM src s LEFT JOIN per USING (doc_id)
             "THEN 1 ELSE 0 END AS nc FROM d) "
             "SELECT doc_id, source, CAST(i AS INTEGER) AS epoch_idx "
             "FROM n, unnest(range(0, CAST(nc AS BIGINT))) AS r(i)"
+        ),
+        "ts_tool_latency": (
+            f"WITH c AS ({_LAT_CORPUS_SQL}), "
+            "l AS (SELECT conv, turn_idx, role, tool, ts, "
+            "ts - lag(ts) OVER (PARTITION BY conv ORDER BY turn_idx) "
+            "AS lat FROM c), "
+            "t AS (SELECT coalesce(tool, 'plain') AS tool_kind, lat FROM l "
+            "WHERE role = 'tool' AND lat IS NOT NULL) "
+            "SELECT tool_kind, CAST(count(*) AS BIGINT) AS n_calls, "
+            "CAST(sum(CASE WHEN lat < 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_negative, "
+            "CAST(sum(lat) AS BIGINT) AS sum_latency, "
+            "CAST(max(lat) AS BIGINT) AS max_latency "
+            "FROM t GROUP BY tool_kind"
         ),
         "tr_recency_weights": (
             "WITH d AS (SELECT doc_id, "

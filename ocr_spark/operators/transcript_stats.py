@@ -174,3 +174,45 @@ def tool_chain_signatures(
     return chains.groupBy("chain").agg(
         F.count(F.lit(1)).alias("n_convs")
     )
+
+
+def tool_latency_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-tool execution-latency profile from the transcript's own
+    timestamps: for every ``role='tool'`` turn, latency = its ts minus
+    the PREVIOUS turn's ts (the window between the request being
+    written and the tool result landing). The agent-observability
+    aggregation a training-data pipeline uses to drop degenerate traces
+    (stuck tools, clock-skewed writers report negative latencies).
+
+    Output per tool kind: ``n_calls``, ``n_negative`` (clock skew
+    indicator), ``sum_latency`` / ``max_latency`` (same units as
+    ``ts_col``; sum+count instead of avg keeps every column int64-exact
+    for the oracle — consumers derive the mean). One lag window on the
+    conversation key + one map-side-combined groupBy on the (tiny)
+    tool-kind key."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    lat = (F.col(ts_col) - prev_ts).alias("_lat")
+    calls = (
+        df.withColumn("_lat", lat)
+        .filter((F.col(role_col) == "tool") & F.col("_lat").isNotNull())
+        .select(
+            F.coalesce(F.col(tool_col), F.lit("plain")).alias("tool_kind"),
+            "_lat",
+        )
+    )
+    return calls.groupBy("tool_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum(F.when(F.col("_lat") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_negative"),
+        F.sum("_lat").cast("long").alias("sum_latency"),
+        F.max("_lat").cast("long").alias("max_latency"),
+    )

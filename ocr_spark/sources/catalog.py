@@ -315,3 +315,60 @@ def run_with_checkpoint_table(
         "run_id": run_id,
         "n_buckets": n_buckets,
     }
+
+
+def partition_file_stats(
+    spark: SparkSession, name: str, part_col: str = "conv_bucket"
+) -> "list[tuple]":
+    """(partition_value, n_files) per partition of a catalog table —
+    the small-files audit. Reads ONLY file identity via the
+    input_file_name projection (no payload columns decoded)."""
+    rows = (
+        spark.table(name)
+        .select(F.col(part_col), F.input_file_name().alias("_f"))
+        .groupBy(part_col, "_f")
+        .count()
+        .groupBy(part_col)
+        .agg(F.countDistinct("_f").alias("n_files"))
+        .collect()
+    )
+    out = []
+    for r in rows:
+        out.append((r[part_col], int(r["n_files"])))
+    return sorted(out)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    name: str,
+    part_col: str = "conv_bucket",
+    max_files: int = 4,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction — the OPTIMIZE primitive every long-lived
+    partitioned table needs: streaming appends and incremental upserts
+    leave partitions with dozens of small files, and at 10^12 turns the
+    per-file open/footer cost dominates the scan. Partitions holding
+    more than ``max_files`` files are rewritten as ONE file each
+    (optionally sorted by ``sort_cols`` for run-length-friendly
+    encoding); every other partition is left BYTE-IDENTICAL — the
+    rewrite is partition-scoped dynamic overwrite, the same idempotent
+    primitive as ``overwrite_partitions``.
+
+    Returns {"compacted": [partition values], "skipped": n}. Cost is
+    one metadata scan + one read-rewrite of ONLY the flagged
+    partitions' rows (O(touched data), never O(table)).
+    """
+    stats = partition_file_stats(spark, name, part_col)
+    flagged = [p for p, n_files in stats if n_files > max_files]
+    if not flagged:
+        return {"compacted": [], "skipped": len(stats)}
+    src = spark.table(name).filter(F.col(part_col).isin(flagged))
+    # hash-repartition on the partition column: each flagged partition's
+    # rows land in exactly one task -> exactly one output file per
+    # partition, and distinct partitions rewrite in parallel
+    src = src.repartition(len(flagged), part_col)
+    if sort_cols:
+        src = src.sortWithinPartitions(part_col, *sort_cols)
+    overwrite_partitions(spark, src, name)
+    return {"compacted": sorted(flagged), "skipped": len(stats) - len(flagged)}

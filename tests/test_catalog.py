@@ -296,3 +296,86 @@ def test_upsert_rejects_duplicate_update_keys(spark, transcripts):
     after = spark.table("t_upsert_dup").toPandas()
     assert len(before) == len(after)  # nothing written
     _drop(spark, "t_upsert_dup")
+
+
+def test_compact_partitions_merges_small_files_scoped(spark, transcripts):
+    """OPTIMIZE primitive: partitions fragmented past max_files are
+    rewritten to ONE file with identical data; partitions under the
+    threshold keep their exact data files (byte-identical, same paths)."""
+    import os
+
+    _drop(spark, "t_compact")
+    catalog.write_transcripts_table(spark, transcripts, "t_compact", n_buckets=4)
+
+    # fragment one bucket with several tiny single-row appends
+    from ocr_spark.checkpoint import bucket_col
+
+    frag = (
+        spark.table("t_compact")
+        .limit(0)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (f"conv_frag", i, "user", f"frag {i}", "plain", None, 0)
+                    for i in range(5)
+                ],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp, conv_bucket int",
+            )
+        )
+    )
+    for i in range(5):
+        catalog.append_table(
+            spark, frag.where(F.col("turn_idx") == i), "t_compact"
+        )
+
+    stats0 = dict(catalog.partition_file_stats(spark, "t_compact"))
+    assert stats0[0] > 4  # bucket 0 fragmented
+    before = {
+        r["conv_bucket"]: r["cnt"]
+        for r in spark.table("t_compact")
+        .groupBy("conv_bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # file inventory of an untouched bucket
+    untouched = [b for b in before if b != 0][0]
+    files_before = sorted(
+        r["_f"]
+        for r in spark.table("t_compact")
+        .where(F.col("conv_bucket") == untouched)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+
+    out = catalog.compact_partitions(
+        spark, "t_compact", max_files=4, sort_cols=("conv_id", "turn_idx")
+    )
+    assert out["compacted"] == [0]
+
+    stats1 = dict(catalog.partition_file_stats(spark, "t_compact"))
+    assert stats1[0] == 1  # one file now
+    after = {
+        r["conv_bucket"]: r["cnt"]
+        for r in spark.table("t_compact")
+        .groupBy("conv_bucket")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert after == before  # no rows lost or duplicated
+    files_after = sorted(
+        r["_f"]
+        for r in spark.table("t_compact")
+        .where(F.col("conv_bucket") == untouched)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    assert files_after == files_before  # untouched partition: same files
+
+    # idempotent: nothing left to compact
+    assert catalog.compact_partitions(spark, "t_compact", max_files=4) == {
+        "compacted": [],
+        "skipped": len(stats1),
+    }

@@ -108,3 +108,25 @@ def test_tool_chain_truncation(spark):
     assert got[0].chain == "x>y>x"
     with _pt.raises(ValueError):
         tool_chain_signatures(df, max_runs=0)
+
+
+def test_tool_latency_stats(spark):
+    from ocr_spark.operators.transcript_stats import tool_latency_stats
+
+    rows = [
+        ("c", 0, "user", None, 100),
+        ("c", 1, "tool", "search", 130),     # latency 30
+        ("c", 2, "assistant", None, 140),
+        ("c", 3, "tool", "search", 100),     # latency -40 (clock skew)
+        ("c", 4, "tool", "browse", 400),     # latency 300
+        ("d", 0, "tool", "search", 999),     # first turn: no prev -> dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts long"
+    )
+    out = {r["tool_kind"]: r for r in tool_latency_stats(df).collect()}
+    assert out["search"]["n_calls"] == 2
+    assert out["search"]["n_negative"] == 1
+    assert out["search"]["sum_latency"] == -10 and out["search"]["max_latency"] == 30
+    assert out["browse"]["n_calls"] == 1 and out["browse"]["max_latency"] == 300
+    assert set(out) == {"search", "browse"}
