@@ -54,6 +54,7 @@ from ocr_spark.operators import linkgraph as LG
 from ocr_spark.operators import expectations as EXP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
+from ocr_spark.operators import training as TRN
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
 from ocr_spark.pipeline import extract_transcripts
 
@@ -3476,6 +3477,21 @@ def _q_tr_epoch_materialize(spark, sf_dir):
     return out.select("doc_id", "source", "epoch_idx")
 
 
+def _q_tr_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sampling without replacement
+    (training.weighted_sample, Efraimidis–Spirakis 2006): top-k by
+    floor(ln(u)/w * 1e9) with u from the deterministic hash stream,
+    weight = n_chars. The oracle replays the identical draw, key, and
+    (key desc, id) top-k in SQL — TakeOrderedAndProject on the Spark
+    side, ORDER BY + LIMIT on the oracle side."""
+    from ocr_spark.operators.training import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, 50, "n_chars").select(
+        "doc_id", "source", "es_key_nano"
+    )
+
+
 # Tool-latency fixture: roles cycle user/assistant/tool/assistant (73%4=1
 # advances one step per turn); BIGINT event time mostly monotone with a
 # planted clock-skew dip on every 13th doc (negative latency counter must
@@ -3723,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_recency_weights": _q_tr_recency_weights,
         "tr_epoch_materialize": _q_tr_epoch_materialize,
         "ts_tool_latency": _q_ts_tool_latency,
+        "tr_weighted_sample": _q_tr_weighted_sample,
     }
 
 
@@ -6757,5 +6774,8 @@ FROM src s LEFT JOIN per USING (doc_id)
             "SELECT doc_id, ts, age_buckets, "
             "CAST(floor(1000000 / power(2, age_buckets)) AS BIGINT) "
             "AS weight_ppm FROM b"
+        ),
+        "tr_weighted_sample": TRN.weighted_sample_sql(
+            "documents", 50, "n_chars", extra_cols=", source"
         ),
     }

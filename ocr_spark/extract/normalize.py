@@ -137,16 +137,32 @@ def repair_text(text: str):
     """Repair one payload: mojibake undone (up to 3 nested rounds for
     double/triple-encoded streams), C0+C1 controls stripped (tab /
     newline / CR kept — canonicalize owns newline policy), NFC
-    normalization last. Returns (repaired, was_mojibake, n_controls)."""
+    normalization. Returns (repaired, was_mojibake, n_controls).
+
+    The mojibake→strip→NFC pass runs to a FIXPOINT (bounded at 4
+    passes): a stray control byte can interrupt an otherwise-valid
+    mojibake sequence ('Â\\x1f\\xa0' — strict decode fails until the
+    \\x1f is stripped), and NFC composition can assemble one
+    ('A'+U+0302 → 'Â'), so a single ordered pass is not idempotent —
+    its output would repair FURTHER on a second call, and an
+    idempotence-keyed consumer (exact dedup after repair, rerun
+    equality) would see two different corpora. Hypothesis found the
+    counterexample; ``tests/test_properties.py`` pins it."""
     if text is None:
         return "", False, 0
     t = text
     was_mojibake = False
-    for _ in range(3):
-        t, changed = _fix_mojibake_once(t)
-        if not changed:
+    n_controls = 0
+    for _ in range(4):
+        start = t
+        for _ in range(3):
+            t, changed = _fix_mojibake_once(t)
+            if not changed:
+                break
+            was_mojibake = True
+        stripped = _C0C1.sub("", t)
+        n_controls += len(t) - len(stripped)
+        t = unicodedata.normalize("NFC", stripped)
+        if t == start:
             break
-        was_mojibake = True
-    stripped = _C0C1.sub("", t)
-    n_controls = len(t) - len(stripped)
-    return unicodedata.normalize("NFC", stripped), was_mojibake, n_controls
+    return t, was_mojibake, n_controls

@@ -1077,3 +1077,96 @@ def materialize_epochs(
         .drop("_em", "_full", "_frac", "_n")
     )
     return out
+
+
+# ---------------------------------------------------- weighted sampling
+# Efraimidis–Spirakis (IPL 2006): a weighted random sample WITHOUT
+# replacement of exactly k items is the top-k by key u_i^(1/w_i) with
+# u_i uniform in (0,1). Ordering by u^(1/w) is ordering by ln(u)/w
+# (monotone transform), which avoids pow() and keeps the magnitudes
+# oracle-friendly.
+_ES_HASH_OFFSET = 15485863  # 1e6-th prime: independent draw stream
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: str | None = None,
+) -> DataFrame:
+    """Deterministic exact-size weighted sample WITHOUT replacement.
+
+    Soft/Bernoulli sampling (``soft_quality_sample``,
+    ``temperature_resample``) keeps each row independently — the output
+    SIZE is only expected, not exact. Mixture builders often need the
+    other contract: exactly ``k`` documents, inclusion probability
+    proportional to a weight (quality score, DSIR importance, token
+    count). That is Efraimidis–Spirakis: key_i = u_i^(1/w_i), keep the
+    top-k keys. Here u_i is NOT an RNG draw but the independent
+    multiplicative-hash stream every sampling operator in this module
+    uses (offset ``_ES_HASH_OFFSET`` → independent of the split /
+    resample / epoch-gate streams): u = (bucket+1)/(2^32+1) ∈ (0,1],
+    so the sample is rerun-identical, engine-portable, and a document's
+    KEY never changes as the corpus grows (membership in a fixed-size
+    top-k can, by definition).
+
+    Ranking uses ``es_key_nano = floor(ln(u)/w * 1e9)`` (ties broken by
+    id): a monotone transform of the E-S key, quantized so the
+    comparison is int64 like this module's other decisions. The only
+    float steps are one ``ln`` and one divide; a 1-ulp engine
+    difference flips a decision only when two keys land within 1e-9 of
+    each other AT the rank-k boundary — the oracle gate runs the twin
+    at three corpus scales to guard exactly that.
+
+    Rows with NULL or non-positive weight are excluded (E-S is
+    undefined there; a zero-weight doc must never be sampled).
+
+    Scale: the key is a stateless codegen projection. Global selection
+    (``by=None``) compiles to TakeOrderedAndProject — a size-k heap per
+    partition, k rows per partition to the driver, no global sort. For
+    k beyond driver comfort (10^8+), pass ``by`` = a shard column: one
+    ranking window per group, k rows each, fully distributed (the
+    two-phase ``per_source_cap`` trick applies unchanged on top).
+    Output: sampled rows + ``es_key_nano`` (the audit column; equal
+    weights make this a uniform k-sample — the reservoir-sampling
+    replacement at corpus scale).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = F.col(weight_col).cast("double")
+    bucket = _hash_bucket_2_32(F.col(id_col), _SAMPLE_HASH_MULT, _ES_HASH_OFFSET)
+    u = (bucket + F.lit(1)) / F.lit(float((1 << 32) + 1))
+    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn(
+        "es_key_nano",
+        F.floor(F.log(u) / w * F.lit(1_000_000_000.0)).cast("long"),
+    )
+    if by is None:
+        return keyed.orderBy(F.desc("es_key_nano"), F.col(id_col)).limit(k)
+    rn = F.row_number().over(
+        Window.partitionBy(by).orderBy(F.desc("es_key_nano"), F.col(id_col))
+    )
+    return keyed.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def weighted_sample_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    extra_cols: str = "",
+) -> str:
+    """DuckDB twin of global ``weighted_sample``: identical hash draw,
+    identical ln/divide/floor key, identical (key desc, id) top-k."""
+    mult, off = _SAMPLE_HASH_MULT, _ES_HASH_OFFSET
+    return f"""
+SELECT {id_col}{extra_cols},
+       CAST(floor(ln((({id_col} * {mult} + {off}) % 4294967296 + 1)
+                     / 4294967297.0)
+                  / CAST({weight_col} AS DOUBLE) * 1000000000.0) AS BIGINT)
+         AS es_key_nano
+FROM {table}
+WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+ORDER BY es_key_nano DESC, {id_col}
+LIMIT {k}
+"""

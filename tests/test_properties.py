@@ -2,7 +2,7 @@
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from ocr_spark.extract.core import extract_turn
@@ -217,6 +217,13 @@ def test_jpeg_decoder_never_hangs_or_crashes_on_truncation(seed, data):
 # ------------------------------------------------------------ text repair
 @given(text_strategy)
 @settings(max_examples=200, deadline=None)
+# discovered by hypothesis: the \x1f interrupts the mojibake sequence,
+# so strict decode fails until the control strip — a single ordered
+# pass left 'Â\xa0' that a second call repaired further
+@example("Â\x1f\xa0")
+# NFC builds the mojibake: 'A'+U+0302 composes to 'Â', then 'Â\xa0'
+# strictly decodes as UTF-8 — same non-fixpoint shape via composition
+@example("Â\xa0")
 def test_repair_idempotent_and_control_free(s):
     from ocr_spark.extract.normalize import repair_text
 

@@ -649,3 +649,70 @@ def test_materialize_epochs_respects_max_epochs(spark):
     plan = mixture_epoch_plan(docs, {"a": 1}, token_budget=1000, max_epochs=2)
     out = materialize_epochs(docs.select("doc_id", "source"), plan)
     assert out.count() == 2
+
+
+# ---------------------------------------------------- weighted sampling
+def _es_reference_sample(rows, k):
+    """Pure-Python Efraimidis–Spirakis replay of the documented draw."""
+    import math
+
+    keyed = []
+    for doc_id, w in rows:
+        if w is None or w <= 0:
+            continue
+        bucket = (doc_id * 2246822519 + 15485863) % (1 << 32)
+        u = (bucket + 1) / float((1 << 32) + 1)
+        keyed.append((math.floor(math.log(u) / w * 1e9), -doc_id, doc_id))
+    keyed.sort(reverse=True)
+    return [d for _, _, d in keyed[:k]]
+
+
+def test_weighted_sample_matches_reference_and_is_deterministic(spark):
+    from ocr_spark.operators.training import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(1, 201)]
+    rows += [(500, None), (501, 0.0), (502, -3.0)]  # excluded
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [r["doc_id"] for r in weighted_sample(df, 25, "w").collect()]
+    assert got == _es_reference_sample(rows, 25)
+    again = [r["doc_id"] for r in weighted_sample(df, 25, "w").collect()]
+    assert again == got  # rerun-identical
+
+
+def test_weighted_sample_weight_bias(spark):
+    from ocr_spark.operators.training import weighted_sample
+
+    # two weight classes; the heavy class must dominate the sample far
+    # beyond its 50% population share
+    rows = [(i, 100.0 if i % 2 == 0 else 0.01) for i in range(1, 2001)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_sample(df, 100, "w").collect()
+    heavy = sum(1 for r in got if r["doc_id"] % 2 == 0)
+    assert heavy >= 95
+
+
+def test_weighted_sample_grouped_top_k_per_group(spark):
+    from ocr_spark.operators.training import weighted_sample
+
+    rows = [(i, 1.0 + (i % 5), "g%d" % (i % 3)) for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id long, w double, grp string")
+    out = weighted_sample(df, 7, "w", by="grp").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["grp"], []).append(r["doc_id"])
+    assert set(per) == {"g0", "g1", "g2"}
+    for g, ids in per.items():
+        assert len(ids) == 7
+        # per-group selection == reference E-S restricted to the group
+        grp_rows = [(i, w) for i, w, gg in rows if gg == g]
+        assert sorted(ids) == sorted(_es_reference_sample(grp_rows, 7))
+
+
+def test_weighted_sample_global_plan_is_take_ordered(spark):
+    from ocr_spark.operators.training import weighted_sample
+
+    df = spark.range(1, 5000).select(
+        F.col("id").alias("doc_id"), F.lit(2.0).alias("w")
+    )
+    plan = weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
