@@ -55,6 +55,7 @@ from ocr_spark.operators import expectations as EXP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators import training as TRN
+from ocr_spark.sources import catalog as CAT
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
 from ocr_spark.pipeline import extract_transcripts
 
@@ -3477,6 +3478,81 @@ def _q_tr_epoch_materialize(spark, sf_dir):
     return out.select("doc_id", "source", "epoch_idx")
 
 
+# Domain-blocklist fixture: one URL expression shared verbatim by both
+# engines — subdomain-of-entry (blocked), 'notads' substring trap (kept),
+# exact host (blocked), suffix-collision host, relative hrefs (kept).
+_DOMAIN_URL_SQL = (
+    "CASE WHEN c_custkey % 11 = 0 THEN 'rel/path' "
+    "ELSE 'http://' || (CASE WHEN c_custkey % 4 = 1 "
+    "THEN 'sub' || CAST(c_custkey % 9 AS STRING) || '.ADS.example' "
+    "WHEN c_custkey % 4 = 2 THEN 'notads.example' "
+    "WHEN c_custkey % 4 = 3 "
+    "THEN 'h' || CAST(c_custkey % 13 AS STRING) || '.tracker.net' "
+    "ELSE 'clean' || CAST(c_custkey % 17 AS STRING) || '.org' END) "
+    "|| '/p/' || CAST(c_custkey AS STRING) END"
+)
+_DOMAIN_BLOCKLIST = ("ads.example", "tracker.net", "clean7.org")
+
+
+def _q_lg_domain_filter(spark, sf_dir):
+    """URL domain-blocklist pass (linkgraph.domain_blocklist_filter):
+    whole-label suffix matching — an entry blocks its domain and every
+    subdomain, never substrings; longest matching suffix attributed.
+    The oracle replays the authority regex + suffix decomposition +
+    ordered membership as DuckDB list comprehensions."""
+    from ocr_spark.operators.linkgraph import domain_blocklist_filter
+
+    urls = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id"), F.expr(_DOMAIN_URL_SQL).alias("url")
+    )
+    return domain_blocklist_filter(urls, list(_DOMAIN_BLOCKLIST)).select(
+        "doc_id", "host", "blocked_by", "keep"
+    )
+
+
+# Blocklist fixture for the C4-style lexicon filter: words the synthetic
+# documents corpus actually contains ('slow', 'big') plus one absent
+# entry ('zeppelin') so the membership test exercises both outcomes.
+_LEXICON_FIXTURE = ("slow", "BIG", "zeppelin")
+
+
+def _q_ic_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering key (catalog.zvalue_col +
+    quantize_rank_col): the OPTIMIZE ZORDER primitive — quantize two
+    dimensions onto a 2^8 grid, bit-interleave into one int64 cluster
+    key. Exact shift/mask arithmetic in both engines; the layout-level
+    file-pruning benefit is pytest-asserted (not SQL-expressible)."""
+    from ocr_spark.sources.catalog import quantize_rank_col, zvalue_col
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("doc_id"),
+        (F.col("c_custkey") % 251).alias("a"),
+        ((F.col("c_custkey") * 17) % 251).alias("b"),
+    )
+    qa = quantize_rank_col("a", 0, 250, 8)
+    qb = quantize_rank_col("b", 0, 250, 8)
+    return cust.select(
+        "doc_id",
+        qa.alias("qa"),
+        qb.alias("qb"),
+        zvalue_col(qa, qb, 8).alias("zvalue"),
+    )
+
+
+def _q_tx_lexicon_filter(spark, sf_dir):
+    """C4 word-blocklist mechanism (training.lexicon_flags): exact
+    whole-word membership against a literal lexicon — counts, ppm
+    share, keep verdict; zero-shuffle codegen projection. The oracle
+    replays the identical tokenization regex + list membership."""
+    from ocr_spark.operators.training import lexicon_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lexicon_flags(docs, list(_LEXICON_FIXTURE)).select(
+        "doc_id", "n_tokens", "n_flagged", "n_distinct_flagged",
+        "flagged_ppm", "keep",
+    )
+
+
 def _q_tr_weighted_sample(spark, sf_dir):
     """Exact-size weighted sampling without replacement
     (training.weighted_sample, Efraimidis–Spirakis 2006): top-k by
@@ -3740,6 +3816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_epoch_materialize": _q_tr_epoch_materialize,
         "ts_tool_latency": _q_ts_tool_latency,
         "tr_weighted_sample": _q_tr_weighted_sample,
+        "tx_lexicon_filter": _q_tx_lexicon_filter,
+        "lg_domain_filter": _q_lg_domain_filter,
+        "ic_zorder_keys": _q_ic_zorder_keys,
     }
 
 
@@ -6777,5 +6856,22 @@ FROM src s LEFT JOIN per USING (doc_id)
         ),
         "tr_weighted_sample": TRN.weighted_sample_sql(
             "documents", 50, "n_chars", extra_cols=", source"
+        ),
+        "tx_lexicon_filter": TRN.lexicon_flags_sql(
+            "documents", list(_LEXICON_FIXTURE)
+        ),
+        "lg_domain_filter": LG.domain_blocklist_sql(
+            f"(SELECT c_custkey AS doc_id, {_DOMAIN_URL_SQL} AS url "
+            "FROM customer) _u",
+            list(_DOMAIN_BLOCKLIST),
+        ),
+        "ic_zorder_keys": (
+            "WITH q AS (SELECT c_custkey AS doc_id, "
+            "least(255, greatest(0, CAST(floor((c_custkey % 251) * 255 / 250.0) AS BIGINT))) AS qa, "
+            "least(255, greatest(0, CAST(floor(((c_custkey * 17) % 251) * 255 / 250.0) AS BIGINT))) AS qb "
+            "FROM customer) "
+            "SELECT doc_id, qa, qb, CAST("
+            + CAT.zvalue_sql("qa", "qb", 8)
+            + " AS BIGINT) AS zvalue FROM q"
         ),
     }

@@ -1170,3 +1170,96 @@ WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
 ORDER BY es_key_nano DESC, {id_col}
 LIMIT {k}
 """
+
+
+# ---------------------------------------------------- lexicon blocklist
+def lexicon_flags(
+    df: DataFrame,
+    lexicon: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style word-blocklist filter (Raffel et al. 2020 drop any page
+    containing a word from a banned-word list; RefinedWeb/FineWeb keep
+    the same mechanism with tuned lists). The LIST is a parameter — this
+    operator is the mechanism: exact whole-word membership against a
+    curated lexicon, never substring matching (substrings are the
+    classic false-positive trap: a blocklist entry inside an innocent
+    longer word).
+
+    Output: input columns + ``n_tokens``, ``n_flagged`` (total flagged
+    occurrences), ``n_distinct_flagged``, ``flagged_ppm`` =
+    floor(n_flagged·1e6 / n_tokens) (0 for token-free docs), ``keep`` =
+    no flagged token (the C4 rule; callers wanting a threshold filter
+    on ``flagged_ppm`` instead compose it).
+
+    Tokens are ``split(lower(text), '[^a-z]+')`` minus empties — the
+    same RE2-portable alphabet the trigram LM and stopword rules use,
+    so the DuckDB twin replays it verbatim.
+
+    Scale: the lexicon rides as a LITERAL array inside one codegen
+    projection — zero shuffle, zero Python, zero joins; membership per
+    token is a hash-set probe. That is the right plan up to ~10^4
+    entries (the published lists are hundreds of words). Beyond that,
+    explode distinct per-doc tokens and broadcast-join the lexicon
+    table (one doc-key groupBy) — same verdicts, join-sized plan.
+    """
+    if not lexicon:
+        raise ValueError("lexicon must be non-empty")
+    lex = F.array(*[F.lit(w.lower()) for w in dict.fromkeys(lexicon)])
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+    )
+    out = df.withColumn("_toks", tokens).withColumn(
+        "_flagged", F.filter(F.col("_toks"), lambda t: F.array_contains(lex, t))
+    )
+    n_tok = F.size("_toks").cast("long")
+    n_flag = F.size("_flagged").cast("long")
+    return (
+        out.withColumn("n_tokens", n_tok)
+        .withColumn("n_flagged", n_flag)
+        .withColumn(
+            "n_distinct_flagged", F.size(F.array_distinct("_flagged")).cast("long")
+        )
+        .withColumn(
+            "flagged_ppm",
+            F.when(F.col("n_tokens") > 0, F.floor(F.col("n_flagged") * 1_000_000 / F.col("n_tokens")))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("keep", F.col("n_flagged") == 0)
+        .drop("_toks", "_flagged")
+    )
+
+
+def lexicon_flags_sql(
+    table: str,
+    lexicon: list[str] | tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``lexicon_flags``: same tokenization regex, same
+    whole-word membership, same integer ppm arithmetic."""
+    words = ", ".join("'" + w.lower().replace("'", "''") + "'" for w in dict.fromkeys(lexicon))
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),
+                     t -> t <> '') AS tk
+  FROM {table}
+),
+fl AS (
+  SELECT {id_col}, tk,
+         list_filter(tk, t -> list_contains([{words}], t)) AS fg
+  FROM toks
+)
+SELECT {id_col},
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       CAST(len(fg) AS BIGINT) AS n_flagged,
+       CAST(len(list_distinct(fg)) AS BIGINT) AS n_distinct_flagged,
+       CAST(CASE WHEN len(tk) > 0
+                 THEN floor(len(fg) * 1000000 / len(tk))
+                 ELSE 0 END AS BIGINT) AS flagged_ppm,
+       len(fg) = 0 AS keep
+FROM fl
+"""

@@ -150,3 +150,55 @@ def test_canonical_url_idempotent_on_adversarial_inputs(spark):
     a = [r["c"] for r in once.collect()]
     b = [r["c"] for r in twice.collect()]
     assert a == b
+
+
+# ---------------------------------------------- domain blocklist filter
+def test_domain_blocklist_suffix_semantics(spark):
+    from ocr_spark.operators.linkgraph import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://x.ads.example/p"),     # subdomain of entry -> blocked
+            (2, "https://ADS.example/q?a=1"),  # case-folded exact -> blocked
+            (3, "http://notads.example/"),     # substring, NOT suffix -> kept
+            (4, "relative/path"),              # no authority -> kept, NULL
+            (5, "http://co/"),                 # bare TLD entry
+            (6, "http://deep.b.co/z"),         # both b.co and co match: longest wins
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in domain_blocklist_filter(
+            df, ["ads.example", "b.co", "co"]
+        ).collect()
+    }
+    assert out[1]["blocked_by"] == "ads.example" and not out[1]["keep"]
+    assert out[2]["blocked_by"] == "ads.example"
+    assert out[3]["blocked_by"] is None and out[3]["keep"]
+    assert out[4]["host"] == "" and out[4]["blocked_by"] is None and out[4]["keep"]
+    assert out[5]["blocked_by"] == "co"
+    assert out[6]["blocked_by"] == "b.co"  # longest matching suffix
+
+
+def test_domain_blocklist_plan_is_projection_only(spark):
+    from ocr_spark.operators.linkgraph import domain_blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "http://a.example/x")], "doc_id long, url string"
+    )
+    plan = (
+        domain_blocklist_filter(df, ["example"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "ArrowEval" not in plan
+
+
+def test_domain_blocklist_rejects_empty(spark):
+    import pytest as _pt
+
+    from ocr_spark.operators.linkgraph import domain_blocklist_filter
+
+    df = spark.createDataFrame([(1, "http://a/")], "doc_id long, url string")
+    with _pt.raises(ValueError):
+        domain_blocklist_filter(df, ["."])

@@ -1,5 +1,6 @@
 """Training-data shaping operators (operators/training.py)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.training import (
@@ -716,3 +717,48 @@ def test_weighted_sample_global_plan_is_take_ordered(spark):
     )
     plan = weighted_sample(df, 10, "w")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
+
+
+# ---------------------------------------------------- lexicon blocklist
+def test_lexicon_flags_whole_word_only(spark):
+    from ocr_spark.operators.training import lexicon_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam and more Spam here"),     # 2 hits, case-folded
+            (2, "spamming is not spam-word"),   # 'spamming' must NOT hit; 'spam-word' splits to spam + word -> 1 hit
+            (3, "clean prose only"),
+            (4, ""),                            # token-free
+            (5, "junk spam junk"),              # 2 distinct flagged
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lexicon_flags(df, ["SPAM", "junk"]).collect()}
+    assert out[1]["n_flagged"] == 2 and not out[1]["keep"]
+    assert out[2]["n_flagged"] == 1  # only the split-out 'spam'
+    assert out[3]["n_flagged"] == 0 and out[3]["keep"]
+    assert out[4]["n_tokens"] == 0 and out[4]["flagged_ppm"] == 0 and out[4]["keep"]
+    assert out[5]["n_distinct_flagged"] == 2
+    assert out[5]["flagged_ppm"] == 1_000_000  # 3 of 3 tokens flagged... no: 2 junk + 1 spam = 3/3
+
+
+def test_lexicon_flags_ppm_arithmetic_and_plan(spark):
+    from ocr_spark.operators.training import lexicon_flags
+
+    df = spark.createDataFrame(
+        [(1, "a b c d spam f g h i j")], "doc_id long, text string"
+    )
+    r = lexicon_flags(df, ["spam"]).collect()[0]
+    assert r["n_tokens"] == 10 and r["flagged_ppm"] == 100_000
+    plan = (
+        lexicon_flags(df, ["spam"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "ArrowEval" not in plan  # pure projection
+
+
+def test_lexicon_flags_rejects_empty_lexicon(spark):
+    from ocr_spark.operators.training import lexicon_flags
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        lexicon_flags(df, [])
