@@ -227,10 +227,20 @@ def prepare_web_corpus(
     jaccard_threshold: float = 0.9,
     n_stages: int = 4,
     n_shards: int = 8,
+    url_col: str | None = None,
+    domain_blocklist: tuple[str, ...] | list[str] | None = None,
+    word_blocklist: tuple[str, ...] | list[str] | None = None,
 ) -> DataFrame:
     """The round-4 web-scale front-end as ONE composition, in the order
     the stages must run to stay sound:
 
+    0. URL domain-blocklist gate (`linkgraph.domain_blocklist_filter`,
+       when ``url_col`` + ``domain_blocklist`` given) — FIRST, because
+       its cost is bytes-of-URL: every page it drops never pays repair,
+       hashing, or dedup; then the word-blocklist gate
+       (`training.lexicon_flags`, when ``word_blocklist`` given) right
+       AFTER repair — whole-word membership must read the repaired
+       payload (mojibake hides list words from exact matching);
     1. encoding repair (`text_repair.repair_report`) — BEFORE anything
        hashes text: a mojibaked twin of a clean page must dedup against
        it, not survive as a distinct document;
@@ -274,7 +284,26 @@ def prepare_web_corpus(
     from ocr_spark.operators.dedup import _persist_shingles as _pin
 
     w = list(weights) if weights is not None else demo_weights(dim)
+    if url_col is not None and domain_blocklist:
+        from ocr_spark.operators.linkgraph import domain_blocklist_filter
+
+        docs = (
+            domain_blocklist_filter(docs, list(domain_blocklist), url_col)
+            .filter(F.col("keep"))
+            .drop("host", "blocked_by", "keep")
+        )
     repaired = repair_report(docs, text_col).drop("was_mojibake", "n_controls")
+    if word_blocklist:
+        from ocr_spark.operators.training import lexicon_flags
+
+        repaired = (
+            lexicon_flags(repaired, list(word_blocklist), text_col, id_col)
+            .filter(F.col("keep"))
+            .drop(
+                "n_tokens", "n_flagged", "n_distinct_flagged",
+                "flagged_ppm", "keep",
+            )
+        )
     annotated = _pin(
         repaired.withColumn("lang", TS.lang_id(F.col(text_col))).withColumn(
             "script", TS.dominant_script(text_col)

@@ -357,3 +357,30 @@ def test_curate_transcripts_plan_is_window_algebra(spark):
     # conversation-key hash exchange (single-consumer by construction:
     # the gate is a max-over-conv window, not an aggregate joined back)
     assert checks.count_exchanges(out) == 1
+
+
+def test_prepare_web_corpus_blocklist_gates(spark):
+    """Stage-0 URL gate and post-repair word gate: a blocked domain
+    drops before any text stage, a lexicon word drops its document, a
+    hostless URL passes the domain gate, clean docs flow through."""
+    from ocr_spark.operators.curation import prepare_web_corpus
+    from ocr_spark.operators.dedup import release_shingle_caches
+
+    rows = [
+        (1, "clean quality prose for the corpus here today one", "http://good.org/a"),
+        (2, "independent long document about spark plans and joins", "http://ads.example/x"),
+        (3, "junk stuffed document text with plenty of words here", "http://fine.net/b"),
+        (4, "another clean independent document body for the gate", "rel/no-host"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    out = prepare_web_corpus(
+        docs,
+        dim=16,
+        sample_midpoint=-10_000_000,
+        url_col="url",
+        domain_blocklist=("ads.example",),
+        word_blocklist=("junk",),
+    ).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 4}  # 2 blocked by domain, 3 by lexicon
+    release_shingle_caches()
