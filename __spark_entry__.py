@@ -55,6 +55,7 @@ from ocr_spark.operators import expectations as EXP
 from ocr_spark.operators import dedup as DD
 from ocr_spark.operators import similarity as SIM
 from ocr_spark.operators import training as TRN
+from ocr_spark.operators import transcript_stats as TSS
 from ocr_spark.sources import catalog as CAT
 from ocr_spark.operators.classify import classify_pipeline, norm_key_col
 from ocr_spark.pipeline import extract_transcripts
@@ -3516,6 +3517,42 @@ def _q_lg_domain_filter(spark, sf_dir):
 _LEXICON_FIXTURE = ("slow", "BIG", "zeppelin")
 
 
+# Tool-argument fixture: one payload expression shared verbatim by both
+# engines — object payloads with kind-specific key sets, a broken-JSON
+# arm, a valid-but-array arm, and an empty-object arm.
+_TOOLARGS_PAYLOAD_SQL = (
+    "CASE WHEN o_orderkey % 13 = 0 THEN '{broken' "
+    "WHEN o_orderkey % 11 = 0 THEN '[1, 2]' "
+    "WHEN o_orderkey % 7 = 0 THEN '{}' "
+    "WHEN o_orderkey % 3 = 0 THEN "
+    "'{\"query\": \"q\", \"limit\": ' || CAST(o_orderkey % 50 AS STRING) || '}' "
+    "WHEN o_orderkey % 2 = 0 THEN "
+    "'{\"path\": \"/x\", \"recursive\": true}' "
+    "ELSE '{\"query\": \"z\", \"offset\": 1}' END"
+)
+_TOOLARGS_KIND_SQL = (
+    "CASE WHEN o_orderkey % 4 = 0 THEN 'search' "
+    "WHEN o_orderkey % 4 = 1 THEN 'browse' "
+    "WHEN o_orderkey % 4 = 2 THEN 'code' ELSE NULL END"
+)
+
+
+def _q_ts_tool_args(spark, sf_dir):
+    """Tool-call argument schema profile (transcript_stats.
+    tool_arg_profile): per-(tool kind, JSON argument key) call counts
+    and ppm share — json_object_keys codegen enumeration, reserved
+    '(invalid)'/'(empty)' markers for non-object / empty payloads. The
+    oracle replicates Spark's NULL-for-non-object contract via
+    json_valid + json_type."""
+    from ocr_spark.operators.transcript_stats import tool_arg_profile
+
+    calls = _t(spark, sf_dir, "orders").select(
+        F.expr(_TOOLARGS_KIND_SQL).alias("tool"),
+        F.expr(_TOOLARGS_PAYLOAD_SQL).alias("text"),
+    )
+    return tool_arg_profile(calls)
+
+
 def _q_ic_zorder_keys(spark, sf_dir):
     """Z-order (Morton) clustering key (catalog.zvalue_col +
     quantize_rank_col): the OPTIMIZE ZORDER primitive — quantize two
@@ -3819,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_lexicon_filter": _q_tx_lexicon_filter,
         "lg_domain_filter": _q_lg_domain_filter,
         "ic_zorder_keys": _q_ic_zorder_keys,
+        "ts_tool_args": _q_ts_tool_args,
     }
 
 
@@ -6873,5 +6911,9 @@ FROM src s LEFT JOIN per USING (doc_id)
             "SELECT doc_id, qa, qb, CAST("
             + CAT.zvalue_sql("qa", "qb", 8)
             + " AS BIGINT) AS zvalue FROM q"
+        ),
+        "ts_tool_args": TSS.tool_arg_profile_sql(
+            f"(SELECT {_TOOLARGS_KIND_SQL} AS tool, "
+            f"{_TOOLARGS_PAYLOAD_SQL} AS text FROM orders) _c"
         ),
     }

@@ -216,3 +216,91 @@ def tool_latency_stats(
         F.sum("_lat").cast("long").alias("sum_latency"),
         F.max("_lat").cast("long").alias("max_latency"),
     )
+
+
+# ------------------------------------------------- tool argument schema
+def tool_arg_profile(
+    df: DataFrame,
+    tool_col: str = "tool",
+    payload_col: str = "text",
+) -> DataFrame:
+    """Per-(tool kind, argument key) usage profile over JSON tool-call
+    payloads — the schema-drift signal for agent-transcript corpora: a
+    new key appearing (or a required key's share collapsing) under a
+    tool kind means the emitting agent/runtime changed, and downstream
+    SFT consumers that template arguments must know. The observability
+    twin of ``expectations.profile_columns``, applied to the SEMI-
+    structured column the relational profiler can't see into.
+
+    Output: one row per (tool_kind, arg_key) — ``n_calls`` carrying the
+    key, ``kind_calls`` total calls of the kind, ``share_ppm`` =
+    floor(n_calls·1e6/kind_calls). Payloads that are not a JSON object
+    (invalid, array, scalar) count under the reserved key
+    ``(invalid)``; valid-but-empty objects under ``(empty)`` — both
+    distinguishable from real keys and from each other (Spark's
+    ``json_object_keys`` is NULL for every non-object, ``[]`` for
+    ``{}``; the twin replicates via ``json_valid`` + ``json_type``).
+
+    Scale: key enumeration is a row-local codegen projection
+    (``json_object_keys``, no Python, no full JSON parse into structs);
+    the explode fans out O(keys-per-call) map-side; then ONE map-side-
+    combined groupBy on (kind, key) and one on kind, joined broadcast —
+    tool-kind × key cardinality is dashboard-sized at any corpus scale.
+    """
+    kind = F.coalesce(F.col(tool_col), F.lit("plain")).alias("tool_kind")
+    keys = F.json_object_keys(F.col(payload_col))
+    marked = (
+        F.when(keys.isNull(), F.array(F.lit("(invalid)")))
+        .when(F.size(keys) == 0, F.array(F.lit("(empty)")))
+        .otherwise(keys)
+    )
+    calls = df.select(kind, marked.alias("_keys"))
+    per_key = (
+        calls.select("tool_kind", F.explode("_keys").alias("arg_key"))
+        .groupBy("tool_kind", "arg_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_calls"))
+    )
+    totals = calls.groupBy("tool_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("kind_calls")
+    )
+    return per_key.join(F.broadcast(totals), "tool_kind").select(
+        "tool_kind",
+        "arg_key",
+        "n_calls",
+        "kind_calls",
+        F.floor(F.col("n_calls") * 1_000_000 / F.col("kind_calls"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def tool_arg_profile_sql(
+    table: str, tool_expr: str = "tool", payload_expr: str = "text"
+) -> str:
+    """DuckDB twin of ``tool_arg_profile``: json_valid + json_type
+    replicate Spark's NULL-for-non-object contract exactly."""
+    return f"""
+WITH calls AS (
+  SELECT coalesce({tool_expr}, 'plain') AS tool_kind,
+         CASE WHEN NOT json_valid({payload_expr})
+                   OR json_type(CAST({payload_expr} AS JSON)) <> 'OBJECT'
+              THEN ['(invalid)']
+              WHEN len(json_keys({payload_expr})) = 0 THEN ['(empty)']
+              ELSE json_keys({payload_expr}) END AS ks
+  FROM {table}
+),
+per_key AS (
+  SELECT tool_kind, unnest(ks) AS arg_key FROM calls
+),
+counted AS (
+  SELECT tool_kind, arg_key, CAST(count(*) AS BIGINT) AS n_calls
+  FROM per_key GROUP BY tool_kind, arg_key
+),
+totals AS (
+  SELECT tool_kind, CAST(count(*) AS BIGINT) AS kind_calls
+  FROM calls GROUP BY tool_kind
+)
+SELECT c.tool_kind, c.arg_key, c.n_calls, t.kind_calls,
+       CAST(floor(c.n_calls * 1000000 / t.kind_calls) AS BIGINT) AS share_ppm
+FROM counted c JOIN totals t USING (tool_kind)
+"""

@@ -130,3 +130,44 @@ def test_tool_latency_stats(spark):
     assert out["search"]["sum_latency"] == -10 and out["search"]["max_latency"] == 30
     assert out["browse"]["n_calls"] == 1 and out["browse"]["max_latency"] == 300
     assert set(out) == {"search", "browse"}
+
+
+# ------------------------------------------------- tool argument schema
+def test_tool_arg_profile_keys_and_reserved_markers(spark):
+    from ocr_spark.operators.transcript_stats import tool_arg_profile
+
+    rows = [
+        ("search", '{"query": "a", "limit": 5}'),
+        ("search", '{"query": "b"}'),
+        ("search", "{broken"),
+        ("search", "[1, 2]"),          # valid JSON, not an object
+        ("browse", "{}"),
+        ("browse", '{"url": "http://x", "depth": 2}'),
+        (None, '{"free": 1}'),          # NULL tool -> 'plain'
+    ]
+    df = spark.createDataFrame(rows, "tool string, text string")
+    out = {
+        (r["tool_kind"], r["arg_key"]): r
+        for r in tool_arg_profile(df).collect()
+    }
+    assert out[("search", "query")]["n_calls"] == 2
+    assert out[("search", "limit")]["n_calls"] == 1
+    assert out[("search", "(invalid)")]["n_calls"] == 2  # broken + array
+    assert out[("search", "query")]["kind_calls"] == 4
+    assert out[("search", "query")]["share_ppm"] == 500_000
+    assert out[("browse", "(empty)")]["n_calls"] == 1
+    assert out[("browse", "url")]["share_ppm"] == 500_000
+    assert out[("plain", "free")]["n_calls"] == 1
+    # no cross-kind leakage
+    assert ("browse", "query") not in out
+
+
+def test_tool_arg_profile_broadcast_no_python(spark):
+    from ocr_spark.operators.transcript_stats import tool_arg_profile
+
+    df = spark.createDataFrame(
+        [("t", '{"a":1}')] * 10, "tool string, text string"
+    )
+    plan = tool_arg_profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
