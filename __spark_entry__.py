@@ -767,6 +767,63 @@ def _q_qc_repair_turn_order(spark, sf_dir):
     return out.select("conv", "turn_idx", "ts", "new_turn_idx")
 
 
+# template-injected transcripts corpus: assistant turns carry one of two
+# case/whitespace variants of a fixed banner (doc_id % 7 in {0,1} — same
+# normalized form, exercising the collapse), a sub-min_chars "ok"
+# (% 7 = 2), or the document's own text (unique). Same SELECT list on
+# both engines; banner literals duplicated verbatim in the SQL string.
+_TMPL_BANNER = (
+    "I have run the requested analysis  and the results are attached below."
+)
+_TMPL_CORPUS_EXPRS = [
+    "CAST(doc_id % 97 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 97) AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'system' WHEN 1 THEN 'user' "
+    "ELSE 'assistant' END AS role",
+    "CASE WHEN doc_id % 3 = 2 AND doc_id % 7 = 0 THEN '" + _TMPL_BANNER + "' "
+    "WHEN doc_id % 3 = 2 AND doc_id % 7 = 1 THEN upper('" + _TMPL_BANNER + "') "
+    "WHEN doc_id % 3 = 2 AND doc_id % 7 = 2 THEN 'ok' "
+    "ELSE substr(coalesce(text, ''), 1, 80) END AS text",
+]
+
+_TMPL_CORPUS_SQL = "SELECT " + ", ".join(_TMPL_CORPUS_EXPRS) + " FROM documents"
+
+# DuckDB needs the 'g' flag for replace-all; Spark's regexp_replace is
+# replace-all by default. Shared normalization shape with
+# operators/transcript_qc._template_norm.
+_TMPL_NORM_SQL = (
+    "trim(regexp_replace(lower(substr(coalesce(text, ''), 1, 300)), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def _tmpl_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(*_TMPL_CORPUS_EXPRS)
+
+
+def _q_qc_template_turns(spark, sf_dir):
+    """Corpus-wide templated-turn mining (operators/transcript_qc.py
+    ``template_turns``): normalized assistant-turn text repeating across
+    ≥3 distinct conversations at any position — one bounded-key groupBy,
+    vs the same normalize+group+having algebra in DuckDB."""
+    from ocr_spark.operators.transcript_qc import template_turns
+
+    out = template_turns(
+        _tmpl_corpus(spark, sf_dir), conv_col="conv", min_convs=3
+    )
+    return out.select("text_norm", "n_convs", "n_turns", "sample_conv")
+
+
+def _q_qc_flag_template_turns(spark, sf_dir):
+    """Per-turn template flag (``flag_template_turns``): broadcast left
+    join of every turn against the mined template table — the loss-mask
+    hand-off for SFT assembly. Oracle re-mines and joins in SQL."""
+    from ocr_spark.operators.transcript_qc import flag_template_turns
+
+    out = flag_template_turns(_tmpl_corpus(spark, sf_dir), conv_col="conv")
+    return out.select("conv", "turn_idx", "is_template")
+
+
 def _q_ev_equality_report(spark, sf_dir):
     """Per-turn extraction-equality verdicts (operators/
     eval_extraction.py) — the north-star acceptance metric as an
@@ -3776,6 +3833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_bpe_counts": _q_tok_bpe_counts,
         "fz_levenshtein": _q_fz_levenshtein,
         "qc_repair_turn_order": _q_qc_repair_turn_order,
+        "qc_template_turns": _q_qc_template_turns,
+        "qc_flag_template_turns": _q_qc_flag_template_turns,
         "pk_sequence_packing": _q_pk_sequence_packing,
         "rl_preference_pairs": _q_rl_preference_pairs,
         "rl_all_pairs": _q_rl_all_pairs,
@@ -5457,6 +5516,32 @@ FROM customer c LEFT JOIN comp ON c.c_custkey = comp.id
             "SELECT conv, turn_idx, ts, "
             "CAST(row_number() OVER (PARTITION BY conv ORDER BY ts, turn_idx) "
             "- 1 AS INT) AS new_turn_idx FROM c"
+        ),
+        "qc_template_turns": (
+            f"WITH c AS ({_TMPL_CORPUS_SQL}), "
+            f"n AS (SELECT conv, {_TMPL_NORM_SQL} AS text_norm "
+            "FROM c WHERE role = 'assistant'), "
+            "e AS (SELECT * FROM n WHERE length(text_norm) >= 20) "
+            "SELECT text_norm, "
+            "CAST(count(DISTINCT conv) AS BIGINT) AS n_convs, "
+            "CAST(count(*) AS BIGINT) AS n_turns, "
+            "min(conv) AS sample_conv "
+            "FROM e GROUP BY text_norm HAVING count(DISTINCT conv) >= 3"
+        ),
+        "qc_flag_template_turns": (
+            f"WITH c AS ({_TMPL_CORPUS_SQL}), "
+            f"n AS (SELECT conv, {_TMPL_NORM_SQL} AS text_norm "
+            "FROM c WHERE role = 'assistant'), "
+            "t AS (SELECT text_norm FROM "
+            "(SELECT text_norm, count(DISTINCT conv) AS nc FROM n "
+            "WHERE length(text_norm) >= 20 GROUP BY text_norm) "
+            "WHERE nc >= 3) "
+            "SELECT c.conv, c.turn_idx, "
+            "CAST(CASE WHEN c.role = 'assistant' "
+            f"AND length({_TMPL_NORM_SQL.replace('(text', '(c.text')}) >= 20 "
+            f"AND {_TMPL_NORM_SQL.replace('(text', '(c.text')} IN "
+            "(SELECT text_norm FROM t) THEN 1 ELSE 0 END AS INT) "
+            "AS is_template FROM c"
         ),
         "rl_preference_pairs": (
             f"WITH resp AS ({_RL_RESP_SQL}), "

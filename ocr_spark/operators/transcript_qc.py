@@ -341,3 +341,121 @@ def collapse_retries(
         .filter(~F.coalesce(F.col("_superseded"), F.lit(False)))
         .drop("_superseded")
     )
+
+
+def _template_norm(text_col, cap_chars: int) -> F.Column:
+    """Shared normalization for template mining and flagging: first
+    ``cap_chars`` chars, lowercased, whitespace runs collapsed, trimmed.
+    One definition so the miner and the flag join can't drift (the
+    collapse_retries/truncation_flag sharing discipline)."""
+    return F.trim(
+        F.regexp_replace(
+            F.lower(F.substring(F.coalesce(text_col, F.lit("")), 1, cap_chars)),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def template_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_convs: int = 3,
+    min_chars: int = 20,
+    cap_chars: int = 300,
+    roles: Sequence[str] = ("assistant",),
+) -> DataFrame:
+    """Corpus-wide templated-turn mining: normalized turn text that
+    repeats verbatim across ``min_convs``+ DISTINCT conversations at ANY
+    turn position — canned responses, harness banners, tool-output
+    boilerplate. The any-position generalization of ``prefix_clusters``
+    (which only sees turn 1): an SFT mix that leaves these in the loss
+    trains the model to parrot its own scaffolding, so the standard
+    curation move is to mine them once corpus-wide and mask them from
+    the loss (``flag_template_turns``) rather than drop the turns
+    (dropping breaks conversation coherence).
+
+    ``min_chars`` floors the normalized length — one-word turns ("ok",
+    "done") repeat across conversations by chance, not by template.
+    ``roles`` restricts mining (default: assistant turns only — user
+    repetition is population behavior, not scaffolding).
+
+    Output: (``text_norm``, ``n_convs`` distinct conversations,
+    ``n_turns`` total occurrences, ``sample_conv`` = min conv key).
+
+    Plan: filter → ONE groupBy on the normalized text. The key is
+    bounded at ``cap_chars`` (same reasoning as ``prefix_clusters``: a
+    template diverging after 300 identical chars is still a template),
+    so the exchange carries ≤cap_chars-byte keys, and count_distinct on
+    the conv key is a two-level partial aggregation — a mega-template
+    (every conversation carrying one banner) map-side-combines before
+    the shuffle. No fingerprint hashing: the text IS the key, so the
+    DuckDB twin reproduces the grouping byte-for-byte with zero
+    collision caveats.
+    """
+    norm = _template_norm(F.col(text_col), cap_chars)
+    rows = df.filter(F.col(role_col).isin(list(roles))).select(
+        F.col(conv_col).alias("_conv"), norm.alias("text_norm")
+    ).filter(F.length("text_norm") >= min_chars)
+    return (
+        rows.groupBy("text_norm")
+        .agg(
+            F.count_distinct("_conv").cast("long").alias("n_convs"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("_conv").alias("sample_conv"),
+        )
+        .filter(F.col("n_convs") >= min_convs)
+    )
+
+
+def flag_template_turns(
+    df: DataFrame,
+    templates: DataFrame = None,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_convs: int = 3,
+    min_chars: int = 20,
+    cap_chars: int = 300,
+    roles: Sequence[str] = ("assistant",),
+) -> DataFrame:
+    """Append ``is_template:int`` to every turn: 1 iff the turn's
+    normalized text is in the mined template table (templates repeating
+    across ``min_convs``+ conversations). Pass a pre-mined ``templates``
+    frame (from ``template_turns`` — the big-corpus pattern: mine once,
+    reuse across runs) or leave None to mine from ``df`` with the same
+    parameters in one composition.
+
+    The SFT hand-off: rewrite flagged turns' role before
+    ``assemble_sft_documents`` / ``pack_sft_bins`` (e.g. ``F.when(
+    is_template==1, "assistant_template").otherwise(role)``) so they
+    render into the document but drop out of the ``role ==
+    assistant_role`` loss mask — trained context, not trained targets.
+
+    Plan: the template table is, by construction, orders of magnitude
+    smaller than the corpus (it holds only text repeated ≥min_convs
+    times), so the join is a BROADCAST left join on the bounded
+    normalized key — zero corpus shuffle, the same discipline as the
+    classify lookup cascade (operators/classify.py). Turns outside
+    ``roles`` or shorter than ``min_chars`` flag 0 without joining.
+    """
+    if templates is None:
+        templates = template_turns(
+            df, conv_col, role_col, text_col, min_convs, min_chars,
+            cap_chars, roles,
+        )
+    tmpl = F.broadcast(
+        templates.select(F.col("text_norm").alias("_tmpl_norm")).distinct()
+    )
+    norm = _template_norm(F.col(text_col), cap_chars)
+    eligible = F.col(role_col).isin(list(roles)) & (
+        F.length(norm) >= min_chars
+    )
+    joined = df.withColumn(
+        "_norm", F.when(eligible, norm)
+    ).join(tmpl, F.col("_norm") == F.col("_tmpl_norm"), "left")
+    return joined.withColumn(
+        "is_template", F.col("_tmpl_norm").isNotNull().cast("int")
+    ).drop("_norm", "_tmpl_norm")

@@ -301,3 +301,101 @@ def test_truncate_and_collapse_invariants_bulk(spark):
             inter, uni = len(a & b), len(a | b)
             assert roles[(c, t)] == roles[(c, t + 1)]
             assert uni > 0 and inter * 5 >= uni * 4, (key, inter, uni)
+
+
+def _tmpl_corpus(spark):
+    banner = "I ran the tool and here are the results you asked for."
+    other = "Sure — let me check the weather in that city for you now."
+    rows = []
+    for i in range(4):
+        rows += [
+            (f"t{i}", 0, "user", f"question {i}", _ts(0)),
+            # same banner, varying whitespace/case -> one normalized template
+            (f"t{i}", 1, "assistant", banner.upper() if i % 2 else f"  {banner} ", _ts(1)),
+            (f"t{i}", 2, "assistant", f"unique detail {i} with enough characters here", _ts(2)),
+        ]
+    rows += [
+        ("u0", 0, "user", other, _ts(0)),        # repeated USER text: not mined
+        ("u1", 0, "user", other, _ts(1)),
+        ("u2", 0, "user", other, _ts(2)),
+        ("u0", 1, "assistant", "ok", _ts(3)),     # short: floored by min_chars
+        ("u1", 1, "assistant", "ok", _ts(4)),
+        ("u2", 1, "assistant", "ok", _ts(5)),
+    ]
+    return _mk(spark, rows)
+
+
+def test_template_turns_mines_cross_conv_repeats(spark):
+    from ocr_spark.operators.transcript_qc import template_turns
+
+    out = template_turns(_tmpl_corpus(spark), min_convs=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["text_norm"].startswith("i ran the tool")
+    assert r["n_convs"] == 4 and r["n_turns"] == 4
+    assert r["sample_conv"] == "t0"
+
+
+def test_template_turns_role_and_floor_gates(spark):
+    from ocr_spark.operators.transcript_qc import template_turns
+
+    df = _tmpl_corpus(spark)
+    # user turns mined when roles includes them
+    got = {
+        r["text_norm"]
+        for r in template_turns(df, min_convs=3, roles=("user", "assistant")).collect()
+    }
+    assert any(t.startswith("sure") for t in got)
+    # raising min_chars above the banner length drops everything
+    assert template_turns(df, min_convs=3, min_chars=200).count() == 0
+
+
+def test_flag_template_turns_marks_only_template_rows(spark):
+    from ocr_spark.operators.transcript_qc import flag_template_turns
+
+    df = _tmpl_corpus(spark)
+    flagged = flag_template_turns(df, min_convs=3)
+    assert flagged.count() == df.count()  # left join preserves every turn
+    rows = {(r["conv_id"], r["turn_idx"]): r["is_template"] for r in flagged.collect()}
+    for i in range(4):
+        assert rows[(f"t{i}", 1)] == 1       # the banner
+        assert rows[(f"t{i}", 2)] == 0       # the unique reply
+        assert rows[(f"t{i}", 0)] == 0       # user turn ineligible
+    assert rows[("u0", 1)] == 0              # "ok": under min_chars
+
+
+def test_flag_template_turns_broadcasts_premined_table(spark):
+    from ocr_spark.operators.transcript_qc import flag_template_turns, template_turns
+
+    df = _tmpl_corpus(spark)
+    tmpl = template_turns(df, min_convs=3)
+    plan = flag_template_turns(df, templates=tmpl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_flag_template_turns_sft_handoff_masks_loss(spark):
+    """Rewriting flagged roles removes template turns from the SFT loss
+    mask while keeping them rendered in the document."""
+    from ocr_spark.operators.sft import assemble_sft_documents
+    from ocr_spark.operators.transcript_qc import flag_template_turns
+
+    df = flag_template_turns(_tmpl_corpus(spark), min_convs=3)
+    remasked = df.withColumn(
+        "role",
+        F.when(F.col("is_template") == 1, "assistant_template").otherwise(
+            F.col("role")
+        ),
+    )
+    docs = {
+        r["conv_id"]: r
+        for r in assemble_sft_documents(remasked).collect()
+    }
+    base = {
+        r["conv_id"]: r
+        for r in assemble_sft_documents(_tmpl_corpus(spark)).collect()
+    }
+    for i in range(4):
+        c = f"t{i}"
+        assert docs[c]["n_loss_turns"] == base[c]["n_loss_turns"] - 1
+        # the banner text still renders into the document
+        assert "results you asked for" in docs[c]["doc_text"].lower()
