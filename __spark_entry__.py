@@ -834,6 +834,17 @@ def _q_ev_equality_report(spark, sf_dir):
     canonicalization twin."""
     from ocr_spark.operators.eval_extraction import extraction_equality_report
 
+    pred, gold = _ev_pred_gold(spark, sf_dir)
+    return extraction_equality_report(
+        pred, gold, keys=("doc_id",), diagnostics=False
+    )
+
+
+def _ev_pred_gold(spark, sf_dir):
+    """Shared pred/gold construction for the ev_* twins: pred = the real
+    plain-kind extraction; gold = the same with deterministic injected
+    divergence (perturbed every 11th doc, dropped every 13th, ghosts
+    every 17th) so every verdict / a graded overlap appears."""
     _ensure_pyfiles(spark)
     ext = extract_transcripts(_plain_corpus(spark, sf_dir)).select(
         F.col("conv_id").cast("long").alias("doc_id"), "clean_text"
@@ -852,9 +863,20 @@ def _q_ev_equality_report(spark, sf_dir):
             F.lit("ghost").alias("clean_text"),
         )
     )
-    return extraction_equality_report(
-        pred, gold, keys=("doc_id",), diagnostics=False
-    )
+    return pred, gold
+
+
+def _q_ev_overlap_report(spark, sf_dir):
+    """Graded per-turn extraction quality (operators/eval_extraction.py
+    ``extraction_overlap_report``): token-BIGRAM multiset precision/
+    recall/F1 with clipped counts between the real extraction and the
+    divergence-injected gold — the diagnostic tier under the binary
+    equality verdicts. Oracle recomputes grams/overlap via the explode
+    formulation in DuckDB."""
+    from ocr_spark.operators.eval_extraction import extraction_overlap_report
+
+    pred, gold = _ev_pred_gold(spark, sf_dir)
+    return extraction_overlap_report(pred, gold, keys=("doc_id",), n=2)
 
 
 def _q_ev_equality_summary(spark, sf_dir):
@@ -3862,6 +3884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_string_funcs": _q_t15_string_funcs,
         "t16_sequence_explode": _q_t16_sequence_explode,
         "ev_equality_report": _q_ev_equality_report,
+        "ev_overlap_report": _q_ev_overlap_report,
         "ts_role_transitions": _q_ts_role_transitions,
         "ts_tool_usage": _q_ts_tool_usage,
         "ts_conversation_shape": _q_ts_conversation_shape,
@@ -4307,6 +4330,60 @@ SELECT doc_id,
   CAST(length(pc) AS INTEGER) AS pred_len,
   CAST(length(gc) AS INTEGER) AS gold_len
 FROM j
+"""
+
+
+# DuckDB twin of the graded overlap report: same pred/gold CTEs as
+# _EV_REPORT_SQL, then token bigrams via list comprehension and the
+# clipped-count (multiset) overlap via the explode formulation —
+# per-doc gram counts on each side joined on (doc, gram), sum of
+# least(count_pred, count_gold).
+_EV_OVERLAP_SQL = f"""
+WITH pred AS (SELECT doc_id, clean_text FROM ({_PLAIN_TWIN_SQL})),
+gold AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN clean_text || ' x'
+              ELSE clean_text END AS clean_text
+  FROM pred WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'ghost' FROM pred WHERE doc_id % 17 = 0),
+j AS (SELECT coalesce(p.doc_id, g.doc_id) AS doc_id,
+             coalesce(p.clean_text, '') AS pc,
+             coalesce(g.clean_text, '') AS gc
+      FROM pred p FULL OUTER JOIN gold g ON p.doc_id = g.doc_id),
+t AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(pc), '[^a-z0-9]+'),
+                    x -> x <> '') AS pt,
+        list_filter(string_split_regex(lower(gc), '[^a-z0-9]+'),
+                    x -> x <> '') AS gt
+      FROM j),
+b AS (SELECT doc_id,
+        [array_to_string(pt[i:i+1], ' ')
+         for i in generate_series(1, len(pt) - 1)] AS pgr,
+        [array_to_string(gt[i:i+1], ' ')
+         for i in generate_series(1, len(gt) - 1)] AS ggr
+      FROM t),
+pcnt AS (SELECT doc_id, gram, count(*) AS c
+         FROM (SELECT doc_id, unnest(pgr) AS gram FROM b)
+         GROUP BY doc_id, gram),
+gcnt AS (SELECT doc_id, gram, count(*) AS c
+         FROM (SELECT doc_id, unnest(ggr) AS gram FROM b)
+         GROUP BY doc_id, gram),
+ov AS (SELECT p.doc_id, sum(least(p.c, g.c)) AS o
+       FROM pcnt p JOIN gcnt g ON p.doc_id = g.doc_id AND p.gram = g.gram
+       GROUP BY p.doc_id)
+SELECT b.doc_id,
+  CAST(len(pgr) AS BIGINT) AS n_pred_grams,
+  CAST(len(ggr) AS BIGINT) AS n_gold_grams,
+  CAST(coalesce(o, 0) AS BIGINT) AS n_overlap,
+  round(CASE WHEN len(pgr) > 0
+             THEN coalesce(o, 0) / len(pgr) ELSE 0.0 END, 4) AS "precision",
+  round(CASE WHEN len(ggr) > 0
+             THEN coalesce(o, 0) / len(ggr) ELSE 0.0 END, 4) AS recall,
+  round(CASE WHEN len(pgr) + len(ggr) > 0
+             THEN 2.0 * coalesce(o, 0) / (len(pgr) + len(ggr))
+             ELSE 0.0 END, 4) AS f1
+FROM b LEFT JOIN ov ON b.doc_id = ov.doc_id
 """
 
 
@@ -6550,6 +6627,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
 """,
         "ex_wiki_sql_twin": _WIKI_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
+        "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""
 WITH r AS ({_EV_REPORT_SQL})
 SELECT count(*) AS turns,

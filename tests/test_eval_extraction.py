@@ -87,3 +87,69 @@ def test_empty_string_vs_nonempty(spark):
     )
     r = extraction_equality_report(pred, gold).collect()[0]
     assert r.verdict == "mismatch" and r.first_diff == 1
+
+
+def test_overlap_report_unigram_clipped_counts(spark):
+    from ocr_spark.operators.eval_extraction import extraction_overlap_report
+
+    pred = spark.createDataFrame(
+        [("c", 0, "a a a b"), ("c", 1, "hello world")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    gold = spark.createDataFrame(
+        [("c", 0, "a b b"), ("c", 1, "hello world")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): r
+        for r in extraction_overlap_report(pred, gold).collect()
+    }
+    r = rows[("c", 0)]  # pred {a:3,b:1} vs gold {a:1,b:2} -> clip 1+1=2
+    assert (r.n_pred_grams, r.n_gold_grams, r.n_overlap) == (4, 3, 2)
+    assert (r.precision, r.recall, r.f1) == (0.5, 0.6667, 0.5714)
+    perfect = rows[("c", 1)]
+    assert (perfect.precision, perfect.recall, perfect.f1) == (1.0, 1.0, 1.0)
+
+
+def test_overlap_report_bigrams_and_short_turns(spark):
+    from ocr_spark.operators.eval_extraction import extraction_overlap_report
+
+    pred = spark.createDataFrame(
+        [("c", 0, "the quick brown fox"), ("c", 1, "single")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    gold = spark.createDataFrame(
+        [("c", 0, "the quick red fox"), ("c", 1, "single")],
+        "conv_id string, turn_idx int, clean_text string",
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): r
+        for r in extraction_overlap_report(pred, gold, n=2).collect()
+    }
+    r = rows[("c", 0)]  # bigrams overlap only on "the quick"
+    assert (r.n_pred_grams, r.n_gold_grams, r.n_overlap) == (3, 3, 1)
+    short = rows[("c", 1)]  # 1 token -> no bigrams on either side
+    assert (short.n_pred_grams, short.n_gold_grams, short.f1) == (0, 0, 0.0)
+
+
+def test_overlap_report_missing_sides_score_zero(spark):
+    from ocr_spark.operators.eval_extraction import extraction_overlap_report
+
+    pred = spark.createDataFrame(
+        [("p", 0, "only pred side")], "conv_id string, turn_idx int, clean_text string"
+    )
+    gold = spark.createDataFrame(
+        [("g", 0, "only gold side")], "conv_id string, turn_idx int, clean_text string"
+    )
+    rows = {
+        (r.conv_id, r.turn_idx): r
+        for r in extraction_overlap_report(pred, gold).collect()
+    }
+    assert rows[("p", 0)].n_gold_grams == 0 and rows[("p", 0)].f1 == 0.0
+    assert rows[("g", 0)].n_pred_grams == 0 and rows[("g", 0)].recall == 0.0
+    # punctuation-only text tokenizes to [] -> all-zero row, no div error
+    empty = extraction_overlap_report(
+        spark.createDataFrame([("e", 0, "?!,")], "conv_id string, turn_idx int, clean_text string"),
+        spark.createDataFrame([("e", 0, "...")], "conv_id string, turn_idx int, clean_text string"),
+    ).collect()[0]
+    assert (empty.n_overlap, empty.precision, empty.recall, empty.f1) == (0, 0.0, 0.0, 0.0)
