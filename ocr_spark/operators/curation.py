@@ -344,6 +344,7 @@ def curate_transcripts(
     retry_num: int = 4,
     retry_den: int = 5,
     min_truncation_len: int = 40,
+    templates: DataFrame = None,
 ) -> DataFrame:
     """The conversation-level data-prep front-end as ONE leakage-safe
     composition — the chat analog of ``curate_corpus``:
@@ -373,6 +374,16 @@ def curate_transcripts(
     the composition costs what one conv-keyed window chain costs.
     Output: surviving turns as (conv, ``new_turn_idx``, role, text,
     ``tail_tokens``).
+
+    ``templates``: an optional PRE-MINED templated-turn table
+    (``transcript_qc.template_turns`` over the raw corpus — mine once,
+    reuse across runs). When given, an ``is_template`` flag column is
+    appended via a broadcast join at the tail of the chain, the SFT
+    loss-mask hand-off (``transcript_qc.flag_template_turns``).
+    Deliberately NOT mined in here: mining reads the whole frame, and
+    a second consumer of the window chain would execute repair+collapse
+    twice — the pre-mined table keeps the composition single-consumer
+    (a broadcast join never re-executes its probe side).
     """
     from pyspark.sql import Window
     from ocr_spark.operators.transcript_qc import (
@@ -409,6 +420,17 @@ def curate_transcripts(
         turn_col="new_turn_idx",
         text_col=text_col,
     )
-    return fitted.select(
+    out = fitted.select(
         conv_col, "new_turn_idx", role_col, text_col, "tail_tokens"
     )
+    if templates is not None:
+        from ocr_spark.operators.transcript_qc import flag_template_turns
+
+        out = flag_template_turns(
+            out,
+            templates=templates,
+            conv_col=conv_col,
+            role_col=role_col,
+            text_col=text_col,
+        )
+    return out

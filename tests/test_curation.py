@@ -384,3 +384,39 @@ def test_prepare_web_corpus_blocklist_gates(spark):
     kept = {r.doc_id for r in out}
     assert kept == {1, 4}  # 2 blocked by domain, 3 by lexicon
     release_shingle_caches()
+
+
+def test_curate_transcripts_premined_template_flag(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+    from ocr_spark.operators.transcript_qc import template_turns
+    from ocr_spark.plans import checks
+
+    banner = "thanks for asking, here is the complete answer you wanted."
+    rows = []
+    for i in range(5):
+        rows += [
+            (f"c{i}", 0, "user", "a question with several words in it.", 10),
+            (f"c{i}", 1, "assistant", banner, 20),
+            (f"c{i}", 2, "assistant", f"a unique follow-up number {i} right here.", 30),
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    tmpl = template_turns(df, min_convs=3)
+    out = curate_transcripts(df, budget=1000, templates=tmpl)
+    assert "is_template" in out.columns
+    got = {(r["conv_id"], r["new_turn_idx"]): r["is_template"] for r in out.collect()}
+    for i in range(5):
+        assert got[(f"c{i}", 1)] == 1 and got[(f"c{i}", 2)] == 0
+    # the flag join is broadcast, and the repair/collapse/gate/fit
+    # window chain executes ONCE: the templated plan has exactly the
+    # base plan's Window nodes (the mining subtree on the BUILD side
+    # adds aggregation exchanges, but never re-runs the probe chain)
+    def final_section(d):
+        d.count()  # finalize AQE so the plan prints one Final section
+        return checks.executed_plan(d).split("== Initial Plan ==")[0]
+
+    plan = final_section(out)
+    assert "BroadcastHashJoin" in plan
+    base = final_section(curate_transcripts(df, budget=1000))
+    assert plan.count("Window") == base.count("Window")
