@@ -1992,6 +1992,23 @@ def _q_pii_scrub_report(spark, sf_dir):
     )
 
 
+def _q_pii_pseudonymize(spark, sf_dir):
+    """Corpus-consistent pseudonymization (operators/pii.py
+    ``pii_pseudonymize``): every PII match becomes a stable
+    ``<KIND:md5-prefix>`` token — distinct entities stay
+    distinguishable across documents with no mapping table and no
+    shuffle (a pure codegen projection). Oracle applies the module's
+    own positional-rewrite CTE chain in DuckDB."""
+    from ocr_spark.operators.pii import pii_pseudonymize
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_PAYLOAD_SQL).alias("text")
+    )
+    return pii_pseudonymize(docs, "text", "pseudo_text").select(
+        "doc_id", "pseudo_text"
+    )
+
+
 def _q_tr_temperature_resample(spark, sf_dir):
     """Temperature-resampled corpus (alpha=0.5, target 50%) summarized
     per domain with the audit p_micro — deterministic multiplicative-
@@ -3810,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_contamination_report": _q_dc_contamination_report,
         "dc_decontaminate": _q_dc_decontaminate,
         "pii_scrub_report": _q_pii_scrub_report,
+        "pii_pseudonymize": _q_pii_pseudonymize,
         "tr_temperature_resample": _q_tr_temperature_resample,
         "tx_repetition_stats": _q_tx_repetition_stats,
         "tx_compression_stats": _q_tx_compression_stats,
@@ -5177,6 +5195,21 @@ def _pii_twin_sql() -> str:
     )
 
 
+def _pii_pseudonymize_twin_sql() -> str:
+    """DuckDB twin of ``pii.pii_pseudonymize`` — the module's own
+    positional-rewrite CTE builder over the planted payload."""
+    from ocr_spark.operators.pii import PII_PATTERNS, pseudonymize_sql_ctes
+
+    n = len(PII_PATTERNS)
+    return (
+        pseudonymize_sql_ctes(
+            f"SELECT doc_id, {_PII_PAYLOAD_SQL} AS text FROM documents",
+            "text",
+        )
+        + f" SELECT doc_id, t{n} AS pseudo_text FROM r{n}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     txt = "text"
     return {
@@ -6382,6 +6415,7 @@ FROM f QUALIFY fused_rank <= 10
             "GROUP BY source"
         ),
         "pii_scrub_report": _pii_twin_sql(),
+        "pii_pseudonymize": _pii_pseudonymize_twin_sql(),
         "tr_temperature_resample": (
             "WITH c AS (SELECT source, count(*) AS n_docs FROM documents "
             "GROUP BY source), "

@@ -74,3 +74,90 @@ def pii_scrub_report(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrubbed text plus per-kind counts — the audit frame a curation
     run persists alongside the cleaned corpus."""
     return pii_scrub(pii_counts(df, text_col), text_col, "clean_text")
+
+
+def pseudonym_token(kind: str, match_col) -> F.Column:
+    """Deterministic stable pseudonym for one detected entity:
+    ``<KIND:xxxxxxxx>`` where x = first 8 hex chars of
+    md5(lower(match)). Same entity → same token corpus-wide, with NO
+    global mapping table, no shuffle, no state — consistency falls out
+    of hashing. md5 (not xxhash64) because both engines implement the
+    identical algorithm, keeping the oracle twin exact."""
+    return F.concat(
+        F.lit(f"<{kind.upper()}:"),
+        F.substring(F.md5(F.lower(match_col)), 1, 8),
+        F.lit(">"),
+    )
+
+
+def pseudonymize_col(text_col, patterns=PII_PATTERNS) -> F.Column:
+    """Pseudonymizing rewrite of a text column: every PII match is
+    replaced by its ``pseudonym_token`` — unlike ``pii_scrub``'s
+    one-placeholder-per-kind, DISTINCT entities stay distinguishable
+    (the same user's email maps to the same token in every document),
+    which preserves cross-document entity structure for dedup /
+    conversation analysis while removing the raw identifier.
+
+    Replacement is POSITIONAL, not fold-based: split the text on the
+    pattern (segments) and zip each segment with its following match's
+    token — immune to entity-is-substring-of-another corruption and to
+    engine-specific distinct/fold ordering, so the DuckDB twin is exact.
+    Kinds apply in scrub order on the progressively-rewritten text;
+    emitted tokens are inert to later patterns (hex runs carry none of
+    the separators the card/phone/ssn/ip shapes require).
+
+    Pure codegen projection — no UDF, no shuffle, the ideal 100 TB
+    shape (same class as ``pii_scrub``)."""
+    def _zip_fn(kind: str):
+        # closure factory, NOT a default arg: pyspark's higher-order-
+        # function bridge passes one Column per lambda PARAMETER, so a
+        # bound default would be clobbered by a Column
+        return lambda s, m: F.concat(s, pseudonym_token(kind, m))
+
+    c = text_col
+    for name, pat, _ in patterns:
+        segs = F.split(c, pat, -1)
+        ms = F.regexp_extract_all(c, F.lit(pat), 0)
+        c = F.concat(
+            F.array_join(
+                F.zip_with(F.slice(segs, 1, F.size(ms)), ms, _zip_fn(name)),
+                "",
+            ),
+            F.element_at(segs, -1),
+        )
+    return c
+
+
+def pii_pseudonymize(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Apply ``pseudonymize_col`` to a frame; ``out_col`` defaults to
+    overwriting ``text_col``."""
+    return df.withColumn(out_col or text_col, pseudonymize_col(F.col(text_col)))
+
+
+def pseudonymize_sql_ctes(
+    source_sql: str, text_expr: str, key: str = "doc_id",
+    patterns=PII_PATTERNS,
+) -> str:
+    """DuckDB twin builder: a WITH-chain applying the same positional
+    pseudonymizing rewrite per kind — ``SELECT {key}, t{n} FROM r{n}``
+    is the caller's final projection. Dialect-portable by the
+    PII_PATTERNS contract."""
+    sql = f"WITH r0 AS (SELECT {key}, {text_expr} AS t0 FROM ({source_sql}))"
+    i = 0
+    for name, pat, _ in patterns:
+        i += 1
+        tok = f"'<{name.upper()}:' || substr(md5(lower(mt[j])), 1, 8) || '>'"
+        sql += (
+            f", s{i} AS (SELECT {key}, "
+            f"string_split_regex(t{i - 1}, '{pat}') AS sg, "
+            f"regexp_extract_all(t{i - 1}, '{pat}') AS mt FROM r{i - 1})"
+            # coalesce: DuckDB's array_to_string is string_agg under the
+            # hood and returns NULL (not '') for the zero-match list
+            f", r{i} AS (SELECT {key}, "
+            f"coalesce(array_to_string([sg[j] || {tok} "
+            f"for j in generate_series(1, len(mt))], ''), '') "
+            f"|| sg[len(sg)] AS t{i} FROM s{i})"
+        )
+    return sql

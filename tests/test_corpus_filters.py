@@ -292,3 +292,64 @@ def test_bloom_short_and_empty_docs_are_clean(spark):
     evalset = spark.createDataFrame([("the secret benchmark answer",)], ["text"])
     kept = sorted(r["doc_id"] for r in bloom_decontaminate(docs, evalset, n=3).collect())
     assert kept == [1, 2]
+
+
+def test_pii_pseudonymize_stable_and_distinct(spark):
+    from ocr_spark.operators.pii import pii_pseudonymize
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice@example.com then bob@example.org end"),
+            (2, "Alice@Example.com again"),   # case-folded -> same token
+            (3, "no pii at all here"),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r.text for r in pii_pseudonymize(df).collect()}
+    import re
+    toks1 = re.findall(r"<EMAIL:[0-9a-f]{8}>", rows[1])
+    assert len(toks1) == 2 and toks1[0] != toks1[1]  # distinct entities distinguishable
+    assert "alice@example.com" not in rows[1] and "bob@example.org" not in rows[1]
+    assert rows[1].startswith("mail <EMAIL:") and rows[1].endswith("> end")
+    # same entity (case-insensitive) -> same token across documents
+    assert re.findall(r"<EMAIL:[0-9a-f]{8}>", rows[2])[0] == toks1[0]
+    assert rows[3] == "no pii at all here"
+    assert rows[4] is None
+
+
+def test_pii_pseudonymize_all_kinds_positional(spark):
+    from ocr_spark.operators.pii import pii_pseudonymize
+
+    txt = ("card 1234-5678-9012-3456 ssn 123-45-6789 tel 555-123-4567 "
+           "ip 10.0.0.1 mail a@b.co tail")
+    out = pii_pseudonymize(
+        spark.createDataFrame([(1, txt)], "doc_id int, text string")
+    ).collect()[0].text
+    for kind in ("CARD", "SSN", "PHONE", "IPV4", "EMAIL"):
+        assert f"<{kind}:" in out, out
+    # no raw digits of the identifiers survive; surrounding prose does
+    assert "9012" not in out and "6789" not in out and "tail" in out
+
+
+def test_pii_pseudonymize_matches_duckdb_twin(spark):
+    import duckdb
+
+    from ocr_spark.operators.pii import pii_pseudonymize, pseudonymize_sql_ctes
+
+    texts = [
+        (1, "x alice@example.com y 1234-5678-9012-3456 z alice@example.com"),
+        (2, "edge@case.io"),                      # match at both ends
+        (3, "10.0.0.1"),
+        (4, ""),
+        (5, "a@b.co c@d.io a@b.co 555-123-4567"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {r.doc_id: r.text for r in pii_pseudonymize(df).collect()}
+    con = duckdb.connect()
+    src = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in texts
+    )
+    sql = pseudonymize_sql_ctes(src, "text") + " SELECT doc_id, t5 FROM r5"
+    for doc_id, t in con.sql(sql).fetchall():
+        assert got[doc_id] == t, (doc_id, got[doc_id], t)
