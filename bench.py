@@ -200,6 +200,14 @@ def main() -> None:
         "dd_lsh_recall",
         "dq_skew_report",
         "cr_transcript_pipeline",
+        # round-4 final wave: corpus-consistent pseudonymization (the
+        # 5-pattern split/zip regex chain, pure codegen), templated-turn
+        # mining (bounded-key count-distinct groupBy), graded n-gram
+        # overlap eval (in-row HOF multiset clipping over a full-outer
+        # join of two real extraction runs)
+        "pii_pseudonymize",
+        "qc_template_turns",
+        "ev_overlap_report",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -107,7 +107,11 @@ def pseudonymize_col(text_col, patterns=PII_PATTERNS) -> F.Column:
     the separators the card/phone/ssn/ip shapes require).
 
     Pure codegen projection — no UDF, no shuffle, the ideal 100 TB
-    shape (same class as ``pii_scrub``)."""
+    shape (same class as ``pii_scrub``). CAVEAT: as one nested
+    expression the tree duplicates each level ~5× (O(5^kinds) analyzed
+    size) — fine for one or two kinds inline in a larger projection;
+    for the full pattern family use ``pii_pseudonymize``, which stages
+    each kind through named columns and compiles once per kind."""
     def _zip_fn(kind: str):
         # closure factory, NOT a default arg: pyspark's higher-order-
         # function bridge passes one Column per lambda PARAMETER, so a
@@ -131,9 +135,52 @@ def pseudonymize_col(text_col, patterns=PII_PATTERNS) -> F.Column:
 def pii_pseudonymize(
     df: DataFrame, text_col: str = "text", out_col: str | None = None
 ) -> DataFrame:
-    """Apply ``pseudonymize_col`` to a frame; ``out_col`` defaults to
-    overwriting ``text_col``."""
-    return df.withColumn(out_col or text_col, pseudonymize_col(F.col(text_col)))
+    """Frame-level pseudonymization; ``out_col`` defaults to overwriting
+    ``text_col``.
+
+    NOT implemented as one ``pseudonymize_col`` expression: that form
+    references each level's text in segs+matches and the arrays 3×/2×
+    in the rebuild, so the analyzed tree grows ~5^k over k kinds —
+    seconds of driver analysis and a codegen-size hazard (64 KB method
+    limit → interpreted fallback). Here each level lands in named
+    intermediate columns instead; CollapseProject keeps the stages
+    separate because the producers (split / regexp_extract_all) are
+    non-cheap and multiply-referenced, so the regex chain is analyzed
+    and compiled ONCE per kind. Still a stateless zero-exchange
+    projection (plan-asserted)."""
+
+    def _zip_fn(kind: str):
+        return lambda s, m: F.concat(s, pseudonym_token(kind, m))
+
+    cur = "_pseudo_t0"
+    res = df.withColumn(cur, F.col(text_col))
+    for i, (name, pat, _) in enumerate(PII_PATTERNS, 1):
+        sg, mt, nxt = f"_pseudo_sg{i}", f"_pseudo_mt{i}", f"_pseudo_t{i}"
+        res = (
+            res.withColumns(
+                {
+                    sg: F.split(F.col(cur), pat, -1),
+                    mt: F.regexp_extract_all(F.col(cur), F.lit(pat), 0),
+                }
+            )
+            .withColumn(
+                nxt,
+                F.concat(
+                    F.array_join(
+                        F.zip_with(
+                            F.slice(F.col(sg), 1, F.size(F.col(mt))),
+                            F.col(mt),
+                            _zip_fn(name),
+                        ),
+                        "",
+                    ),
+                    F.element_at(F.col(sg), -1),
+                ),
+            )
+            .drop(sg, mt, cur)
+        )
+        cur = nxt
+    return res.withColumn(out_col or text_col, F.col(cur)).drop(cur)
 
 
 def pseudonymize_sql_ctes(

@@ -306,6 +306,16 @@ def test_pii_scrub_is_stateless_projection(spark):
     assert checks.codegen_stage_count(rep) >= 1  # regex chain stays in codegen
 
 
+def test_pii_pseudonymize_is_stateless_projection(spark):
+    from ocr_spark.operators.pii import pii_pseudonymize
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = pii_pseudonymize(docs, "text")
+    assert checks.count_exchanges(out) == 0
+    c = checks.python_stage_counts(out)
+    assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+
+
 def test_temperature_resample_no_corpus_shuffle(spark):
     from ocr_spark.operators.training import temperature_resample
 
