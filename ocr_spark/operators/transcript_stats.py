@@ -282,8 +282,13 @@ def tool_arg_profile_sql(
     return f"""
 WITH calls AS (
   SELECT coalesce({tool_expr}, 'plain') AS tool_kind,
-         CASE WHEN NOT json_valid({payload_expr})
-                   OR json_type(CAST({payload_expr} AS JSON)) <> 'OBJECT'
+         CASE WHEN NOT json_valid({payload_expr}) THEN ['(invalid)']
+              -- separate WHEN branch, not OR'd into the first: OR does
+              -- not short-circuit under vectorized evaluation, so the
+              -- CAST would throw on invalid payloads (TRY_CAST guards
+              -- the residual risk; json_type(NULL) falls through)
+              WHEN coalesce(json_type(TRY_CAST({payload_expr} AS JSON))
+                            <> 'OBJECT', true)
               THEN ['(invalid)']
               WHEN len(json_keys({payload_expr})) = 0 THEN ['(empty)']
               ELSE json_keys({payload_expr}) END AS ks
