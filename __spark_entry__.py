@@ -866,6 +866,48 @@ def _ev_pred_gold(spark, sf_dir):
     return pred, gold
 
 
+# conversation-clone fixture for dd_conv_clones: 120 conversations x 4
+# turns exactly (doc_id < 480; every SF has >=500 documents), turn text
+# a pure function of (conv % 40, turn) -> convs c, c+40, c+80 are exact
+# clones (identical turn multiset => identical MinHash signature =>
+# banding MUST emit the pair; the provable-recall construction
+# dd_minhash_exact_clones uses). Cross-group pairs share the filler
+# grams (jaccard ~0.4) — candidate-able but verify-rejected at 0.95.
+_CONVDD_EXPRS = [
+    "CAST(doc_id % 120 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 120) AS INT) AS turn_idx",
+    "'alpha ' || CAST(doc_id % 40 AS STRING) || ' beta ' || "
+    "CAST((doc_id % 40) * 7 + floor(doc_id / 120) AS STRING) || "
+    "' gamma delta turn ' || CAST(floor(doc_id / 120) AS STRING) || "
+    "' epsilon zeta eta theta' AS text",
+]
+
+_CONVDD_SQL = (
+    "SELECT "
+    + ", ".join(_CONVDD_EXPRS)
+    + " FROM documents WHERE doc_id < 480"
+)
+
+
+def _q_dd_conv_clones(spark, sf_dir):
+    """Conversation-level near-dup (operators/dedup.py
+    ``near_dup_conversations``): turn-aggregated MinHash (no document
+    assembly) -> shared banded LSH -> exact-Jaccard verify. The clone
+    construction makes recall provable (identical signatures collide in
+    every band), so the oracle is the closed-form expected pair set."""
+    from ocr_spark.operators.dedup import near_dup_conversations
+
+    corpus = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 480)
+        .selectExpr(*_CONVDD_EXPRS)
+    )
+    out = near_dup_conversations(
+        corpus, conv_col="conv", jaccard_threshold=0.95
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _q_ev_overlap_report(spark, sf_dir):
     """Graded per-turn extraction quality (operators/eval_extraction.py
     ``extraction_overlap_report``): token-BIGRAM multiset precision/
@@ -3785,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
         "dd_scrub_ngrams": _q_dd_scrub_ngrams,
         "dd_line_dedup": _q_dd_line_dedup,
+        "dd_conv_clones": _q_dd_conv_clones,
         # -- ANN / similarity stack
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_knn_join": _q_sim_knn_join,
@@ -6629,6 +6672,13 @@ FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.sh = b.sh
         "km_lloyd_assign": _KMEANS_LLOYD_SQL,
         "gr_pagerank": _PAGERANK_SQL,
         "dd_scrub_ngrams": _SCRUB_NGRAMS_SQL,
+        "dd_conv_clones": (
+            f"WITH c AS (SELECT DISTINCT conv FROM ({_CONVDD_SQL})) "
+            "SELECT a.conv AS id_a, b.conv AS id_b, "
+            "CAST(1.0 AS DOUBLE) AS jaccard "
+            "FROM c a JOIN c b "
+            "ON a.conv % 40 = b.conv % 40 AND a.conv < b.conv"
+        ),
         "fz_token_sort_scalar": (
             "WITH t AS (SELECT p_partkey, array_to_string(list_sort("
             "string_split(upper(p_name), ' ')), ' ') AS cand FROM part), "

@@ -1233,3 +1233,89 @@ def lsh_recall_report(
         rows = out.collect()
     spark = df.sparkSession
     return spark.createDataFrame(rows, out.schema)
+
+
+def conversation_minhash(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    k: int = N_MINHASH,
+) -> DataFrame:
+    """Per-CONVERSATION MinHash signature computed straight from the
+    turn rows — no document assembly: each turn contributes its own
+    shingles (one explode) and the conversation groupBy takes the
+    per-permutation min, which is exactly the MinHash of the UNION of
+    the turn shingle sets. Besides skipping the concatenated-string
+    materialization, per-turn shingling is semantically better for
+    dialogue: shingles never straddle a turn boundary, so reordered
+    speakers don't manufacture phantom n-grams.
+
+    One shuffle of k longs per conversation (map-side partial min);
+    same codegen explode+xxhash64 path as ``minhash_signature``."""
+    sh = df.select(conv_col, F.explode(shingles_col(text_col)).alias("shingle"))
+    agg = sh.groupBy(conv_col).agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    return agg.select(
+        conv_col, F.array(*[f"h{i}" for i in range(k)]).alias("minhash")
+    )
+
+
+def near_dup_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.9,
+) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs (re-logged sessions, repeated
+    demos, harness replays) over turn-level input — the transcripts
+    analog of ``minhash_near_dups``, banded-LSH end to end, verified
+    with exact Jaccard over the conversation shingle sets.
+
+    Stages: one turn-level explode -> conversation shingle SET (one
+    groupBy with map-side partial dedup via collect_set), persisted —
+    it feeds the signature build and BOTH verify sides (the
+    ``minhash_near_dups`` three-consumer discipline); then the shared
+    ``lsh_candidate_pairs`` banding; then the exact-Jaccard verify
+    join on candidates only. No conversation-pair Cartesian anywhere.
+    Callers release via ``release_shingle_caches()`` when done, as
+    with the other LSH ops. At 10^12 turns the set shuffle is the
+    dominant cost; a signature-only estimate (drop the verify join)
+    is the documented relaxation when approximate Jaccard suffices."""
+    per_turn = df.select(
+        conv_col, F.explode(shingles_col(text_col)).alias("shingle")
+    )
+    conv_sh = _persist_shingles(
+        per_turn.groupBy(conv_col).agg(F.collect_set("shingle").alias("sh"))
+    )
+    sigs = (
+        conv_sh.select(conv_col, F.explode("sh").alias("shingle"))
+        .groupBy(conv_col)
+        .agg(
+            *[
+                F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ]
+        )
+        .select(
+            conv_col,
+            F.array(*[f"h{i}" for i in range(N_MINHASH)]).alias("minhash"),
+        )
+    )
+    pairs = lsh_candidate_pairs(sigs, conv_col)
+    a = conv_sh.select(F.col(conv_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = conv_sh.select(F.col(conv_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

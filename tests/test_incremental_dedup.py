@@ -93,3 +93,103 @@ def test_candidates_come_from_stored_sigs_not_corpus_text(spark, frames):
         (r["new_id"], r["dup_of"]) for r in rows if r["dup_side"] == "corpus"
     }
     assert (101, 1) in corpus_pairs
+
+
+# ---------------------------------------------------------------------------
+# conversation-level near-dup (turn-aggregated MinHash, no doc assembly)
+# ---------------------------------------------------------------------------
+
+
+def _conv_corpus_rows():
+    rows = []
+    # three clone conversations (same turn texts), one divergent, one distinct
+    turns = [
+        "hello there can you check the deploy status for me today",
+        "sure thing the deploy finished at noon with zero failed tasks",
+        "great thanks also restart the metrics exporter when convenient",
+    ]
+    for c in ("a", "b", "c"):
+        for t, txt in enumerate(turns):
+            rows.append((c, t, txt))
+    # d shares 2 of 3 turns (high but not exact overlap)
+    rows += [("d", 0, turns[0]), ("d", 1, turns[1]),
+             ("d", 2, "instead tell me a joke about distributed systems now please")]
+    # e entirely different
+    rows += [("e", i, f"completely unrelated conversation number five turn {i} payload words")
+             for i in range(3)]
+    return rows
+
+
+def test_near_dup_conversations_finds_clones(spark):
+    from ocr_spark.operators.dedup import (
+        near_dup_conversations,
+        release_shingle_caches,
+    )
+
+    df = spark.createDataFrame(
+        _conv_corpus_rows(), "conv_id string, turn_idx int, text string"
+    )
+    try:
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in near_dup_conversations(df, jaccard_threshold=0.9).collect()
+        }
+    finally:
+        release_shingle_caches()
+    assert set(pairs) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(j == 1.0 for j in pairs.values())
+
+
+def test_near_dup_conversations_threshold_admits_partial(spark):
+    from ocr_spark.operators.dedup import (
+        near_dup_conversations,
+        release_shingle_caches,
+    )
+
+    df = spark.createDataFrame(
+        _conv_corpus_rows(), "conv_id string, turn_idx int, text string"
+    )
+    try:
+        rows = near_dup_conversations(df, jaccard_threshold=0.5).collect()
+    finally:
+        release_shingle_caches()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in rows}
+    # clone pairs always survive; 'e' (disjoint) never pairs; any
+    # admitted d-pair (2/3 shared turns — BELOW the 4x4 banding's
+    # reliable-recall region, so its candidacy is hash-dependent)
+    # must carry the true partial jaccard in [0.5, 1)
+    assert {("a", "b"), ("a", "c"), ("b", "c")} <= set(pairs)
+    assert not any("e" in p for p in pairs)
+    for p, j in pairs.items():
+        if "d" in p:
+            assert 0.5 <= j < 1.0, (p, j)
+
+
+def test_conversation_minhash_equals_doc_assembly_on_turn_sets(spark):
+    """The turn-aggregated signature equals the signature of the union
+    of turn shingle sets (computed by the doc-level path over each turn
+    as its own 'document', min-combined)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import conversation_minhash, minhash_signature
+
+    df = spark.createDataFrame(
+        _conv_corpus_rows(), "conv_id string, turn_idx int, text string"
+    )
+    conv = {r.conv_id: r.minhash for r in conversation_minhash(df).collect()}
+    per_turn = minhash_signature(
+        df.withColumn("doc_id", F.concat_ws(":", "conv_id", "turn_idx")),
+        text_col="text",
+        id_col="doc_id",
+    )
+    agg = (
+        per_turn.withColumn("conv_id", F.split("doc_id", ":")[0])
+        .groupBy("conv_id")
+        .agg(
+            F.array(
+                *[F.min(F.element_at("minhash", i + 1)) for i in range(16)]
+            ).alias("minhash")
+        )
+    )
+    ref = {r.conv_id: r.minhash for r in agg.collect()}
+    assert conv == ref
