@@ -395,16 +395,51 @@ def template_turns(
     DuckDB twin reproduces the grouping byte-for-byte with zero
     collision caveats.
     """
+    return finalize_templates(
+        template_pairs(df, conv_col, role_col, text_col, min_chars,
+                       cap_chars, roles),
+        min_convs,
+    )
+
+
+def template_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 20,
+    cap_chars: int = 300,
+    roles: Sequence[str] = ("assistant",),
+) -> DataFrame:
+    """The MERGEABLE partial for template mining: one row per
+    (``text_norm``, ``conv``) with that conversation's occurrence count.
+    Sum-mergeable across micro-batches / shards / days — union two
+    partials and ``groupBy(text_norm, conv).sum(n_turns)`` and the
+    merged state is exactly the partial of the combined corpus (a
+    conversation's turns may split across batches; the conv-granular
+    key absorbs that). ``finalize_templates`` turns the state into the
+    mined table at any point — the streaming-maintenance hook."""
     norm = _template_norm(F.col(text_col), cap_chars)
-    rows = df.filter(F.col(role_col).isin(list(roles))).select(
-        F.col(conv_col).alias("_conv"), norm.alias("text_norm")
-    ).filter(F.length("text_norm") >= min_chars)
+    rows = (
+        df.filter(F.col(role_col).isin(list(roles)))
+        .select(F.col(conv_col).alias("conv"), norm.alias("text_norm"))
+        .filter(F.length("text_norm") >= min_chars)
+    )
+    return rows.groupBy("text_norm", "conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+
+
+def finalize_templates(pairs: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Threshold query over the ``template_pairs`` state: rows are
+    unique per (text_norm, conv), so distinct-conv count is a row
+    count — no count_distinct over the merged state."""
     return (
-        rows.groupBy("text_norm")
+        pairs.groupBy("text_norm")
         .agg(
-            F.count_distinct("_conv").cast("long").alias("n_convs"),
-            F.count(F.lit(1)).cast("long").alias("n_turns"),
-            F.min("_conv").alias("sample_conv"),
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.min("conv").alias("sample_conv"),
         )
         .filter(F.col("n_convs") >= min_convs)
     )

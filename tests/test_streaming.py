@@ -645,3 +645,75 @@ def test_stream_curate_transcripts_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_template_mining_merge_equals_batch(spark, tmp_path):
+    """Template mining is streaming-maintainable because its partial is
+    conv-granular and sum-mergeable (transcript_qc.template_pairs):
+    per-micro-batch partials merged by (text_norm, conv) sum equal the
+    one-shot partial, so finalize_templates over the merged state mines
+    exactly the batch template table — even when one conversation's
+    turns split across micro-batches."""
+    import pyspark.sql.functions as F
+
+    from ocr_spark.operators.transcript_qc import (
+        finalize_templates,
+        template_pairs,
+        template_turns,
+    )
+
+    banner = "i can confirm the requested operation completed successfully."
+    rows = []
+    for i in range(6):
+        rows += [
+            (f"c{i}", 0, "user", f"question number {i} please", 0),
+            (f"c{i}", 1, "assistant", banner, 0),
+            (f"c{i}", 2, "assistant", f"unique elaboration {i} with plenty of words", 0),
+            (f"c{i}", 3, "assistant", banner, 0),  # repeat within conv
+        ]
+    schema = "conv_id string, turn_idx int, role string, text string, ts long"
+    src = str(tmp_path / "tm_src")
+    # split INSIDE conversations: first two turns of every conv in file 1,
+    # the rest in file 2 -> convs straddle micro-batches
+    df = spark.createDataFrame(rows, schema)
+    df.filter("turn_idx < 2").coalesce(1).write.parquet(src)
+    df.filter("turn_idx >= 2").coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "tm_state")
+
+    def merge_batch(batch_df, batch_id):
+        import os
+
+        part = template_pairs(batch_df)
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state)
+            part = (
+                prev.unionByName(part)
+                .groupBy("text_norm", "conv")
+                .agg(F.sum("n_turns").alias("n_turns"))
+            )
+        part.write.mode("overwrite").parquet(state + ".tmp")
+        batch_df.sparkSession.read.parquet(state + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    stream_in = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_in.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "tm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    mined_stream = sorted(
+        map(tuple, finalize_templates(spark.read.parquet(state), 3).collect())
+    )
+    mined_batch = sorted(
+        map(tuple, template_turns(spark.read.parquet(src), min_convs=3).collect())
+    )
+    assert mined_stream == mined_batch
+    assert len(mined_batch) == 1 and mined_batch[0][1] == 6  # n_convs
+    assert mined_batch[0][2] == 12  # n_turns: 2 per conv x 6
