@@ -953,6 +953,37 @@ def _q_ts_tool_usage(spark, sf_dir):
     return tool_usage_stats(corpus, conv_col="conv")
 
 
+# language-mix corpus: turn language cycles with doc_id % 3 and the conv
+# stride (50 % 3 = 2), so consecutive turns of one conversation alternate
+# languages — switches, dominance, and ties all exercised. Texts are
+# built from the STOPWORDS vote lists (en/de/fr votes 8+, others <=1).
+_LANGMIX_EXPRS = [
+    "CAST(doc_id % 50 AS BIGINT) AS conv",
+    "CAST(floor(doc_id / 50) AS INT) AS turn_idx",
+    "CASE CAST(doc_id % 3 AS INT) "
+    "WHEN 0 THEN 'the cat and the dog is in it for fun to see' "
+    "WHEN 1 THEN 'der hund und die katze ist nicht mit auf zu haus' "
+    "ELSE 'le chat et les oiseaux est dans pour que une belle' END AS text",
+]
+
+_LANGMIX_SQL = "SELECT " + ", ".join(_LANGMIX_EXPRS) + " FROM documents"
+
+
+def _q_ts_language_profile(spark, sf_dir):
+    """Per-conversation language mix (transcript_stats.
+    conversation_language_profile): dominant turn language, distinct
+    languages, turn-order switch count — the multilingual routing
+    signal at the conversation granularity. Oracle replays the whole
+    algebra (stopword-vote lang_id, lag switches, ranked dominance)
+    in DuckDB."""
+    from ocr_spark.operators.transcript_stats import (
+        conversation_language_profile,
+    )
+
+    corpus = _t(spark, sf_dir, "documents").selectExpr(*_LANGMIX_EXPRS)
+    return conversation_language_profile(corpus, conv_col="conv")
+
+
 def _q_ts_conversation_shape(spark, sf_dir):
     """Conversation-structure histogram (log2 length buckets, role mix,
     wall duration) over an events-derived conversation frame."""
@@ -3949,6 +3980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_role_transitions": _q_ts_role_transitions,
         "ts_tool_usage": _q_ts_tool_usage,
         "ts_conversation_shape": _q_ts_conversation_shape,
+        "ts_language_profile": _q_ts_language_profile,
         "tok_vocab_coverage": _q_tok_vocab_coverage,
         "tok_top_oov": _q_tok_top_oov,
         "dq_expectations": _q_dq_expectations,
@@ -6757,6 +6789,26 @@ SELECT CAST(floor(log2(n_turns)) AS INTEGER) AS len_bucket_log2,
   round(CAST(avg(duration_s) AS DOUBLE), 2) AS avg_duration_s
 FROM p GROUP BY 1
 """,
+        "ts_language_profile": (
+            f"WITH c AS (SELECT conv, turn_idx, "
+            f"{TS.lang_id_sql('text')} AS lang FROM ({_LANGMIX_SQL})), "
+            "sw AS (SELECT conv, CASE WHEN lag(lang) OVER "
+            "(PARTITION BY conv ORDER BY turn_idx) IS NULL THEN 0 "
+            "WHEN lag(lang) OVER (PARTITION BY conv ORDER BY turn_idx) "
+            "<> lang THEN 1 ELSE 0 END AS s FROM c), "
+            "pc AS (SELECT conv, CAST(count(*) AS BIGINT) AS n_turns, "
+            "CAST(sum(s) AS BIGINT) AS n_switches FROM sw GROUP BY conv), "
+            "pl AS (SELECT conv, lang, CAST(count(*) AS BIGINT) AS "
+            "lang_turns FROM c GROUP BY conv, lang), "
+            "dom AS (SELECT conv, lang AS dominant_lang, "
+            "lang_turns AS dominant_turns, "
+            "CAST(count(*) OVER (PARTITION BY conv) AS BIGINT) AS n_langs, "
+            "row_number() OVER (PARTITION BY conv "
+            "ORDER BY lang_turns DESC, lang ASC) AS rk FROM pl) "
+            "SELECT p.conv, p.n_turns, p.n_switches, d.dominant_lang, "
+            "d.dominant_turns, d.n_langs "
+            "FROM pc p JOIN dom d ON p.conv = d.conv WHERE d.rk = 1"
+        ),
         "tok_vocab_coverage": f"""
 WITH {_TOK_VOCAB_CTES}
 SELECT d.doc_id,

@@ -309,3 +309,70 @@ SELECT c.tool_kind, c.arg_key, c.n_calls, t.kind_calls,
        CAST(floor(c.n_calls * 1000000 / t.kind_calls) AS BIGINT) AS share_ppm
 FROM counted c JOIN totals t USING (tool_kind)
 """
+
+
+def conversation_language_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation language mix — the routing signal a multilingual
+    training mix needs per CONVERSATION, not per turn (a conversation is
+    the training unit; one French turn inside an English dialogue is
+    code-switching, not a French document):
+
+    - ``dominant_lang``: most frequent turn-level language (stopword-vote
+      ``functions/text_stats.lang_id``; tie → lexicographically smallest
+      language, deterministic);
+    - ``dominant_turns`` / ``n_turns``: its share basis;
+    - ``n_langs``: distinct turn languages (incl. 'und');
+    - ``n_switches``: turn-order language changes (lag window) — the
+      code-switch / contamination signal.
+
+    Plan: one projection computes the per-turn language (codegen regex
+    votes); then one lag window + one groupBy for the switch counts and
+    one (conv, lang) groupBy + ranking window for the dominant pick —
+    all partitioned on the SAME conversation key, so AQE plans
+    co-partitioned joins with no extra exchange of the turn payload
+    (counts, not text, cross the second shuffle)."""
+    from ocr_spark.functions.text_stats import lang_id
+
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("_t"),
+        lang_id(F.col(text_col)).alias("lang"),
+    )
+    w = Window.partitionBy("conv").orderBy("_t")
+    switched = base.withColumn(
+        "_sw",
+        (~F.lag("lang").over(w).eqNullSafe(F.col("lang"))).cast("int"),
+    ).withColumn(
+        # first turn has no predecessor -> not a switch
+        "_sw", F.when(F.lag("lang").over(w).isNull(), 0).otherwise(F.col("_sw"))
+    )
+    per_conv = switched.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("_sw").cast("long").alias("n_switches"),
+    )
+    per_lang = base.groupBy("conv", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("lang_turns")
+    )
+    rk = Window.partitionBy("conv").orderBy(
+        F.col("lang_turns").desc(), F.col("lang").asc()
+    )
+    dominant = (
+        per_lang.withColumn("_rk", F.row_number().over(rk))
+        .withColumn(
+            "n_langs",
+            F.count(F.lit(1)).over(Window.partitionBy("conv")).cast("long"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "conv",
+            F.col("lang").alias("dominant_lang"),
+            F.col("lang_turns").alias("dominant_turns"),
+            "n_langs",
+        )
+    )
+    return per_conv.join(dominant, "conv")

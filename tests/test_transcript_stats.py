@@ -171,3 +171,42 @@ def test_tool_arg_profile_broadcast_no_python(spark):
     plan = tool_arg_profile(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_conversation_language_profile(spark):
+    from ocr_spark.operators.transcript_stats import conversation_language_profile
+
+    en = "the cat and the dog is in it for fun to see"
+    de = "der hund und die katze ist nicht mit auf zu haus"
+    fr = "le chat et les oiseaux est dans pour que une belle"
+    rows = [
+        # conv a: en, en, de -> dominant en, 1 switch, 2 langs
+        ("a", 0, en), ("a", 1, en), ("a", 2, de),
+        # conv b: en, de, en -> tie 2-1 en, 2 switches
+        ("b", 0, en), ("b", 1, de), ("b", 2, en),
+        # conv c: fr only -> dominant fr, 0 switches, 1 lang
+        ("c", 0, fr), ("c", 1, fr),
+        # conv d: one turn, no stopwords -> 'und' (undetermined)
+        ("d", 0, "zzz qqq www"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = {r.conv: r for r in conversation_language_profile(df).collect()}
+    a = got["a"]
+    assert (a.n_turns, a.n_switches, a.dominant_lang, a.dominant_turns, a.n_langs) == (3, 1, "en", 2, 2)
+    b = got["b"]
+    assert (b.n_switches, b.dominant_lang) == (2, "en")
+    c = got["c"]
+    assert (c.n_switches, c.dominant_lang, c.n_langs) == (0, "fr", 1)
+    assert got["d"].dominant_lang == "und"
+
+
+def test_conversation_language_profile_tie_breaks_lexicographic(spark):
+    from ocr_spark.operators.transcript_stats import conversation_language_profile
+
+    en = "the cat and the dog is in it for fun"
+    de = "der hund und die katze ist nicht mit auf zu"
+    df = spark.createDataFrame(
+        [("t", 0, en), ("t", 1, de)], "conv_id string, turn_idx int, text string"
+    )
+    r = conversation_language_profile(df).collect()[0]
+    assert r.dominant_lang == "de" and r.dominant_turns == 1  # 1-1 tie -> lexicographic
