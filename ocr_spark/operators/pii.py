@@ -147,7 +147,16 @@ def pii_pseudonymize(
     separate because the producers (split / regexp_extract_all) are
     non-cheap and multiply-referenced, so the regex chain is analyzed
     and compiled ONCE per kind. Still a stateless zero-exchange
-    projection (plan-asserted)."""
+    projection (plan-asserted).
+
+    PUSHDOWN CAVEAT: do not put a FILTER on the rewritten column
+    directly downstream — PushDownPredicates substitutes each stage's
+    expression into the predicate with no cheapness guard, rebuilding
+    the exponential tree inside the filter condition (measured: a
+    12-row frame hangs the optimizer for minutes). Filter on other
+    columns freely (pushdown past this projection is then pure win);
+    to select on the pseudonymized text, materialize first (write, or
+    persist+checkpoint to break lineage)."""
 
     def _zip_fn(kind: str):
         return lambda s, m: F.concat(s, pseudonym_token(kind, m))

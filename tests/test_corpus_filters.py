@@ -353,3 +353,39 @@ def test_pii_pseudonymize_matches_duckdb_twin(spark):
     sql = pseudonymize_sql_ctes(src, "text") + " SELECT doc_id, t5 FROM r5"
     for doc_id, t in con.sql(sql).fetchall():
         assert got[doc_id] == t, (doc_id, got[doc_id], t)
+
+
+def test_pii_pseudonymize_idempotent_and_scrub_parity(spark):
+    """(1) Idempotence: emitted tokens are inert to every pattern (hex
+    runs carry no separators the shapes require), so a second pass is a
+    no-op. (2) Detection parity: pseudonymize rewrites a row iff
+    pii_scrub does — same patterns, same order, same matches."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.pii import pii_pseudonymize, pii_scrub
+
+    rows = [
+        (0, "a@b.co"),                                  # entire string is a match
+        (1, "x a@b.co"), (2, "a@b.co x"),               # edges
+        (3, "a@b.co b@c.io"),                           # adjacent matches
+        (4, "1234-5678-9012-3456 then 555-123-4567"),   # card then phone
+        (5, "123-45-6789123-45-6789"),                  # run-on ssn shapes
+        (6, "ip 10.0.0.1.2.3 odd"),                     # overlong dotted run
+        (7, "no pii whatsoever in this text"),
+        (8, ""),
+        (9, "unicode café naïve@exämple.com test"),     # non-ascii local part
+        (10, "<EMAIL:deadbeef> already a token"),
+        (11, "email at a@b.co and again a@b.co twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = pii_pseudonymize(df, "text", "p1")
+    twice = pii_pseudonymize(once, "p1", "p2")
+    # compare COLLECTED values, never .filter(p1 != p2): a predicate on
+    # the rewritten column gets substituted through every stage by
+    # PushDownPredicates (no cheapness guard there), recreating the
+    # exponential expression the staged form exists to avoid — see the
+    # operator docstring's pushdown caveat
+    got = pii_scrub(twice, "text", "scrubbed").collect()
+    for r in got:
+        assert r.p1 == r.p2, (r.doc_id, r.p1, r.p2)
+        assert (r.text != r.p1) == (r.text != r.scrubbed), r.doc_id
