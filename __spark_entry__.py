@@ -3827,6 +3827,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sim_semantic_dedup's assign->mean->reassign composition) and
     fz_token_sort_scalar (⊂ ex_fuzzy_cascade_twin); the demoted pair sits
     right after the boundary, driver-green history r3.
+
+    Round-4 final-wave re-curation (same rule): dd_conv_clones
+    (conversation-level near-dup — the transcripts-modality dedup
+    flagship), ev_overlap_report (graded ROUGE-N eval — the diagnostic
+    tier under the north-metric equality summary), and pii_pseudonymize
+    (the PII family's scored representative) take the slots of
+    sft_turn_spans (its span arrays are also verified inside
+    sft_doc_assembly's output), tx_gopher_flags (quality-flag family
+    already scored via tx_quality_filter), and sim_semantic_admit
+    (incremental-admission semantics scored via dd_incremental_clones);
+    the demoted trio sits right after the boundary, driver-green
+    history r3. emb_hashed_vectors / tok_bpe_encode stay: their r4
+    rows are the direct evidence for the round-3 ERR fix.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -3864,7 +3877,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
-        "sim_semantic_admit": _q_sim_semantic_admit,
         "dv_kcenter_select": _q_dv_kcenter_select,
         "dd_lsh_recall": _q_dd_lsh_recall,
         "qt_quantized_topk": _q_qt_quantized_topk,
@@ -3877,10 +3889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- text analysis + training-data ops
         "tx_text_stats": _q_tx_text_stats,
         "tx_quality_filter": _q_tx_quality_filter,
-        "tx_gopher_flags": _q_tx_gopher_flags,
+        "ev_overlap_report": _q_ev_overlap_report,
+        "pii_pseudonymize": _q_pii_pseudonymize,
         "ctx_window_assembly": _q_ctx_window_assembly,
         "sft_doc_assembly": _q_sft_doc_assembly,
-        "sft_turn_spans": _q_sft_turn_spans,
         "sft_token_stream": _q_sft_token_stream,
         "sft_packed_bins": _q_sft_packed_bins,
         "qc_transcript_integrity": _q_qc_transcript_integrity,
@@ -3893,6 +3905,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composition runs assign->mean->reassign), fz_token_sort_scalar ⊂
         # ex_fuzzy_cascade_twin (the cascade exercises the scalar);
         # both driver-green r3, still replica-verified every run.
+        # demoted round-4 final wave (see the registry docstring):
+        # sft_turn_spans, tx_gopher_flags, sim_semantic_admit — all
+        # driver-green r3, still replica-verified every run.
+        "sft_turn_spans": _q_sft_turn_spans,
+        "tx_gopher_flags": _q_tx_gopher_flags,
+        "sim_semantic_admit": _q_sim_semantic_admit,
         "km_lloyd_assign": _q_km_lloyd_assign,
         "fz_token_sort_scalar": _q_fz_token_sort_scalar,
         "tr_source_cap": _q_tr_source_cap,
@@ -3901,7 +3919,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dc_contamination_report": _q_dc_contamination_report,
         "dc_decontaminate": _q_dc_decontaminate,
         "pii_scrub_report": _q_pii_scrub_report,
-        "pii_pseudonymize": _q_pii_pseudonymize,
         "tr_temperature_resample": _q_tr_temperature_resample,
         "tx_repetition_stats": _q_tx_repetition_stats,
         "tx_compression_stats": _q_tx_compression_stats,
@@ -3976,7 +3993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t15_string_funcs": _q_t15_string_funcs,
         "t16_sequence_explode": _q_t16_sequence_explode,
         "ev_equality_report": _q_ev_equality_report,
-        "ev_overlap_report": _q_ev_overlap_report,
         "ts_role_transitions": _q_ts_role_transitions,
         "ts_tool_usage": _q_ts_tool_usage,
         "ts_conversation_shape": _q_ts_conversation_shape,
