@@ -2570,6 +2570,32 @@ def _q_ex_wiki_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_log_sql_twin(spark, sf_dir):
+    """Hash-verified log-kind extraction: the REAL terminal-decoration
+    kernel (extract/log_output.py — ANSI CSI/OSC strip, CR progress
+    frames, timestamp/level prefixes with canonical level kinds, rule
+    separators) vs a line-enumerating DuckDB twin over the same word
+    pieces (see _LOG_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_LOG_PAYLOAD_SQL).alias("text"),
+        F.lit("log").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        F.concat_ws(",", F.expr("transform(spans, s -> s.kind)")).alias("kinds"),
+    )
+
+
 def _q_ex_html_tables_twin(spark, sf_dir):
     """Hash-verified structured table extraction: the REAL
     pipeline.extract_tables Arrow stage (extract/html_tables.py — table
@@ -3840,6 +3866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the demoted trio sits right after the boundary, driver-green
     history r3. emb_hashed_vectors / tok_bpe_encode stay: their r4
     rows are the direct evidence for the round-3 ERR fix.
+
+    Round-4 wave-5 re-curation (same rule): ex_log_sql_twin (the new
+    terminal/log extraction kernel — a flagship payload-kind twin) takes
+    the slot of cr_corpus_report (the curation family's scored
+    representative is the strictly larger cr_transcript_pipeline, whose
+    oracle replays stage-by-stage counts over the same machinery);
+    cr_corpus_report sits right after the boundary, driver-green
+    history r3, still replica-verified every run.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -3851,6 +3885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
         "ex_json_sql_twin": _q_ex_json_sql_twin,
         "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
+        "ex_log_sql_twin": _q_ex_log_sql_twin,
         "ex_html_tables_twin": _q_ex_html_tables_twin,
         "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_dispatch_twin": _q_ex_dispatch_twin,
@@ -3899,8 +3934,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
         "tr_stratified_split": _q_tr_stratified_split,
-        "cr_corpus_report": _q_cr_corpus_report,
         # ---- driver-scored window boundary (~50) ----
+        # demoted round-4 wave 5: cr_corpus_report — the curation family
+        # is scored via cr_transcript_pipeline; driver-green history r3,
+        # still replica-verified every run.
+        "cr_corpus_report": _q_cr_corpus_report,
         # demoted round-4: km_lloyd_assign ⊂ sim_semantic_dedup (the
         # composition runs assign->mean->reassign), fz_token_sort_scalar ⊂
         # ex_fuzzy_cascade_twin (the cascade exercises the scalar);
@@ -4134,6 +4172,27 @@ _WIKI_PAYLOAD_SQL = (
     " || 'tail ' || " + _MD_W2
 )
 
+# log twin fixture: every decoration family of the log kernel
+# (extract/log_output.py spec) over the SAME documents.text word pieces
+# the markdown twin uses — bare + bracketed ISO timestamps, level tokens
+# (bare, bracketed, ANSI-colored), CR progress frames (two overwritten),
+# a rule separator (ids % 2 == 0) and an OSC title sequence
+# (ids % 3 == 0). ESC/CR/BEL are emitted via chr() so the payload SQL
+# parses identically in Spark SQL and DuckDB.
+_LOG_PAYLOAD_SQL = (
+    f"'2024-03-05 08:30:00 INFO: start ' || {_MD_W1} || chr(10)"
+    f" || '[2024-03-05T08:30:01.250Z] [ERROR] failed q' || {_MD_W2} || 'q'"
+    " || chr(10)"
+    f" || chr(27) || '[33mWARN' || chr(27) || '[0m: colored ' || {_MD_W3}"
+    " || chr(10)"
+    " || 'step 1/3 #' || chr(13) || 'step 2/3 ##' || chr(13)"
+    f" || 'step 3/3 done ' || {_MD_W1} || chr(10)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '========' || chr(10) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(27) || ']0;title' || chr(7)"
+    f" || 'osc kept ' || {_MD_W2} || chr(10) ELSE '' END"
+    f" || 'tail ' || {_MD_W2}"
+)
+
 # line-dedup twin fixture: cross-doc boilerplate planted at three
 # doc-frequencies — every doc (dropped), every 3rd doc (dropped), a
 # pair-key line at exactly df=2 (kept: threshold is strict >), plus a
@@ -4330,6 +4389,40 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
   CAST(count(*) AS INTEGER) AS blocks_kept,
   CAST(any_value(t.n_lines) - count(*) AS INTEGER) AS blocks_dropped,
+  string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
+FROM k JOIN tot t ON k.doc_id = t.doc_id
+GROUP BY k.doc_id
+"""
+
+# DuckDB replay of the log kernel over _LOG_PAYLOAD_SQL: the oracle
+# enumerates the surviving message lines (decoration already known by
+# construction) exactly as the markdown twin does; block totals count
+# every physical line plus the two overwritten CR frames.
+_LOG_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 2 = 0) AS has_rule, (doc_id % 3 = 0) AS has_osc
+           FROM documents),
+lines AS (
+  SELECT doc_id, 1 AS ord, 'info' AS kind,
+         {_canon_sql("'start ' || w1")} AS txt, true AS incl FROM d
+  UNION ALL SELECT doc_id, 2, 'error',
+    {_canon_sql("'failed q' || w2 || 'q'")}, true FROM d
+  UNION ALL SELECT doc_id, 3, 'warn',
+    {_canon_sql("'colored ' || w3")}, true FROM d
+  UNION ALL SELECT doc_id, 4, 'text',
+    {_canon_sql("'step 3/3 done ' || w1")}, true FROM d
+  UNION ALL SELECT doc_id, 5, 'text',
+    {_canon_sql("'osc kept ' || w2")}, has_osc FROM d
+  UNION ALL SELECT doc_id, 6, 'text',
+    {_canon_sql("'tail ' || w2")}, true FROM d),
+k AS (SELECT * FROM lines WHERE incl AND txt <> ''),
+tot AS (SELECT doc_id,
+          7 + CASE WHEN has_rule THEN 1 ELSE 0 END
+            + CASE WHEN has_osc THEN 1 ELSE 0 END AS n_blocks FROM d)
+SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+  string_agg(k.txt, chr(10) ORDER BY k.ord) AS clean_text,
+  CAST(count(*) AS INTEGER) AS blocks_kept,
+  CAST(any_value(t.n_blocks) - count(*) AS INTEGER) AS blocks_dropped,
   string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
 FROM k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
@@ -6758,6 +6851,7 @@ SELECT CAST(rec.conv AS BIGINT) AS conv, rec.record_idx, rec."Name",
 FROM rec JOIN n1 ON rec.conv = n1.conv
 """,
         "ex_wiki_sql_twin": _WIKI_TWIN_SQL,
+        "ex_log_sql_twin": _LOG_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

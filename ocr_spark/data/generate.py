@@ -239,6 +239,49 @@ def _json_payload(r: random.Random) -> str:
     return _json.dumps(doc)
 
 
+_LOG_LEVELS = ["TRACE", "DEBUG", "INFO", "WARN", "WARNING", "ERROR", "FATAL"]
+_ANSI_COLORS = ["\x1b[31m", "\x1b[32m", "\x1b[33m", "\x1b[1;34m"]
+
+
+def _log_payload(r: random.Random) -> str:
+    """Terminal/log tool-output turn: timestamp+level prefixes, ANSI
+    color, CR progress frames, rule separators, blank lines (exercises
+    extract/log_output.py)."""
+    day = r.randint(1, 28)
+    lines = []
+    for _ in range(r.randint(3, 10)):
+        ts = (
+            f"2024-03-{day:02d} {r.randint(0, 23):02d}:"
+            f"{r.randint(0, 59):02d}:{r.randint(0, 59):02d}"
+        )
+        roll = r.random()
+        if roll < 0.25:
+            lines.append(f"{ts} {r.choice(_LOG_LEVELS)}: {_sentence(r, 3, 12)}")
+        elif roll < 0.4:
+            frac = f".{r.randint(0, 999):03d}" if r.random() < 0.5 else ""
+            lines.append(
+                f"[{ts.replace(' ', 'T')}{frac}Z] "
+                f"[{r.choice(_LOG_LEVELS)}] {_sentence(r, 3, 10)}"
+            )
+        elif roll < 0.5:
+            c = r.choice(_ANSI_COLORS)
+            lines.append(
+                f"{c}{r.choice(_LOG_LEVELS)}\x1b[0m: {_sentence(r, 2, 8)}"
+            )
+        elif roll < 0.62:
+            steps = r.randint(2, 5)
+            frames = [f"step {k}/{steps} {'#' * k}" for k in range(1, steps)]
+            frames.append(f"step {steps}/{steps} done {_sentence(r, 1, 3)}")
+            lines.append("\r".join(frames))
+        elif roll < 0.72:
+            lines.append(r.choice("=-") * r.randint(4, 40))
+        elif roll < 0.78:
+            lines.append("")
+        else:
+            lines.append(_sentence(r, 4, 16))
+    return "\n".join(lines)
+
+
 def _wiki_payload(r: random.Random) -> str:
     """Wikitext turn: headings, wiki/external links, templates, refs,
     bold/italic quotes, lists, tables (exercises extract/wiki.py)."""
@@ -279,6 +322,7 @@ _BUILDERS = {
     "markdown": _markdown_payload,
     "json_tool": _json_payload,
     "wiki": _wiki_payload,
+    "log": _log_payload,
 }
 
 

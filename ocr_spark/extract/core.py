@@ -35,6 +35,10 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
 - ``wiki``       -> wikitext formatting strip (headings, tables,
                     templates, wiki/external links, ref tags; see
                     extract/wiki.py — rebuild extension)
+- ``log``        -> terminal/log decoration strip (ANSI escapes, CR
+                    progress frames, timestamp/level prefixes, rule
+                    separators; see extract/log_output.py — rebuild
+                    extension for agent tool-output turns)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -46,6 +50,7 @@ from typing import Dict, List, Optional, Tuple
 
 from .html_blocks import extract_html
 from .json_payload import extract_json_tool
+from .log_output import extract_log
 from .markdown import extract_markdown
 from .normalize import canonicalize, plain_block
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
@@ -68,6 +73,7 @@ KIND_PLAIN = "plain"
 KIND_MARKDOWN = "markdown"
 KIND_JSON = "json_tool"
 KIND_WIKI = "wiki"
+KIND_LOG = "log"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -101,7 +107,7 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         tool
         if tool
         in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN,
-            KIND_JSON, KIND_WIKI)
+            KIND_JSON, KIND_WIKI, KIND_LOG)
         else KIND_PLAIN
     )
 
@@ -119,6 +125,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         clean, spans, kept, dropped = extract_markdown(payload)
     elif kind == KIND_WIKI:
         clean, spans, kept, dropped = extract_wiki(payload)
+    elif kind == KIND_LOG:
+        clean, spans, kept, dropped = extract_log(payload)
     elif kind == KIND_JSON:
         clean, spans, kept, dropped, parse_failures = extract_json_tool(payload)
     elif kind == KIND_RECORDS:

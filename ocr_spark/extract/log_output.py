@@ -1,0 +1,124 @@
+"""Log / terminal tool-output main-content extraction (the ``log`` kind).
+
+Agent transcripts are full of tool turns that are raw terminal captures:
+build logs, test runners, shell output. Their "boilerplate" is not markup
+but *log decoration* — ANSI escape sequences, timestamp/level prefixes,
+carriage-return progress frames, rule separators. This kernel strips the
+decoration and keeps the message text, the exact analog of the HTML
+boilerplate strip for the terminal-output family (reference analog: the
+per-kind dispatch of data_extraction_service.py:71-78; this kind is a
+rebuild extension for transcripts).
+
+Deterministic line-based spec (shared verbatim by the Spark pipeline and
+the DuckDB SQL twin ``ex_log_sql_twin`` in ``__spark_entry__``):
+
+1. Physical lines split on ``\\r\\n`` or ``\\n`` with offsets tracked
+   into the RAW payload (a lone ``\\r`` is NOT a line break here — see
+   rule 2).
+2. Within a physical line, a lone ``\\r`` is a terminal overwrite: only
+   the text after the LAST ``\\r`` survives (the final progress frame);
+   every overwritten frame counts as one dropped block.
+3. ANSI escape sequences are removed from the surviving frame, in this
+   order: OSC (``ESC ]`` … ``BEL``/``ESC \\``), CSI (``ESC [`` params
+   final-byte), then any remaining two-char ``ESC x``.
+4. Prefix strip, fixed order, each optional and anchored at the start:
+   a. one ISO-8601 timestamp (``YYYY-MM-DD[T ]HH:MM:SS`` with optional
+      fraction and ``Z``/offset), optionally ``[bracketed]``;
+   b. one level token (``TRACE DEBUG INFO WARN WARNING ERR ERROR FATAL
+      CRITICAL``), optionally ``[bracketed]`` and/or colon-terminated,
+      followed by whitespace. The span kind becomes the canonical level
+      (``warning``->``warn``, ``err``->``error``, ``critical``->
+      ``fatal``; others lowercase); lines without a level are ``text``.
+5. A rule/separator line (only ``- = * _ ~ #`` runs of 4+, whitespace
+   allowed around) is dropped.
+6. The remainder is ``canonicalize``d; non-empty results are kept (one
+   span ``(frame_start, line_end, kind)`` into the raw payload — the
+   stripped decoration stays inside the span, matching the markdown
+   kernel's whole-raw-line provenance convention), empty ones dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .normalize import canonicalize
+
+Span = Tuple[int, int, str]
+
+_LINE_END = re.compile(r"\r\n|\n")
+# OSC before CSI before bare two-char escapes: an OSC payload may contain
+# '[' and must be consumed as one unit up to its BEL/ST terminator
+_OSC = re.compile(r"\x1b\][^\x07\x1b]*(?:\x07|\x1b\\)?")
+_CSI = re.compile(r"\x1b\[[0-9;:?]*[ -/]*[@-~]")
+_ESC2 = re.compile(r"\x1b.")
+_TS = re.compile(
+    r"^[ \t]*\[?"
+    r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:[.,]\d{1,9})?"
+    r"(?:Z|[+-]\d{2}:?\d{2})?"
+    r"\]?[ \t]*"
+)
+_LEVEL = re.compile(
+    r"^\[?(TRACE|DEBUG|INFO|WARN(?:ING)?|ERR(?:OR)?|FATAL|CRITICAL)\]?:?[ \t]+"
+)
+_CANON_LEVEL = {"WARNING": "warn", "ERR": "error", "CRITICAL": "fatal"}
+_RULE = re.compile(r"[ \t]*[-=*_~#]{4,}[ \t]*")
+
+
+def _strip_ansi(text: str) -> str:
+    if "\x1b" not in text:
+        return text
+    text = _OSC.sub("", text)
+    text = _CSI.sub("", text)
+    return _ESC2.sub("", text)
+
+
+def extract_log(payload: str) -> Tuple[str, List[Span], int, int]:
+    """Extract log/terminal-output main content.
+
+    Returns ``(clean_text, spans, lines_kept, lines_dropped)`` — the
+    ``extract_turn`` block contract (kept/dropped are the block metrics;
+    every physical line and every overwritten CR progress frame is one
+    block).
+    """
+    out: List[str] = []
+    spans: List[Span] = []
+    kept = dropped = 0
+    i = 0
+    n = len(payload)
+    while i <= n:
+        m = _LINE_END.search(payload, i)
+        if m:
+            start, end, nxt = i, m.start(), m.end()
+        else:
+            start, end, nxt = i, n, n + 1
+        line = payload[start:end]
+        i = nxt
+        # terminal overwrite: keep the final \r frame, count the rest
+        cr = line.rfind("\r")
+        if cr >= 0:
+            dropped += line.count("\r")
+            start += cr + 1
+            line = line[cr + 1:]
+        body = _strip_ansi(line)
+        tm = _TS.match(body)
+        if tm:
+            body = body[tm.end():]
+        lm = _LEVEL.match(body)
+        if lm:
+            tok = lm.group(1)
+            kind = _CANON_LEVEL.get(tok, tok.lower())
+            body = body[lm.end():]
+        else:
+            kind = "text"
+        if _RULE.fullmatch(body):
+            dropped += 1
+            continue
+        clean = canonicalize(body)
+        if clean:
+            out.append(clean)
+            spans.append((start, end, kind))
+            kept += 1
+        else:
+            dropped += 1
+    return "\n".join(out), spans, kept, dropped

@@ -1,0 +1,138 @@
+"""Log/terminal-output extraction kernel (extract/log_output.py) + dispatch."""
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.log_output import extract_log
+
+
+def test_pipeline_golden_with_log_mix(spark):
+    """End-to-end: the distributed pipeline over a log-inclusive corpus
+    equals the row-by-row golden oracle (north_rule invariant extends to
+    the new kind)."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(12, seed=17, skew_factor=5, tools=TOOLS + ["log"])
+    assert (corpus["tool"] == "log").any()
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_transcripts(tdf, repartition=5).orderBy("conv_id", "turn_idx").collect()
+    golden = golden_extraction_rows(corpus)
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
+        assert got.blocks_kept == exp["blocks_kept"]
+        assert got.blocks_dropped == exp["blocks_dropped"]
+
+
+def test_timestamp_and_level_prefixes():
+    clean, spans, kept, dropped = extract_log(
+        "2024-03-05 08:30:00 INFO: build started\n"
+        "[2024-03-05T08:30:01.250Z] [ERROR] compile failed\n"
+        "WARN trailing space config\n"
+        "plain message line"
+    )
+    assert clean == (
+        "build started\ncompile failed\ntrailing space config\nplain message line"
+    )
+    assert [k for _, _, k in spans] == ["info", "error", "warn", "text"]
+    assert kept == 4 and dropped == 0
+
+
+def test_level_canonicalization():
+    clean, spans, _, _ = extract_log(
+        "WARNING: a\nERR: b\nCRITICAL: c\nFATAL: d\nTRACE: e\nDEBUG: f"
+    )
+    assert clean == "a\nb\nc\nd\ne\nf"
+    assert [k for _, _, k in spans] == [
+        "warn", "error", "fatal", "fatal", "trace", "debug"
+    ]
+
+
+def test_level_without_message_is_text():
+    # no whitespace after the colon -> the level regex does not fire
+    clean, spans, _, _ = extract_log("ERROR:\nINFO")
+    assert clean == "ERROR:\nINFO"
+    assert [k for _, _, k in spans] == ["text", "text"]
+
+
+def test_ansi_csi_and_osc_stripped():
+    clean, spans, kept, dropped = extract_log(
+        "\x1b[31mERROR\x1b[0m: red alert\n"
+        "\x1b]0;window title\x07prompt text\n"
+        "\x1b[1;34mblue\x1b[0m and \x1b[2Kcleared"
+    )
+    assert clean == "red alert\nprompt text\nblue and cleared"
+    assert [k for _, _, k in spans] == ["error", "text", "text"]
+    assert kept == 3 and dropped == 0
+
+
+def test_carriage_return_progress_frames():
+    payload = "step 1/3 #\rstep 2/3 ##\rstep 3/3 done ok\nafter"
+    clean, spans, kept, dropped = extract_log(payload)
+    assert clean == "step 3/3 done ok\nafter"
+    assert kept == 2 and dropped == 2
+    # the kept span starts at the final frame and excludes the terminator
+    s, e, k = spans[0]
+    assert payload[s:e] == "step 3/3 done ok" and k == "text"
+
+
+def test_crlf_is_a_line_end_not_an_overwrite():
+    clean, _, kept, dropped = extract_log("line one\r\nline two")
+    assert clean == "line one\nline two"
+    assert kept == 2 and dropped == 0
+
+
+def test_rule_separators_and_blanks_dropped():
+    clean, _, kept, dropped = extract_log(
+        "====\nkeep me\n--------\n\n   \n***~~~___\nend"
+    )
+    assert clean == "keep me\nend"
+    assert kept == 2 and dropped == 5
+
+
+def test_short_dashes_kept():
+    clean, _, _, _ = extract_log("---\na - b")
+    assert clean == "---\na - b"
+
+
+def test_timestamp_only_line_dropped():
+    clean, _, kept, dropped = extract_log("2024-03-05 08:30:00\nmsg")
+    assert clean == "msg"
+    assert kept == 1 and dropped == 1
+
+
+def test_spans_cover_raw_lines():
+    payload = "2024-03-05 08:30:00 INFO: hello\n\x1b[32mok\x1b[0m done"
+    _, spans, _, _ = extract_log(payload)
+    assert [payload[s:e] for s, e, _ in spans] == [
+        "2024-03-05 08:30:00 INFO: hello",
+        "\x1b[32mok\x1b[0m done",
+    ]
+
+
+def test_dispatch_via_extract_turn():
+    r = extract_turn("\x1b[31mERROR\x1b[0m: boom\n====\ndone", "log")
+    assert r["clean_text"] == "boom\ndone"
+    assert r["blocks_kept"] == 2 and r["blocks_dropped"] == 1
+    assert r["spans"][0][2] == "error"
+    assert r["parse_failures"] == 0
+
+
+def test_unclosed_osc_runs_to_end_of_line():
+    # OSC without a terminator consumes the rest of the line (ECMA-48
+    # string-opener semantics); the next line is unaffected
+    clean, _, _, _ = extract_log("\x1b]0;no terminator here\nnext line ok")
+    assert clean == "next line ok"
+
+
+def test_deterministic_generator_payload():
+    from ocr_spark.data.generate import _log_payload
+    import random
+
+    a = _log_payload(random.Random(99))
+    b = _log_payload(random.Random(99))
+    assert a == b
+    # the generated mix actually exercises the kernel end-to-end
+    clean, spans, kept, dropped = extract_log(a)
+    assert kept == len(spans)
