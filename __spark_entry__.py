@@ -2596,6 +2596,38 @@ def _q_ex_log_sql_twin(spark, sf_dir):
     )
 
 
+def _q_ex_diff_lines_twin(spark, sf_dir):
+    """Hash-verified structured unified-diff extraction: the REAL
+    pipeline.extract_diffs Arrow stage (extract/diff_patch.py — git/file
+    headers, @@-count hunk framing, add/del/ctx ops with pre/post-image
+    line numbers, global hunk numbering) vs a line-enumerating DuckDB
+    twin over the same word pieces (see _DIFF_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_DIFF_PAYLOAD_SQL).alias("text"),
+        F.lit("diff").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.pipeline import extract_diffs
+
+    out = extract_diffs(corpus)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "file_idx",
+        "file_path",
+        "hunk_idx",
+        "line_idx",
+        "op",
+        F.coalesce("old_lineno", F.lit(-1)).cast("int").alias("old_lineno"),
+        F.coalesce("new_lineno", F.lit(-1)).cast("int").alias("new_lineno"),
+        "line_text",
+    )
+
+
 def _q_ex_html_tables_twin(spark, sf_dir):
     """Hash-verified structured table extraction: the REAL
     pipeline.extract_tables Arrow stage (extract/html_tables.py — table
@@ -3868,12 +3900,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rows are the direct evidence for the round-3 ERR fix.
 
     Round-4 wave-5 re-curation (same rule): ex_log_sql_twin (the new
-    terminal/log extraction kernel — a flagship payload-kind twin) takes
-    the slot of cr_corpus_report (the curation family's scored
+    terminal/log extraction kernel) and ex_diff_lines_twin (the new
+    structured unified-diff relation) — both flagship payload-kind twins
+    — take the slots of cr_corpus_report (the curation family's scored
     representative is the strictly larger cr_transcript_pipeline, whose
-    oracle replays stage-by-stage counts over the same machinery);
-    cr_corpus_report sits right after the boundary, driver-green
-    history r3, still replica-verified every run.
+    oracle replays stage-by-stage counts over the same machinery) and
+    tr_stratified_split (a windowed-rank drill; the training family
+    keeps ctx/sft/pk/tx scored rows); the demoted pair sits right after
+    the boundary, driver-green history r3, replica-verified every run.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -3886,6 +3920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_json_sql_twin": _q_ex_json_sql_twin,
         "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
         "ex_log_sql_twin": _q_ex_log_sql_twin,
+        "ex_diff_lines_twin": _q_ex_diff_lines_twin,
         "ex_html_tables_twin": _q_ex_html_tables_twin,
         "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_dispatch_twin": _q_ex_dispatch_twin,
@@ -3933,8 +3968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_transcript_integrity": _q_qc_transcript_integrity,
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
-        "tr_stratified_split": _q_tr_stratified_split,
         # ---- driver-scored window boundary (~50) ----
+        # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
+        # tr_stratified_split — the stratified-sampling semantics are a
+        # windowed-rank drill; the training family keeps ctx/sft/pk/tx
+        # scored rows; driver-green history r3, replica-verified every run.
+        "tr_stratified_split": _q_tr_stratified_split,
         # demoted round-4 wave 5: cr_corpus_report — the curation family
         # is scored via cr_transcript_pipeline; driver-green history r3,
         # still replica-verified every run.
@@ -4193,6 +4232,34 @@ _LOG_PAYLOAD_SQL = (
     f" || 'tail ' || {_MD_W2}"
 )
 
+# diff twin fixture: a two-file unified diff with true-count hunk
+# framing over the markdown twin's word pieces — one 3->4 hunk always,
+# a second hunk (ids % 2 == 0) and a second file (ids % 3 == 0, whose
+# global hunk index therefore depends on the second hunk's presence).
+_DIFF_PAYLOAD_SQL = (
+    "'diff --git a/src/mod.py b/src/mod.py' || chr(10)"
+    " || 'index 0000001..0000002 100644' || chr(10)"
+    " || '--- a/src/mod.py' || chr(10)"
+    " || '+++ b/src/mod.py' || chr(10)"
+    " || '@@ -10,3 +10,4 @@ def f():' || chr(10)"
+    f" || ' keep ' || {_MD_W1} || chr(10)"
+    f" || '-drop ' || {_MD_W2} || chr(10)"
+    f" || '+add ' || {_MD_W3} || chr(10)"
+    f" || '+also ' || {_MD_W1} || chr(10)"
+    f" || ' tail ' || {_MD_W2} || chr(10)"
+    " || CASE WHEN doc_id % 2 = 0 THEN '@@ -50,1 +51,2 @@' || chr(10)"
+    f" || ' mid ' || {_MD_W3} || chr(10)"
+    f" || '+extra ' || {_MD_W2} || chr(10) ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    " 'diff --git a/docs/b.txt b/docs/b.txt' || chr(10)"
+    " || '--- a/docs/b.txt' || chr(10)"
+    " || '+++ b/docs/b.txt' || chr(10)"
+    " || '@@ -1,1 +1,1 @@' || chr(10)"
+    f" || '-x ' || {_MD_W1} || chr(10)"
+    f" || '+y ' || {_MD_W1} || chr(10) ELSE '' END"
+    " || 'done'"
+)
+
 # line-dedup twin fixture: cross-doc boilerplate planted at three
 # doc-frequencies — every doc (dropped), every 3rd doc (dropped), a
 # pair-key line at exactly df=2 (kept: threshold is strict >), plus a
@@ -4426,6 +4493,46 @@ SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
   string_agg(k.kind, ',' ORDER BY k.ord) AS kinds
 FROM k JOIN tot t ON k.doc_id = t.doc_id
 GROUP BY k.doc_id
+"""
+
+
+# DuckDB replay of pipeline.extract_diffs over _DIFF_PAYLOAD_SQL: the
+# oracle enumerates the hunk-body lines with their ops and line numbers
+# (framing known by construction); the second file's global hunk index
+# shifts by one when the second hunk is present.
+_DIFF_LINES_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 2 = 0) AS has_h2, (doc_id % 3 = 0) AS has_f2
+           FROM documents),
+l AS (
+  SELECT doc_id, 0 AS file_idx, 'src/mod.py' AS fp, 0 AS hunk_idx,
+         0 AS line_idx, 'ctx' AS op, 10 AS old_ln, 10 AS new_ln,
+         'keep ' || w1 AS txt, true AS incl FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 0, 1, 'del', 11, -1,
+    'drop ' || w2, true FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 0, 2, 'add', -1, 11,
+    'add ' || w3, true FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 0, 3, 'add', -1, 12,
+    'also ' || w1, true FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 0, 4, 'ctx', 12, 13,
+    'tail ' || w2, true FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 1, 0, 'ctx', 50, 51,
+    'mid ' || w3, has_h2 FROM d
+  UNION ALL SELECT doc_id, 0, 'src/mod.py', 1, 1, 'add', -1, 52,
+    'extra ' || w2, has_h2 FROM d
+  UNION ALL SELECT doc_id, 1, 'docs/b.txt',
+    CASE WHEN has_h2 THEN 2 ELSE 1 END, 0, 'del', 1, -1,
+    'x ' || w1, has_f2 FROM d
+  UNION ALL SELECT doc_id, 1, 'docs/b.txt',
+    CASE WHEN has_h2 THEN 2 ELSE 1 END, 1, 'add', -1, 1,
+    'y ' || w1, has_f2 FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(file_idx AS INTEGER) AS file_idx, fp AS file_path,
+  CAST(hunk_idx AS INTEGER) AS hunk_idx,
+  CAST(line_idx AS INTEGER) AS line_idx, op,
+  CAST(old_ln AS INTEGER) AS old_lineno,
+  CAST(new_ln AS INTEGER) AS new_lineno, txt AS line_text
+FROM l WHERE incl
 """
 
 
@@ -6852,6 +6959,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
 """,
         "ex_wiki_sql_twin": _WIKI_TWIN_SQL,
         "ex_log_sql_twin": _LOG_TWIN_SQL,
+        "ex_diff_lines_twin": _DIFF_LINES_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

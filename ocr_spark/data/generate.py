@@ -282,6 +282,52 @@ def _log_payload(r: random.Random) -> str:
     return "\n".join(lines)
 
 
+def _diff_payload(r: random.Random) -> str:
+    """Unified-diff tool-output turn: git headers, true-count hunk
+    framing, add/del/ctx bodies, occasional no-newline marker and a
+    malformed lying-count tail (exercises extract/diff_patch.py)."""
+    lines: List[str] = []
+    for _ in range(r.randint(1, 2)):
+        path = f"src/{r.choice(_WORDS)}_{r.randint(0, 99)}.py"
+        lines.append(f"diff --git a/{path} b/{path}")
+        lines.append(
+            f"index {r.randint(0, 0xFFFFFFF):07x}.."
+            f"{r.randint(0, 0xFFFFFFF):07x} 100644"
+        )
+        lines.append(f"--- a/{path}")
+        lines.append(f"+++ b/{path}")
+        for _ in range(r.randint(1, 3)):
+            body: List[str] = []
+            old_n = new_n = 0
+            for _ in range(r.randint(2, 7)):
+                roll = r.random()
+                if roll < 0.35:
+                    body.append(f"+    {_sentence(r, 2, 6)}")
+                    new_n += 1
+                elif roll < 0.55:
+                    body.append(f"-{_sentence(r, 2, 6)}")
+                    old_n += 1
+                elif roll < 0.62:
+                    body.append("")  # bare empty context line
+                    old_n += 1
+                    new_n += 1
+                else:
+                    body.append(f" {_sentence(r, 2, 8)}")
+                    old_n += 1
+                    new_n += 1
+            section = f" def {r.choice(_WORDS)}():" if r.random() < 0.4 else ""
+            lines.append(
+                f"@@ -{r.randint(1, 200)},{old_n} "
+                f"+{r.randint(1, 200)},{new_n} @@{section}"
+            )
+            lines.extend(body)
+            if r.random() < 0.1:
+                lines.append("\\ No newline at end of file")
+    if r.random() < 0.15:  # counts lie -> parse-failure path
+        lines.extend(["@@ -1,3 +1,3 @@", "+only one line", "not a marker line"])
+    return "\n".join(lines)
+
+
 def _wiki_payload(r: random.Random) -> str:
     """Wikitext turn: headings, wiki/external links, templates, refs,
     bold/italic quotes, lists, tables (exercises extract/wiki.py)."""
@@ -323,6 +369,7 @@ _BUILDERS = {
     "json_tool": _json_payload,
     "wiki": _wiki_payload,
     "log": _log_payload,
+    "diff": _diff_payload,
 }
 
 

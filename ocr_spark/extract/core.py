@@ -39,6 +39,11 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
                     progress frames, timestamp/level prefixes, rule
                     separators; see extract/log_output.py — rebuild
                     extension for agent tool-output turns)
+- ``diff``       -> unified-diff post-image extraction (hunk framing by
+                    @@-header counts, add/ctx content kept verbatim,
+                    decoration/deletions dropped, counter violations
+                    counted as parse_failures; see extract/diff_patch.py
+                    — rebuild extension for patch tool-output turns)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -48,6 +53,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+from .diff_patch import extract_diff
 from .html_blocks import extract_html
 from .json_payload import extract_json_tool
 from .log_output import extract_log
@@ -74,6 +80,7 @@ KIND_MARKDOWN = "markdown"
 KIND_JSON = "json_tool"
 KIND_WIKI = "wiki"
 KIND_LOG = "log"
+KIND_DIFF = "diff"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -107,7 +114,7 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         tool
         if tool
         in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN,
-            KIND_JSON, KIND_WIKI, KIND_LOG)
+            KIND_JSON, KIND_WIKI, KIND_LOG, KIND_DIFF)
         else KIND_PLAIN
     )
 
@@ -127,6 +134,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         clean, spans, kept, dropped = extract_wiki(payload)
     elif kind == KIND_LOG:
         clean, spans, kept, dropped = extract_log(payload)
+    elif kind == KIND_DIFF:
+        clean, spans, kept, dropped, parse_failures = extract_diff(payload)
     elif kind == KIND_JSON:
         clean, spans, kept, dropped, parse_failures = extract_json_tool(payload)
     elif kind == KIND_RECORDS:

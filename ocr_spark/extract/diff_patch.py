@@ -1,0 +1,192 @@
+"""Unified-diff / patch extraction (the ``diff`` payload kind).
+
+Agent transcripts carry a lot of unified diffs — ``git diff`` tool
+output, edit-tool patches, review comments. Their "boilerplate" is the
+patch *decoration* (``diff --git`` / ``index`` / ``---``/``+++`` file
+headers, ``@@`` hunk headers, mode/rename/binary lines); the *content*
+is the hunk body. This kernel parses the decoration and keeps the
+post-image text, the exact analog of the HTML boilerplate strip for the
+patch family (reference analog: the per-kind dispatch of
+data_extraction_service.py:71-78; this kind is a rebuild extension).
+
+Deterministic line-based spec (shared verbatim by the Spark pipeline and
+the DuckDB SQL twin ``ex_diff_sql_twin`` in ``__spark_entry__``):
+
+1. Physical lines split on ``\\r\\n`` or ``\\n`` with offsets tracked
+   into the RAW payload.
+2. A valid ``@@ -o[,n] +o[,n] @@`` header opens a hunk and fixes the two
+   remaining-line counters from its counts (count omitted = 1). Inside a
+   hunk, lines are consumed strictly against those counters — the
+   standard unified-diff framing, which is what disambiguates a ``---``
+   file header from a deletion line:
+   - ``+`` while new-lines remain -> op ``add`` (advances the new line
+     number),
+   - ``-`` while old-lines remain -> op ``del`` (advances the old line
+     number),
+   - `` `` or an empty line while both remain -> op ``ctx`` (advances
+     both),
+   - ``\\ No newline at end of file`` is decoration (no counter moves).
+   The hunk closes when both counters reach zero. A line that violates
+   the counters closes the hunk early and counts one parse failure.
+3. Outside a hunk, ``diff --git a/X b/Y`` starts a new file (path = the
+   b-side); ``+++ b/X`` refines the current file's post-image path
+   (``/dev/null`` keeps the previous path — a deletion has no
+   post-image); everything else (index/mode/rename/binary/``---``/prose)
+   is decoration.
+4. ``extract_turn``'s clean text is the POST-IMAGE: ``add``/``ctx``
+   line content verbatim minus trailing whitespace (indentation is
+   content, exactly like markdown fenced code), empty results dropped.
+   Span kind = the op (``add``/``ctx``); spans cover the raw line
+   including the leading marker column.
+
+``parse_diff`` exposes the full structured view (file, hunk, op, old /
+new line numbers, text) — consumed by ``pipeline.extract_diffs`` as a
+shuffle-free Arrow fan-out stage, the patch analog of the HTML-table
+relation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+Span = Tuple[int, int, str]
+
+_LINE_END = re.compile(r"\r\n|\n")
+_HUNK = re.compile(r"^@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@")
+_DIFF_GIT = re.compile(r"^diff --git a/(\S+) b/(\S+)")
+_PLUS_FILE = re.compile(r"^\+\+\+ (?:b/)?(\S+)")
+
+
+class DiffLine:
+    """One hunk-body line of a parsed diff (plain attrs, Arrow-friendly)."""
+
+    __slots__ = (
+        "file_idx", "file_path", "hunk_idx", "line_idx", "op",
+        "old_lineno", "new_lineno", "text", "start", "end",
+    )
+
+    def __init__(self, file_idx: int, file_path: Optional[str], hunk_idx: int,
+                 line_idx: int, op: str, old_lineno: Optional[int],
+                 new_lineno: Optional[int], text: str, start: int, end: int):
+        self.file_idx = file_idx
+        self.file_path = file_path
+        self.hunk_idx = hunk_idx
+        self.line_idx = line_idx
+        self.op = op
+        self.old_lineno = old_lineno
+        self.new_lineno = new_lineno
+        self.text = text
+        self.start = start
+        self.end = end
+
+
+def parse_diff(payload: str) -> Tuple[List[DiffLine], int, int]:
+    """Parse a unified diff into hunk-body lines.
+
+    Returns ``(lines, n_physical_lines, parse_failures)``. ``hunk_idx``
+    is global over the payload in document order (a hunk never spans
+    files); ``file_idx`` is -1 with ``file_path`` None for bare hunks
+    that appear before any file header.
+    """
+    out: List[DiffLine] = []
+    failures = 0
+    n_lines = 0
+    file_idx = -1
+    file_path: Optional[str] = None
+    hunk_idx = -1
+    line_idx = 0
+    old_rem = new_rem = 0
+    old_ln = new_ln = 0
+    in_hunk = False
+
+    i = 0
+    n = len(payload)
+    while i <= n:
+        m = _LINE_END.search(payload, i)
+        if m:
+            start, end, nxt = i, m.start(), m.end()
+        else:
+            start, end, nxt = i, n, n + 1
+        line = payload[start:end]
+        i = nxt
+        n_lines += 1
+        if in_hunk and old_rem == 0 and new_rem == 0:
+            in_hunk = False
+        if in_hunk:
+            if line.startswith("\\"):
+                continue  # "\ No newline at end of file"
+            if line.startswith("+") and new_rem > 0:
+                out.append(DiffLine(file_idx, file_path, hunk_idx, line_idx,
+                                    "add", None, new_ln, line[1:], start, end))
+                new_ln += 1
+                new_rem -= 1
+            elif line.startswith("-") and old_rem > 0:
+                out.append(DiffLine(file_idx, file_path, hunk_idx, line_idx,
+                                    "del", old_ln, None, line[1:], start, end))
+                old_ln += 1
+                old_rem -= 1
+            elif (line.startswith(" ") or line == "") and old_rem > 0 and new_rem > 0:
+                out.append(DiffLine(file_idx, file_path, hunk_idx, line_idx,
+                                    "ctx", old_ln, new_ln, line[1:], start, end))
+                old_ln += 1
+                new_ln += 1
+                old_rem -= 1
+                new_rem -= 1
+            else:
+                # counter violation: close the hunk, count the failure,
+                # and fall through to decoration handling for this line
+                failures += 1
+                in_hunk = False
+            if in_hunk:
+                line_idx += 1
+                continue
+        g = _DIFF_GIT.match(line)
+        if g:
+            file_idx += 1
+            file_path = g.group(2)
+            continue
+        p = _PLUS_FILE.match(line)
+        if p:
+            target = p.group(1)
+            if target != "/dev/null":
+                if file_idx < 0:
+                    file_idx = 0
+                file_path = target
+            continue
+        h = _HUNK.match(line)
+        if h:
+            old_ln = int(h.group(1))
+            old_rem = int(h.group(2)) if h.group(2) is not None else 1
+            new_ln = int(h.group(3))
+            new_rem = int(h.group(4)) if h.group(4) is not None else 1
+            hunk_idx += 1
+            line_idx = 0
+            in_hunk = True
+            continue
+        # any other line is decoration (index/mode/---/prose)
+    return out, n_lines, failures
+
+
+def extract_diff(payload: str) -> Tuple[str, List[Span], int, int, int]:
+    """Extract the post-image text of a unified diff.
+
+    Returns ``(clean_text, spans, kept, dropped, parse_failures)`` — the
+    ``extract_turn`` block contract with failure accounting (same shape
+    as the json_tool kind). Kept blocks are non-empty ``add``/``ctx``
+    lines verbatim minus trailing whitespace; every other physical line
+    (decoration, deletions, empties) is dropped.
+    """
+    lines, n_lines, failures = parse_diff(payload)
+    out: List[str] = []
+    spans: List[Span] = []
+    for dl in lines:
+        if dl.op == "del":
+            continue
+        content = dl.text.rstrip(" \t\r")
+        if not content:
+            continue
+        out.append(content)
+        spans.append((dl.start, dl.end, dl.op))
+    kept = len(out)
+    return "\n".join(out), spans, kept, n_lines - kept, failures

@@ -343,3 +343,72 @@ def extract_tables(
     return df.select("conv_id", "turn_idx", "text").mapInPandas(
         batches, schema=TABLE_CELLS_SCHEMA
     )
+
+
+# ---------------------------------------------------------- diff extraction
+
+DIFF_LINES_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("file_idx", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("hunk_idx", T.IntegerType()),
+        T.StructField("line_idx", T.IntegerType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("old_lineno", T.IntegerType()),
+        T.StructField("new_lineno", T.IntegerType()),
+        T.StructField("line_text", T.StringType()),
+    ]
+)
+
+
+def extract_diffs(
+    transcripts: DataFrame, repartition: int | None = None
+) -> DataFrame:
+    """Structured unified-diff extraction over diff-kind turns: one
+    output row per hunk-body line, keyed (conv_id, turn_idx, hunk_idx,
+    line_idx) with the op (add/del/ctx), post/pre-image line numbers and
+    file path — the patch analog of the HTML-table cell relation (a
+    downstream corpus can count churn per file, mine added code, or
+    reconstruct post-images with a window over new_lineno).
+
+    Shape: kind filter FIRST (pushed to the scan — non-diff turns never
+    reach Python), then the same shuffle-free Arrow stage as
+    ``extract_transcripts``; the 1:N line fan-out happens inside the
+    batch, map-side. See extract/diff_patch.py for the framing spec."""
+    from ocr_spark.extract.diff_patch import parse_diff
+
+    df = transcripts.filter(F.col("tool") == "diff")
+    if repartition:
+        df = df.repartition(repartition, "conv_id", "turn_idx")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "file_idx", "file_path", "hunk_idx",
+                "line_idx", "op", "old_lineno", "new_lineno", "line_text",
+            )}
+            for cid, tix, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                rows, _, _ = parse_diff(text or "")
+                for dl in rows:
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(int(tix))
+                    out["file_idx"].append(dl.file_idx)
+                    out["file_path"].append(dl.file_path)
+                    out["hunk_idx"].append(dl.hunk_idx)
+                    out["line_idx"].append(dl.line_idx)
+                    out["op"].append(dl.op)
+                    out["old_lineno"].append(dl.old_lineno)
+                    out["new_lineno"].append(dl.new_lineno)
+                    out["line_text"].append(dl.text)
+            pdf_out = pd.DataFrame(out)
+            for c in ("old_lineno", "new_lineno"):
+                pdf_out[c] = pdf_out[c].astype("Int32")
+            yield pdf_out
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=DIFF_LINES_SCHEMA
+    )

@@ -1,0 +1,184 @@
+"""Unified-diff extraction kernel (extract/diff_patch.py) + pipeline stage."""
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.diff_patch import extract_diff, parse_diff
+
+SIMPLE = (
+    "diff --git a/src/app.py b/src/app.py\n"
+    "index 1234567..89abcde 100644\n"
+    "--- a/src/app.py\n"
+    "+++ b/src/app.py\n"
+    "@@ -10,3 +10,4 @@ def main():\n"
+    "     keep one\n"
+    "-    old line\n"
+    "+    new line\n"
+    "+    added line\n"
+    "     keep two"
+)
+
+
+def test_pipeline_golden_with_diff_mix(spark):
+    """End-to-end: the distributed pipeline over a diff-inclusive corpus
+    equals the row-by-row golden oracle (north_rule invariant extends to
+    the new kind)."""
+    from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(12, seed=23, skew_factor=5, tools=TOOLS + ["diff"])
+    assert (corpus["tool"] == "diff").any()
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_transcripts(tdf, repartition=5).orderBy("conv_id", "turn_idx").collect()
+    golden = golden_extraction_rows(corpus)
+    assert len(rows) == len(golden)
+    for got, exp in zip(rows, golden):
+        assert got.clean_text == exp["clean_text"], (got.conv_id, got.turn_idx)
+        assert [(s.start, s.end, s.kind) for s in got.spans] == [tuple(s) for s in exp["spans"]]
+        assert got.blocks_kept == exp["blocks_kept"]
+        assert got.blocks_dropped == exp["blocks_dropped"]
+        assert got.parse_failures == exp["parse_failures"]
+
+
+def test_post_image_extraction():
+    clean, spans, kept, dropped, failures = extract_diff(SIMPLE)
+    # indentation is content (verbatim minus trailing ws, like md fences)
+    assert clean == (
+        "    keep one\n    new line\n    added line\n    keep two"
+    )
+    assert [k for _, _, k in spans] == ["ctx", "add", "add", "ctx"]
+    assert kept == 4
+    assert dropped == 6  # 4 headers + index... = 5 decoration + 1 del
+    assert failures == 0
+
+
+def test_structured_parse_linenos():
+    rows, n_lines, failures = parse_diff(SIMPLE)
+    assert n_lines == 10 and failures == 0
+    got = [(r.op, r.old_lineno, r.new_lineno) for r in rows]
+    assert got == [
+        ("ctx", 10, 10),
+        ("del", 11, None),
+        ("add", None, 11),
+        ("add", None, 12),
+        ("ctx", 12, 13),
+    ]
+    assert all(r.file_path == "src/app.py" for r in rows)
+    assert all(r.file_idx == 0 and r.hunk_idx == 0 for r in rows)
+    assert [r.line_idx for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_file_header_disambiguation():
+    # '--- a/x' and '+++ b/x' between hunks are decoration, not del/add:
+    # the @@ counters close the first hunk before they appear
+    payload = (
+        "diff --git a/a.txt b/a.txt\n"
+        "--- a/a.txt\n+++ b/a.txt\n"
+        "@@ -1,1 +1,1 @@\n-x\n+y\n"
+        "diff --git a/b.txt b/b.txt\n"
+        "--- a/b.txt\n+++ b/b.txt\n"
+        "@@ -5,1 +5,2 @@\n z\n+w"
+    )
+    rows, _, failures = parse_diff(payload)
+    assert failures == 0
+    assert [(r.file_idx, r.file_path, r.hunk_idx, r.op) for r in rows] == [
+        (0, "a.txt", 0, "del"),
+        (0, "a.txt", 0, "add"),
+        (1, "b.txt", 1, "ctx"),
+        (1, "b.txt", 1, "add"),
+    ]
+
+
+def test_omitted_count_defaults_to_one():
+    rows, _, failures = parse_diff("@@ -3 +7 @@\n-gone\n+here")
+    assert failures == 0
+    assert [(r.op, r.old_lineno, r.new_lineno) for r in rows] == [
+        ("del", 3, None), ("add", None, 7)
+    ]
+    # bare hunk before any file header
+    assert rows[0].file_idx == -1 and rows[0].file_path is None
+
+
+def test_counter_violation_counts_failure():
+    # header claims 3 old lines but only 1 arrives before a stray line
+    _, _, failures = parse_diff("@@ -1,3 +1,3 @@\n stray ok\nnot a marker")
+    assert failures == 1
+
+
+def test_no_newline_marker_is_decoration():
+    clean, _, kept, dropped, failures = extract_diff(
+        "@@ -1,1 +1,1 @@\n-a\n+b\n\\ No newline at end of file"
+    )
+    assert clean == "b" and kept == 1 and failures == 0
+    assert dropped == 3  # header + del + no-newline marker
+
+
+def test_empty_context_line_advances_both():
+    rows, _, failures = parse_diff("@@ -1,3 +1,3 @@\n a\n\n c")
+    assert failures == 0
+    assert [(r.op, r.old_lineno, r.new_lineno) for r in rows] == [
+        ("ctx", 1, 1), ("ctx", 2, 2), ("ctx", 3, 3)
+    ]
+    # empty ctx content is dropped from the clean text but kept in rows
+    clean, _, kept, _, _ = extract_diff("@@ -1,3 +1,3 @@\n a\n\n c")
+    assert clean == "a\nc" and kept == 2
+
+
+def test_dev_null_keeps_previous_path():
+    payload = (
+        "diff --git a/gone.py b/gone.py\n"
+        "deleted file mode 100644\n"
+        "--- a/gone.py\n+++ /dev/null\n"
+        "@@ -1,1 +0,0 @@\n-bye"
+    )
+    rows, _, failures = parse_diff(payload)
+    assert failures == 0
+    assert rows[0].file_path == "gone.py" and rows[0].op == "del"
+
+
+def test_dispatch_via_extract_turn():
+    r = extract_turn(SIMPLE, "diff")
+    assert r["clean_text"] == (
+        "    keep one\n    new line\n    added line\n    keep two"
+    )
+    assert r["blocks_kept"] == 4 and r["parse_failures"] == 0
+    assert r["spans"][1][2] == "add"
+
+
+def test_spans_cover_raw_lines():
+    _, spans, _, _, _ = extract_diff(SIMPLE)
+    assert SIMPLE[spans[0][0]:spans[0][1]] == "     keep one"
+    assert SIMPLE[spans[1][0]:spans[1][1]] == "+    new line"
+
+
+def test_extract_diffs_stage(spark):
+    import pandas as pd
+
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_diffs
+
+    corpus = pd.DataFrame(
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "tool", "text": SIMPLE,
+             "tool": "diff", "ts": None},
+            {"conv_id": "c1", "turn_idx": 1, "role": "user",
+             "text": "not a diff", "tool": "plain", "ts": None},
+        ]
+    )
+    corpus["turn_idx"] = corpus["turn_idx"].astype("int32")
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    rows = extract_diffs(tdf).orderBy("hunk_idx", "line_idx").collect()
+    assert len(rows) == 5  # plain turn filtered out before Python
+    assert [r.op for r in rows] == ["ctx", "del", "add", "add", "ctx"]
+    assert rows[1].old_lineno == 11 and rows[1].new_lineno is None
+    assert rows[2].new_lineno == 11
+    assert all(r.file_path == "src/app.py" for r in rows)
+
+
+def test_deterministic_generator_payload():
+    import random
+
+    from ocr_spark.data.generate import _diff_payload
+
+    a = _diff_payload(random.Random(7))
+    assert a == _diff_payload(random.Random(7))
+    clean, spans, kept, dropped, failures = extract_diff(a)
+    assert kept == len(spans)
