@@ -2628,6 +2628,24 @@ def _q_ex_diff_lines_twin(spark, sf_dir):
     )
 
 
+def _q_er_error_profile(spark, sf_dir):
+    """Hash-verified error/stack-trace signature mining: the REAL
+    pure-codegen operator (operators/errors.py — last-exception /
+    innermost-frame extraction, basename, volatile-token masking,
+    signature groupBy) vs a branch-enumerating DuckDB twin over the same
+    failure-mode fixture (see _ERR_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.expr(_ERR_PAYLOAD_SQL).alias("text"),
+    )
+    from ocr_spark.operators.errors import error_signature_profile
+
+    return error_signature_profile(corpus)
+
+
 def _q_ex_html_tables_twin(spark, sf_dir):
     """Hash-verified structured table extraction: the REAL
     pipeline.extract_tables Arrow stage (extract/html_tables.py — table
@@ -3969,6 +3987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_bin_materialize": _q_pk_bin_materialize,
         "ret_bm25_scores": _q_ret_bm25_scores,
         # ---- driver-scored window boundary (~50) ----
+        # new round-4 wave 5: error/stack-trace signature mining (below
+        # the boundary — replica-verified hash twin + pytest evidence)
+        "er_error_profile": _q_er_error_profile,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
         # tr_stratified_split — the stratified-sampling semantics are a
         # windowed-rank drill; the training family keeps ctx/sft/pk/tx
@@ -4260,6 +4281,31 @@ _DIFF_PAYLOAD_SQL = (
     " || 'done'"
 )
 
+# error-signature twin fixture: three disjoint failure modes (chained
+# KeyError with a main.py frame, ValueError with a two-frame traceback,
+# frameless ConnectionError with volatile hex/digit/quoted tokens) plus
+# a benign no-error branch (ids % 5 == 4) exercising the filter.
+_ERR_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 5 = 4 THEN"
+    f" 'all tests passed ' || {_MD_W1}"
+    " WHEN doc_id % 3 = 0 THEN"
+    " 'Traceback (most recent call last):' || chr(10)"
+    " || '  File \"/app/main.py\", line 5, in main' || chr(10)"
+    f" || 'KeyError: ' || chr(39) || 'missing ' || {_MD_W3} || chr(39)"
+    " WHEN doc_id % 2 = 0 THEN"
+    " 'Traceback (most recent call last):' || chr(10)"
+    " || '  File \"/app/src/runner.py\", line 42, in invoke' || chr(10)"
+    f" || '    result = parse(' || {_MD_W1} || ')' || chr(10)"
+    " || '  File \"/app/lib/parse.py\", line 7, in parse_payload' || chr(10)"
+    " || '    raise ValueError(msg)' || chr(10)"
+    f" || 'ValueError: bad token ' || chr(39) || {_MD_W2} || chr(39)"
+    " || ' at position ' || CAST(doc_id AS STRING)"
+    " ELSE"
+    " 'ConnectionError: timeout after ' || CAST(doc_id AS STRING)"
+    " || 's contacting host 0xAB' || CAST(doc_id AS STRING)"
+    " END"
+)
+
 # line-dedup twin fixture: cross-doc boilerplate planted at three
 # doc-frequencies — every doc (dropped), every 3rd doc (dropped), a
 # pair-key line at exactly df=2 (kept: threshold is strict >), plus a
@@ -4533,6 +4579,35 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(old_ln AS INTEGER) AS old_lineno,
   CAST(new_ln AS INTEGER) AS new_lineno, txt AS line_text
 FROM l WHERE incl
+"""
+
+
+# DuckDB replay of error_signature_profile over _ERR_PAYLOAD_SQL: the
+# oracle enumerates each branch's expected (signature, masked message)
+# directly — the fixture's volatile tokens (doc_id digits, 0xAB… hex,
+# quoted word pieces) must all collapse to the constant masks.
+_ERR_PROFILE_TWIN_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 4),
+t AS (SELECT doc_id,
+   CASE WHEN doc_id % 3 = 0 THEN 'KeyError'
+        WHEN doc_id % 2 = 0 THEN 'ValueError'
+        ELSE 'ConnectionError' END AS exc_type,
+   CASE WHEN doc_id % 3 = 0 THEN 'main.py'
+        WHEN doc_id % 2 = 0 THEN 'parse.py'
+        ELSE '' END AS frame_file,
+   CASE WHEN doc_id % 3 = 0 THEN 'main'
+        WHEN doc_id % 2 = 0 THEN 'parse_payload'
+        ELSE '' END AS frame_fn,
+   CASE WHEN doc_id % 3 = 0 THEN '?'
+        WHEN doc_id % 2 = 0 THEN 'bad token ? at position #'
+        ELSE 'timeout after #s contacting host #' END AS msg
+ FROM d)
+SELECT exc_type || '|' || frame_file || '|' || frame_fn AS signature,
+  exc_type, frame_file, frame_fn,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
+  min(msg) AS sample_message
+FROM t GROUP BY 1, 2, 3, 4
 """
 
 
@@ -6960,6 +7035,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "ex_wiki_sql_twin": _WIKI_TWIN_SQL,
         "ex_log_sql_twin": _LOG_TWIN_SQL,
         "ex_diff_lines_twin": _DIFF_LINES_TWIN_SQL,
+        "er_error_profile": _ERR_PROFILE_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

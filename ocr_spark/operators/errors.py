@@ -1,0 +1,121 @@
+"""Error / stack-trace signature mining over tool-output turns.
+
+Agent transcripts record millions of failed tool executions. Curating
+them at corpus scale needs the classic log-analytics primitive: collapse
+raw error text into a stable SIGNATURE (exception type + failing frame)
+so identical failure modes group together regardless of the noisy parts
+(addresses, counters, paths, quoted values). Reference analog: the
+per-page error accounting of the OCR pipeline
+(/root/reference/app/services/pdf_processing_service.py:309-344 counts
+failures per document); the rebuild promotes it to a corpus-scale
+signature relation.
+
+Deterministic spec (shared by the Spark operator and the DuckDB SQL twin
+``er_error_signatures`` in ``__spark_entry__``):
+
+- An ERROR LINE is ``^Type: message$`` (multiline) where ``Type`` is a
+  dotted identifier ending in ``Error`` or ``Exception``. The LAST error
+  line in the turn wins (the outermost exception of a chained
+  traceback — the one after "During handling..." — is the one raised).
+- A FRAME is a CPython traceback line ``File "path", line N, in fn``;
+  the LAST frame wins (the innermost call — where the error actually
+  happened). ``frame_file`` is its basename, ``frame_fn`` the function.
+  Turns whose error has no frames (plain error logs) get empty frame
+  fields.
+- ``norm_message`` masks volatile tokens, in this order: single-quoted
+  literals -> ``?``, ``0x…`` hex runs -> ``#``, digit runs -> ``#``.
+- ``signature = exc_type | frame_file | frame_fn``.
+
+100-TB notes: the per-turn stage is a pure codegen projection (Java
+regex inside whole-stage codegen — no Python anywhere, no shuffle); the
+profile is ONE groupBy on the signature key with count + count-distinct
+partial aggregation. Signature cardinality is tiny next to turn count
+(that is the point of signatures), so the shuffle is map-side-combined
+to near nothing; the deterministic ``min`` sample keeps the result
+hash-stable without collecting raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# last '^Type: message$' line wins; type must end in Error/Exception
+_EXC_RE = r"(?m)^([A-Za-z_][A-Za-z0-9_.]*(?:Error|Exception)): (.+)$"
+# CPython frame: File "path", line N, in fn — last one (innermost) wins
+_FRAME_RE = r"File \"([^\"]+)\", line [0-9]+, in ([A-Za-z0-9_<>.]+)"
+
+
+def turn_error_signatures(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per turn that contains an error line: ``(conv, turn,
+    exc_type, frame_file, frame_fn, norm_message, signature)``.
+
+    Pure JVM projection (regexp_extract_all + element_at + masking
+    regexp_replace chain), turns without an error line filtered out
+    BEFORE any of the derived columns are computed.
+    """
+    text = F.col(text_col)
+    excs = F.regexp_extract_all(text, F.lit(_EXC_RE), 1)
+    msgs = F.regexp_extract_all(text, F.lit(_EXC_RE), 2)
+    files = F.regexp_extract_all(text, F.lit(_FRAME_RE), 1)
+    fns = F.regexp_extract_all(text, F.lit(_FRAME_RE), 2)
+
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("turn"),
+        excs.alias("_excs"),
+        msgs.alias("_msgs"),
+        files.alias("_files"),
+        fns.alias("_fns"),
+    ).where(F.size("_excs") > 0)
+
+    last = lambda c: F.element_at(F.col(c), F.size(F.col(c)))  # noqa: E731
+    frame_file = F.when(
+        F.size("_files") > 0,
+        F.regexp_replace(last("_files"), r"^.*[/\\]", ""),
+    ).otherwise(F.lit(""))
+    frame_fn = F.when(F.size("_fns") > 0, last("_fns")).otherwise(F.lit(""))
+    norm_msg = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(last("_msgs"), r"'[^']*'", "?"),
+            r"0x[0-9a-fA-F]+",
+            "#",
+        ),
+        r"[0-9]+",
+        "#",
+    )
+    return base.select(
+        "conv",
+        "turn",
+        last("_excs").alias("exc_type"),
+        frame_file.alias("frame_file"),
+        frame_fn.alias("frame_fn"),
+        norm_msg.alias("norm_message"),
+    ).withColumn(
+        "signature",
+        F.concat_ws("|", "exc_type", "frame_file", "frame_fn"),
+    )
+
+
+def error_signature_profile(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus failure-mode profile: one row per signature with
+    ``n_turns``, ``n_convs`` (exact distinct), and the lexicographically
+    smallest normalized message as a deterministic ``sample_message``.
+    One shuffle (groupBy signature); counts, not text, cross the wire
+    beyond the tiny per-signature sample strings."""
+    turns = turn_error_signatures(df, conv_col, turn_col, text_col)
+    return turns.groupBy("signature", "exc_type", "frame_file", "frame_fn").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.countDistinct("conv").cast("long").alias("n_convs"),
+        F.min("norm_message").alias("sample_message"),
+    )

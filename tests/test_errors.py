@@ -1,0 +1,105 @@
+"""Error/stack-trace signature mining (operators/errors.py)."""
+
+import pandas as pd
+
+from ocr_spark.operators.errors import error_signature_profile, turn_error_signatures
+
+TB = (
+    "Traceback (most recent call last):\n"
+    '  File "/app/src/runner.py", line 42, in invoke\n'
+    "    result = parse(payload)\n"
+    '  File "/app/lib/parse.py", line 7, in parse_payload\n'
+    "    raise ValueError(msg)\n"
+    "ValueError: bad token 'xyz' at position 1234\n"
+)
+
+CHAINED = (
+    TB
+    + "\nDuring handling of the above exception, another exception occurred:\n\n"
+    "Traceback (most recent call last):\n"
+    '  File "/app/main.py", line 5, in main\n'
+    "KeyError: 'missing'\n"
+)
+
+
+def _corpus(spark, rows):
+    pdf = pd.DataFrame(
+        [{"conv_id": c, "turn_idx": t, "text": x} for c, t, x in rows]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return spark.createDataFrame(pdf)
+
+
+def test_signature_and_masking(spark):
+    out = turn_error_signatures(_corpus(spark, [("c1", 0, TB)])).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.exc_type == "ValueError"
+    # innermost (last) frame wins; path reduced to basename
+    assert r.frame_file == "parse.py" and r.frame_fn == "parse_payload"
+    assert r.norm_message == "bad token ? at position #"
+    assert r.signature == "ValueError|parse.py|parse_payload"
+
+
+def test_chained_traceback_last_exception_wins(spark):
+    r = turn_error_signatures(_corpus(spark, [("c1", 0, CHAINED)])).collect()[0]
+    assert r.exc_type == "KeyError"
+    assert r.frame_file == "main.py" and r.frame_fn == "main"
+    assert r.norm_message == "?"
+
+
+def test_plain_error_line_without_frames(spark):
+    r = turn_error_signatures(
+        _corpus(spark, [("c1", 0, "ConnectionError: timeout after 30s\n")])
+    ).collect()[0]
+    assert r.exc_type == "ConnectionError"
+    assert r.frame_file == "" and r.frame_fn == ""
+    assert r.signature == "ConnectionError||"
+    assert r.norm_message == "timeout after #s"
+
+
+def test_hex_and_windows_paths_masked(spark):
+    text = (
+        'Traceback (most recent call last):\n'
+        '  File "C:\\app\\lib\\fetch.py", line 99, in fetch_url\n'
+        "MemoryError: cannot map 0xDEADBEEF bytes\n"
+    )
+    r = turn_error_signatures(_corpus(spark, [("c1", 0, text)])).collect()[0]
+    assert r.frame_file == "fetch.py"  # backslash basename
+    assert r.norm_message == "cannot map # bytes"
+
+
+def test_non_error_turns_filtered(spark):
+    out = turn_error_signatures(
+        _corpus(spark, [("c1", 0, "all tests passed"), ("c1", 1, TB)])
+    ).collect()
+    assert len(out) == 1 and out[0].turn == 1
+
+
+def test_profile_counts(spark):
+    rows = [
+        ("c1", 0, TB),
+        ("c1", 1, TB),
+        ("c2", 0, TB),
+        ("c2", 1, CHAINED),
+        ("c3", 0, "ok"),
+    ]
+    prof = {
+        r.signature: r
+        for r in error_signature_profile(_corpus(spark, rows)).collect()
+    }
+    assert len(prof) == 2
+    v = prof["ValueError|parse.py|parse_payload"]
+    assert v.n_turns == 3 and v.n_convs == 2
+    assert v.sample_message == "bad token ? at position #"
+    k = prof["KeyError|main.py|main"]
+    assert k.n_turns == 1 and k.n_convs == 1
+
+
+def test_pure_jvm_plan(spark):
+    """The whole per-turn stage must stay inside codegen — no Python
+    evaluation anywhere in the plan (the 100-TB contract)."""
+    df = turn_error_signatures(_corpus(spark, [("c1", 0, TB)]))
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "pythoneval" not in plan and "mapinpandas" not in plan
+    assert "arroweval" not in plan and "batchevalpython" not in plan
