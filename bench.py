@@ -208,6 +208,11 @@ def main() -> None:
         "pii_pseudonymize",
         "qc_template_turns",
         "ev_overlap_report",
+        # round-4 wave 5: terminal/log decoration kernel, structured
+        # unified-diff relation, pure-codegen error-signature mining
+        "ex_log_sql_twin",
+        "ex_diff_lines_twin",
+        "er_error_profile",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.
@@ -297,17 +302,18 @@ def main() -> None:
     extracted_cached.unpersist(blocking=False)
 
     # all-kinds extraction: the same stage over a corpus that includes
-    # the markdown, json_tool and wiki kernels (opt-in generator mix) —
-    # throughput row for ALL SEVEN dispatch kinds.
+    # the markdown, json_tool, wiki, log and diff kernels (opt-in
+    # generator mix) — throughput row for ALL NINE dispatch kinds.
     n_mixed = int(os.environ.get("SPARK_GRAFT_BENCH_MIXED_CONVS", "50000"))
     mpath = os.path.join(
-        REPO, ".bench_cache", f"transcripts_mixed7_{n_mixed}.parquet"
+        REPO, ".bench_cache", f"transcripts_mixed9_{n_mixed}.parquet"
     )
     if not os.path.exists(os.path.join(mpath, "_SUCCESS")):
         from ocr_spark.data.generate import TOOLS
 
         gen_transcripts_df(
-            spark, n_mixed, tools=TOOLS + ["markdown", "json_tool", "wiki"]
+            spark, n_mixed,
+            tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff"],
         ).write.mode("overwrite").parquet(mpath)
     mixed = spark.read.parquet(mpath)
     n_mixed_turns = mixed.count()

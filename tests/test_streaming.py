@@ -24,14 +24,16 @@ def stream_dirs(tmp_path_factory, spark):
     window and session gap)."""
     root = tmp_path_factory.mktemp("stream")
     src = str(root / "src")
-    # all six payload kinds: stream==batch parity covers the markdown and
-    # json_tool kernels through the same mapInPandas stage
+    # the extension payload kinds too: stream==batch parity covers the
+    # markdown, json_tool, log and diff kernels through the same
+    # mapInPandas stage
     from ocr_spark.data.generate import TOOLS
 
     pdf = gen_transcripts_pdf(
-        12, seed=7, skew_factor=4, tools=TOOLS + ["markdown", "json_tool"]
+        12, seed=7, skew_factor=4,
+        tools=TOOLS + ["markdown", "json_tool", "log", "diff"],
     )
-    assert set(pdf["tool"]) >= {"markdown", "json_tool", "records"}
+    assert set(pdf["tool"]) >= {"markdown", "json_tool", "records", "log", "diff"}
     spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
 
     sentinel = pdf.iloc[:1].copy()
