@@ -2646,6 +2646,64 @@ def _q_er_error_profile(spark, sf_dir):
     return error_signature_profile(corpus)
 
 
+def _q_dg_churn_profile(spark, sf_dir):
+    """Hash-verified per-file diff churn: extract_diffs -> churn rollup
+    (operators/churn.py — add/del/ctx counters, exact distinct hunk and
+    turn counts per file) vs a closed-form DuckDB twin over the diff
+    fixture's branch counts (see _DIFF_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_DIFF_PAYLOAD_SQL).alias("text"),
+        F.lit("diff").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.operators.churn import diff_churn_profile
+    from ocr_spark.pipeline import extract_diffs
+
+    return diff_churn_profile(extract_diffs(corpus))
+
+
+def _q_er_conv_outcome(spark, sf_dir):
+    """Hash-verified conversation error outcome: the drop-failed-
+    trajectory signal (operators/errors.py — all-turn codegen error
+    flag, max_by final-turn pick, recovered derivation) vs a
+    branch-enumerating DuckDB twin over a 3-turn fixture where ids % 2
+    error mid-way (recovered) and ids % 3 error on the final turn."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = (
+        docs.select(
+            "doc_id", F.explode(F.expr("array(0, 1, 2)")).alias("turn_idx")
+        )
+        .select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            F.expr(
+                "CASE WHEN turn_idx = 1 AND doc_id % 2 = 0"
+                " THEN 'ValueError: boom 7'"
+                " WHEN turn_idx = 2 AND doc_id % 3 = 0"
+                " THEN 'KeyError: ' || chr(39) || 'gone' || chr(39)"
+                " ELSE 'step ok' END"
+            ).alias("text"),
+        )
+    )
+    from ocr_spark.operators.errors import conversation_error_outcome
+
+    out = conversation_error_outcome(corpus)
+    return out.select(
+        "conv",
+        "n_turns",
+        "n_error_turns",
+        "first_error_turn",
+        F.col("ends_in_error").cast("int").alias("ends_in_error"),
+        F.col("recovered").cast("int").alias("recovered"),
+    )
+
+
 def _q_ex_html_tables_twin(spark, sf_dir):
     """Hash-verified structured table extraction: the REAL
     pipeline.extract_tables Arrow stage (extract/html_tables.py — table
@@ -3990,6 +4048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-4 wave 5: error/stack-trace signature mining (below
         # the boundary — replica-verified hash twin + pytest evidence)
         "er_error_profile": _q_er_error_profile,
+        "er_conv_outcome": _q_er_conv_outcome,
+        "dg_churn_profile": _q_dg_churn_profile,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
         # tr_stratified_split — the stratified-sampling semantics are a
         # windowed-rank drill; the training family keeps ctx/sft/pk/tx
@@ -4608,6 +4668,41 @@ SELECT exc_type || '|' || frame_file || '|' || frame_fn AS signature,
   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_convs,
   min(msg) AS sample_message
 FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+# closed-form DuckDB replay of diff_churn_profile over the diff twin
+# fixture: per-branch line counts times the branch cardinalities.
+_DG_CHURN_TWIN_SQL = """
+WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM documents)
+SELECT 'src/mod.py' AS file_path, 2 * n + ne AS n_add, n AS n_del,
+       n + ne AS net_lines, 2 * n + ne AS n_ctx, n + ne AS n_hunks,
+       n AS n_turns
+FROM c
+UNION ALL
+SELECT 'docs/b.txt', n3, n3, 0, 0, n3, n3 FROM c
+"""
+
+# DuckDB replay of conversation_error_outcome over the 3-turn fixture:
+# ids % 2 error on turn 1 (recovered unless they also fail the final
+# turn), ids % 3 error on turn 2 (ends_in_error).
+_ER_OUTCOME_TWIN_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv,
+  CAST(3 AS BIGINT) AS n_turns,
+  CAST((CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_error_turns,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+            WHEN doc_id % 3 = 0 THEN 2 ELSE -1 END AS INTEGER)
+    AS first_error_turn,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS ends_in_error,
+  CAST(CASE WHEN doc_id % 2 = 0 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END
+       AS INTEGER) AS recovered
+FROM documents
 """
 
 
@@ -7036,6 +7131,8 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "ex_log_sql_twin": _LOG_TWIN_SQL,
         "ex_diff_lines_twin": _DIFF_LINES_TWIN_SQL,
         "er_error_profile": _ERR_PROFILE_TWIN_SQL,
+        "er_conv_outcome": _ER_OUTCOME_TWIN_SQL,
+        "dg_churn_profile": _DG_CHURN_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

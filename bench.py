@@ -213,6 +213,8 @@ def main() -> None:
         "ex_log_sql_twin",
         "ex_diff_lines_twin",
         "er_error_profile",
+        "er_conv_outcome",
+        "dg_churn_profile",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

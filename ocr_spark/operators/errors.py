@@ -102,6 +102,50 @@ def turn_error_signatures(
     )
 
 
+def conversation_error_outcome(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-conversation failure outcome — the drop-failed-trajectory
+    curation signal: a trajectory whose LAST turn still carries an error
+    usually should not be trained on, while one that recovers (errors
+    mid-way, clean tail) is often a VALUABLE repair demonstration.
+
+    One row per conversation: ``n_turns``, ``n_error_turns`` (turns with
+    an error line per the ``turn_error_signatures`` spec),
+    ``first_error_turn`` (-1 when clean), ``ends_in_error`` (does the
+    max-``turn_col`` turn contain an error), ``recovered`` (errored
+    somewhere but ended clean).
+
+    Plan: one codegen projection over ALL turns (no pre-filter — clean
+    turns must count in ``n_turns``), then one groupBy on the
+    conversation key; ``max_by`` picks the final turn's flag without a
+    window, so the only shuffle carries four small aggregates."""
+    has_err = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EXC_RE), 1)) > 0
+    ).cast("int")
+    base = df.select(
+        F.col(conv_col).alias("conv"),
+        F.col(turn_col).alias("turn"),
+        has_err.alias("has_err"),
+    )
+    return base.groupBy("conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("has_err").cast("long").alias("n_error_turns"),
+        F.coalesce(
+            F.min(F.when(F.col("has_err") == 1, F.col("turn"))), F.lit(-1)
+        )
+        .cast("int")
+        .alias("first_error_turn"),
+        (F.expr("max_by(has_err, turn)") == 1).alias("ends_in_error"),
+    ).withColumn(
+        "recovered",
+        (F.col("n_error_turns") > 0) & ~F.col("ends_in_error"),
+    )
+
+
 def error_signature_profile(
     df: DataFrame,
     conv_col: str = "conv_id",

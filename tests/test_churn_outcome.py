@@ -1,0 +1,93 @@
+"""Diff churn rollup (operators/churn.py) + conversation error outcome."""
+
+import pandas as pd
+
+from ocr_spark.operators.churn import diff_churn_profile
+from ocr_spark.operators.errors import conversation_error_outcome
+
+DIFF_A = (
+    "diff --git a/x.py b/x.py\n--- a/x.py\n+++ b/x.py\n"
+    "@@ -1,2 +1,3 @@\n ctx1\n-old\n+new\n+more\n"
+    "@@ -9,1 +10,1 @@\n-gone\n+here"
+)
+DIFF_B = (
+    "diff --git a/x.py b/x.py\n+++ b/x.py\n"
+    "@@ -5,1 +5,2 @@\n ctx2\n+tail\n"
+    "diff --git a/y.py b/y.py\n+++ b/y.py\n"
+    "@@ -1,1 +1,0 @@\n-bye"
+)
+
+
+def _diffs(spark, rows):
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_diffs
+
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": c, "turn_idx": t, "role": "tool", "text": x,
+             "tool": "diff", "ts": None}
+            for c, t, x in rows
+        ]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return extract_diffs(spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA))
+
+
+def test_churn_profile(spark):
+    prof = {
+        r.file_path: r
+        for r in diff_churn_profile(
+            _diffs(spark, [("c1", 0, DIFF_A), ("c2", 3, DIFF_B)])
+        ).collect()
+    }
+    x = prof["x.py"]
+    # DIFF_A: hunk0 (1 ctx, 1 del, 2 add) + hunk1 (1 del, 1 add);
+    # DIFF_B file x: hunk (1 ctx, 1 add)
+    assert (x.n_add, x.n_del, x.n_ctx) == (4, 2, 2)
+    assert x.net_lines == 2
+    assert x.n_hunks == 3 and x.n_turns == 2
+    y = prof["y.py"]
+    assert (y.n_add, y.n_del, y.net_lines) == (0, 1, -1)
+    assert y.n_hunks == 1 and y.n_turns == 1
+
+
+def test_churn_same_hunk_idx_different_turns_distinct(spark):
+    # hunk_idx is 0 in BOTH turns — the (conv, turn) key must keep them apart
+    prof = diff_churn_profile(
+        _diffs(spark, [("c1", 0, "@@ -1,1 +1,1 @@\n-a\n+b"),
+                       ("c1", 1, "@@ -1,1 +1,1 @@\n-c\n+d")])
+    ).collect()
+    assert len(prof) == 1  # bare hunks -> '' path
+    assert prof[0].file_path == "" and prof[0].n_hunks == 2
+
+
+def _turns(spark, rows):
+    pdf = pd.DataFrame(
+        [{"conv_id": c, "turn_idx": t, "text": x} for c, t, x in rows]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    return spark.createDataFrame(pdf)
+
+
+def test_outcome_recovered_vs_ends_in_error(spark):
+    rows = [
+        ("clean", 0, "fine"), ("clean", 1, "also fine"),
+        ("recovers", 0, "ValueError: boom 1"), ("recovers", 1, "fixed it"),
+        ("fails", 0, "start"), ("fails", 1, "KeyError: 'x'"),
+    ]
+    out = {r.conv: r for r in conversation_error_outcome(_turns(spark, rows)).collect()}
+    c = out["clean"]
+    assert (c.n_turns, c.n_error_turns, c.first_error_turn) == (2, 0, -1)
+    assert not c.ends_in_error and not c.recovered
+    r = out["recovers"]
+    assert (r.n_error_turns, r.first_error_turn) == (1, 0)
+    assert not r.ends_in_error and r.recovered
+    f = out["fails"]
+    assert f.ends_in_error and not f.recovered and f.first_error_turn == 1
+
+
+def test_outcome_counts_all_turns(spark):
+    out = conversation_error_outcome(
+        _turns(spark, [("c", 5, "TypeError: nope"), ("c", 7, "ok")])
+    ).collect()[0]
+    assert out.n_turns == 2 and out.n_error_turns == 1
+    assert out.first_error_turn == 5 and out.recovered
