@@ -345,6 +345,7 @@ def curate_transcripts(
     retry_den: int = 5,
     min_truncation_len: int = 40,
     templates: DataFrame = None,
+    drop_failed: bool = False,
 ) -> DataFrame:
     """The conversation-level data-prep front-end as ONE leakage-safe
     composition — the chat analog of ``curate_corpus``:
@@ -374,6 +375,15 @@ def curate_transcripts(
     the composition costs what one conv-keyed window chain costs.
     Output: surviving turns as (conv, ``new_turn_idx``, role, text,
     ``tail_tokens``).
+
+    ``drop_failed``: opt-in trajectory-outcome gate — drop whole
+    conversations whose FINAL post-collapse turn still carries an error
+    line (``errors.conversation_error_outcome`` semantics: a trajectory
+    that ends in failure shouldn't be trained on, while one that errors
+    mid-way and recovers is a valuable repair demonstration and is
+    KEPT). Judged after retry collapse (a successful retry supersedes
+    its failed attempt) as a max-over-conversation window on the same
+    key — no join-back, the chain stays single-consumer.
 
     ``templates``: an optional PRE-MINED templated-turn table
     (``transcript_qc.template_turns`` over the raw corpus — mine once,
@@ -413,6 +423,22 @@ def curate_transcripts(
     gated = collapsed.withColumn(
         "_conv_bad", F.max(bad).over(Window.partitionBy(conv_col))
     ).filter(F.col("_conv_bad") == 0)
+    if drop_failed:
+        from ocr_spark.operators.errors import _EXC_RE
+
+        has_err = (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EXC_RE), 1)) > 0
+        ).cast("int")
+        final_err = F.max(
+            F.struct(
+                F.col("new_turn_idx").alias("t"), has_err.alias("e")
+            )
+        ).over(Window.partitionBy(conv_col))["e"]
+        gated = (
+            gated.withColumn("_ends_err", final_err)
+            .filter(F.col("_ends_err") == 0)
+            .drop("_ends_err")
+        )
     fitted = truncate_to_budget(
         gated,
         budget=budget,

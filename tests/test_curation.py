@@ -420,3 +420,49 @@ def test_curate_transcripts_premined_template_flag(spark):
     assert "BroadcastHashJoin" in plan
     base = final_section(curate_transcripts(df, budget=1000))
     assert plan.count("Window") == base.count("Window")
+
+
+def test_curate_transcripts_drop_failed_gate(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+
+    rows = [
+        # ends in error -> dropped when drop_failed=True
+        ("fail", 0, "user", "run it", 100),
+        ("fail", 1, "tool", "ValueError: boom 12", 200),
+        # errors mid-way, clean final turn -> KEPT (repair demonstration)
+        ("heal", 0, "tool", "KeyError: 'missing'", 100),
+        ("heal", 1, "assistant", "fixed, rerun passed.", 200),
+        # clean throughout -> kept
+        ("ok", 0, "user", "hello.", 100),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    default = {r["conv_id"] for r in curate_transcripts(df, budget=100).collect()}
+    assert default == {"fail", "heal", "ok"}  # default: gate off
+    gated = {
+        r["conv_id"]
+        for r in curate_transcripts(df, budget=100, drop_failed=True).collect()
+    }
+    assert gated == {"heal", "ok"}
+
+
+def test_curate_transcripts_drop_failed_judges_repaired_order(spark):
+    from ocr_spark.operators.curation import curate_transcripts
+
+    # the error turn carries the LAST raw index but a mid-conversation
+    # event time: after repair_turn_order it is no longer the final
+    # turn, so the gate (which reads the repaired frame) keeps the
+    # conversation — judging the raw index order would have dropped it
+    rows = [
+        ("c", 0, "user", "run the deploy now", 100),
+        ("c", 2, "tool", "ValueError: transient glitch 1", 150),
+        ("c", 1, "assistant", "recovered, deploy finished.", 300),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, ts long"
+    )
+    out = curate_transcripts(df, budget=100, drop_failed=True).collect()
+    assert {r["conv_id"] for r in out} == {"c"}
+    final = max(out, key=lambda r: r["new_turn_idx"])
+    assert final["text"] == "recovered, deploy finished."
