@@ -146,6 +146,55 @@ def conversation_error_outcome(
     )
 
 
+_SIG_COLS = ("signature", "exc_type", "frame_file", "frame_fn")
+
+
+def error_signature_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """The MERGEABLE partial for error-signature mining: one row per
+    (signature, conv) with that conversation's error-turn count and its
+    smallest normalized message. Sum/min-mergeable across micro-batches
+    / shards / days — union two partials, re-group on the same key, and
+    the merged state is exactly the partial of the combined corpus (a
+    conversation's turns may split across batches; the conv-granular
+    key absorbs that). ``finalize_error_profile`` turns the state into
+    the corpus profile at any point — the streaming-maintenance hook,
+    same contract as ``transcript_qc.template_pairs``."""
+    turns = turn_error_signatures(df, conv_col, turn_col, text_col)
+    return turns.groupBy(*_SIG_COLS, "conv").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("norm_message").alias("min_message"),
+    )
+
+
+def merge_error_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two ``error_signature_pairs`` states (associative and
+    commutative: sum the counts, min the samples)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*_SIG_COLS, "conv")
+        .agg(
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.min("min_message").alias("min_message"),
+        )
+    )
+
+
+def finalize_error_profile(pairs: DataFrame) -> DataFrame:
+    """Profile query over the ``error_signature_pairs`` state: rows are
+    unique per (signature, conv), so the distinct-conv count is a row
+    count — no count-distinct expand over the merged state."""
+    return pairs.groupBy(*_SIG_COLS).agg(
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.min("min_message").alias("sample_message"),
+    )
+
+
 def error_signature_profile(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -155,11 +204,12 @@ def error_signature_profile(
     """Corpus failure-mode profile: one row per signature with
     ``n_turns``, ``n_convs`` (exact distinct), and the lexicographically
     smallest normalized message as a deterministic ``sample_message``.
-    One shuffle (groupBy signature); counts, not text, cross the wire
-    beyond the tiny per-signature sample strings."""
-    turns = turn_error_signatures(df, conv_col, turn_col, text_col)
-    return turns.groupBy("signature", "exc_type", "frame_file", "frame_fn").agg(
-        F.count(F.lit(1)).cast("long").alias("n_turns"),
-        F.countDistinct("conv").cast("long").alias("n_convs"),
-        F.min("norm_message").alias("sample_message"),
+
+    Composed as ``finalize_error_profile(error_signature_pairs(df))`` —
+    a two-level aggregation on the (signature, conv) key instead of a
+    count-distinct expand, so the distinct-conv count is a plain row
+    count at every scale AND the intermediate state is the mergeable
+    partial an incremental (streaming foreachBatch) maintainer keeps."""
+    return finalize_error_profile(
+        error_signature_pairs(df, conv_col, turn_col, text_col)
     )

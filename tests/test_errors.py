@@ -103,3 +103,34 @@ def test_pure_jvm_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "pythoneval" not in plan and "mapinpandas" not in plan
     assert "arroweval" not in plan and "batchevalpython" not in plan
+
+
+def test_mergeable_pairs_equal_one_shot(spark):
+    """Partials merged across a split that straddles conversations equal
+    the one-shot partial, and finalize over the merged state equals the
+    direct profile — the streaming-maintenance contract."""
+    from ocr_spark.operators.errors import (
+        error_signature_pairs,
+        finalize_error_profile,
+        merge_error_pairs,
+    )
+
+    rows = [
+        ("c1", 0, TB), ("c1", 1, TB), ("c1", 2, CHAINED),
+        ("c2", 0, TB), ("c2", 1, "fine"),
+        ("c3", 0, CHAINED),
+    ]
+    full = _corpus(spark, rows)
+    # split INSIDE c1 and c2: conversations straddle the two batches
+    a = _corpus(spark, [r for r in rows if r[1] == 0])
+    b = _corpus(spark, [r for r in rows if r[1] > 0])
+
+    merged = merge_error_pairs(error_signature_pairs(a), error_signature_pairs(b))
+    one_shot = error_signature_pairs(full)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+    from_state = sorted(map(tuple, finalize_error_profile(merged).collect()))
+    direct = sorted(map(tuple, error_signature_profile(full).collect()))
+    assert from_state == direct
