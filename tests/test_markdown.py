@@ -114,13 +114,17 @@ def test_unknown_kind_still_degrades_to_plain():
 
 def test_slice_spans_roundtrip_mixed_corpus(spark):
     """slice_spans snippets equal payload[start:end] from the golden
-    oracle for every span, across all six kinds."""
+    oracle for every span, across all nine kinds (the log kernel's
+    mid-line CR-frame span starts and the diff kernel's marker-column
+    spans included)."""
     from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
     from ocr_spark.data.goldens import golden_extraction_rows
     from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, slice_spans
 
-    corpus = gen_transcripts_pdf(10, seed=13, skew_factor=5,
-                                 tools=TOOLS + ["markdown", "json_tool"])
+    corpus = gen_transcripts_pdf(
+        10, seed=13, skew_factor=5,
+        tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff"],
+    )
     tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
     got = {
         (r.conv_id, r.turn_idx, r.span_idx): (r.kind, r.start, r.end, r.snippet)
