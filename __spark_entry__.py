@@ -2704,6 +2704,27 @@ def _q_er_conv_outcome(spark, sf_dir):
     )
 
 
+def _q_er_error_trend(spark, sf_dir):
+    """Hash-verified failure-rate trend: operators/errors.error_trend
+    (codegen error flag + epoch bucketing, one (type, bucket) groupBy,
+    bounded trailing-mean window with sparse-bucket semantics) vs a
+    DuckDB window replay over the events table's real timestamps —
+    click events become TimeoutErrors, views become ValueErrors, the
+    rest stay benign (and must not appear)."""
+    ev = _t(spark, sf_dir, "events")
+    corpus = ev.select(
+        "ts",
+        F.expr(
+            "CASE WHEN event_type = 'click' THEN 'TimeoutError: slow 99'"
+            " WHEN event_type = 'view' THEN 'ValueError: bad 7'"
+            " ELSE 'all fine' END"
+        ).alias("text"),
+    )
+    from ocr_spark.operators.errors import error_trend
+
+    return error_trend(corpus, bucket_seconds=3600, trail=3)
+
+
 def _q_ex_html_tables_twin(spark, sf_dir):
     """Hash-verified structured table extraction: the REAL
     pipeline.extract_tables Arrow stage (extract/html_tables.py — table
@@ -4049,6 +4070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the boundary — replica-verified hash twin + pytest evidence)
         "er_error_profile": _q_er_error_profile,
         "er_conv_outcome": _q_er_conv_outcome,
+        "er_error_trend": _q_er_error_trend,
         "dg_churn_profile": _q_dg_churn_profile,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
         # tr_stratified_split — the stratified-sampling semantics are a
@@ -4670,6 +4692,32 @@ SELECT exc_type || '|' || frame_file || '|' || frame_fn AS signature,
 FROM t GROUP BY 1, 2, 3, 4
 """
 
+
+# DuckDB window replay of error_trend over the events fixture: epoch
+# bucketing, per-type counts, trailing mean over the previous 3 OBSERVED
+# buckets (sparse semantics), spike ratio from the UNROUNDED mean;
+# make_timestamp keeps the bucket label session-TZ-independent.
+_ER_TREND_TWIN_SQL = """
+WITH e AS (SELECT ts,
+    CASE WHEN event_type = 'click' THEN 'TimeoutError'
+         WHEN event_type = 'view' THEN 'ValueError' END AS exc_type
+  FROM events WHERE event_type IN ('click', 'view')),
+b AS (SELECT exc_type,
+        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bk,
+        CAST(count(*) AS BIGINT) AS n_turns
+      FROM e GROUP BY 1, 2),
+w AS (SELECT exc_type, bk, n_turns,
+        avg(n_turns) OVER (PARTITION BY exc_type ORDER BY bk
+          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS tm
+      FROM b)
+SELECT exc_type,
+  strftime(make_timestamp(bk * 1000000), '%Y-%m-%d %H:%M:%S')
+    AS bucket_start,
+  n_turns,
+  round(tm, 6) AS trailing_mean,
+  round(CASE WHEN tm > 0 THEN n_turns / tm END, 6) AS spike_ratio
+FROM w
+"""
 
 # closed-form DuckDB replay of diff_churn_profile over the diff twin
 # fixture: per-branch line counts times the branch cardinalities.
@@ -7132,6 +7180,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "ex_diff_lines_twin": _DIFF_LINES_TWIN_SQL,
         "er_error_profile": _ERR_PROFILE_TWIN_SQL,
         "er_conv_outcome": _ER_OUTCOME_TWIN_SQL,
+        "er_error_trend": _ER_TREND_TWIN_SQL,
         "dg_churn_profile": _DG_CHURN_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,

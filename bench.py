@@ -214,6 +214,7 @@ def main() -> None:
         "ex_diff_lines_twin",
         "er_error_profile",
         "er_conv_outcome",
+        "er_error_trend",
         "dg_churn_profile",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so

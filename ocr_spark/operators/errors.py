@@ -213,3 +213,64 @@ def error_signature_profile(
     return finalize_error_profile(
         error_signature_pairs(df, conv_col, turn_col, text_col)
     )
+
+
+def error_trend(
+    df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    bucket_seconds: int = 3600,
+    trail: int = 6,
+) -> DataFrame:
+    """Failure-rate trend — the observability rollup over error turns:
+    per (exception type, time bucket) counts with the trailing mean over
+    the previous ``trail`` OBSERVED buckets (sparse semantics: empty
+    buckets don't exist as rows and don't dilute the mean) and the spike
+    ratio against it. A signature whose ratio jumps is a fleet-wide
+    regression surfacing in the transcripts before anyone files a bug.
+
+    Output: ``(exc_type, bucket_start, n_turns, trailing_mean,
+    spike_ratio)`` — ``bucket_start`` as ``yyyy-MM-dd HH:mm:ss`` text
+    (session-TZ-independent, the house tumbling-window convention);
+    ``trailing_mean``/``spike_ratio`` NULL on each type's first bucket.
+
+    Plan: codegen error-line flag + epoch bucketing, ONE groupBy on the
+    (type, bucket) key, then a bounded-frame window over the tiny
+    per-type bucket series — counts only, no text past the first
+    projection."""
+    from pyspark.sql import Window
+
+    excs = F.regexp_extract_all(F.col(text_col), F.lit(_EXC_RE), 1)
+    base = (
+        df.select(F.col(ts_col).alias("_ts"), excs.alias("_excs"))
+        .where(F.size("_excs") > 0)
+        .select(
+            F.element_at("_excs", F.size("_excs")).alias("exc_type"),
+            (
+                F.floor(F.unix_timestamp("_ts") / bucket_seconds)
+                * bucket_seconds
+            )
+            .cast("long")
+            .alias("_b"),
+        )
+    )
+    counts = base.groupBy("exc_type", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns")
+    )
+    w = (
+        Window.partitionBy("exc_type")
+        .orderBy("_b")
+        .rowsBetween(-trail, -1)
+    )
+    tm = F.avg("n_turns").over(w)
+    return counts.select(
+        "exc_type",
+        F.date_format(
+            F.timestamp_seconds(F.col("_b")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket_start"),
+        "n_turns",
+        F.round(tm, 6).alias("trailing_mean"),
+        F.round(
+            F.when(tm > 0, F.col("n_turns") / tm), 6
+        ).alias("spike_ratio"),
+    )

@@ -134,3 +134,55 @@ def test_mergeable_pairs_equal_one_shot(spark):
     from_state = sorted(map(tuple, finalize_error_profile(merged).collect()))
     direct = sorted(map(tuple, error_signature_profile(full).collect()))
     assert from_state == direct
+
+
+def test_error_trend_spike_and_sparse_buckets(spark):
+    from datetime import datetime
+
+    from ocr_spark.operators.errors import error_trend
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = (
+        # hour 0: 2 errors; hour 1: 2; hour 5 (sparse gap): 8 -> spike vs
+        # trailing mean of the previous OBSERVED buckets (2+2)/2 = 2 -> 4x
+        [("c", i, "ValueError: x 1", t(0, i)) for i in range(2)]
+        + [("c", i, "ValueError: x 2", t(1, i)) for i in range(2)]
+        + [("c", i, "ValueError: x 3", t(5, i)) for i in range(8)]
+        + [("c", 0, "no error here", t(2))]
+    )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    out = {
+        r.bucket_start: r
+        for r in error_trend(
+            spark.createDataFrame(pdf), bucket_seconds=3600, trail=6
+        ).collect()
+    }
+    assert set(out) == {
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", "2024-01-01 05:00:00"
+    }
+    first = out["2024-01-01 00:00:00"]
+    assert first.n_turns == 2
+    assert first.trailing_mean is None and first.spike_ratio is None
+    spike = out["2024-01-01 05:00:00"]
+    assert spike.n_turns == 8
+    assert spike.trailing_mean == 2.0 and spike.spike_ratio == 4.0
+
+
+def test_error_trend_partitions_by_type(spark):
+    from datetime import datetime
+
+    from ocr_spark.operators.errors import error_trend
+
+    rows = [
+        ("c", 0, "ValueError: a 1", datetime(2024, 1, 1, 0)),
+        ("c", 1, "KeyError: 'b'", datetime(2024, 1, 1, 0)),
+        ("c", 2, "ValueError: a 2", datetime(2024, 1, 1, 1)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text", "ts"])
+    out = error_trend(spark.createDataFrame(pdf)).collect()
+    by = {(r.exc_type, r.bucket_start): r for r in out}
+    # KeyError's single bucket must not see ValueError's history
+    assert by[("KeyError", "2024-01-01 00:00:00")].trailing_mean is None
+    assert by[("ValueError", "2024-01-01 01:00:00")].trailing_mean == 1.0
