@@ -719,3 +719,74 @@ def test_stream_template_mining_merge_equals_batch(spark, tmp_path):
     assert mined_stream == mined_batch
     assert len(mined_batch) == 1 and mined_batch[0][1] == 6  # n_convs
     assert mined_batch[0][2] == 12  # n_turns: 2 per conv x 6
+
+
+def test_stream_error_profile_merge_equals_batch(spark, tmp_path):
+    """Error-signature mining is streaming-maintainable because its
+    partial is conv-granular and sum/min-mergeable
+    (errors.error_signature_pairs): per-micro-batch partials merged via
+    merge_error_pairs equal the one-shot partial, so
+    finalize_error_profile over the maintained state equals the batch
+    profile — even when one conversation's turns split across
+    micro-batches."""
+    from ocr_spark.operators.errors import (
+        error_signature_pairs,
+        error_signature_profile,
+        finalize_error_profile,
+        merge_error_pairs,
+    )
+
+    tb = (
+        "Traceback (most recent call last):\n"
+        '  File "/app/w.py", line 3, in work\n'
+        "ValueError: bad input 42\n"
+    )
+    rows = []
+    for i in range(4):
+        rows += [
+            (f"c{i}", 0, "user", "please run it", 0),
+            (f"c{i}", 1, "tool", tb if i % 2 == 0 else "ok done", 0),
+            (f"c{i}", 2, "tool", "KeyError: 'cfg'" if i < 2 else "fine", 0),
+        ]
+    schema = "conv_id string, turn_idx int, role string, text string, ts long"
+    src = str(tmp_path / "er_src")
+    df = spark.createDataFrame(rows, schema)
+    # split INSIDE conversations -> convs straddle micro-batches
+    df.filter("turn_idx < 2").coalesce(1).write.parquet(src)
+    df.filter("turn_idx >= 2").coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "er_state")
+
+    def merge_batch(batch_df, batch_id):
+        import os
+
+        part = error_signature_pairs(batch_df)
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state)
+            part = merge_error_pairs(prev, part)
+        part.write.mode("overwrite").parquet(state + ".tmp")
+        batch_df.sparkSession.read.parquet(state + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    stream_in = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream_in.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "er_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    from_stream = sorted(
+        map(
+            tuple,
+            finalize_error_profile(spark.read.parquet(state)).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, error_signature_profile(spark.read.parquet(src)).collect())
+    )
+    assert from_stream == batch and len(batch) == 2
