@@ -607,3 +607,55 @@ def test_wave4_transcript_ops_plan_shapes(spark):
     prof = profile_columns(convs, ["conv_id", "text"])
     c = checks.python_stage_counts(prof)
     assert c["MapInPandas"] == 0 and c["ArrowEvalPython"] == 0, c
+
+
+def test_extract_diffs_pushdown_and_single_python_stage(spark, tmp_path):
+    """The diff-kind filter must reach the parquet scan (non-diff turns
+    never leave the scan, let alone reach Python), and the hunk-line
+    fan-out is exactly ONE MapInPandas with zero exchanges."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_diffs
+
+    src = str(tmp_path / "d.parquet")
+    pdf = gen_transcripts_pdf(6, seed=3, skew_factor=3)
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).write.parquet(src)
+    q = extract_diffs(spark.read.parquet(src))
+    assert "tool" in checks.pushed_filters(q)
+    assert set(checks.read_schema_columns(q)) == {"conv_id", "turn_idx", "text", "tool"}
+    assert checks.python_stage_counts(q)["MapInPandas"] == 1
+    assert checks.count_exchanges(q) == 0
+
+
+def test_error_ops_shuffle_budget(spark, tmp_path):
+    """The error-mining family's scale contract: the per-turn stage is
+    codegen-only (no Python anywhere), the profile/outcome/trend rollups
+    cost exactly their ONE aggregation exchange (two-level aggs reuse
+    the same hash partitioning), and no raw TEXT column crosses a wire —
+    only signatures/counts do."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.operators.errors import (
+        conversation_error_outcome,
+        error_signature_profile,
+        error_trend,
+    )
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA
+
+    src = str(tmp_path / "e.parquet")
+    pdf = gen_transcripts_pdf(6, seed=5, skew_factor=3)
+    spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA).write.parquet(src)
+    df = spark.read.parquet(src)
+
+    for q in (
+        error_signature_profile(df),
+        conversation_error_outcome(df),
+        error_trend(df),
+    ):
+        counts = checks.python_stage_counts(q)
+        assert counts["MapInPandas"] == 0 and counts["ArrowEvalPython"] == 0
+        assert counts.get("BatchEvalPython", 0) == 0
+        plan = checks.formatted_plan(q)
+        # the only wire crossings are aggregation exchanges; raw text is
+        # projected away before them
+        for frag in plan.split("Exchange")[1:]:
+            head = frag.splitlines()[0]
+            assert "text#" not in head, head
