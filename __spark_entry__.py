@@ -2628,6 +2628,33 @@ def _q_ex_diff_lines_twin(spark, sf_dir):
     )
 
 
+def _q_ex_log_lines_twin(spark, sf_dir):
+    """Hash-verified per-line log relation: pipeline.log_lines (JVM-only
+    split + arrays_zip + posexplode over the already-extracted frame —
+    one row per kept line with its severity level) vs a line-enumerating
+    DuckDB twin over the log fixture (span offsets are pytest-verified;
+    the twin pins line order, levels and messages)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_LOG_PAYLOAD_SQL).alias("text"),
+        F.lit("log").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.pipeline import log_lines
+
+    out = log_lines(extract_transcripts(corpus))
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "line_idx",
+        "level",
+        "message",
+    )
+
+
 def _q_er_error_profile(spark, sf_dir):
     """Hash-verified error/stack-trace signature mining: the REAL
     pure-codegen operator (operators/errors.py — last-exception /
@@ -4069,6 +4096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-4 wave 5: error/stack-trace signature mining (below
         # the boundary — replica-verified hash twin + pytest evidence)
         "er_error_profile": _q_er_error_profile,
+        "ex_log_lines_twin": _q_ex_log_lines_twin,
         "er_conv_outcome": _q_er_conv_outcome,
         "er_error_trend": _q_er_error_trend,
         "dg_churn_profile": _q_dg_churn_profile,
@@ -4692,6 +4720,31 @@ SELECT exc_type || '|' || frame_file || '|' || frame_fn AS signature,
 FROM t GROUP BY 1, 2, 3, 4
 """
 
+
+# DuckDB replay of pipeline.log_lines over _LOG_PAYLOAD_SQL: the same
+# kept-line enumeration as the log twin, one row per line with its
+# level; the tail line's index shifts by one when the OSC line exists.
+_LOG_LINES_TWIN_SQL = f"""
+WITH d AS (SELECT doc_id, {_MD_W1} AS w1, {_MD_W2} AS w2, {_MD_W3} AS w3,
+                  (doc_id % 3 = 0) AS has_osc
+           FROM documents),
+l AS (
+  SELECT doc_id, 0 AS line_idx, 'info' AS level,
+         {_canon_sql("'start ' || w1")} AS message, true AS incl FROM d
+  UNION ALL SELECT doc_id, 1, 'error',
+    {_canon_sql("'failed q' || w2 || 'q'")}, true FROM d
+  UNION ALL SELECT doc_id, 2, 'warn',
+    {_canon_sql("'colored ' || w3")}, true FROM d
+  UNION ALL SELECT doc_id, 3, 'text',
+    {_canon_sql("'step 3/3 done ' || w1")}, true FROM d
+  UNION ALL SELECT doc_id, 4, 'text',
+    {_canon_sql("'osc kept ' || w2")}, has_osc FROM d
+  UNION ALL SELECT doc_id, CASE WHEN has_osc THEN 5 ELSE 4 END, 'text',
+    {_canon_sql("'tail ' || w2")}, true FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(line_idx AS INTEGER) AS line_idx, level, message
+FROM l WHERE incl
+"""
 
 # DuckDB window replay of error_trend over the events fixture: epoch
 # bucketing, per-type counts, trailing mean over the previous 3 OBSERVED
@@ -7180,6 +7233,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "ex_diff_lines_twin": _DIFF_LINES_TWIN_SQL,
         "er_error_profile": _ERR_PROFILE_TWIN_SQL,
         "er_conv_outcome": _ER_OUTCOME_TWIN_SQL,
+        "ex_log_lines_twin": _LOG_LINES_TWIN_SQL,
         "er_error_trend": _ER_TREND_TWIN_SQL,
         "dg_churn_profile": _DG_CHURN_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,

@@ -412,3 +412,37 @@ def extract_diffs(
     return df.select("conv_id", "turn_idx", "text").mapInPandas(
         batches, schema=DIFF_LINES_SCHEMA
     )
+
+
+def log_lines(extracted: DataFrame) -> DataFrame:
+    """Joinable per-line relation over extracted log turns: one row per
+    kept line with its severity level and message — the log analog of
+    the diff hunk-line relation, feeding severity rollups and error
+    joins without re-parsing raw payloads.
+
+    Pure JVM derivation from the ALREADY-extracted frame (no new Python
+    stage): the log kernel guarantees clean_text line i corresponds to
+    spans[i] (one span per kept line, in order), so a split + arrays_zip
+    + posexplode reconstructs the relation map-side. Output:
+    ``(conv_id, turn_idx, line_idx, level, message, span_start,
+    span_end)`` with ``level`` the span kind (trace/debug/info/warn/
+    error/fatal/text)."""
+    df = (
+        extracted.filter(F.col("tool") == "log")
+        .filter(F.size("spans") > 0)
+        .withColumn("_lines", F.split("clean_text", "\n"))
+    )
+    z = F.arrays_zip(F.col("_lines"), F.col("spans"))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(z).alias("line_idx", "_z"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "line_idx",
+        F.col("_z._lines").alias("message"),
+        F.col("_z.spans.kind").alias("level"),
+        F.col("_z.spans.start").alias("span_start"),
+        F.col("_z.spans.end").alias("span_end"),
+    )

@@ -136,3 +136,59 @@ def test_deterministic_generator_payload():
     # the generated mix actually exercises the kernel end-to-end
     clean, spans, kept, dropped = extract_log(a)
     assert kept == len(spans)
+
+
+def test_log_lines_relation(spark):
+    import pandas as pd
+
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, log_lines
+
+    payload = (
+        "2024-03-05 08:30:00 INFO: build started\n"
+        "\x1b[31mERROR\x1b[0m: red alert\n"
+        "====\n"
+        "plain tail"
+    )
+    pdf = pd.DataFrame(
+        [
+            {"conv_id": "c1", "turn_idx": 0, "role": "tool", "text": payload,
+             "tool": "log", "ts": None},
+            {"conv_id": "c1", "turn_idx": 1, "role": "user",
+             "text": "not a log", "tool": "plain", "ts": None},
+        ]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    tdf = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    rows = log_lines(extract_transcripts(tdf)).orderBy("line_idx").collect()
+    assert [(r.line_idx, r.level, r.message) for r in rows] == [
+        (0, "info", "build started"),
+        (1, "error", "red alert"),
+        (2, "text", "plain tail"),
+    ]
+    # spans slice the RAW payload lines (decoration included)
+    assert payload[rows[1].span_start:rows[1].span_end] == "\x1b[31mERROR\x1b[0m: red alert"
+    # non-log turns are filtered before the explode
+    assert all(r.conv_id == "c1" for r in rows)
+
+
+def test_log_lines_jvm_only(spark):
+    """log_lines over a MATERIALIZED extraction must add no Python
+    stage — split/zip/posexplode only."""
+    import pandas as pd
+
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts, log_lines
+
+    pdf = pd.DataFrame(
+        [{"conv_id": "c", "turn_idx": 0, "role": "tool",
+          "text": "INFO: x\nWARN: y", "tool": "log", "ts": None}]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    tdf = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        extract_transcripts(tdf).write.parquet(d + "/ex")
+        q = log_lines(spark.read.parquet(d + "/ex"))
+        plan = q._jdf.queryExecution().executedPlan().toString().lower()
+        assert "mapinpandas" not in plan and "pythoneval" not in plan
+        assert len(q.collect()) == 2
