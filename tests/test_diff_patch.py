@@ -182,3 +182,67 @@ def test_deterministic_generator_payload():
     assert a == _diff_payload(random.Random(7))
     clean, spans, kept, dropped, failures = extract_diff(a)
     assert kept == len(spans)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: render->parse round-trip (the property the framing spec makes)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_CONTENT = st.text(
+    alphabet=st.characters(
+        codec="ascii", exclude_characters="\n\r", exclude_categories=("Cc",)
+    ),
+    max_size=24,
+)
+_PATH = st.from_regex(r"[a-z]{1,8}(/[a-z]{1,8}){0,2}\.[a-z]{1,3}", fullmatch=True)
+_HUNK = st.tuples(
+    st.integers(min_value=1, max_value=500),  # old start
+    st.integers(min_value=1, max_value=500),  # new start
+    st.lists(st.tuples(st.sampled_from(["add", "del", "ctx"]), _CONTENT),
+             min_size=1, max_size=8),
+)
+_FILE = st.tuples(_PATH, st.lists(_HUNK, min_size=1, max_size=3))
+
+
+def _render(files):
+    lines, want = [], []
+    hunk_idx = -1
+    for file_idx, (path, hunks) in enumerate(files):
+        lines.append(f"diff --git a/{path} b/{path}")
+        lines.append(f"--- a/{path}")
+        lines.append(f"+++ b/{path}")
+        for old0, new0, body in hunks:
+            hunk_idx += 1
+            n_old = sum(1 for op, _ in body if op != "add")
+            n_new = sum(1 for op, _ in body if op != "del")
+            lines.append(f"@@ -{old0},{n_old} +{new0},{n_new} @@")
+            old_ln, new_ln = old0, new0
+            for line_idx, (op, text) in enumerate(body):
+                marker = {"add": "+", "del": "-", "ctx": " "}[op]
+                lines.append(marker + text)
+                o = old_ln if op != "add" else None
+                nn = new_ln if op != "del" else None
+                want.append((file_idx, path, hunk_idx, line_idx, op, o, nn, text))
+                if op != "add":
+                    old_ln += 1
+                if op != "del":
+                    new_ln += 1
+    return "\n".join(lines), want
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_FILE, min_size=1, max_size=3))
+def test_parse_roundtrip_property(files):
+    payload, want = _render(files)
+    rows, n_lines, failures = parse_diff(payload)
+    assert failures == 0
+    got = [
+        (r.file_idx, r.file_path, r.hunk_idx, r.line_idx, r.op,
+         r.old_lineno, r.new_lineno, r.text)
+        for r in rows
+    ]
+    assert got == want
+    assert n_lines == payload.count("\n") + 1
