@@ -315,6 +315,7 @@ def extract_tables(
     reach Python), then the same shuffle-free Arrow stage as
     ``extract_transcripts``; the 1:N cell fan-out happens inside the
     batch, map-side. See extract/html_tables.py for the cell spec."""
+    from ocr_spark.extract.core import MAX_PAYLOAD_CHARS
     from ocr_spark.extract.html_tables import parse_html_tables
 
     df = transcripts.filter(F.col("tool") == "html")
@@ -330,7 +331,10 @@ def extract_tables(
             for cid, tix, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
-                for t, r, c, h, txt in parse_html_tables(text or ""):
+                # same D2 payload cap as extract_turn: bounded fan-out
+                for t, r, c, h, txt in parse_html_tables(
+                    (text or "")[:MAX_PAYLOAD_CHARS]
+                ):
                     out["conv_id"].append(cid)
                     out["turn_idx"].append(int(tix))
                     out["table_idx"].append(t)
@@ -376,7 +380,12 @@ def extract_diffs(
     Shape: kind filter FIRST (pushed to the scan — non-diff turns never
     reach Python), then the same shuffle-free Arrow stage as
     ``extract_transcripts``; the 1:N line fan-out happens inside the
-    batch, map-side. See extract/diff_patch.py for the framing spec."""
+    batch, map-side. Payloads are capped at ``MAX_PAYLOAD_CHARS`` (the
+    same D2 guard ``extract_turn`` applies), so one pathological turn's
+    fan-out is bounded — the output batch stays proportional to the
+    input batch's capped chars, never to an adversarial payload. See
+    extract/diff_patch.py for the framing spec."""
+    from ocr_spark.extract.core import MAX_PAYLOAD_CHARS
     from ocr_spark.extract.diff_patch import parse_diff
 
     df = transcripts.filter(F.col("tool") == "diff")
@@ -392,7 +401,7 @@ def extract_diffs(
             for cid, tix, text in zip(
                 pdf["conv_id"], pdf["turn_idx"], pdf["text"]
             ):
-                rows, _, _ = parse_diff(text or "")
+                rows, _, _ = parse_diff((text or "")[:MAX_PAYLOAD_CHARS])
                 for dl in rows:
                     out["conv_id"].append(cid)
                     out["turn_idx"].append(int(tix))
