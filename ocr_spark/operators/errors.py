@@ -40,8 +40,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# last '^Type: message$' line wins; type must end in Error/Exception
-_EXC_RE = r"(?m)^([A-Za-z_][A-Za-z0-9_.]*(?:Error|Exception)): (.+)$"
+# last '^Type: message$' line wins; type must end in Error/Exception.
+# The lazy message + optional \r keeps CRLF payloads from leaking a
+# carriage return into norm_message (multiline $ matches before \n only).
+_EXC_RE = r"(?m)^([A-Za-z_][A-Za-z0-9_.]*(?:Error|Exception)): (.+?)\r?$"
 # CPython frame: File "path", line N, in fn — last one (innermost) wins
 _FRAME_RE = r"File \"([^\"]+)\", line [0-9]+, in ([A-Za-z0-9_<>.]+)"
 

@@ -186,3 +186,10 @@ def test_error_trend_partitions_by_type(spark):
     # KeyError's single bucket must not see ValueError's history
     assert by[("KeyError", "2024-01-01 00:00:00")].trailing_mean is None
     assert by[("ValueError", "2024-01-01 01:00:00")].trailing_mean == 1.0
+
+
+def test_crlf_payload_message_has_no_carriage_return(spark):
+    r = turn_error_signatures(
+        _corpus(spark, [("c", 0, "TypeError: crlf tail 9\r\nnext line")])
+    ).collect()[0]
+    assert r.norm_message == "crlf tail #"
