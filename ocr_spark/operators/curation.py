@@ -424,11 +424,9 @@ def curate_transcripts(
         "_conv_bad", F.max(bad).over(Window.partitionBy(conv_col))
     ).filter(F.col("_conv_bad") == 0)
     if drop_failed:
-        from ocr_spark.operators.errors import _EXC_RE
+        from ocr_spark.operators.errors import has_error_line
 
-        has_err = (
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EXC_RE), 1)) > 0
-        ).cast("int")
+        has_err = has_error_line(F.col(text_col)).cast("int")
         final_err = F.max(
             F.struct(
                 F.col("new_turn_idx").alias("t"), has_err.alias("e")

@@ -48,6 +48,15 @@ _EXC_RE = r"(?m)^([A-Za-z_][A-Za-z0-9_.]*(?:Error|Exception)): (.+?)\r?$"
 _FRAME_RE = r"File \"([^\"]+)\", line [0-9]+, in ([A-Za-z0-9_<>.]+)"
 
 
+def has_error_line(col):
+    """Boolean error-line existence test (the shared predicate for the
+    outcome operator and curation's ``drop_failed`` gate): ``rlike``
+    short-circuits at the first match — no full-payload extract_all /
+    array allocation on clean turns, which at corpus scale is most of
+    them."""
+    return col.rlike(_EXC_RE)
+
+
 def turn_error_signatures(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -125,9 +134,7 @@ def conversation_error_outcome(
     turns must count in ``n_turns``), then one groupBy on the
     conversation key; ``max_by`` picks the final turn's flag without a
     window, so the only shuffle carries four small aggregates."""
-    has_err = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(_EXC_RE), 1)) > 0
-    ).cast("int")
+    has_err = has_error_line(F.col(text_col)).cast("int")
     base = df.select(
         F.col(conv_col).alias("conv"),
         F.col(turn_col).alias("turn"),
@@ -232,8 +239,10 @@ def error_trend(
     regression surfacing in the transcripts before anyone files a bug.
 
     Output: ``(exc_type, bucket_start, n_turns, trailing_mean,
-    spike_ratio)`` — ``bucket_start`` as ``yyyy-MM-dd HH:mm:ss`` text
-    (session-TZ-independent, the house tumbling-window convention);
+    spike_ratio)`` — ``bucket_start`` as ``yyyy-MM-dd HH:mm:ss`` text,
+    rendered in the SESSION time zone (this engine pins UTC in
+    session.py, which is what the UTC-based DuckDB twin assumes — under
+    a non-UTC session the labels shift by that offset);
     ``trailing_mean``/``spike_ratio`` NULL on each type's first bucket.
 
     Plan: codegen error-line flag + epoch bucketing, ONE groupBy on the
