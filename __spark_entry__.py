@@ -2694,6 +2694,27 @@ def _q_dg_churn_profile(spark, sf_dir):
     return diff_churn_profile(extract_diffs(corpus))
 
 
+def _q_dg_conv_activity(spark, sf_dir):
+    """Hash-verified per-conversation code activity: extract_diffs ->
+    conversation_code_activity (distinct files/hunks/turns + add/del
+    sums on the conversation key) vs a closed-form DuckDB twin over the
+    diff fixture's branch structure."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_DIFF_PAYLOAD_SQL).alias("text"),
+        F.lit("diff").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.operators.churn import conversation_code_activity
+    from ocr_spark.pipeline import extract_diffs
+
+    return conversation_code_activity(extract_diffs(corpus))
+
+
 def _q_er_conv_outcome(spark, sf_dir):
     """Hash-verified conversation error outcome: the drop-failed-
     trajectory signal (operators/errors.py — all-turn codegen error
@@ -4100,6 +4121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_conv_outcome": _q_er_conv_outcome,
         "er_error_trend": _q_er_error_trend,
         "dg_churn_profile": _q_dg_churn_profile,
+        "dg_conv_activity": _q_dg_conv_activity,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
         # tr_stratified_split — the stratified-sampling semantics are a
         # windowed-rank drill; the training family keeps ctx/sft/pk/tx
@@ -4785,6 +4807,21 @@ SELECT 'src/mod.py' AS file_path, 2 * n + ne AS n_add, n AS n_del,
 FROM c
 UNION ALL
 SELECT 'docs/b.txt', n3, n3, 0, 0, n3, n3 FROM c
+"""
+
+# closed-form DuckDB replay of conversation_code_activity over the
+# diff fixture: per-branch structural counts per conversation.
+_DG_ACTIVITY_TWIN_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id,
+  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_hunks,
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_add,
+  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_del,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS net_lines,
+  CAST(1 AS BIGINT) AS n_diff_turns
+FROM documents
 """
 
 # DuckDB replay of conversation_error_outcome over the 3-turn fixture:
@@ -7236,6 +7273,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "ex_log_lines_twin": _LOG_LINES_TWIN_SQL,
         "er_error_trend": _ER_TREND_TWIN_SQL,
         "dg_churn_profile": _DG_CHURN_TWIN_SQL,
+        "dg_conv_activity": _DG_ACTIVITY_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

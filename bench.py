@@ -216,6 +216,7 @@ def main() -> None:
         "er_conv_outcome",
         "er_error_trend",
         "dg_churn_profile",
+        "dg_conv_activity",
         "ex_log_lines_twin",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so

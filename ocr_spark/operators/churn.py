@@ -59,3 +59,28 @@ def diff_churn_profile(diff_lines: DataFrame) -> DataFrame:
             F.countDistinct("conv_id", "turn_idx").cast("long").alias("n_turns"),
         )
     )
+
+
+def conversation_code_activity(diff_lines: DataFrame) -> DataFrame:
+    """Per-conversation code-activity rollup over an ``extract_diffs``
+    relation: ``(conv_id, n_files, n_hunks, n_add, n_del, net_lines,
+    n_diff_turns)`` — the trajectory-level weighting signal a code-SFT
+    curator reads (how much real editing happened in this conversation,
+    across how many files, in how many patches).
+
+    ``n_files`` counts distinct non-null file paths (bare hunks carry no
+    path and contribute work but not file count); ``n_hunks`` is exact
+    distinct over (turn, hunk_idx) within the conversation. One groupBy
+    on the conversation key — the same partitioning every other
+    conv-level operator shuffles on, so a curation join back to
+    transcripts is co-partitioned."""
+    is_add = (F.col("op") == "add").cast("long")
+    is_del = (F.col("op") == "del").cast("long")
+    return diff_lines.groupBy("conv_id").agg(
+        F.countDistinct("file_path").cast("long").alias("n_files"),
+        F.countDistinct("turn_idx", "hunk_idx").cast("long").alias("n_hunks"),
+        F.sum(is_add).alias("n_add"),
+        F.sum(is_del).alias("n_del"),
+        (F.sum(is_add) - F.sum(is_del)).alias("net_lines"),
+        F.countDistinct("turn_idx").cast("long").alias("n_diff_turns"),
+    )

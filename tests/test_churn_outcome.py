@@ -91,3 +91,20 @@ def test_outcome_counts_all_turns(spark):
     ).collect()[0]
     assert out.n_turns == 2 and out.n_error_turns == 1
     assert out.first_error_turn == 5 and out.recovered
+
+
+def test_conversation_code_activity(spark):
+    from ocr_spark.operators.churn import conversation_code_activity
+
+    out = {
+        r.conv_id: r
+        for r in conversation_code_activity(
+            _diffs(spark, [("c1", 0, DIFF_A), ("c1", 2, DIFF_B), ("c2", 0, DIFF_B)])
+        ).collect()
+    }
+    c1 = out["c1"]
+    # DIFF_A touches x.py in 2 hunks; DIFF_B touches x.py + y.py in 2 hunks
+    assert c1.n_files == 2 and c1.n_hunks == 4 and c1.n_diff_turns == 2
+    assert (c1.n_add, c1.n_del, c1.net_lines) == (4, 3, 1)
+    c2 = out["c2"]
+    assert c2.n_files == 2 and c2.n_hunks == 2 and c2.n_diff_turns == 1
