@@ -2715,6 +2715,65 @@ def _q_dg_conv_activity(spark, sf_dir):
     return conversation_code_activity(extract_diffs(corpus))
 
 
+def _q_tj_features_twin(spark, sf_dir):
+    """Hash-verified trajectory feature frame: curation.trajectory_
+    features (error outcome ⟕ code activity, co-partitioned on the
+    conversation key, zero-filled activity) vs a closed-form DuckDB
+    twin over a 3-turn fixture (plain turn, the diff fixture as the
+    edit turn, an error-or-ok final turn on ids % 2)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", F.expr(_DIFF_PAYLOAD_SQL).alias("_diff")
+    ).select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("turn_idx"),
+                    F.lit("plain").alias("tool"),
+                    F.lit("step ok").alias("text"),
+                ),
+                F.struct(
+                    F.lit(1).alias("turn_idx"),
+                    F.lit("diff").alias("tool"),
+                    F.col("_diff").alias("text"),
+                ),
+                F.struct(
+                    F.lit(2).alias("turn_idx"),
+                    F.lit("log").alias("tool"),
+                    F.expr(
+                        "CASE WHEN doc_id % 2 = 0 THEN 'ValueError: boom 7'"
+                        " ELSE 'done ok' END"
+                    ).alias("text"),
+                ),
+            )
+        ).alias("_t"),
+    ).select(
+        "conv_id",
+        F.col("_t.turn_idx").cast("int").alias("turn_idx"),
+        F.col("_t.tool").alias("tool"),
+        F.col("_t.text").alias("text"),
+    )
+    from ocr_spark.operators.curation import trajectory_features
+
+    out = trajectory_features(corpus)
+    return out.select(
+        "conv",
+        "n_turns",
+        "n_error_turns",
+        "first_error_turn",
+        F.col("ends_in_error").cast("int").alias("ends_in_error"),
+        F.col("recovered").cast("int").alias("recovered"),
+        "n_files",
+        "n_hunks",
+        "n_add",
+        "n_del",
+        "net_lines",
+        "n_diff_turns",
+    )
+
+
 def _q_er_conv_outcome(spark, sf_dir):
     """Hash-verified conversation error outcome: the drop-failed-
     trajectory signal (operators/errors.py — all-turn codegen error
@@ -4122,6 +4181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_error_trend": _q_er_error_trend,
         "dg_churn_profile": _q_dg_churn_profile,
         "dg_conv_activity": _q_dg_conv_activity,
+        "tj_features_twin": _q_tj_features_twin,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
         # tr_stratified_split — the stratified-sampling semantics are a
         # windowed-rank drill; the training family keeps ctx/sft/pk/tx
@@ -4807,6 +4867,31 @@ SELECT 'src/mod.py' AS file_path, 2 * n + ne AS n_add, n AS n_del,
 FROM c
 UNION ALL
 SELECT 'docs/b.txt', n3, n3, 0, 0, n3, n3 FROM c
+"""
+
+# closed-form DuckDB replay of trajectory_features over the 3-turn
+# fixture: outcome branch algebra + the diff fixture's structural
+# counts; recovered is always 0 (the only error is the final turn).
+_TJ_FEATURES_TWIN_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS conv,
+  CAST(3 AS BIGINT) AS n_turns,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS n_error_turns,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE -1 END AS INTEGER)
+    AS first_error_turn,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INTEGER)
+    AS ends_in_error,
+  CAST(0 AS INTEGER) AS recovered,
+  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_files,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_hunks,
+  CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_add,
+  CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_del,
+  CAST(1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS net_lines,
+  CAST(1 AS BIGINT) AS n_diff_turns
+FROM documents
 """
 
 # closed-form DuckDB replay of conversation_code_activity over the
@@ -7274,6 +7359,7 @@ FROM rec JOIN n1 ON rec.conv = n1.conv
         "er_error_trend": _ER_TREND_TWIN_SQL,
         "dg_churn_profile": _DG_CHURN_TWIN_SQL,
         "dg_conv_activity": _DG_ACTIVITY_TWIN_SQL,
+        "tj_features_twin": _TJ_FEATURES_TWIN_SQL,
         "ev_equality_report": _EV_REPORT_SQL,
         "ev_overlap_report": _EV_OVERLAP_SQL,
         "ev_equality_summary": f"""

@@ -217,6 +217,7 @@ def main() -> None:
         "er_error_trend",
         "dg_churn_profile",
         "dg_conv_activity",
+        "tj_features_twin",
         "ex_log_lines_twin",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so

@@ -458,3 +458,58 @@ def curate_transcripts(
             text_col=text_col,
         )
     return out
+
+
+def trajectory_features(
+    transcripts: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Conversation-level curation feature frame: the error-outcome
+    signals (``errors.conversation_error_outcome``) left-joined with the
+    code-activity signals (``churn.conversation_code_activity`` over the
+    diff relation), one row per conversation — the single frame a
+    weighting / sampling / gating policy consumes.
+
+    Activity columns are zero-filled for conversations with no diff
+    turns (no edits is a feature value, not a missing row).
+
+    Plan: both sides aggregate on the SAME conversation key, so the
+    join is co-partitioned (no extra exchange of either aggregate
+    beyond its own groupBy); the diff side's input was kind-filtered at
+    the scan. Raw text crosses no wire — both inputs reduce to small
+    per-conversation aggregates before the join."""
+    from ocr_spark.operators.churn import conversation_code_activity
+    from ocr_spark.operators.errors import conversation_error_outcome
+    from ocr_spark.pipeline import extract_diffs
+
+    outcome = conversation_error_outcome(
+        transcripts, conv_col=conv_col, turn_col=turn_col, text_col=text_col
+    )
+    activity = conversation_code_activity(
+        extract_diffs(
+            transcripts.select(
+                F.col(conv_col).alias("conv_id"),
+                F.col(turn_col).cast("int").alias("turn_idx"),
+                F.col(text_col).alias("text"),
+                F.col("tool"),
+            )
+        )
+    ).withColumnRenamed("conv_id", "conv")
+    feats = outcome.join(activity, "conv", "left")
+    zero_cols = (
+        "n_files", "n_hunks", "n_add", "n_del", "net_lines", "n_diff_turns"
+    )
+    return feats.select(
+        "conv",
+        "n_turns",
+        "n_error_turns",
+        "first_error_turn",
+        "ends_in_error",
+        "recovered",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in zero_cols
+        ],
+    )

@@ -108,3 +108,34 @@ def test_conversation_code_activity(spark):
     assert (c1.n_add, c1.n_del, c1.net_lines) == (4, 3, 1)
     c2 = out["c2"]
     assert c2.n_files == 2 and c2.n_hunks == 2 and c2.n_diff_turns == 1
+
+
+def test_trajectory_features(spark):
+    import pandas as pd
+
+    from ocr_spark.operators.curation import trajectory_features
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA
+
+    diff = "@@ -1,1 +1,2 @@\n keep\n+added"
+    rows = [
+        # edits + recovers: activity filled, recovered=True
+        ("a", 0, "tool", diff, "diff"),
+        ("a", 1, "tool", "KeyError: 'x'", "log"),
+        ("a", 2, "assistant", "fixed.", "plain"),
+        # no diffs, ends in error: activity zero-filled
+        ("b", 0, "user", "run", "plain"),
+        ("b", 1, "tool", "ValueError: boom 1", "log"),
+    ]
+    pdf = pd.DataFrame(
+        [{"conv_id": c, "turn_idx": t, "role": r, "text": x, "tool": k,
+          "ts": None} for c, t, r, x, k in rows]
+    )
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    tdf = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    out = {r.conv: r for r in trajectory_features(tdf).collect()}
+    a = out["a"]
+    assert a.n_turns == 3 and a.recovered and not a.ends_in_error
+    assert (a.n_add, a.n_del, a.n_diff_turns, a.n_hunks) == (1, 0, 1, 1)
+    b = out["b"]
+    assert b.ends_in_error and not b.recovered
+    assert (b.n_files, b.n_add, b.n_diff_turns) == (0, 0, 0)  # zero-filled
