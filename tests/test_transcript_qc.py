@@ -399,3 +399,117 @@ def test_flag_template_turns_sft_handoff_masks_loss(spark):
         assert docs[c]["n_loss_turns"] == base[c]["n_loss_turns"] - 1
         # the banner text still renders into the document
         assert "results you asked for" in docs[c]["doc_text"].lower()
+
+
+# ---------------------------------------------------------------------------
+# wave 6: consecutive same-role merge / duplicate tool-output collapse
+
+
+def _w6_frame(spark):
+    rows = [
+        ("a", 0, "user", "hello there friend"),
+        ("a", 1, "assistant", "part one"),
+        ("a", 2, "assistant", None),          # NULL inside a run
+        ("a", 3, "assistant", "part three"),
+        ("a", 4, "tool", "X" * 80),
+        ("a", 5, "assistant", "ok"),
+        ("a", 6, "tool", "X" * 80),           # verbatim repeat of turn 4
+        ("a", 7, "tool", "Y" * 80),           # different payload: kept
+        ("a", 8, "tool", "short"),            # < min_chars: exempt
+        ("a", 9, "tool", "short"),            # exempt even though repeated
+        ("b", 0, "assistant", "solo"),        # run of one, conv boundary
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+
+
+def test_merge_consecutive_roles_runs_and_nulls(spark):
+    from ocr_spark.operators.transcript_qc import merge_consecutive_roles
+
+    out = merge_consecutive_roles(_w6_frame(spark)).orderBy(
+        "conv_id", "turn_idx"
+    )
+    rows = [tuple(r) for r in out.collect()]
+    # (conv, first_turn, role, text, merged_n, last_turn)
+    assert rows[0] == ("a", 0, "user", "hello there friend", 1, 0)
+    # NULL mid-run concats as empty, run spans turns 1-3
+    assert rows[1] == ("a", 1, "assistant", "part one\n\n\n\npart three", 3, 3)
+    assert rows[2][0:3] == ("a", 4, "tool") and rows[2][4] == 1
+    # tool turns 6-9 are consecutive same-role: one merged run of 4
+    assert rows[4][1] == 6 and rows[4][4] == 4 and rows[4][5] == 9
+    assert rows[-1] == ("b", 0, "assistant", "solo", 1, 0)
+    # reconstruction invariant: merged turn counts cover every input row
+    total = sum(r[4] for r in rows)
+    assert total == _w6_frame(spark).count()
+
+
+def test_merge_consecutive_roles_single_conv_shuffle(spark):
+    from ocr_spark.operators.transcript_qc import merge_consecutive_roles
+    from ocr_spark.plans import checks
+
+    out = merge_consecutive_roles(_w6_frame(spark))
+    # islands window + (conv, run) groupBy share ONE conv-key exchange
+    assert checks.count_exchanges(out) == 1, checks.formatted_plan(out)[:1200]
+
+
+def test_collapse_tool_repeats_markers_and_exemptions(spark):
+    from ocr_spark.operators.transcript_qc import collapse_tool_repeats
+
+    out = collapse_tool_repeats(_w6_frame(spark)).orderBy(
+        "conv_id", "turn_idx"
+    )
+    by_turn = {(r["conv_id"], r["turn_idx"]): r for r in out.collect()}
+    assert by_turn[("a", 4)]["is_tool_repeat"] == 0
+    rep = by_turn[("a", 6)]
+    assert rep["is_tool_repeat"] == 1 and rep["dup_of_turn"] == 4
+    assert rep["text"] == "[dup of turn 4]"
+    # different payload and sub-min_chars repeats stay verbatim
+    assert by_turn[("a", 7)]["is_tool_repeat"] == 0
+    assert by_turn[("a", 9)]["is_tool_repeat"] == 0
+    assert by_turn[("a", 9)]["text"] == "short"
+    # non-tool rows untouched, NULL text survives as NULL
+    assert by_turn[("a", 2)]["text"] is None
+    assert out.count() == 11
+
+
+def test_tool_repeat_savings_closed_form(spark):
+    from ocr_spark.operators.transcript_qc import (
+        collapse_tool_repeats,
+        tool_repeat_savings,
+    )
+    from pyspark.sql import functions as F
+
+    df = _w6_frame(spark)
+    sav = {r["conv_id"]: r for r in tool_repeat_savings(df).collect()}
+    a = sav["a"]
+    assert a["n_turns"] == 10 and a["n_tool_repeats"] == 1
+    # the closed-form report must equal lengths measured on the collapse
+    collapsed = collapse_tool_repeats(df)
+    meas = (
+        collapsed.groupBy("conv_id")
+        .agg(F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("after"))
+        .collect()
+    )
+    meas = {r["conv_id"]: r["after"] for r in meas}
+    assert a["chars_after"] == meas["a"]
+    assert sav["b"]["chars_after"] == meas["b"] == sav["b"]["chars_before"]
+    before = (
+        df.groupBy("conv_id")
+        .agg(F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias("b"))
+        .collect()
+    )
+    before = {r["conv_id"]: r["b"] for r in before}
+    assert a["chars_before"] == before["a"]
+
+
+def test_tool_repeat_savings_is_two_level_agg(spark):
+    from ocr_spark.operators.transcript_qc import tool_repeat_savings
+    from ocr_spark.plans import checks
+
+    out = tool_repeat_savings(_w6_frame(spark))
+    p = checks.formatted_plan(out)
+    # two-level aggregation, not a window: no Window node in the plan,
+    # and both exchanges carry partial-aggregated rows
+    assert "Window" not in p, p[:1200]
+    assert checks.count_exchanges(out) == 2, p[:1200]
