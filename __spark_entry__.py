@@ -4448,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_tool_repeats": _q_qc_tool_repeats,
         "qc_repeat_savings": _q_qc_repeat_savings,
         "dd_fork_groups": _q_dd_fork_groups,
+        "ex_notebook_twin": _q_ex_notebook_twin,
     }
 
 
@@ -4554,6 +4555,87 @@ _LOG_PAYLOAD_SQL = (
     f" || 'osc kept ' || {_MD_W2} || chr(10) ELSE '' END"
     f" || 'tail ' || {_MD_W2}"
 )
+
+# notebook twin fixture: a single-line .ipynb JSON per doc — markdown
+# cell (heading + bold over the shared word pieces), a code cell with
+# stream output, a raw cell (ids % 2 = 0), a second list-source code
+# cell (ids % 3 = 0), and an invalid-JSON branch (ids % 5 = 4, the
+# degrade path). chr(92)||'n' builds the two-char JSON \n escape
+# WITHOUT a backslash in the SQL literal (Spark treats backslash as an
+# escape in string literals; DuckDB does not — chr() sidesteps the
+# divergence). The payload contains no real newlines by construction.
+_NB_ESC_NL = "chr(92) || 'n'"
+_NB_PAYLOAD_SQL = (
+    "CASE WHEN doc_id % 5 = 4 THEN "
+    f"'{{\"cells\": [broken ' || {_MD_W1} "
+    "ELSE "
+    "'{\"cells\": [{\"cell_type\": \"markdown\", \"source\": [\"# Head '"
+    f" || {_MD_W1} || {_NB_ESC_NL} || '\", \"body **q' || {_MD_W2}"
+    " || 'q** tail\"]}, "
+    "{\"cell_type\": \"code\", \"execution_count\": 3, \"source\": \"x = '"
+    f" || CAST(doc_id % 89 AS STRING) || {_NB_ESC_NL} || 'y = x + 1\", "
+    "\"outputs\": [{\"output_type\": \"stream\", \"name\": \"stdout\", "
+    f"\"text\": [\"ran ok' || {_NB_ESC_NL} || '\"]}}]}}'"
+    " || CASE WHEN doc_id % 2 = 0 THEN "
+    "', {\"cell_type\": \"raw\", \"source\": \"skip me\"}' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN "
+    "', {\"cell_type\": \"code\", \"source\": [\"total = 9'"
+    f" || {_NB_ESC_NL} || '\", \"total\"]}}' ELSE '' END"
+    " || ']}' END"
+)
+
+# closed-form expected output of extract/notebook.py over that payload:
+# md cell -> heading strip (trailing word-piece space rtrimmed at line
+# end) + bold strip; code cells layout-preserved; outputs (3 string
+# values) + raw cell dropped; degrade branch = plain_block(payload).
+_NB_TWIN_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 5 = 4 THEN '{\"cells\": [broken ' || "
+    f"rtrim({_MD_W1}) "
+    f"ELSE 'Head ' || rtrim({_MD_W1}) || chr(10) || 'body q' || {_MD_W2}"
+    " || 'q tail' || chr(10) || chr(10) || 'x = ' "
+    "|| CAST(doc_id % 89 AS STRING) || chr(10) || 'y = x + 1'"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) "
+    "|| 'total = 9' || chr(10) || 'total' ELSE '' END END AS clean_text, "
+    "CAST(CASE WHEN doc_id % 5 = 4 THEN 1 "
+    "WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS INT) AS blocks_kept, "
+    "CAST(CASE WHEN doc_id % 5 = 4 THEN 0 "
+    "WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS blocks_dropped, "
+    "CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS INT) "
+    "AS parse_failures, "
+    "CASE WHEN doc_id % 5 = 4 THEN 'plain' "
+    "WHEN doc_id % 3 = 0 THEN 'md_cell,code_cell,code_cell' "
+    "ELSE 'md_cell,code_cell' END AS kinds "
+    "FROM documents"
+)
+
+
+def _q_ex_notebook_twin(spark, sf_dir):
+    """Hash-verified notebook-kind extraction: the REAL .ipynb kernel
+    (extract/notebook.py — path-carrying JSON walk, markdown cells
+    through the markdown strip, layout-preserved code cells, output /
+    raw / metadata drops, invalid-JSON degrade) vs a closed-form DuckDB
+    twin over the same single-line JSON fixture (_NB_PAYLOAD_SQL)."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_NB_PAYLOAD_SQL).alias("text"),
+        F.lit("notebook").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    ext = extract_transcripts(corpus)
+    return ext.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "blocks_kept",
+        "blocks_dropped",
+        "parse_failures",
+        F.concat_ws(",", F.expr("transform(spans, s -> s.kind)")).alias("kinds"),
+    )
+
 
 # diff twin fixture: a two-file unified diff with true-count hunk
 # framing over the markdown twin's word pieces — one 3->4 hunk always,
@@ -8005,4 +8087,5 @@ FROM src s LEFT JOIN per USING (doc_id)
             "SELECT conv, fork_sig, n_turns, group_size, is_canonical "
             "FROM g WHERE group_size >= 2"
         ),
+        "ex_notebook_twin": _NB_TWIN_SQL,
     }

@@ -319,7 +319,7 @@ def main() -> None:
 
         gen_transcripts_df(
             spark, n_mixed,
-            tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff"],
+            tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff", "notebook"],
         ).write.mode("overwrite").parquet(mpath)
     mixed = spark.read.parquet(mpath)
     n_mixed_turns = mixed.count()

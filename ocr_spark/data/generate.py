@@ -239,6 +239,70 @@ def _json_payload(r: random.Random) -> str:
     return _json.dumps(doc)
 
 
+def _notebook_payload(r: random.Random) -> str:
+    """Jupyter-notebook tool-output turn (exercises extract/notebook.py):
+    markdown cells (heading/bold markup for the md strip), code cells in
+    BOTH nbformat source shapes (list-of-lines and single string) with
+    stream / execute_result outputs, raw cells, an occasional empty code
+    cell and a zero-cell notebook; ~8% invalid-JSON tail (degrade)."""
+    import json as _json
+
+    if r.random() < 0.08:
+        return '{"cells": [broken ' + _sentence(r, 1, 3)
+    cells: List[Dict] = []
+    for _ in range(r.randint(1, 5)):
+        roll = r.random()
+        if roll < 0.35:
+            lines = [f"# {_sentence(r, 1, 4)}\n"]
+            lines += [
+                f"{_sentence(r, 2, 8)} **{_name(r)}** tail\n"
+                for _ in range(r.randint(0, 2))
+            ]
+            cells.append({"cell_type": "markdown", "source": lines})
+        elif roll < 0.75:
+            body = [
+                f"{r.choice(['x', 'y', 'n'])} = {r.randint(0, 99)}\n",
+                f"print({_name(r)!r})   \n",
+            ][: r.randint(1, 2)]
+            src = body if r.random() < 0.5 else "".join(body)
+            cell: Dict = {
+                "cell_type": "code",
+                "execution_count": r.randint(1, 9),
+                "source": src,
+                "outputs": [],
+            }
+            if r.random() < 0.6:
+                cell["outputs"].append(
+                    {
+                        "output_type": "stream",
+                        "name": "stdout",
+                        "text": [f"{_sentence(r, 1, 5)}\n"],
+                    }
+                )
+            if r.random() < 0.3:
+                cell["outputs"].append(
+                    {
+                        "output_type": "execute_result",
+                        "data": {"text/plain": [str(r.randint(0, 999))]},
+                    }
+                )
+            cells.append(cell)
+        elif roll < 0.85:
+            cells.append({"cell_type": "raw", "source": _sentence(r, 1, 6)})
+        else:
+            cells.append({"cell_type": "code", "source": "   \n"})
+    if r.random() < 0.05:
+        cells = []
+    return _json.dumps(
+        {
+            "nbformat": 4,
+            "nbformat_minor": 5,
+            "metadata": {"kernelspec": {"name": "python3"}},
+            "cells": cells,
+        }
+    )
+
+
 _LOG_LEVELS = ["TRACE", "DEBUG", "INFO", "WARN", "WARNING", "ERROR", "FATAL"]
 _ANSI_COLORS = ["\x1b[31m", "\x1b[32m", "\x1b[33m", "\x1b[1;34m"]
 
@@ -370,6 +434,7 @@ _BUILDERS = {
     "wiki": _wiki_payload,
     "log": _log_payload,
     "diff": _diff_payload,
+    "notebook": _notebook_payload,
 }
 
 

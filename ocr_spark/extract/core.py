@@ -44,6 +44,12 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
                     decoration/deletions dropped, counter violations
                     counted as parse_failures; see extract/diff_patch.py
                     — rebuild extension for patch tool-output turns)
+- ``notebook``   -> .ipynb cell extraction (markdown cells through the
+                    markdown strip, code cells layout-preserved,
+                    outputs/raw/metadata dropped and counted; invalid
+                    JSON or non-notebook JSON degrades to plain with
+                    parse_failures=1; see extract/notebook.py —
+                    rebuild extension for notebook tool payloads)
 
 Unknown kinds degrade to ``plain`` (warn-and-degrade mirrors the
 reference's schema probing, data_extraction_service.py:71-78).
@@ -59,6 +65,7 @@ from .json_payload import extract_json_tool
 from .log_output import extract_log
 from .markdown import extract_markdown
 from .normalize import canonicalize, plain_block
+from .notebook import extract_notebook
 from .parse_records import extract_company_id, extract_field_employee, parse_records_detailed
 from .pdf_layout import extract_pdf_layout
 from .wiki import extract_wiki
@@ -81,6 +88,7 @@ KIND_JSON = "json_tool"
 KIND_WIKI = "wiki"
 KIND_LOG = "log"
 KIND_DIFF = "diff"
+KIND_NOTEBOOK = "notebook"
 
 
 def _extract_plain(payload: str) -> Tuple[str, List[Span], int, int]:
@@ -114,7 +122,7 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         tool
         if tool
         in (KIND_HTML, KIND_PDF, KIND_RECORDS, KIND_PLAIN, KIND_MARKDOWN,
-            KIND_JSON, KIND_WIKI, KIND_LOG, KIND_DIFF)
+            KIND_JSON, KIND_WIKI, KIND_LOG, KIND_DIFF, KIND_NOTEBOOK)
         else KIND_PLAIN
     )
 
@@ -136,6 +144,8 @@ def extract_turn(text: Optional[str], tool: Optional[str]) -> Dict:
         clean, spans, kept, dropped = extract_log(payload)
     elif kind == KIND_DIFF:
         clean, spans, kept, dropped, parse_failures = extract_diff(payload)
+    elif kind == KIND_NOTEBOOK:
+        clean, spans, kept, dropped, parse_failures = extract_notebook(payload)
     elif kind == KIND_JSON:
         clean, spans, kept, dropped, parse_failures = extract_json_tool(payload)
     elif kind == KIND_RECORDS:

@@ -1,0 +1,227 @@
+"""Jupyter-notebook extraction (the ``notebook`` payload kind).
+
+Agent transcripts carry whole ``.ipynb`` documents as tool payloads
+(a notebook read, an executed-notebook result). The text worth training
+on is the CELL SOURCES — markdown cells as prose (run through the
+markdown strip, same kernel as the ``markdown`` payload kind), code
+cells as code; everything else (outputs, execution counts, metadata,
+raw cells) is transport or re-derivable and is dropped, counted.
+
+Spec (shared by the Spark pipeline and the ``ex_notebook_twin`` oracle):
+
+- Payload must be valid JSON whose top level is an object with a
+  ``cells`` array (nbformat 4 shape). Each cell contributes by
+  ``cell_type``:
+
+  - ``markdown``: the cell's source (string or list-of-lines, per
+    nbformat both are legal) concatenated and passed through
+    ``extract_markdown`` — heading/emphasis strip, fences kept — the
+    markdown kind's exact line semantics. Its per-line kept/dropped
+    counts roll into the turn metrics; the notebook emits ONE span per
+    cell (kind ``md_cell``) covering the raw region from the first to
+    the last source string literal (incl. quotes/escapes — the
+    ``json_string`` span convention of extract/json_payload.py).
+  - ``code``: source concatenated verbatim, then trailing whitespace
+    stripped per line and leading/trailing blank lines dropped (code
+    is layout — no prose canonicalization). Non-empty -> one kept
+    block, span kind ``code_cell``; empty -> one dropped block.
+  - anything else (``raw``, unknown): one dropped block, no span.
+
+- Every string VALUE under a cell's ``outputs`` (stream text,
+  text/plain reprs, tracebacks) is one dropped block: outputs are
+  re-derivable from the code and are exactly the boilerplate an
+  extraction pass exists to shed.
+- Cell texts join with a blank line between cells.
+- Degrades: invalid JSON -> ``plain`` extraction of the whole payload
+  with ``parse_failures = 1`` (same posture as ``json_tool``); valid
+  JSON that is NOT a notebook (no top-level ``cells`` array) -> plain
+  degrade with ``parse_failures = 1`` too — silently returning empty
+  for a mislabeled payload would hide upstream kind-routing bugs.
+
+The walker below is the recursive-descent JSON parser of
+extract/json_payload.py with a PATH carried per collected string
+(``("cells", 3, "source", 0)``) so cell structure can be decided from
+offsets-preserving parses — stdlib ``json.loads`` cannot give literal
+offsets, and the flat ``parse_json_strings`` cannot give structure.
+The json_tool hot path stays untouched (no path bookkeeping there).
+
+Reference analog: the reference dispatches each page image through a
+per-kind handler before OCR (process_batch.py:236-243,
+pdf_processing_service.py:101-141); the notebook kind extends the
+rebuild's dispatch table the same way log/diff did.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from .json_payload import _JErr, _parse_number, _parse_string, _skip_ws
+from .markdown import extract_markdown
+from .normalize import plain_block
+
+Span = Tuple[int, int, str]
+# (value, start, end, path) — path elements are str keys / int indexes
+_PStr = Tuple[str, int, int, Tuple]
+
+_CELLS_KEY = re.compile(r'"cells"\s*:\s*\[')
+
+
+def _parse_value_p(
+    s: str, i: int, strings: List[_PStr], path: Tuple
+) -> int:
+    """Document-order walk collecting every string VALUE with its path.
+    Same grammar as json_payload._parse_value; keys are parsed (and
+    pushed onto the path for their member's subtree) but never
+    collected as values."""
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        raise _JErr("unexpected end")
+    ch = s[i]
+    if ch == "{":
+        i = _skip_ws(s, i + 1)
+        if i < len(s) and s[i] == "}":
+            return i + 1
+        while True:
+            i = _skip_ws(s, i)
+            key, i = _parse_string(s, i)
+            i = _skip_ws(s, i)
+            if i >= len(s) or s[i] != ":":
+                raise _JErr("expected :")
+            i = _parse_value_p(s, i + 1, strings, path + (key,))
+            i = _skip_ws(s, i)
+            if i < len(s) and s[i] == ",":
+                i += 1
+                continue
+            if i < len(s) and s[i] == "}":
+                return i + 1
+            raise _JErr("expected , or }")
+    if ch == "[":
+        i = _skip_ws(s, i + 1)
+        if i < len(s) and s[i] == "]":
+            return i + 1
+        idx = 0
+        while True:
+            i = _parse_value_p(s, i, strings, path + (idx,))
+            i = _skip_ws(s, i)
+            if i < len(s) and s[i] == ",":
+                i += 1
+                idx += 1
+                continue
+            if i < len(s) and s[i] == "]":
+                return i + 1
+            raise _JErr("expected , or ]")
+    if ch == '"':
+        start = i
+        val, i = _parse_string(s, i)
+        strings.append((val, start, i, path))
+        return i
+    for lit in ("true", "false", "null"):
+        if s.startswith(lit, i):
+            return i + len(lit)
+    return _parse_number(s, i)
+
+
+def parse_json_strings_with_paths(payload: str):
+    """Returns ``(ok, [(value, start, end, path), ...])`` in document
+    order; ``ok`` False on any JSON error (the degrade signal)."""
+    strings: List[_PStr] = []
+    try:
+        i = _parse_value_p(payload, 0, strings, ())
+        if _skip_ws(payload, i) != len(payload):
+            raise _JErr("trailing garbage")
+    except (_JErr, RecursionError):
+        return False, []
+    return True, strings
+
+
+def _norm_code(src: str) -> str:
+    """Code-cell normalization: per-line trailing-whitespace strip,
+    leading/trailing blank lines dropped. Never touches inner layout."""
+    lines = [ln.rstrip() for ln in src.replace("\r\n", "\n").split("\n")]
+    a, b = 0, len(lines)
+    while a < b and not lines[a]:
+        a += 1
+    while b > a and not lines[b - 1]:
+        b -= 1
+    return "\n".join(lines[a:b])
+
+
+def extract_notebook(
+    payload: str,
+) -> Tuple[str, List[Span], int, int, int]:
+    """Extract a notebook payload.
+
+    Returns ``(clean_text, spans, kept, dropped, parse_failures)`` —
+    the ``extract_turn`` block contract; see module docstring for the
+    per-cell semantics and both degrade paths.
+    """
+    ok, strings = parse_json_strings_with_paths(payload)
+    # notebook-ness: valid JSON, top-level object, and a cells-array
+    # key present. The regex is a cheap structural proxy (an object
+    # whose only '"cells": [' occurrence is nested parses as a
+    # zero-cell notebook — its strings sit under non-("cells", i)
+    # paths and are ignored); the path check below remains the only
+    # authority on WHICH strings are cell content.
+    is_nb = (
+        ok
+        and payload.lstrip().startswith("{")
+        and _CELLS_KEY.search(payload) is not None
+    )
+    if not is_nb:
+        clean, spans, kept, dropped = plain_block(payload)
+        return clean, spans, kept, dropped, 1
+
+    # group per cell index, document order
+    cell_type: dict = {}
+    cell_src: dict = {}
+    cell_span: dict = {}
+    n_output_strings = 0
+    max_cell = -1
+    for val, start, end, path in strings:
+        if not (len(path) >= 2 and path[0] == "cells"
+                and isinstance(path[1], int)):
+            continue
+        ci = path[1]
+        max_cell = max(max_cell, ci)
+        rest = path[2:]
+        if rest == ("cell_type",):
+            cell_type[ci] = val
+        elif rest and rest[0] == "source" and (
+            len(rest) == 1 or (len(rest) == 2 and isinstance(rest[1], int))
+        ):
+            cell_src.setdefault(ci, []).append(val)
+            s0, e0 = cell_span.get(ci, (start, end))
+            cell_span[ci] = (min(s0, start), max(e0, end))
+        elif rest and rest[0] == "outputs":
+            n_output_strings += 1
+
+    out: List[str] = []
+    spans: List[Span] = []
+    kept = dropped = 0
+    dropped += n_output_strings
+    for ci in range(max_cell + 1):
+        ctype = cell_type.get(ci, "")
+        src = "".join(cell_src.get(ci, []))
+        if ctype == "markdown":
+            md_clean, _md_spans, md_kept, md_dropped = extract_markdown(src)
+            kept += md_kept
+            dropped += md_dropped
+            if md_clean:
+                out.append(md_clean)
+                if ci in cell_span:
+                    s0, e0 = cell_span[ci]
+                    spans.append((s0, e0, "md_cell"))
+        elif ctype == "code":
+            code = _norm_code(src)
+            if code:
+                out.append(code)
+                kept += 1
+                if ci in cell_span:
+                    s0, e0 = cell_span[ci]
+                    spans.append((s0, e0, "code_cell"))
+            else:
+                dropped += 1
+        else:
+            dropped += 1
+    return "\n\n".join(out), spans, kept, dropped, 0

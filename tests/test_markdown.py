@@ -114,7 +114,7 @@ def test_unknown_kind_still_degrades_to_plain():
 
 def test_slice_spans_roundtrip_mixed_corpus(spark):
     """slice_spans snippets equal payload[start:end] from the golden
-    oracle for every span, across all nine kinds (the log kernel's
+    oracle for every span, across all ten kinds (the log kernel's
     mid-line CR-frame span starts and the diff kernel's marker-column
     spans included)."""
     from ocr_spark.data.generate import TOOLS, gen_transcripts_pdf
@@ -123,7 +123,7 @@ def test_slice_spans_roundtrip_mixed_corpus(spark):
 
     corpus = gen_transcripts_pdf(
         10, seed=13, skew_factor=5,
-        tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff"],
+        tools=TOOLS + ["markdown", "json_tool", "wiki", "log", "diff", "notebook"],
     )
     tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
     got = {

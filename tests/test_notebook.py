@@ -1,0 +1,160 @@
+"""Notebook payload kind (extract/notebook.py): cell extraction, both
+nbformat source shapes, output/raw/metadata drops, span provenance,
+degrade paths, and the distributed golden-parity pass."""
+
+import json
+
+import pytest
+
+from ocr_spark.extract.core import extract_turn
+from ocr_spark.extract.notebook import (
+    extract_notebook,
+    parse_json_strings_with_paths,
+)
+
+
+def _nb(cells):
+    return json.dumps(
+        {"nbformat": 4, "metadata": {"kernelspec": {"name": "py"}},
+         "cells": cells}
+    )
+
+
+def test_markdown_cell_goes_through_md_strip():
+    payload = _nb([
+        {"cell_type": "markdown",
+         "source": ["# Title\n", "Some **bold** prose.\n"]},
+    ])
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    assert clean == "Title\nSome bold prose."
+    assert [k for _, _, k in spans] == ["md_cell"]
+    assert pf == 0 and kept == 2
+
+
+def test_code_cell_layout_preserved_and_outputs_dropped():
+    payload = _nb([
+        {"cell_type": "code", "execution_count": 1,
+         "source": "x = 1\nprint(x)   \n\n",
+         "outputs": [
+             {"output_type": "stream", "name": "stdout", "text": ["1\n"]},
+             {"output_type": "execute_result",
+              "data": {"text/plain": ["1"]}},
+         ]},
+    ])
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    # trailing spaces + trailing blank line normalized; inner layout kept
+    assert clean == "x = 1\nprint(x)"
+    assert [k for _, _, k in spans] == ["code_cell"]
+    assert kept == 1 and pf == 0
+    # every string value under outputs counts dropped: output_type,
+    # name, text line, output_type, text/plain value
+    assert dropped == 5
+
+
+def test_source_list_and_string_forms_agree():
+    a = _nb([{"cell_type": "code", "source": ["x = 1\n", "y = 2\n"]}])
+    b = _nb([{"cell_type": "code", "source": "x = 1\ny = 2\n"}])
+    ca = extract_notebook(a)
+    cb = extract_notebook(b)
+    assert ca[0] == cb[0] == "x = 1\ny = 2"
+    assert ca[2] == cb[2] == 1
+
+
+def test_raw_and_empty_cells_drop():
+    payload = _nb([
+        {"cell_type": "raw", "source": "raw stuff"},
+        {"cell_type": "code", "source": "   \n"},
+        {"cell_type": "markdown", "source": "keep me"},
+    ])
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    assert clean == "keep me"
+    assert kept == 1 and dropped == 2 and pf == 0
+
+
+def test_spans_cover_raw_source_literals():
+    payload = _nb([
+        {"cell_type": "markdown", "source": ["# A\n", "tail\n"]},
+        {"cell_type": "code", "source": "z = 9"},
+    ])
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    assert len(spans) == 2
+    for s, e, kind in spans:
+        lit = payload[s:e]
+        assert lit.startswith('"') and lit.endswith('"')
+    # md span stretches first source literal start -> last literal end
+    s0, e0, _ = spans[0]
+    assert '"# A\\n", "tail\\n"' == payload[s0:e0]
+
+
+def test_invalid_json_degrades_to_plain():
+    clean, spans, kept, dropped, pf = extract_notebook('{"cells": [oops')
+    assert pf == 1 and [k for _, _, k in spans] == ["plain"]
+
+
+def test_non_notebook_json_degrades_to_plain():
+    clean, spans, kept, dropped, pf = extract_notebook('{"a": "b"}')
+    assert pf == 1 and clean == '{"a": "b"}'
+
+
+def test_zero_cell_notebook_is_empty_not_failure():
+    clean, spans, kept, dropped, pf = extract_notebook('{"cells": []}')
+    assert (clean, spans, kept, dropped, pf) == ("", [], 0, 0, 0)
+
+
+def test_dispatch_routes_notebook_kind():
+    payload = _nb([{"cell_type": "code", "source": "q = 3"}])
+    r = extract_turn(payload, "notebook")
+    assert r["clean_text"] == "q = 3"
+    assert r["spans"][0][2] == "code_cell"
+
+
+def test_paths_walker_matches_json_loads_values():
+    doc = {"cells": [{"cell_type": "code", "source": ["a", "b"],
+                      "outputs": [{"text": ["c"]}]}],
+           "metadata": {"x": "y"}}
+    payload = json.dumps(doc)
+    ok, strings = parse_json_strings_with_paths(payload)
+    assert ok
+    got = {(p, v) for v, _, _, p in strings}
+    assert (("cells", 0, "source", 0), "a") in got
+    assert (("cells", 0, "source", 1), "b") in got
+    assert (("cells", 0, "outputs", 0, "text", 0), "c") in got
+    assert (("metadata", "x"), "y") in got
+
+
+def test_generator_payloads_all_parse_deterministically():
+    import random
+
+    from ocr_spark.data.generate import _notebook_payload
+
+    for seed in range(120):
+        p1 = _notebook_payload(random.Random(seed))
+        p2 = _notebook_payload(random.Random(seed))
+        assert p1 == p2
+        r = extract_turn(p1, "notebook")
+        assert r["parse_failures"] in (0, 1)
+        for s, e, k in r["spans"]:
+            assert 0 <= s <= e <= len(p1)
+
+
+def test_golden_parity_distributed(spark):
+    """The Spark pipeline and the row-by-row golden oracle agree on a
+    notebook-bearing mixed corpus (the ten-kind dispatch)."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.data.goldens import golden_extraction_rows
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, extract_transcripts
+
+    corpus = gen_transcripts_pdf(8, seed=7, skew_factor=5, tools=["notebook"])
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    got = {
+        (r.conv_id, r.turn_idx): (r.clean_text, r.blocks_kept,
+                                  r.blocks_dropped, r.parse_failures)
+        for r in extract_transcripts(tdf).collect()
+    }
+    want = {
+        (g["conv_id"], g["turn_idx"]): (g["clean_text"], g["blocks_kept"],
+                                        g["blocks_dropped"],
+                                        g["parse_failures"])
+        for g in golden_extraction_rows(corpus)
+    }
+    assert got == want and len(want) > 20

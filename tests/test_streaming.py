@@ -31,9 +31,9 @@ def stream_dirs(tmp_path_factory, spark):
 
     pdf = gen_transcripts_pdf(
         12, seed=7, skew_factor=4,
-        tools=TOOLS + ["markdown", "json_tool", "log", "diff"],
+        tools=TOOLS + ["markdown", "json_tool", "log", "diff", "notebook"],
     )
-    assert set(pdf["tool"]) >= {"markdown", "json_tool", "records", "log", "diff"}
+    assert set(pdf["tool"]) >= {"markdown", "json_tool", "records", "log", "diff", "notebook"}
     spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
 
     sentinel = pdf.iloc[:1].copy()
