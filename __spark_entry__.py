@@ -4218,6 +4218,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tr_stratified_split (a windowed-rank drill; the training family
     keeps ctx/sft/pk/tx scored rows); the demoted pair sits right after
     the boundary, driver-green history r3, replica-verified every run.
+
+    Round-4 wave-6 re-curation (same rule): ex_notebook_twin (the new
+    .ipynb extraction kernel — tenth dispatch kind) takes the slot of
+    ret_bm25_scores (driver-green history r3; the retrieval family
+    keeps its replica row + bench rows), which now leads the
+    past-boundary block.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -4231,6 +4237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
         "ex_log_sql_twin": _q_ex_log_sql_twin,
         "ex_diff_lines_twin": _q_ex_diff_lines_twin,
+        "ex_notebook_twin": _q_ex_notebook_twin,
         "ex_html_tables_twin": _q_ex_html_tables_twin,
         "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_dispatch_twin": _q_ex_dispatch_twin,
@@ -4277,8 +4284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_packed_bins": _q_sft_packed_bins,
         "qc_transcript_integrity": _q_qc_transcript_integrity,
         "pk_bin_materialize": _q_pk_bin_materialize,
-        "ret_bm25_scores": _q_ret_bm25_scores,
         # ---- driver-scored window boundary (~50) ----
+        "ret_bm25_scores": _q_ret_bm25_scores,
         # new round-4 wave 5: error/stack-trace signature mining (below
         # the boundary — replica-verified hash twin + pytest evidence)
         "er_error_profile": _q_er_error_profile,
@@ -4448,7 +4455,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_tool_repeats": _q_qc_tool_repeats,
         "qc_repeat_savings": _q_qc_repeat_savings,
         "dd_fork_groups": _q_dd_fork_groups,
-        "ex_notebook_twin": _q_ex_notebook_twin,
     }
 
 

@@ -219,6 +219,14 @@ def main() -> None:
         "dg_conv_activity",
         "tj_features_twin",
         "ex_log_lines_twin",
+        # round-4 wave 6: notebook payload kind, chat normalization
+        # (role-run merge, tool-repeat collapse + savings report),
+        # exact-ancestry fork groups
+        "ex_notebook_twin",
+        "qc_merge_roles",
+        "qc_tool_repeats",
+        "qc_repeat_savings",
+        "dd_fork_groups",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.
