@@ -4285,6 +4285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_transcript_integrity": _q_qc_transcript_integrity,
         "pk_bin_materialize": _q_pk_bin_materialize,
         # ---- driver-scored window boundary (~50) ----
+        "ex_nb_cells_twin": _q_ex_nb_cells_twin,
         "ret_bm25_scores": _q_ret_bm25_scores,
         # new round-4 wave 5: error/stack-trace signature mining (below
         # the boundary — replica-verified hash twin + pytest evidence)
@@ -4640,6 +4641,60 @@ def _q_ex_notebook_twin(spark, sf_dir):
         "blocks_dropped",
         "parse_failures",
         F.concat_ws(",", F.expr("transform(spans, s -> s.kind)")).alias("kinds"),
+    )
+
+
+# closed-form cell relation over the same fixture: md cell 0, code cell
+# 1 (3 output strings), raw cell (ids % 2 = 0, kept 0), list-source
+# code cell (ids % 3 = 0, index depends on the raw cell's presence);
+# degrade docs (ids % 5 = 4) contribute ZERO rows — the turn extraction
+# owns the degrade accounting. Span offsets are pytest-verified; the
+# twin pins cell order, types, extracted text and output counts.
+_NB_CELLS_TWIN_SQL = (
+    "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4) "
+    "SELECT doc_id, CAST(0 AS INT) AS cell_idx, 'markdown' AS cell_type, "
+    f"'Head ' || rtrim({_MD_W1}) || chr(10) || 'body q' || {_MD_W2} "
+    "|| 'q tail' AS text, "
+    "CAST(1 AS INT) AS kept, CAST(0 AS INT) AS n_output_strings FROM d "
+    "UNION ALL "
+    "SELECT doc_id, CAST(1 AS INT), 'code', "
+    "'x = ' || CAST(doc_id % 89 AS STRING) || chr(10) || 'y = x + 1', "
+    "CAST(1 AS INT), CAST(3 AS INT) FROM d "
+    "UNION ALL "
+    "SELECT doc_id, CAST(2 AS INT), 'raw', '', CAST(0 AS INT), "
+    "CAST(0 AS INT) FROM d WHERE doc_id % 2 = 0 "
+    "UNION ALL "
+    "SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS INT), "
+    "'code', 'total = 9' || chr(10) || 'total', CAST(1 AS INT), "
+    "CAST(0 AS INT) FROM d WHERE doc_id % 3 = 0"
+)
+
+
+def _q_ex_nb_cells_twin(spark, sf_dir):
+    """Hash-verified per-cell notebook relation: pipeline.notebook_cells
+    (kind-filter-first shuffle-free Arrow stage, 1:N cell fan-out
+    map-side, shared _parse_cells grouping with the turn kernel) vs a
+    closed-form DuckDB twin over the _NB_PAYLOAD_SQL fixture."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("tool").alias("role"),
+        F.expr(_NB_PAYLOAD_SQL).alias("text"),
+        F.lit("notebook").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    from ocr_spark.pipeline import notebook_cells
+
+    out = notebook_cells(corpus)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "cell_idx",
+        "cell_type",
+        "text",
+        "kept",
+        "n_output_strings",
     )
 
 
@@ -8094,4 +8149,5 @@ FROM src s LEFT JOIN per USING (doc_id)
             "FROM g WHERE group_size >= 2"
         ),
         "ex_notebook_twin": _NB_TWIN_SQL,
+        "ex_nb_cells_twin": _NB_CELLS_TWIN_SQL,
     }

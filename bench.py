@@ -223,6 +223,7 @@ def main() -> None:
         # (role-run merge, tool-repeat collapse + savings report),
         # exact-ancestry fork groups
         "ex_notebook_twin",
+        "ex_nb_cells_twin",
         "qc_merge_roles",
         "qc_tool_repeats",
         "qc_repeat_savings",

@@ -54,7 +54,7 @@ rebuild's dispatch table the same way log/diff did.
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from .json_payload import _JErr, _parse_number, _parse_string, _skip_ws
 from .markdown import extract_markdown
@@ -147,36 +147,36 @@ def _norm_code(src: str) -> str:
     return "\n".join(lines[a:b])
 
 
-def extract_notebook(
-    payload: str,
-) -> Tuple[str, List[Span], int, int, int]:
-    """Extract a notebook payload.
+# one parsed cell: (cell_idx, cell_type, joined_source, (start, end) or
+# None — raw-literal extent of the source strings, per-cell output-string
+# count)
+_Cell = Tuple[int, str, str, Optional[Tuple[int, int]], int]
 
-    Returns ``(clean_text, spans, kept, dropped, parse_failures)`` —
-    the ``extract_turn`` block contract; see module docstring for the
-    per-cell semantics and both degrade paths.
-    """
+
+def _parse_cells(payload: str) -> Tuple[bool, List[_Cell]]:
+    """Shared structural pass for ``extract_notebook`` and the
+    ``notebook_cells`` relation (one definition so the turn extraction
+    and the per-cell relation can never disagree about cell grouping).
+
+    Returns ``(is_notebook, cells)``. Notebook-ness: valid JSON,
+    top-level object, and a cells-array key present — the regex is a
+    cheap structural proxy (an object whose only '\"cells\": ['
+    occurrence is nested parses as a zero-cell notebook; its strings
+    sit under non-("cells", i) paths and are ignored); the path check
+    below remains the only authority on WHICH strings are cell
+    content."""
     ok, strings = parse_json_strings_with_paths(payload)
-    # notebook-ness: valid JSON, top-level object, and a cells-array
-    # key present. The regex is a cheap structural proxy (an object
-    # whose only '"cells": [' occurrence is nested parses as a
-    # zero-cell notebook — its strings sit under non-("cells", i)
-    # paths and are ignored); the path check below remains the only
-    # authority on WHICH strings are cell content.
     is_nb = (
         ok
         and payload.lstrip().startswith("{")
         and _CELLS_KEY.search(payload) is not None
     )
     if not is_nb:
-        clean, spans, kept, dropped = plain_block(payload)
-        return clean, spans, kept, dropped, 1
-
-    # group per cell index, document order
+        return False, []
     cell_type: dict = {}
     cell_src: dict = {}
     cell_span: dict = {}
-    n_output_strings = 0
+    cell_outs: dict = {}
     max_cell = -1
     for val, start, end, path in strings:
         if not (len(path) >= 2 and path[0] == "cells"
@@ -194,34 +194,82 @@ def extract_notebook(
             s0, e0 = cell_span.get(ci, (start, end))
             cell_span[ci] = (min(s0, start), max(e0, end))
         elif rest and rest[0] == "outputs":
-            n_output_strings += 1
+            cell_outs[ci] = cell_outs.get(ci, 0) + 1
+    return True, [
+        (
+            ci,
+            cell_type.get(ci, ""),
+            "".join(cell_src.get(ci, [])),
+            cell_span.get(ci),
+            cell_outs.get(ci, 0),
+        )
+        for ci in range(max_cell + 1)
+    ]
+
+
+def extract_notebook(
+    payload: str,
+) -> Tuple[str, List[Span], int, int, int]:
+    """Extract a notebook payload.
+
+    Returns ``(clean_text, spans, kept, dropped, parse_failures)`` —
+    the ``extract_turn`` block contract; see module docstring for the
+    per-cell semantics and both degrade paths.
+    """
+    is_nb, cells = _parse_cells(payload)
+    if not is_nb:
+        clean, spans, kept, dropped = plain_block(payload)
+        return clean, spans, kept, dropped, 1
 
     out: List[str] = []
     spans: List[Span] = []
     kept = dropped = 0
-    dropped += n_output_strings
-    for ci in range(max_cell + 1):
-        ctype = cell_type.get(ci, "")
-        src = "".join(cell_src.get(ci, []))
+    for _ci, ctype, src, span, n_outs in cells:
+        dropped += n_outs
         if ctype == "markdown":
             md_clean, _md_spans, md_kept, md_dropped = extract_markdown(src)
             kept += md_kept
             dropped += md_dropped
             if md_clean:
                 out.append(md_clean)
-                if ci in cell_span:
-                    s0, e0 = cell_span[ci]
-                    spans.append((s0, e0, "md_cell"))
+                if span is not None:
+                    spans.append((span[0], span[1], "md_cell"))
         elif ctype == "code":
             code = _norm_code(src)
             if code:
                 out.append(code)
                 kept += 1
-                if ci in cell_span:
-                    s0, e0 = cell_span[ci]
-                    spans.append((s0, e0, "code_cell"))
+                if span is not None:
+                    spans.append((span[0], span[1], "code_cell"))
             else:
                 dropped += 1
         else:
             dropped += 1
     return "\n\n".join(out), spans, kept, dropped, 0
+
+
+def notebook_cell_rows(payload: str) -> List[Tuple]:
+    """Per-cell relation rows for one notebook payload: ``(cell_idx,
+    cell_type, text, kept, n_output_strings, span_start, span_end)``.
+    ``text`` is the cell's EXTRACTED text (markdown strip / code
+    normalization — byte-identical to the cell's contribution to
+    ``extract_notebook``'s clean_text); dropped cells (raw, empty code,
+    empty-after-strip markdown) appear with ``kept = 0`` and empty
+    text, so cell census queries see every cell. Non-notebook payloads
+    yield zero rows (the TURN extraction owns the degrade accounting).
+    Span columns are -1 when the cell has no source literal."""
+    is_nb, cells = _parse_cells(payload)
+    if not is_nb:
+        return []
+    rows: List[Tuple] = []
+    for ci, ctype, src, span, n_outs in cells:
+        if ctype == "markdown":
+            text = extract_markdown(src)[0]
+        elif ctype == "code":
+            text = _norm_code(src)
+        else:
+            text = ""
+        kept = 1 if text and ctype in ("markdown", "code") else 0
+        s, e = span if span is not None else (-1, -1)
+        rows.append((ci, ctype, text if kept else "", kept, n_outs, s, e))
+    return rows

@@ -423,6 +423,74 @@ def extract_diffs(
     )
 
 
+NB_CELLS_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("cell_idx", T.IntegerType()),
+        T.StructField("cell_type", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("kept", T.IntegerType()),
+        T.StructField("n_output_strings", T.IntegerType()),
+        T.StructField("span_start", T.IntegerType()),
+        T.StructField("span_end", T.IntegerType()),
+    ]
+)
+
+
+def notebook_cells(
+    transcripts: DataFrame, repartition: int | None = None
+) -> DataFrame:
+    """Structured per-cell relation over notebook-kind turns: one row
+    per .ipynb cell keyed (conv_id, turn_idx, cell_idx) with the cell
+    type, its EXTRACTED text (byte-identical to that cell's
+    contribution to the turn's clean_text — shared _parse_cells /
+    kernel path), a kept flag, the output-string count, and raw span
+    offsets — the notebook analog of the diff hunk-line and log-line
+    relations (cell census, code/markdown ratio, output-volume mining
+    without re-parsing raw JSON).
+
+    Shape: kind filter FIRST (pushed to the scan — non-notebook turns
+    never reach Python), then a shuffle-free Arrow stage; the 1:N cell
+    fan-out happens inside the batch, map-side, bounded by the same
+    MAX_PAYLOAD_CHARS D2 cap as extract_turn. Non-notebook payloads
+    (invalid JSON routed here by a mislabeled tool column) contribute
+    zero rows — the degrade accounting lives on the TURN extraction,
+    not the cell relation."""
+    from ocr_spark.extract.core import MAX_PAYLOAD_CHARS
+    from ocr_spark.extract.notebook import notebook_cell_rows
+
+    df = transcripts.filter(F.col("tool") == "notebook")
+    if repartition:
+        df = df.repartition(repartition, "conv_id", "turn_idx")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "conv_id", "turn_idx", "cell_idx", "cell_type", "text",
+                "kept", "n_output_strings", "span_start", "span_end",
+            )}
+            for cid, tix, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"]
+            ):
+                rows = notebook_cell_rows((text or "")[:MAX_PAYLOAD_CHARS])
+                for ci, ctype, ctext, kept, n_outs, s, e in rows:
+                    out["conv_id"].append(cid)
+                    out["turn_idx"].append(int(tix))
+                    out["cell_idx"].append(ci)
+                    out["cell_type"].append(ctype)
+                    out["text"].append(ctext)
+                    out["kept"].append(kept)
+                    out["n_output_strings"].append(n_outs)
+                    out["span_start"].append(s)
+                    out["span_end"].append(e)
+            yield pd.DataFrame(out)
+
+    return df.select("conv_id", "turn_idx", "text").mapInPandas(
+        batches, schema=NB_CELLS_SCHEMA
+    )
+
+
 def log_lines(extracted: DataFrame) -> DataFrame:
     """Joinable per-line relation over extracted log turns: one row per
     kept line with its severity level and message — the log analog of

@@ -158,3 +158,54 @@ def test_golden_parity_distributed(spark):
         for g in golden_extraction_rows(corpus)
     }
     assert got == want and len(want) > 20
+
+
+def test_notebook_cells_relation_matches_kernel(spark):
+    """notebook_cells rows agree with extract_notebook: kept cells'
+    texts concatenate (in cell order) to the turn's clean_text, spans
+    align, and dropped cells appear with kept=0."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import (
+        TRANSCRIPT_SCHEMA,
+        extract_transcripts,
+        notebook_cells,
+    )
+
+    corpus = gen_transcripts_pdf(6, seed=11, skew_factor=5, tools=["notebook"])
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    cells = notebook_cells(tdf).collect()
+    ext = {
+        (r.conv_id, r.turn_idx): r for r in extract_transcripts(tdf).collect()
+    }
+    texts = {(t.conv_id, t.turn_idx): (t.text or "") for t in corpus.itertuples()}
+
+    per_turn = {}
+    for r in sorted(cells, key=lambda r: (r.conv_id, r.turn_idx, r.cell_idx)):
+        per_turn.setdefault((r.conv_id, r.turn_idx), []).append(r)
+    n_checked = 0
+    for key, rows in per_turn.items():
+        e = ext[key]
+        joined = "\n\n".join(r.text for r in rows if r.kept)
+        assert joined == e.clean_text, key
+        kept_spans = [(r.span_start, r.span_end) for r in rows if r.kept]
+        assert kept_spans == [(s.start, s.end) for s in e.spans], key
+        raw = texts[key]
+        for r in rows:
+            if r.span_start >= 0:
+                assert raw[r.span_start] == '"', key
+        n_checked += 1
+    # degraded turns (invalid JSON) have no cell rows but DO extract
+    degraded = [k for k, e in ext.items() if e.parse_failures == 1
+                and k not in per_turn]
+    assert n_checked > 10 and len(degraded) > 0
+
+
+def test_notebook_cells_is_shuffle_free(spark):
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import TRANSCRIPT_SCHEMA, notebook_cells
+    from ocr_spark.plans import checks
+
+    corpus = gen_transcripts_pdf(4, seed=3, skew_factor=5, tools=["notebook"])
+    tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
+    out = notebook_cells(tdf)
+    assert checks.count_exchanges(out) == 0, checks.formatted_plan(out)[:800]
