@@ -4137,6 +4137,37 @@ def _q_qc_repeat_savings(spark, sf_dir):
     )
 
 
+# blob-scrub fixture: documents text with a planted padded base64 run
+# (ids % 3 = 0), a data-URI payload (ids % 4 = 0), and a 60-char decoy
+# UNDER the 64 threshold (ids % 5 = 0) — repeat() builds the runs on
+# both engines. Pattern shared verbatim with the operator.
+_BLOB_TEXT_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ' || repeat('QWJjZDEyMzQ+/', 6)"
+    " || '==' ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN"
+    " ' data:application/octet-stream;base64,' || repeat('Zm9vYmFy', 12)"
+    " ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ' || repeat('ab12', 15)"
+    " ELSE '' END AS text"
+)
+_BLOB_CORPUS_SQL = f"SELECT doc_id, {_BLOB_TEXT_EXPR} FROM documents"
+
+
+def _q_tx_blob_scrub(spark, sf_dir):
+    """Opaque-blob scrub (text_repair.scrub_blobs): base64 / hex / data-
+    URI runs >= 64 alphabet chars replaced with the [blob] marker, pure
+    codegen regexp projections — vs the same pattern in DuckDB
+    (regexp_replace 'g' + regexp_extract_all count)."""
+    from ocr_spark.operators.text_repair import scrub_blobs
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _BLOB_TEXT_EXPR
+    )
+    out = scrub_blobs(docs, text_col="text")
+    return out.select("doc_id", "text", "n_blobs", "blob_chars")
+
+
 # fork corpus: first 4 turns' text depends only on (conv % 10) — ten
 # fork families of ~10 branches each — then branches diverge (text
 # keyed by conv itself). Canonical = most turns (convs below
@@ -4456,6 +4487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_tool_repeats": _q_qc_tool_repeats,
         "qc_repeat_savings": _q_qc_repeat_savings,
         "dd_fork_groups": _q_dd_fork_groups,
+        "tx_blob_scrub": _q_tx_blob_scrub,
     }
 
 
@@ -8150,4 +8182,19 @@ FROM src s LEFT JOIN per USING (doc_id)
         ),
         "ex_notebook_twin": _NB_TWIN_SQL,
         "ex_nb_cells_twin": _NB_CELLS_TWIN_SQL,
+        "tx_blob_scrub": (
+            f"WITH c AS ({_BLOB_CORPUS_SQL}) "
+            "SELECT doc_id, "
+            "regexp_replace(text, '[A-Za-z0-9+/]{64,}={0,2}', "
+            "'[blob]', 'g') AS text, "
+            "CAST(length(regexp_extract_all(text, "
+            "'[A-Za-z0-9+/]{64,}={0,2}')) AS INT) AS n_blobs, "
+            "CAST(CASE WHEN length(regexp_extract_all(text, "
+            "'[A-Za-z0-9+/]{64,}={0,2}')) > 0 THEN "
+            "length(text) - length(regexp_replace(text, "
+            "'[A-Za-z0-9+/]{64,}={0,2}', '[blob]', 'g')) "
+            "+ 6 * length(regexp_extract_all(text, "
+            "'[A-Za-z0-9+/]{64,}={0,2}')) ELSE 0 END AS BIGINT) "
+            "AS blob_chars FROM c"
+        ),
     }

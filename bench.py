@@ -228,6 +228,7 @@ def main() -> None:
         "qc_tool_repeats",
         "qc_repeat_savings",
         "dd_fork_groups",
+        "tx_blob_scrub",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -52,3 +52,59 @@ def repair_report(
         .withColumn("n_controls", F.col("_rep.n_controls"))
         .drop("_rep")
     )
+
+
+# opaque-blob grammar: >=min_run chars of the base64 alphabet (the hex
+# alphabet is a subset, so hashes/hex dumps match too) with optional
+# padding. 64 unbroken alphabet chars never occur in prose or normal
+# code; what they do occur in — inline images, pickled state, cache
+# keys, wire dumps — is exactly the zero-information payload a
+# training corpus wants gone.
+_BLOB_RE = "[A-Za-z0-9+/]{{{n},}}={{0,2}}"
+BLOB_MARKER = "[blob]"
+
+
+def scrub_blobs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_run: int = 64,
+) -> DataFrame:
+    """Opaque-blob scrub: base64 dumps, hex digests/dumps, data-URI
+    payloads embedded in tool outputs and logs are replaced with the
+    fixed ``[blob]`` marker; per-row audit columns ``n_blobs`` and
+    ``blob_chars`` (chars removed) quantify the cut. A 100 TB agent
+    corpus is routinely 10-30% inline-artifact bytes — screenshots in
+    data URIs, base64 request bodies — that tokenize to noise and
+    poison near-dup signatures (two turns differing only in a PNG
+    re-encode should collide, not diverge).
+
+    Plan: pure whole-stage-codegen projections (regexp_replace +
+    regexp_extract_all + length arithmetic) — zero Python, zero
+    shuffle, composes in front of dedup/quality stages at scan speed.
+    The pattern is shared verbatim with the DuckDB oracle
+    (``tx_blob_scrub``): Java regex and RE2 agree on this grammar
+    (greedy bounded repetition over a character class).
+    """
+    pat = _BLOB_RE.format(n=min_run)
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    # NULL payloads stay NULL — a scrubber must not invent empty strings
+    scrubbed = F.when(
+        F.col(text_col).isNull(), F.lit(None).cast("string")
+    ).otherwise(F.regexp_replace(raw, pat, BLOB_MARKER))
+    n = F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)"))
+    n = F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(n)
+    saved = (
+        F.length(raw) - F.length(scrubbed)
+        + n * F.lit(len(BLOB_MARKER))
+    )
+    return (
+        df.withColumn("_scrubbed", scrubbed)
+        .withColumn("n_blobs", n.cast("int"))
+        .withColumn(
+            "blob_chars",
+            F.when(F.col("n_blobs") > 0, saved).otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(text_col, F.col("_scrubbed"))
+        .drop("_scrubbed")
+    )

@@ -110,3 +110,58 @@ def test_extract_repair_first_equals_composition(spark):
     # ...while the composition pays two
     comp_counts = checks.python_stage_counts(composed)
     assert comp_counts["MapInPandas"] + comp_counts["ArrowEvalPython"] == 2
+
+
+# ---------------------------------------------------------------------------
+# opaque-blob scrub
+
+
+def test_scrub_blobs_markers_counts_and_nulls(spark):
+    from ocr_spark.operators.text_repair import scrub_blobs
+
+    b64 = "aGVsbG8gd29ybGQ" * 5 + "=="     # 77 chars incl. padding
+    hexrun = "deadbeef" * 9                # 72 hex chars (subset alphabet)
+    decoy = "A" * 63                       # below threshold
+    rows = [
+        ("a", f"before {b64} after"),
+        ("b", f"img data:image/png;base64,{b64} hash {hexrun} end"),
+        ("c", f"short {decoy} ok"),
+        ("d", None),
+        ("e", "A" * 64),                   # exactly at threshold
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {r.id: r for r in scrub_blobs(df).collect()}
+    assert out["a"].text == "before [blob] after"
+    assert out["a"].n_blobs == 1
+    assert out["a"].blob_chars == len(b64)  # total blob chars removed
+    assert out["b"].n_blobs == 2
+    assert "base64,[blob]" in out["b"].text and "hash [blob] end" in out["b"].text
+    assert out["c"].n_blobs == 0 and decoy in out["c"].text
+    assert out["d"].text is None and out["d"].n_blobs == 0
+    assert out["e"].text == "[blob]" and out["e"].n_blobs == 1
+
+
+def test_scrub_blobs_is_pure_codegen(spark):
+    from ocr_spark.operators.text_repair import scrub_blobs
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame([("a", "x")], "id string, text string")
+    out = scrub_blobs(df)
+    p = checks.formatted_plan(out)
+    assert checks.count_exchanges(out) == 0
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_scrub_blobs_length_invariant(spark):
+    """len(scrubbed) + blob_chars == len(original) + n_blobs*len(marker):
+    blob_chars counts the BLOB bytes, the marker is what replaced them."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.text_repair import scrub_blobs
+
+    b64 = "QWJjZDEyMzQ+/" * 7
+    rows = [(str(i), f"p{i} {b64 if i % 2 == 0 else 'tiny'} q") for i in range(20)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    orig = {r.id: len(r.text) for r in df.collect()}
+    for r in scrub_blobs(df).collect():
+        assert len(r.text) + r.blob_chars == orig[r.id] + r.n_blobs * 6, r.id
