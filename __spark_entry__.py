@@ -4104,8 +4104,12 @@ def _q_qc_merge_roles(spark, sf_dir):
     from ocr_spark.operators.transcript_qc import merge_consecutive_roles
 
     out = merge_consecutive_roles(_w6_corpus(spark, sf_dir), conv_col="conv")
+    # truncated_n is structurally 0 here (fixture runs are length <= 2,
+    # the guard caps at 10k) — the oracle pins that; the guard itself is
+    # exercised by pytest (test_merge_consecutive_roles_run_cap).
     return out.select(
-        "conv", "turn_idx", "role", "text", "merged_n", "last_turn_idx"
+        "conv", "turn_idx", "role", "text", "merged_n", "truncated_n",
+        "last_turn_idx"
     )
 
 
@@ -8130,6 +8134,7 @@ FROM src s LEFT JOIN per USING (doc_id)
             "string_agg(coalesce(text, ''), chr(10) || chr(10) "
             "ORDER BY turn_idx) AS text, "
             "CAST(count(*) AS INT) AS merged_n, "
+            "CAST(0 AS INT) AS truncated_n, "
             "CAST(max(turn_idx) AS INT) AS last_turn_idx "
             "FROM r GROUP BY conv, run"
         ),

@@ -503,6 +503,7 @@ def merge_consecutive_roles(
     role_col: str = "role",
     text_col: str = "text",
     sep: str = "\n\n",
+    max_run_turns: int = 10_000,
 ) -> DataFrame:
     """Chat normalization: merge maximal runs of consecutive SAME-role
     turns into one turn (text concatenated in turn order). Upstream
@@ -513,7 +514,8 @@ def merge_consecutive_roles(
 
     Returns one row per merged run: ``(conv, turn_idx = first turn of
     the run, role, text = run texts joined by ``sep``, merged_n,
-    last_turn_idx)``; single-turn runs pass through with merged_n = 1.
+    truncated_n, last_turn_idx)``; single-turn runs pass through with
+    merged_n = 1.
 
     Plan: islands-and-gaps — one lag window flags role changes, one
     cumulative-sum window numbers the runs, one groupBy on
@@ -523,8 +525,18 @@ def merge_consecutive_roles(
     operator is ONE shuffle (plan-asserted in tests/test_plans.py).
     Determinism: the run's texts travel as ``struct(turn_idx, text)``
     and are array_sort-ed before the join — collect order never
-    matters. State per group is one run of one conversation, never the
-    conversation list — skew-safe at 10^12 turns.
+    matters.
+
+    Skew guard: per-run aggregation state is bounded at
+    ``max_run_turns`` — a degenerate feed where one conversation is a
+    single million-turn same-role run (a looping agent re-logged
+    per-token, say) would otherwise materialize the whole run in one
+    aggregation buffer AND emit a gigabyte merged text no consumer
+    wants. Turns ranked past the cap within their run are dropped and
+    counted in ``truncated_n`` (the SFT path's max_turns rank-guard
+    discipline, operators/sft.py). The rank runs on the ``(conv, run)``
+    window — a superset of the conv partitioning, so the guard costs a
+    local sort, not an exchange.
 
     Reference analog: the reference merges per-page OCR fragments into
     one document in page order before classification
@@ -542,11 +554,19 @@ def merge_consecutive_roles(
         F.col(text_col),
         F.sum(new_run).over(w).alias("_run"),
     )
+    wr = Window.partitionBy(conv_col, "_run").orderBy(turn_col)
+    wrt = Window.partitionBy(conv_col, "_run")
+    runs = (
+        runs.withColumn("_rank", F.row_number().over(wr))
+        .withColumn("_run_total", F.count(F.lit(1)).over(wrt))
+        .filter(F.col("_rank") <= max_run_turns)
+    )
     merged = runs.groupBy(conv_col, "_run").agg(
         F.min(turn_col).alias(turn_col),
         F.max(turn_col).alias("last_turn_idx"),
         F.first(role_col).alias(role_col),
         F.count(F.lit(1)).cast("int").alias("merged_n"),
+        F.max("_run_total").alias("_rt"),
         F.array_sort(
             F.collect_list(F.struct(F.col(turn_col).alias("i"),
                                     F.col(text_col).alias("t")))
@@ -559,6 +579,7 @@ def merge_consecutive_roles(
         F.array_join(F.expr("transform(_parts, p -> coalesce(p.t, ''))"), sep)
         .alias(text_col),
         "merged_n",
+        (F.col("_rt") - F.col("merged_n")).cast("int").alias("truncated_n"),
         "last_turn_idx",
     )
 

@@ -431,14 +431,14 @@ def test_merge_consecutive_roles_runs_and_nulls(spark):
         "conv_id", "turn_idx"
     )
     rows = [tuple(r) for r in out.collect()]
-    # (conv, first_turn, role, text, merged_n, last_turn)
-    assert rows[0] == ("a", 0, "user", "hello there friend", 1, 0)
+    # (conv, first_turn, role, text, merged_n, truncated_n, last_turn)
+    assert rows[0] == ("a", 0, "user", "hello there friend", 1, 0, 0)
     # NULL mid-run concats as empty, run spans turns 1-3
-    assert rows[1] == ("a", 1, "assistant", "part one\n\n\n\npart three", 3, 3)
+    assert rows[1] == ("a", 1, "assistant", "part one\n\n\n\npart three", 3, 0, 3)
     assert rows[2][0:3] == ("a", 4, "tool") and rows[2][4] == 1
     # tool turns 6-9 are consecutive same-role: one merged run of 4
-    assert rows[4][1] == 6 and rows[4][4] == 4 and rows[4][5] == 9
-    assert rows[-1] == ("b", 0, "assistant", "solo", 1, 0)
+    assert rows[4][1] == 6 and rows[4][4] == 4 and rows[4][6] == 9
+    assert rows[-1] == ("b", 0, "assistant", "solo", 1, 0, 0)
     # reconstruction invariant: merged turn counts cover every input row
     total = sum(r[4] for r in rows)
     assert total == _w6_frame(spark).count()
@@ -513,3 +513,22 @@ def test_tool_repeat_savings_is_two_level_agg(spark):
     # and both exchanges carry partial-aggregated rows
     assert "Window" not in p, p[:1200]
     assert checks.count_exchanges(out) == 2, p[:1200]
+
+
+def test_merge_consecutive_roles_run_cap(spark):
+    """The max_run_turns skew guard: a degenerate single-run
+    conversation keeps the first N turns, counts the rest."""
+    from ocr_spark.operators.transcript_qc import merge_consecutive_roles
+
+    rows = [("g", i, "assistant", f"t{i}") for i in range(12)] + [
+        ("g", 12, "user", "after"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = merge_consecutive_roles(df, max_run_turns=5).orderBy("turn_idx")
+    got = [tuple(r) for r in out.collect()]
+    assert got[0] == (
+        "g", 0, "assistant", "t0\n\nt1\n\nt2\n\nt3\n\nt4", 5, 7, 4
+    )
+    assert got[1] == ("g", 12, "user", "after", 1, 0, 12)
