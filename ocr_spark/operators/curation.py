@@ -346,6 +346,7 @@ def curate_transcripts(
     min_truncation_len: int = 40,
     templates: DataFrame = None,
     drop_failed: bool = False,
+    scrub_blob_runs: bool = False,
 ) -> DataFrame:
     """The conversation-level data-prep front-end as ONE leakage-safe
     composition — the chat analog of ``curate_corpus``:
@@ -394,6 +395,20 @@ def curate_transcripts(
     a second consumer of the window chain would execute repair+collapse
     twice — the pre-mined table keeps the composition single-consumer
     (a broadcast join never re-executes its probe side).
+
+    ``scrub_blob_runs``: opt-in ``text_repair.scrub_blobs`` as stage 0
+    — base64/hex/data-URI runs become fixed ``[blob]`` markers BEFORE
+    retry collapse or anything else reads the text. Ordering rationale:
+    two retries differing only in an inline artifact re-encode should
+    collapse (marker-identical after the scrub, byte-different before),
+    and blob bytes must not count against the token budget. Pure
+    codegen projection: adds zero exchanges to the chain (the audit
+    columns are dropped; run the standalone operator for the report).
+
+    ``collapse_tool_repeats`` is deliberately NOT a flag here: its
+    (conv, fingerprint) window needs a different partitioning than this
+    chain's conversation key (one extra exchange), so it composes
+    upstream as a standalone stage when wanted.
     """
     from pyspark.sql import Window
     from ocr_spark.operators.transcript_qc import (
@@ -403,6 +418,12 @@ def curate_transcripts(
         truncation_flag,
     )
 
+    if scrub_blob_runs:
+        from ocr_spark.operators.text_repair import scrub_blobs
+
+        df = scrub_blobs(df, text_col=text_col).drop(
+            "n_blobs", "blob_chars"
+        )
     repaired = repair_turn_order(
         df, conv_col=conv_col, turn_col=turn_col, ts_col=ts_col
     )

@@ -466,3 +466,42 @@ def test_curate_transcripts_drop_failed_judges_repaired_order(spark):
     assert {r["conv_id"] for r in out} == {"c"}
     final = max(out, key=lambda r: r["new_turn_idx"])
     assert final["text"] == "recovered, deploy finished."
+
+
+def test_curate_transcripts_scrub_blob_stage(spark):
+    """scrub_blob_runs=True: blobs become markers BEFORE retry collapse,
+    so two retries differing only in an inline artifact re-encode
+    collapse; the chain stays exchange-lean (no new shuffle)."""
+    from ocr_spark.operators.curation import curate_transcripts
+    from ocr_spark.plans import checks
+
+    b1 = "QWJjZDEyMzQ+/" * 7
+    b2 = "WkxNT3BxcnN0/+" * 7
+    ts = __import__("datetime").datetime(2024, 1, 1)
+
+    def t(c, i, r, x):
+        return (c, i, r, x, None, ts)
+
+    rows = [
+        t("a", 0, "user", "please plot it"),
+        # same prose, different base64 payload: identical after scrub
+        t("a", 1, "assistant", f"here is the chart {b1} done."),
+        t("a", 2, "assistant", f"here is the chart {b2} done."),
+        t("a", 3, "user", "thanks"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    out = curate_transcripts(df, scrub_blob_runs=True)
+    got = [tuple(r) for r in out.orderBy("new_turn_idx").collect()]
+    texts = [g[3] for g in got]
+    # the two assistant retries collapsed to ONE marker-bearing turn
+    assert sum("here is the chart [blob] done." == x for x in texts) == 1
+    assert len(got) == 3
+    # without the scrub the byte-different payloads do NOT collapse
+    raw = curate_transcripts(df, scrub_blob_runs=False)
+    assert raw.count() == 4
+    # plan: same exchange count with and without the stage
+    assert checks.count_exchanges(out) == checks.count_exchanges(raw)
