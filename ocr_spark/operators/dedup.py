@@ -1363,10 +1363,35 @@ def conversation_fork_groups(
     Two shuffles total: one row-level with map-side partial
     aggregation, one over the small conv-level frame.
     """
-    convs = (
-        df.groupBy(conv_col)
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_turns"),
+    return finalize_fork_groups(
+        fork_prefix_partial(
+            df, conv_col, turn_col, role_col, text_col, prefix_turns
+        ),
+        conv_col=conv_col,
+    )
+
+
+def fork_prefix_partial(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prefix_turns: int = 4,
+) -> DataFrame:
+    """The MERGEABLE partial for fork detection: one row per
+    conversation with ``pre`` (the first ``prefix_turns`` turns as
+    sorted (i, r, t) structs) and ``n_turns``. Mergeable across
+    micro-batches / shards / days — a conversation's turns may split
+    across batches, and ``merge_fork_partials`` recovers exactly the
+    whole-corpus partial (prefix structs union+sort+slice to the true
+    first k; counts sum; batches are disjoint turn sets, the
+    template_pairs mergeability contract). ``finalize_fork_groups``
+    turns the state into the fork-group table at any point — the
+    streaming-maintenance hook, O(|convs|) not O(|turns|)."""
+    return df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.slice(
             F.array_sort(
                 F.collect_list(
                     F.when(
@@ -1378,21 +1403,53 @@ def conversation_fork_groups(
                         ),
                     )
                 )
-            ).alias("_pre"),
+            ),
+            1,
+            prefix_turns,
+        ).alias("pre"),
+    )
+
+
+def merge_fork_partials(
+    a: DataFrame, b: DataFrame, prefix_turns: int = 4,
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Merge two fork partials into the partial of the combined corpus:
+    union, flatten the prefix candidates, re-sort by turn index, keep
+    the true first ``prefix_turns``, sum the counts. Associative and
+    commutative, so day-over-day maintenance folds left."""
+    return (
+        a.unionByName(b)
+        .groupBy(conv_col)
+        .agg(
+            F.sum("n_turns").cast("long").alias("n_turns"),
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("pre"))),
+                1,
+                prefix_turns,
+            ).alias("pre"),
         )
-        .select(
-            conv_col,
-            "n_turns",
-            F.md5(
-                F.array_join(
-                    F.expr(
-                        "transform(_pre, p -> concat(p.r, chr(31), "
-                        "coalesce(p.t, ''), chr(30)))"
-                    ),
-                    "",
-                )
-            ).alias("fork_sig"),
-        )
+    )
+
+
+def finalize_fork_groups(
+    partial: DataFrame, conv_col: str = "conv_id"
+) -> DataFrame:
+    """Threshold query over the fork partial: signature from the prefix
+    structs, conversation-cardinality window, groups of >= 2 — the
+    ``conversation_fork_groups`` output contract."""
+    convs = partial.select(
+        conv_col,
+        F.col("n_turns").cast("int").alias("n_turns"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(pre, p -> concat(p.r, chr(31), "
+                    "coalesce(p.t, ''), chr(30)))"
+                ),
+                "",
+            )
+        ).alias("fork_sig"),
     )
     wg = Window.partitionBy("fork_sig")
     wr = Window.partitionBy("fork_sig").orderBy(

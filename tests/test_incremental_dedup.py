@@ -256,3 +256,87 @@ def test_fork_groups_plan_two_shuffles(spark):
     out = conversation_fork_groups(_fork_frame(spark))
     # one row-level conv groupBy (partial-agg) + one conv-level sig window
     assert checks.count_exchanges(out) == 2, checks.formatted_plan(out)[:1200]
+
+
+def test_fork_partial_merge_equals_whole(spark):
+    """fork_prefix_partial is mergeable: partials of two arbitrary
+    turn-level splits, merged, finalize to exactly the one-shot fork
+    groups — even when a conversation's PREFIX straddles the split."""
+    from ocr_spark.operators.dedup import (
+        conversation_fork_groups,
+        finalize_fork_groups,
+        fork_prefix_partial,
+        merge_fork_partials,
+    )
+
+    df = _fork_frame(spark)
+    # split INSIDE prefixes: even turn indexes left, odd right
+    a = fork_prefix_partial(df.filter("turn_idx % 2 = 0"), prefix_turns=2)
+    b = fork_prefix_partial(df.filter("turn_idx % 2 = 1"), prefix_turns=2)
+    merged = merge_fork_partials(a, b, prefix_turns=2)
+    got = sorted(
+        map(tuple, finalize_fork_groups(merged).collect())
+    )
+    want = sorted(
+        map(tuple, conversation_fork_groups(df, prefix_turns=2).collect())
+    )
+    assert got == want and len(want) == 5
+
+
+def test_fork_partial_streaming_maintenance(spark, tmp_path):
+    """Day-over-day maintenance: micro-batch partials folded with
+    merge_fork_partials; finalize over the state equals the batch
+    operator on the full corpus (the template-mining parity pattern)."""
+    import os
+
+    from ocr_spark.operators.dedup import (
+        conversation_fork_groups,
+        finalize_fork_groups,
+        fork_prefix_partial,
+        merge_fork_partials,
+    )
+
+    df = _fork_frame(spark)
+    schema = "conv_id string, turn_idx int, role string, text string"
+    src = str(tmp_path / "fk_src")
+    df.filter("turn_idx < 1").coalesce(1).write.parquet(src)
+    df.filter("turn_idx >= 1").coalesce(1).write.mode("append").parquet(src)
+
+    state = str(tmp_path / "fk_state")
+
+    def merge_batch(batch_df, batch_id):
+        part = fork_prefix_partial(batch_df, prefix_turns=2)
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            prev = batch_df.sparkSession.read.parquet(state)
+            part = merge_fork_partials(prev, part, prefix_turns=2)
+        part.write.mode("overwrite").parquet(state + ".tmp")
+        batch_df.sparkSession.read.parquet(state + ".tmp").write.mode(
+            "overwrite"
+        ).parquet(state)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "fk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(
+            tuple,
+            finalize_fork_groups(spark.read.parquet(state)).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            conversation_fork_groups(
+                spark.read.parquet(src), prefix_turns=2
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) == 5
