@@ -4172,6 +4172,33 @@ def _q_tx_blob_scrub(spark, sf_dir):
     return out.select("doc_id", "text", "n_blobs", "blob_chars")
 
 
+# frequency-cap fixture: ~half the docs collapse into 6 duplicate
+# groups (case/whitespace variants normalize to one fingerprint);
+# cap = 3 keeps the three lowest ids per group with the TRUE pre-cap
+# dup_count carried for mixture weighting.
+_CAP_TEXT_EXPR = (
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'duplicate payload number ' || CAST(doc_id % 6 AS STRING) "
+    "WHEN doc_id % 4 = 1 THEN "
+    "upper('duplicate  payload   number ' || CAST(doc_id % 6 AS STRING)) "
+    "ELSE text END AS text"
+)
+
+
+def _q_dd_cap_duplicates(spark, sf_dir):
+    """Frequency capping (dedup.cap_duplicates): at most 3 copies per
+    exact-fingerprint group, lowest ids first, full pre-cap dup_count
+    kept — one ranking window on the fingerprint key, vs the same
+    md5-fingerprint window in DuckDB."""
+    from ocr_spark.operators.dedup import cap_duplicates
+
+    docs = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", _CAP_TEXT_EXPR
+    )
+    out = cap_duplicates(docs, max_copies=3)
+    return out.select("doc_id", "text", "copy_rank", "dup_count")
+
+
 # fork corpus: first 4 turns' text depends only on (conv % 10) — ten
 # fork families of ~10 branches each — then branches diverge (text
 # keyed by conv itself). Canonical = most turns (convs below
@@ -4492,6 +4519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_repeat_savings": _q_qc_repeat_savings,
         "dd_fork_groups": _q_dd_fork_groups,
         "tx_blob_scrub": _q_tx_blob_scrub,
+        "dd_cap_duplicates": _q_dd_cap_duplicates,
     }
 
 
@@ -8201,5 +8229,17 @@ FROM src s LEFT JOIN per USING (doc_id)
             "+ 6 * length(regexp_extract_all(text, "
             "'[A-Za-z0-9+/]{64,}={0,2}')) ELSE 0 END AS BIGINT) "
             "AS blob_chars FROM c"
+        ),
+        "dd_cap_duplicates": (
+            f"WITH c AS (SELECT doc_id, {_CAP_TEXT_EXPR} FROM documents), "
+            "f AS (SELECT *, md5(lower(trim(regexp_replace(text, "
+            "'\\s+', ' ', 'g')))) AS fp FROM c), "
+            "r AS (SELECT doc_id, text, "
+            "CAST(row_number() OVER (PARTITION BY fp ORDER BY doc_id) "
+            "AS INT) AS copy_rank, "
+            "CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count "
+            "FROM f) "
+            "SELECT doc_id, text, copy_rank, dup_count FROM r "
+            "WHERE copy_rank <= 3"
         ),
     }

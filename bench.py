@@ -229,6 +229,7 @@ def main() -> None:
         "qc_repeat_savings",
         "dd_fork_groups",
         "tx_blob_scrub",
+        "dd_cap_duplicates",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1465,3 +1465,42 @@ def finalize_fork_groups(
         )
         .filter(F.col("group_size") >= 2)
     )
+
+
+def cap_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_copies: int = 3,
+) -> DataFrame:
+    """Frequency capping: keep at most ``max_copies`` rows per exact
+    duplicate group (normalized-text fingerprint), lowest ids first.
+    Between dedup-to-1 and no-dedup lies the empirically-grounded
+    middle ground (duplication count correlates with document utility
+    up to a point — boilerplate appears millions of times, a good
+    document a handful): capping preserves natural frequency signal
+    while bounding the memorization surface.
+
+    Returns surviving rows plus ``copy_rank`` (1-based, deterministic
+    by id) and ``dup_count`` (the group's FULL pre-cap size, so
+    downstream mixture weighting can see the true frequency).
+
+    Plan: one ranking window on the fingerprint key — same single
+    shuffle as ``exact_dedup``; the count rides the same window, no
+    second aggregation. Skew: a pathological fingerprint with 10^8
+    copies makes one hot partition — the same exposure as exact_dedup's
+    groupBy, and AQE skew-join splitting does not apply to windows, so
+    the documented relaxation for planet-scale boilerplate keys is to
+    pre-filter the handful of mega-frequency fingerprints (they are,
+    by definition, the ones a count query finds instantly) into the
+    drop set before ranking."""
+    fp = fingerprint(F.col(text_col))
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    wc = Window.partitionBy("_fp")
+    return (
+        df.withColumn("_fp", fp)
+        .withColumn("copy_rank", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("copy_rank") <= max_copies)
+        .drop("_fp")
+    )

@@ -944,3 +944,29 @@ def test_lsh_recall_report_arithmetic_and_sample_gate(spark):
     )
     r2 = lsh_recall_report(lone, threshold=0.9999).collect()[0]
     assert r2["n_exact"] == 0 and r2["recall_ppm"] == 1_000_000
+
+
+def test_cap_duplicates_keeps_k_lowest_with_true_counts(spark):
+    from ocr_spark.operators.dedup import cap_duplicates
+
+    rows = (
+        [(i, "same   Payload HERE") for i in range(10, 15)]     # 5 copies
+        + [(i, "same payload here") for i in range(3)]           # 3 more (norm-equal)
+        + [(99, "unique document")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = cap_duplicates(df, max_copies=3).orderBy("doc_id").collect()
+    kept = [(r.doc_id, r.copy_rank, r.dup_count) for r in out]
+    # 8 normalized-equal copies -> keep ids 0,1,2 with dup_count 8
+    assert kept == [
+        (0, 1, 8), (1, 2, 8), (2, 3, 8), (99, 1, 1),
+    ]
+
+
+def test_cap_duplicates_one_exchange(spark):
+    from ocr_spark.operators.dedup import cap_duplicates
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    out = cap_duplicates(df)
+    assert checks.count_exchanges(out) == 1, checks.formatted_plan(out)[:800]
