@@ -4199,6 +4199,38 @@ def _q_dd_cap_duplicates(spark, sf_dir):
     return out.select("doc_id", "text", "copy_rank", "dup_count")
 
 
+# needle-in-a-haystack fixture: three fixed needle sentences spliced at
+# doc_id-determined depths; the twin replays the splice AND the grader
+# (strpos re-location) closed-form in DuckDB.
+_NEEDLES = [
+    (0, "NEEDLE ALPHA FACT 0."),
+    (1, "NEEDLE BRAVO FACT 1."),
+    (2, "NEEDLE CHARLIE FACT 2."),
+]
+
+
+def _q_ev_needle_insert(spark, sf_dir):
+    """Long-context needle-insertion eval prep (training.insert_needles
+    + verify_needles): deterministic needle choice and char-depth
+    splice, broadcast-joined ground truth, codegen re-location grader —
+    vs the same splice+strpos algebra in DuckDB."""
+    from ocr_spark.operators.training import insert_needles, verify_needles
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    needles = spark.createDataFrame(_NEEDLES, ["needle_id", "needle_text"])
+    sp = insert_needles(docs, needles, depth_levels=10)
+    v = verify_needles(sp, needles)
+    return v.select(
+        "doc_id",
+        "needle_id",
+        "insert_pos",
+        "depth_pct",
+        "found_pos",
+        "pos_match",
+        F.length("text").cast("int").alias("out_len"),
+    )
+
+
 # fork corpus: first 4 turns' text depends only on (conv % 10) — ten
 # fork families of ~10 branches each — then branches diverge (text
 # keyed by conv itself). Canonical = most turns (convs below
@@ -4520,6 +4552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_fork_groups": _q_dd_fork_groups,
         "tx_blob_scrub": _q_tx_blob_scrub,
         "dd_cap_duplicates": _q_dd_cap_duplicates,
+        "ev_needle_insert": _q_ev_needle_insert,
     }
 
 
@@ -8241,5 +8274,25 @@ FROM src s LEFT JOIN per USING (doc_id)
             "FROM f) "
             "SELECT doc_id, text, copy_rank, dup_count FROM r "
             "WHERE copy_rank <= 3"
+        ),
+        "ev_needle_insert": (
+            "WITH d AS (SELECT doc_id, coalesce(text, '') AS text "
+            "FROM documents), "
+            "n AS (SELECT * FROM (VALUES (0, 'NEEDLE ALPHA FACT 0.'), (1, 'NEEDLE BRAVO FACT 1.'), (2, 'NEEDLE CHARLIE FACT 2.')) "
+            "AS t(needle_id, needle_text)), "
+            "j AS (SELECT doc_id, text, needle_id, needle_text, "
+            "CAST(floor(length(text) * (doc_id % 10) / 10) AS INT) AS p "
+            "FROM d JOIN n ON doc_id % 3 = needle_id), "
+            "s AS (SELECT doc_id, needle_id, CAST(p + 2 AS INT) "
+            "AS insert_pos, CAST((doc_id % 10) * 100 / 10 AS INT) "
+            "AS depth_pct, substr(text, 1, p) || ' ' || needle_text "
+            "|| ' ' || substr(text, p + 1) AS out_text, needle_text "
+            "FROM j) "
+            "SELECT doc_id, CAST(needle_id AS BIGINT) AS needle_id, "
+            "insert_pos, depth_pct, "
+            "CAST(strpos(out_text, needle_text) AS INT) AS found_pos, "
+            "CAST(CASE WHEN strpos(out_text, needle_text) = insert_pos "
+            "THEN 1 ELSE 0 END AS INT) AS pos_match, "
+            "CAST(length(out_text) AS INT) AS out_len FROM s"
         ),
     }

@@ -230,6 +230,7 @@ def main() -> None:
         "dd_fork_groups",
         "tx_blob_scrub",
         "dd_cap_duplicates",
+        "ev_needle_insert",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

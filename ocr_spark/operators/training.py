@@ -1263,3 +1263,94 @@ SELECT {id_col},
        len(fg) = 0 AS keep
 FROM fl
 """
+
+
+def insert_needles(
+    docs: DataFrame,
+    needles: DataFrame,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    needle_id_col: str = "needle_id",
+    needle_text_col: str = "needle_text",
+    depth_levels: int = 10,
+) -> DataFrame:
+    """Long-context eval prep (needle-in-a-haystack): deterministically
+    splice one needle sentence into each document at a controlled depth,
+    emitting the ground truth a retrieval eval needs. Needle choice
+    (``doc_id % |needles|``) and depth (``(doc_id % depth_levels) /
+    depth_levels`` of the char length) are pure functions of the doc id
+    — re-runs, engines, and graders agree without storing state.
+
+    Output: input columns with ``text`` = spliced document plus
+    ``needle_id``, ``insert_pos`` (char offset of the needle's first
+    char, AFTER the space that separates it), ``depth_pct`` (int,
+    0..depth_levels-1 scaled to percent). The needle rides between
+    single spaces so tokenizers see clean boundaries.
+
+    Plan: the needle table is eval-sized by definition — broadcast
+    join on the modular key, then pure codegen splice (substr/concat/
+    length). Zero corpus shuffle; at 100 TB the cost is the scan.
+    """
+    n = needles.count()
+    if n == 0:
+        raise ValueError("needles table is empty")
+    key = (F.col(doc_id_col) % F.lit(n)).cast("long")
+    nd = F.broadcast(
+        needles.select(
+            F.col(needle_id_col).cast("long").alias("_nkey"),
+            F.col(needle_text_col).alias("_ntext"),
+        )
+    )
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    depth = (F.col(doc_id_col) % F.lit(depth_levels)).cast("long")
+    pos = F.floor(F.length(raw) * depth / F.lit(depth_levels)).cast("int")
+    out = (
+        docs.withColumn("_nkeyd", key)
+        .join(nd, F.col("_nkeyd") == F.col("_nkey"), "left")
+        .withColumn("_pos", pos)
+    )
+    spliced = F.concat(
+        F.expr(f"substring(coalesce({text_col}, ''), 1, _pos)"),
+        F.lit(" "),
+        F.col("_ntext"),
+        F.lit(" "),
+        F.expr(f"substring(coalesce({text_col}, ''), _pos + 1)"),
+    )
+    return (
+        out.withColumn("_spliced", spliced)
+        .select(
+            *[c for c in docs.columns if c != text_col],
+            F.col("_spliced").alias(text_col),
+            F.col("_nkey").cast("long").alias("needle_id"),
+            (F.col("_pos") + 2).cast("int").alias("insert_pos"),
+            (depth * 100 / F.lit(depth_levels)).cast("int").alias("depth_pct"),
+        )
+    )
+
+
+def verify_needles(
+    spliced: DataFrame,
+    needles: DataFrame,
+    text_col: str = "text",
+    needle_text_col: str = "needle_text",
+) -> DataFrame:
+    """The grader half of the needle eval data: re-locate each row's
+    needle in the spliced text (codegen ``instr``) and compare with the
+    recorded ground truth. Returns per-row ``found_pos`` and
+    ``pos_match`` — a corpus whose ``pos_match`` is not uniformly 1 has
+    a broken splice or a needle colliding with natural text (needles
+    must be unique strings; collisions surface here, not in the eval).
+    Broadcast join on needle_id; zero corpus shuffle."""
+    nd = F.broadcast(
+        needles.select(
+            F.col("needle_id").cast("long").alias("needle_id"),
+            F.col(needle_text_col).alias("_ntext"),
+        )
+    )
+    out = spliced.join(nd, "needle_id", "left")
+    found = F.instr(F.col(text_col), F.col("_ntext"))
+    return out.select(
+        *[c for c in spliced.columns],
+        found.cast("int").alias("found_pos"),
+        (found == F.col("insert_pos")).cast("int").alias("pos_match"),
+    ).drop("_ntext")

@@ -762,3 +762,53 @@ def test_lexicon_flags_rejects_empty_lexicon(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         lexicon_flags(df, [])
+
+
+# ---------------------------------------------------------------------------
+# needle insertion (long-context eval prep)
+
+
+def test_insert_needles_deterministic_depths_and_roundtrip(spark):
+    from ocr_spark.operators.training import insert_needles, verify_needles
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 40 + "end.") for i in range(12)], ["doc_id", "text"]
+    )
+    needles = spark.createDataFrame(
+        [(0, "XX SECRET ALPHA XX."), (1, "XX SECRET BRAVO XX.")],
+        ["needle_id", "needle_text"],
+    )
+    v = verify_needles(insert_needles(docs, needles, depth_levels=4), needles)
+    rows = {r.doc_id: r for r in v.collect()}
+    assert all(r.pos_match == 1 for r in rows.values())
+    assert rows[0].needle_id == 0 and rows[1].needle_id == 1
+    # depth cycles with doc_id % 4
+    assert [rows[i].depth_pct for i in range(4)] == [0, 25, 50, 75]
+    # splice preserves every original char (needle + 2 spaces added)
+    base = len("word " * 40 + "end.")
+    for r in rows.values():
+        needle_len = 19
+        assert len(r.text) == base + needle_len + 2
+
+
+def test_insert_needles_broadcast_no_corpus_shuffle(spark):
+    from ocr_spark.operators.training import insert_needles
+    from ocr_spark.plans import checks
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    needles = spark.createDataFrame([(0, "N.")], ["needle_id", "needle_text"])
+    out = insert_needles(docs, needles)
+    p = checks.formatted_plan(out)
+    assert "BroadcastHashJoin" in p
+    assert checks.count_exchanges(out) == 0, p[:800]
+
+
+def test_insert_needles_empty_needles_raises(spark):
+    import pytest
+
+    from ocr_spark.operators.training import insert_needles
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "needle_id long, needle_text string")
+    with pytest.raises(ValueError):
+        insert_needles(docs, empty)
