@@ -347,6 +347,7 @@ def curate_transcripts(
     templates: DataFrame = None,
     drop_failed: bool = False,
     scrub_blob_runs: bool = False,
+    fork_groups: DataFrame = None,
 ) -> DataFrame:
     """The conversation-level data-prep front-end as ONE leakage-safe
     composition — the chat analog of ``curate_corpus``:
@@ -409,6 +410,15 @@ def curate_transcripts(
     (conv, fingerprint) window needs a different partitioning than this
     chain's conversation key (one extra exchange), so it composes
     upstream as a standalone stage when wanted.
+
+    ``fork_groups``: an optional PRE-COMPUTED fork-group table
+    (``dedup.conversation_fork_groups`` / ``finalize_fork_groups`` over
+    the raw corpus — conversation-cardinality by construction). When
+    given, non-canonical branches (``is_canonical = 0``) are dropped
+    up front via a broadcast LEFT ANTI join on the conversation key —
+    resampled siblings never reach repair/collapse/packing. Same
+    pre-computed-table discipline as ``templates``: computing forks in
+    here would add a second consumer of the input frame.
     """
     from pyspark.sql import Window
     from ocr_spark.operators.transcript_qc import (
@@ -418,6 +428,15 @@ def curate_transcripts(
         truncation_flag,
     )
 
+    if fork_groups is not None:
+        siblings = F.broadcast(
+            fork_groups.filter(F.col("is_canonical") == 0).select(
+                F.col(conv_col).alias("_fork_conv")
+            )
+        )
+        df = df.join(
+            siblings, df[conv_col] == siblings["_fork_conv"], "left_anti"
+        )
     if scrub_blob_runs:
         from ocr_spark.operators.text_repair import scrub_blobs
 

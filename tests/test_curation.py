@@ -505,3 +505,41 @@ def test_curate_transcripts_scrub_blob_stage(spark):
     assert raw.count() == 4
     # plan: same exchange count with and without the stage
     assert checks.count_exchanges(out) == checks.count_exchanges(raw)
+
+
+def test_curate_transcripts_fork_sibling_drop(spark):
+    """fork_groups=<pre-computed table>: non-canonical branches are
+    anti-joined out (broadcast, conversation-cardinality) before any
+    window work; canonical branches and unforked convs survive."""
+    from ocr_spark.operators.curation import curate_transcripts
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.plans import checks
+
+    ts = __import__("datetime").datetime(2024, 1, 1)
+    opening = [("user", "run the job please."), ("assistant", "starting now.")]
+
+    def conv(cid, extra):
+        turns = opening + extra
+        return [
+            (cid, i, r, x, None, ts) for i, (r, x) in enumerate(turns)
+        ]
+
+    rows = (
+        conv("f1", [("assistant", "done, four steps passed.")])  # canonical (longest)
+        + conv("f2", [])                                         # sibling
+        + [  # u1: its own opening — must not group with f1/f2
+            ("u1", 0, "user", "unrelated opening.", None, ts),
+            ("u1", 1, "assistant", "sure.", None, ts),
+        ]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    forks = conversation_fork_groups(df, prefix_turns=2)
+    out = curate_transcripts(df, fork_groups=forks)
+    convs = {r.conv_id for r in out.select("conv_id").distinct().collect()}
+    assert convs == {"f1", "u1"}
+    p = checks.formatted_plan(out)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p

@@ -209,3 +209,40 @@ def test_notebook_cells_is_shuffle_free(spark):
     tdf = spark.createDataFrame(corpus, schema=TRANSCRIPT_SCHEMA)
     out = notebook_cells(tdf)
     assert checks.count_exchanges(out) == 0, checks.formatted_plan(out)[:800]
+
+
+def test_path_walker_matches_flat_parser_property():
+    """Property (hypothesis): on any json.dumps payload the notebook
+    walker collects exactly the flat parser's (value, start, end)
+    triples in the same order — the path annotation adds structure
+    without changing WHAT is collected."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ocr_spark.extract.json_payload import parse_json_strings
+
+    values = st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(-10**6, 10**6)
+        | st.floats(allow_nan=False, allow_infinity=False, width=32)
+        | st.text(max_size=12),
+        lambda ch: st.lists(ch, max_size=4)
+        | st.dictionaries(st.text(max_size=6), ch, max_size=4),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(values)
+    def check(v):
+        payload = _json.dumps(v)
+        ok_a, flat = parse_json_strings(payload)
+        ok_b, pathy = parse_json_strings_with_paths(payload)
+        assert ok_a == ok_b
+        assert [(s, a, b) for s, a, b in flat] == [
+            (s, a, b) for s, a, b, _p in pathy
+        ]
+
+    check()
