@@ -120,3 +120,46 @@ def test_null_text_presence_not_misread_as_added(spark):
                                 ["doc_id", "text"])
     out = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert out == {1: "changed"}  # 2 unchanged, 3 NULL==NULL unchanged
+
+
+def test_extract_incremental_equals_full(spark):
+    """The production loop: delta extraction + keyed merge over the v1
+    extraction equals a full v2 re-extraction, and the Python stage
+    sees ONLY the delta rows."""
+    from ocr_spark.data.generate import gen_transcripts_pdf
+    from ocr_spark.pipeline import (
+        TRANSCRIPT_SCHEMA,
+        extract_incremental,
+        extract_transcripts,
+    )
+
+    v1_pdf = gen_transcripts_pdf(10, seed=21, skew_factor=5)
+    v1 = spark.createDataFrame(v1_pdf, schema=TRANSCRIPT_SCHEMA)
+    # v2: edit two turns' text, re-tag one turn's kind, add one turn
+    v2_pdf = v1_pdf.copy()
+    mask = (v2_pdf["turn_idx"] == 1)
+    idx = v2_pdf[mask].index[:2]
+    v2_pdf.loc[idx, "text"] = "edited payload line one"
+    retag = v2_pdf[v2_pdf["turn_idx"] == 0].index[:1]
+    v2_pdf.loc[retag, "tool"] = "markdown"
+    import pandas as pd
+
+    new_row = v2_pdf.iloc[[0]].copy()
+    new_row["conv_id"] = "conv-new"
+    new_row["turn_idx"] = 0
+    v2_pdf = pd.concat([v2_pdf, new_row], ignore_index=True)
+    v2 = spark.createDataFrame(v2_pdf, schema=TRANSCRIPT_SCHEMA)
+
+    delta = extract_incremental(v1, v2)
+    got_delta = delta.collect()
+    # exactly the 4 touched turns re-extracted
+    assert len(got_delta) == 4
+
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    full_v2 = {key(r): r["clean_text"]
+               for r in extract_transcripts(v2).collect()}
+    v1_ext = {key(r): r["clean_text"]
+              for r in extract_transcripts(v1).collect()}
+    merged = dict(v1_ext)
+    merged.update({key(r): r["clean_text"] for r in got_delta})
+    assert merged == full_v2
