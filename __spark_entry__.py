@@ -8233,8 +8233,9 @@ FROM src s LEFT JOIN per USING (doc_id)
         "dd_fork_groups": (
             f"WITH c AS ({_FORK_CORPUS_SQL}), "
             "a AS (SELECT conv, CAST(count(*) AS INT) AS n_turns, "
-            "md5(string_agg(role || chr(31) || coalesce(text, '') "
-            "|| chr(30), '' ORDER BY turn_idx) "
+            "md5(string_agg(coalesce(role, '') || chr(31) "
+            "|| CAST(length(coalesce(text, '')) AS STRING) || chr(31) "
+            "|| coalesce(text, '') || chr(30), '' ORDER BY turn_idx) "
             "FILTER (WHERE turn_idx < 4)) AS fork_sig "
             "FROM c GROUP BY conv), "
             "g AS (SELECT conv, fork_sig, n_turns, "
@@ -8265,8 +8266,10 @@ FROM src s LEFT JOIN per USING (doc_id)
         ),
         "dd_cap_duplicates": (
             f"WITH c AS (SELECT doc_id, {_CAP_TEXT_EXPR} FROM documents), "
-            "f AS (SELECT *, md5(lower(trim(regexp_replace(text, "
-            "'\\s+', ' ', 'g')))) AS fp FROM c), "
+            "f AS (SELECT *, CASE WHEN text IS NULL THEN "
+            "'u' || CAST(doc_id AS STRING) ELSE "
+            "md5(lower(trim(regexp_replace(text, "
+            "'\\s+', ' ', 'g')))) END AS fp FROM c), "
             "r AS (SELECT doc_id, text, "
             "CAST(row_number() OVER (PARTITION BY fp ORDER BY doc_id) "
             "AS INT) AS copy_rank, "

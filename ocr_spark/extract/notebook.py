@@ -64,8 +64,6 @@ Span = Tuple[int, int, str]
 # (value, start, end, path) — path elements are str keys / int indexes
 _PStr = Tuple[str, int, int, Tuple]
 
-_CELLS_KEY = re.compile(r'"cells"\s*:\s*\[')
-
 
 def _parse_value_p(
     s: str, i: int, strings: List[_PStr], path: Tuple
@@ -135,6 +133,106 @@ def parse_json_strings_with_paths(payload: str):
     return True, strings
 
 
+def _skip_value_span(s: str, i: int):
+    """Index just past the JSON value starting at ``i`` (payload already
+    validated by the full parse — this is a structural skip, not a
+    validator). None on malformed input."""
+    i = _skip_ws(s, i)
+    if i >= len(s):
+        return None
+    ch = s[i]
+    if ch == '"':
+        try:
+            _, j = _parse_string(s, i)
+            return j
+        except _JErr:
+            return None
+    if ch in "[{":
+        depth = 0
+        while i < len(s):
+            c = s[i]
+            if c == '"':
+                try:
+                    _, i = _parse_string(s, i)
+                    continue
+                except _JErr:
+                    return None
+            if c in "[{":
+                depth += 1
+            elif c in "]}":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        return None
+    j = i
+    while j < len(s) and s[j] not in ",}] \t\n\r":
+        j += 1
+    return j
+
+
+def _scan_cells(s: str):
+    """Element count of the TOP-LEVEL ``cells`` array, or None when the
+    payload's root is not an object carrying a cells array. Structural
+    — a nested ``{"content": {"cells": [...]}}`` is NOT a notebook (the
+    round-4 review caught the regex proxy treating it as a zero-cell
+    one and silently extracting empty text). Counting elements here
+    (commas at bracket depth 0, strings skipped) also fixes the cell
+    census for trailing cells that carry no string values at all,
+    which the path walker alone cannot see."""
+    i = _skip_ws(s, 0)
+    if i >= len(s) or s[i] != "{":
+        return None
+    i += 1
+    while True:
+        i = _skip_ws(s, i)
+        if i >= len(s) or s[i] == "}":
+            return None
+        try:
+            key, i = _parse_string(s, i)
+        except _JErr:
+            return None
+        i = _skip_ws(s, i)
+        if i >= len(s) or s[i] != ":":
+            return None
+        i = _skip_ws(s, i + 1)
+        if key == "cells":
+            if i >= len(s) or s[i] != "[":
+                return None
+            i = _skip_ws(s, i + 1)
+            if i < len(s) and s[i] == "]":
+                return 0
+            count, depth = 1, 0
+            while i < len(s):
+                ch = s[i]
+                if ch == '"':
+                    try:
+                        _, i = _parse_string(s, i)
+                    except _JErr:
+                        return None
+                    continue
+                if ch in "[{":
+                    depth += 1
+                elif ch == "]":
+                    if depth == 0:
+                        return count
+                    depth -= 1
+                elif ch == "}":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    count += 1
+                i += 1
+            return None
+        i = _skip_value_span(s, i)
+        if i is None:
+            return None
+        i = _skip_ws(s, i)
+        if i < len(s) and s[i] == ",":
+            i += 1
+            continue
+        return None
+
+
 def _norm_code(src: str) -> str:
     """Code-cell normalization: per-line trailing-whitespace strip,
     leading/trailing blank lines dropped. Never touches inner layout."""
@@ -158,32 +256,27 @@ def _parse_cells(payload: str) -> Tuple[bool, List[_Cell]]:
     ``notebook_cells`` relation (one definition so the turn extraction
     and the per-cell relation can never disagree about cell grouping).
 
-    Returns ``(is_notebook, cells)``. Notebook-ness: valid JSON,
-    top-level object, and a cells-array key present — the regex is a
-    cheap structural proxy (an object whose only '\"cells\": ['
-    occurrence is nested parses as a zero-cell notebook; its strings
-    sit under non-("cells", i) paths and are ignored); the path check
-    below remains the only authority on WHICH strings are cell
-    content."""
+    Returns ``(is_notebook, cells)``. Notebook-ness: valid JSON whose
+    ROOT object carries a cells array (``_scan_cells`` — structural,
+    so a payload that merely wraps a notebook in a nested field
+    degrades to plain instead of silently extracting empty); the cell
+    census is the scanner's element count, so cells carrying no string
+    values at all (e.g. ``{"execution_count": 2}``) still count as
+    dropped blocks; the path check below remains the only authority on
+    WHICH strings are cell content."""
     ok, strings = parse_json_strings_with_paths(payload)
-    is_nb = (
-        ok
-        and payload.lstrip().startswith("{")
-        and _CELLS_KEY.search(payload) is not None
-    )
-    if not is_nb:
+    n_cells = _scan_cells(payload) if ok else None
+    if n_cells is None:
         return False, []
     cell_type: dict = {}
     cell_src: dict = {}
     cell_span: dict = {}
     cell_outs: dict = {}
-    max_cell = -1
     for val, start, end, path in strings:
         if not (len(path) >= 2 and path[0] == "cells"
                 and isinstance(path[1], int)):
             continue
         ci = path[1]
-        max_cell = max(max_cell, ci)
         rest = path[2:]
         if rest == ("cell_type",):
             cell_type[ci] = val
@@ -203,7 +296,7 @@ def _parse_cells(payload: str) -> Tuple[bool, List[_Cell]]:
             cell_span.get(ci),
             cell_outs.get(ci, 0),
         )
-        for ci in range(max_cell + 1)
+        for ci in range(n_cells)
     ]
 
 

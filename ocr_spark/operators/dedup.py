@@ -1443,9 +1443,14 @@ def finalize_fork_groups(
         F.col("n_turns").cast("int").alias("n_turns"),
         F.md5(
             F.array_join(
+                # injective regardless of content: roles NULL-coalesced
+                # (a NULL element would vanish from array_join — review
+                # finding) and the text length-prefixed, so chr(30/31)
+                # INSIDE a turn's text cannot forge a turn boundary
                 F.expr(
-                    "transform(pre, p -> concat(p.r, chr(31), "
-                    "coalesce(p.t, ''), chr(30)))"
+                    "transform(pre, p -> concat(coalesce(p.r, ''), "
+                    "chr(31), cast(length(coalesce(p.t, '')) as string), "
+                    "chr(31), coalesce(p.t, ''), chr(30)))"
                 ),
                 "",
             )
@@ -1494,7 +1499,14 @@ def cap_duplicates(
     pre-filter the handful of mega-frequency fingerprints (they are,
     by definition, the ones a count query finds instantly) into the
     drop set before ranking."""
-    fp = fingerprint(F.col(text_col))
+    # NULL text is ABSENT content, not duplicate content: fingerprint
+    # (md5) of NULL is NULL and window partitioning groups NULL keys
+    # together, which would silently delete all-but-K failed-extraction
+    # rows (review finding) — give each NULL row a singleton key.
+    fp = F.when(
+        F.col(text_col).isNull(),
+        F.concat(F.lit("u"), F.col(id_col).cast("string")),
+    ).otherwise(fingerprint(F.col(text_col)))
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
     wc = Window.partitionBy("_fp")
     return (

@@ -1291,16 +1291,31 @@ def insert_needles(
     join on the modular key, then pure codegen splice (substr/concat/
     length). Zero corpus shuffle; at 100 TB the cost is the scan.
     """
-    n = needles.count()
+    # The needle table is eval-sized by definition: collect it once and
+    # key the modular assignment by DENSE RANK over the actual ids — a
+    # raw `doc_id % n == needle_id` join silently NULLs out every
+    # document whose residue matches no id (review finding: 1-based or
+    # sparse id schemes destroyed a third of the corpus). Duplicate ids
+    # fail loudly here instead of fanning out rows.
+    rows = needles.select(
+        F.col(needle_id_col).cast("long").alias("_nid"),
+        F.col(needle_text_col).alias("_ntext"),
+    ).collect()
+    n = len(rows)
     if n == 0:
         raise ValueError("needles table is empty")
-    key = (F.col(doc_id_col) % F.lit(n)).cast("long")
+    ids = [r["_nid"] for r in rows]
+    if len(set(ids)) != n:
+        raise ValueError("needles table carries duplicate needle ids")
+    ranked = sorted(rows, key=lambda r: r["_nid"])
+    spark = needles.sparkSession
     nd = F.broadcast(
-        needles.select(
-            F.col(needle_id_col).cast("long").alias("_nkey"),
-            F.col(needle_text_col).alias("_ntext"),
+        spark.createDataFrame(
+            [(i, r["_nid"], r["_ntext"]) for i, r in enumerate(ranked)],
+            "_nkey long, _nid long, _ntext string",
         )
     )
+    key = (F.col(doc_id_col) % F.lit(n)).cast("long")
     raw = F.coalesce(F.col(text_col), F.lit(""))
     depth = (F.col(doc_id_col) % F.lit(depth_levels)).cast("long")
     pos = F.floor(F.length(raw) * depth / F.lit(depth_levels)).cast("int")
@@ -1321,7 +1336,7 @@ def insert_needles(
         .select(
             *[c for c in docs.columns if c != text_col],
             F.col("_spliced").alias(text_col),
-            F.col("_nkey").cast("long").alias("needle_id"),
+            F.col("_nid").cast("long").alias("needle_id"),
             (F.col("_pos") + 2).cast("int").alias("insert_pos"),
             (depth * 100 / F.lit(depth_levels)).cast("int").alias("depth_pct"),
         )

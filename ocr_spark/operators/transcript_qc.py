@@ -534,9 +534,10 @@ def merge_consecutive_roles(
     aggregation buffer AND emit a gigabyte merged text no consumer
     wants. Turns ranked past the cap within their run are dropped and
     counted in ``truncated_n`` (the SFT path's max_turns rank-guard
-    discipline, operators/sft.py). The rank runs on the ``(conv, run)``
-    window — a superset of the conv partitioning, so the guard costs a
-    local sort, not an exchange.
+    discipline, operators/sft.py); ``last_turn_idx`` still reports the
+    run's TRUE closing turn so run extents stay gap-free. The rank runs
+    on the ``(conv, run)`` window — a superset of the conv
+    partitioning, so the guard costs a local sort, not an exchange.
 
     Reference analog: the reference merges per-page OCR fragments into
     one document in page order before classification
@@ -559,11 +560,15 @@ def merge_consecutive_roles(
     runs = (
         runs.withColumn("_rank", F.row_number().over(wr))
         .withColumn("_run_total", F.count(F.lit(1)).over(wrt))
+        # the run's TRUE closing turn, recorded before the cap filter —
+        # a truncated run must not report a phantom hole between its
+        # last kept turn and the next run (review finding)
+        .withColumn("_run_last", F.max(F.col(turn_col)).over(wrt))
         .filter(F.col("_rank") <= max_run_turns)
     )
     merged = runs.groupBy(conv_col, "_run").agg(
         F.min(turn_col).alias(turn_col),
-        F.max(turn_col).alias("last_turn_idx"),
+        F.max("_run_last").alias("last_turn_idx"),
         F.first(role_col).alias(role_col),
         F.count(F.lit(1)).cast("int").alias("merged_n"),
         F.max("_run_total").alias("_rt"),

@@ -541,30 +541,37 @@ def extract_incremental(
     the full re-extraction bit-for-bit (asserted in
     tests/test_snapshot.py::test_extract_incremental_equals_full).
 
-    The delta is snapshot_diff's added∪changed set on the composite
+    The delta is the added∪changed set on the composite
     (conv_id, turn_idx) key with content = (text, tool) — tool is part
     of the content because a kind re-tag changes the extraction even
-    when bytes don't. Removed turns are the caller's MERGE-delete side
-    (``snapshot_diff(...).filter(status = 'removed')``); this function
-    returns only rows to (re)write.
+    when bytes don't. Content equality is IDENTITY (md5 over the raw
+    bytes), deliberately NOT snapshot_diff's normalized fingerprint
+    (lower+whitespace-collapse): extraction is case- and layout-
+    preserving for code/diff/notebook payloads, so a whitespace-only
+    edit MUST re-extract (review finding — the normalized key would
+    classify it unchanged and leave stale rows in the table). Removed
+    turns are the caller's MERGE-delete side; this function returns
+    only rows to (re)write.
 
     Plan: one hash-join of the two snapshots on the turn key (both
-    sides pruned to key+content columns), left-semi back against
+    sides pruned to key+digest columns), left-semi semantics against
     ``new`` (no row widening), then the standard shuffle-free Arrow
     extraction over the delta only. At 10^12 turns the join is the
     scan-bound stage; the Python stage sees |delta| rows, not |corpus|.
     """
-    from ocr_spark.operators.snapshot import incremental_targets
-
     key = F.concat_ws("\x1f", F.col("conv_id"), F.col("turn_idx"))
-    content = F.concat_ws(
-        "\x1e",
-        F.coalesce(F.col("text"), F.lit("")),
-        F.coalesce(F.col("tool"), F.lit("")),
+    digest = F.md5(
+        F.concat_ws(
+            "\x1e",
+            F.coalesce(F.col("text"), F.lit("\x00")),
+            F.coalesce(F.col("tool"), F.lit("\x00")),
+        )
     )
-    o = old.withColumn("_tk", key).withColumn("_tc", content)
-    n = new.withColumn("_tk", key).withColumn("_tc", content)
-    targets = incremental_targets(
-        o, n, id_col="_tk", text_col="_tc"
-    ).drop("_tk", "_tc")
+    o = old.select(key.alias("_tk"), digest.alias("_od"))
+    n = new.withColumn("_tk", key).withColumn("_nd", digest)
+    targets = (
+        n.join(o, "_tk", "left")
+        .filter(F.col("_od").isNull() | (F.col("_od") != F.col("_nd")))
+        .drop("_tk", "_od", "_nd")
+    )
     return extract_transcripts(targets, repartition=repartition)

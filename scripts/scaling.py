@@ -116,26 +116,36 @@ def main() -> None:
             if k in prev and k not in result:
                 result[k] = prev[k]
         history = prev.pop("other_windows", [])
+        carried = {
+            k: result[k]
+            for k in ("host_busyloop_ceiling_8_32", "note")
+            if k in result
+        }
         prev_core = {
             k: v
             for k, v in prev.items()
+            if k not in ("host_busyloop_ceiling_8_32", "note")
+        }
+        new_core = {
+            k: v
+            for k, v in result.items()
             if k not in ("host_busyloop_ceiling_8_32", "note")
         }
         if prev_core.get("efficiency_n_to_4n", -1) > result[
             "efficiency_n_to_4n"
         ]:
             # prior invocation was the better window: it stays the
-            # headline, this run joins the disclosure list
-            new_core = {
-                k: v
-                for k, v in result.items()
-                if k not in ("host_busyloop_ceiling_8_32", "note")
-            }
+            # headline WHOLESALE (never overlay key-by-key — a new-run
+            # secondary pair surviving under a prev-run primary would
+            # present one "window" mixing two invocations), and this
+            # run joins the disclosure list
             history.append(new_core)
-            for k, v in prev_core.items():
-                result[k] = v
-        elif prev_core:
-            history.append(prev_core)
+            result = dict(prev_core)
+        else:
+            result = dict(new_core)
+            if prev_core:
+                history.append(prev_core)
+        result.update(carried)
         result["other_windows"] = history
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)

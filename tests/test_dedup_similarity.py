@@ -970,3 +970,15 @@ def test_cap_duplicates_one_exchange(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     out = cap_duplicates(df)
     assert checks.count_exchanges(out) == 1, checks.formatted_plan(out)[:800]
+
+
+def test_cap_duplicates_null_text_rows_are_singletons(spark):
+    """NULL text = absent content: every NULL-text row survives as its
+    own group (review regression — NULL fingerprints must not pool)."""
+    from ocr_spark.operators.dedup import cap_duplicates
+
+    rows = [(i, None) for i in range(10)] + [(100, "real doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cap_duplicates(df, max_copies=2).collect()
+    assert len(out) == 11
+    assert all(r.copy_rank == 1 and r.dup_count == 1 for r in out)

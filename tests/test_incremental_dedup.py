@@ -340,3 +340,37 @@ def test_fork_partial_streaming_maintenance(spark, tmp_path):
         )
     )
     assert got == want and len(want) == 5
+
+
+def test_fork_signature_injective_under_nulls_and_separators(spark):
+    """Review regressions: a NULL-role prefix turn must still contribute
+    to the signature (array_join skips NULL elements), and chr(30/31)
+    inside text must not forge turn boundaries (length prefix)."""
+    from ocr_spark.operators.dedup import conversation_fork_groups
+
+    rows = [
+        # n1: [user 'do it', NULL-role 'x'] — must NOT group with the
+        # 1-turn stubs s1/s2 sharing only the first turn
+        ("n1", 0, "user", "do the thing"),
+        ("n1", 1, None, "x"),
+        ("s1", 0, "user", "do the thing"),
+        ("s2", 0, "user", "do the thing"),
+        # f1/f2: one turn whose text embeds the separators such that a
+        # naive concat would equal two turns of g1/g2
+        ("f1", 0, "user", "a\x1e" + "user\x1fb"),
+        ("f2", 0, "user", "a\x1e" + "user\x1fb"),
+        ("g1", 0, "user", "a"),
+        ("g1", 1, "user", "b"),
+        ("g2", 0, "user", "a"),
+        ("g2", 1, "user", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.conv_id: r for r in
+           conversation_fork_groups(df, prefix_turns=2).collect()}
+    assert set(out) == {"s1", "s2", "f1", "f2", "g1", "g2"}
+    assert "n1" not in out
+    assert out["f1"].fork_sig != out["g1"].fork_sig
+    assert out["f1"].fork_sig == out["f2"].fork_sig
+    assert out["g1"].fork_sig == out["g2"].fork_sig

@@ -246,3 +246,27 @@ def test_path_walker_matches_flat_parser_property():
         ]
 
     check()
+
+
+def test_nested_cells_wrapper_degrades_to_plain():
+    """A payload that merely WRAPS a notebook (cells array nested, not
+    at the root) is not a notebook — degrade, never silent-empty."""
+    payload = json.dumps(
+        {"path": "nb.ipynb",
+         "content": {"cells": [{"cell_type": "code", "source": "x"}]}}
+    )
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    assert pf == 1 and clean == payload
+
+
+def test_trailing_stringless_cell_counted():
+    """A trailing cell with no string values at all still counts as a
+    dropped block and appears in the cell relation (scanner census)."""
+    from ocr_spark.extract.notebook import notebook_cell_rows
+
+    p = ('{"cells": [{"cell_type": "markdown", "source": "x"}, '
+         '{"execution_count": 2}]}')
+    clean, spans, kept, dropped, pf = extract_notebook(p)
+    assert (kept, dropped, pf) == (1, 1, 0)
+    rows = notebook_cell_rows(p)
+    assert len(rows) == 2 and rows[1][1] == "" and rows[1][3] == 0

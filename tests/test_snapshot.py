@@ -142,6 +142,12 @@ def test_extract_incremental_equals_full(spark):
     v2_pdf.loc[idx, "text"] = "edited payload line one"
     retag = v2_pdf[v2_pdf["turn_idx"] == 0].index[:1]
     v2_pdf.loc[retag, "tool"] = "markdown"
+    # whitespace-only edit: identity compare must catch it (a normalized
+    # fingerprint would not — review regression)
+    ws = v2_pdf[v2_pdf["turn_idx"] == 2].index[:1]
+    v2_pdf.loc[ws, "text"] = v2_pdf.loc[ws, "text"].str.replace(
+        " ", "  ", n=1
+    )
     import pandas as pd
 
     new_row = v2_pdf.iloc[[0]].copy()
@@ -152,8 +158,9 @@ def test_extract_incremental_equals_full(spark):
 
     delta = extract_incremental(v1, v2)
     got_delta = delta.collect()
-    # exactly the 4 touched turns re-extracted
-    assert len(got_delta) == 4
+    # exactly the 5 touched turns re-extracted (incl. the whitespace-
+    # only edit)
+    assert len(got_delta) == 5
 
     key = lambda r: (r["conv_id"], r["turn_idx"])
     full_v2 = {key(r): r["clean_text"]

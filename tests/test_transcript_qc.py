@@ -528,7 +528,9 @@ def test_merge_consecutive_roles_run_cap(spark):
     )
     out = merge_consecutive_roles(df, max_run_turns=5).orderBy("turn_idx")
     got = [tuple(r) for r in out.collect()]
+    # last_turn_idx = the run's TRUE closing turn (11), not the last
+    # kept one — truncation must not fabricate a gap before turn 12
     assert got[0] == (
-        "g", 0, "assistant", "t0\n\nt1\n\nt2\n\nt3\n\nt4", 5, 7, 4
+        "g", 0, "assistant", "t0\n\nt1\n\nt2\n\nt3\n\nt4", 5, 7, 11
     )
     assert got[1] == ("g", 12, "user", "after", 1, 0, 12)
