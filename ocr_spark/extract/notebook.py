@@ -28,9 +28,10 @@ Spec (shared by the Spark pipeline and the ``ex_notebook_twin`` oracle):
   - anything else (``raw``, unknown): one dropped block, no span.
 
 - Every string VALUE under a cell's ``outputs`` (stream text,
-  text/plain reprs, tracebacks) is one dropped block: outputs are
-  re-derivable from the code and are exactly the boilerplate an
-  extraction pass exists to shed.
+  text/plain reprs, tracebacks) or ``attachments`` (base64 images
+  pasted into markdown cells) is one dropped block: both are transport
+  or re-derivable — exactly the boilerplate an extraction pass exists
+  to shed.
 - Cell texts join with a blank line between cells.
 - Degrades: invalid JSON -> ``plain`` extraction of the whole payload
   with ``parse_failures = 1`` (same posture as ``json_tool``); valid
@@ -53,7 +54,6 @@ rebuild's dispatch table the same way log/diff did.
 
 from __future__ import annotations
 
-import re
 from typing import List, Optional, Tuple
 
 from .json_payload import _JErr, _parse_number, _parse_string, _skip_ws
@@ -286,7 +286,9 @@ def _parse_cells(payload: str) -> Tuple[bool, List[_Cell]]:
             cell_src.setdefault(ci, []).append(val)
             s0, e0 = cell_span.get(ci, (start, end))
             cell_span[ci] = (min(s0, start), max(e0, end))
-        elif rest and rest[0] == "outputs":
+        elif rest and rest[0] in ("outputs", "attachments"):
+            # attachments = base64 images pasted into markdown cells —
+            # transport, same accounting as outputs
             cell_outs[ci] = cell_outs.get(ci, 0) + 1
     return True, [
         (

@@ -270,3 +270,14 @@ def test_trailing_stringless_cell_counted():
     assert (kept, dropped, pf) == (1, 1, 0)
     rows = notebook_cell_rows(p)
     assert len(rows) == 2 and rows[1][1] == "" and rows[1][3] == 0
+
+
+def test_markdown_cell_attachments_dropped():
+    payload = _nb([
+        {"cell_type": "markdown",
+         "source": "see ![img](attachment:a.png)",
+         "attachments": {"a.png": {"image/png": "aWJiZA=="}}},
+    ])
+    clean, spans, kept, dropped, pf = extract_notebook(payload)
+    assert pf == 0 and kept == 1
+    assert dropped == 1  # the attachment payload string

@@ -165,3 +165,17 @@ def test_scrub_blobs_length_invariant(spark):
     orig = {r.id: len(r.text) for r in df.collect()}
     for r in scrub_blobs(df).collect():
         assert len(r.text) + r.blob_chars == orig[r.id] + r.n_blobs * 6, r.id
+
+
+def test_scrub_blobs_mime_wrapped_base64(spark):
+    """MIME 76-char line wrapping: each wrapped line is its own >=64
+    run — all lines scrub, none survive."""
+    from ocr_spark.operators.text_repair import scrub_blobs
+
+    line = "QWJjZDEyMzQrLw=="[:13] * 6  # 78 chars of b64 alphabet
+    wrapped = "\n".join([line[:76]] * 4)
+    df = spark.createDataFrame([("a", f"body\n{wrapped}\ntail")],
+                               "id string, text string")
+    r = scrub_blobs(df).collect()[0]
+    assert r.n_blobs == 4
+    assert r.text == "body\n[blob]\n[blob]\n[blob]\n[blob]\ntail"
