@@ -4264,6 +4264,20 @@ def _q_dd_fork_groups(spark, sf_dir):
     )
 
 
+def _q_tr_fork_safe_split(spark, sf_dir):
+    """Leakage-aware fork-group split (training.fork_safe_split): fork
+    siblings pinned to one split via the group signature's md5-hex
+    bucket — Spark conv(hex,16,10) vs DuckDB CAST('0x'||hex AS BIGINT),
+    digit-identical; unforked conversations bucket by their own id."""
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.operators.training import fork_safe_split
+
+    corpus = _t(spark, sf_dir, "documents").selectExpr(*_FORK_CORPUS_EXPRS)
+    forks = conversation_fork_groups(corpus, conv_col="conv")
+    out = fork_safe_split(corpus, forks, conv_col="conv")
+    return out.select("conv", "turn_idx", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -4553,6 +4567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_blob_scrub": _q_tx_blob_scrub,
         "dd_cap_duplicates": _q_dd_cap_duplicates,
         "ev_needle_insert": _q_ev_needle_insert,
+        "tr_fork_safe_split": _q_tr_fork_safe_split,
     }
 
 
@@ -8297,5 +8312,24 @@ FROM src s LEFT JOIN per USING (doc_id)
             "CAST(CASE WHEN strpos(out_text, needle_text) = insert_pos "
             "THEN 1 ELSE 0 END AS INT) AS pos_match, "
             "CAST(length(out_text) AS INT) AS out_len FROM s"
+        ),
+        "tr_fork_safe_split": (
+            f"WITH c AS ({_FORK_CORPUS_SQL}), "
+            "a AS (SELECT conv, "
+            "md5(string_agg(coalesce(role, '') || chr(31) "
+            "|| CAST(length(coalesce(text, '')) AS STRING) || chr(31) "
+            "|| coalesce(text, '') || chr(30), '' ORDER BY turn_idx) "
+            "FILTER (WHERE turn_idx < 4)) AS fork_sig "
+            "FROM c GROUP BY conv), "
+            "g AS (SELECT conv, fork_sig, "
+            "count(*) OVER (PARTITION BY fork_sig) AS gs FROM a), "
+            "k AS (SELECT conv, CASE WHEN gs >= 2 THEN fork_sig "
+            "ELSE CAST(conv AS STRING) END AS key FROM g), "
+            "b AS (SELECT conv, CAST(('0x' || substr(md5(key), 1, 8)) "
+            "AS BIGINT) % 1000 AS bucket FROM k) "
+            "SELECT c.conv, c.turn_idx, "
+            "CASE WHEN b.bucket < 800 THEN 'train' "
+            "WHEN b.bucket < 900 THEN 'val' ELSE 'test' END AS split "
+            "FROM c JOIN b ON c.conv = b.conv"
         ),
     }

@@ -231,6 +231,7 @@ def main() -> None:
         "tx_blob_scrub",
         "dd_cap_duplicates",
         "ev_needle_insert",
+        "tr_fork_safe_split",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -1369,3 +1369,64 @@ def verify_needles(
         found.cast("int").alias("found_pos"),
         (found == F.col("insert_pos")).cast("int").alias("pos_match"),
     ).drop("_ntext")
+
+
+def fork_safe_split(
+    df: DataFrame,
+    fork_groups: DataFrame,
+    conv_col: str = "conv_id",
+    weights: tuple = (0.8, 0.1, 0.1),
+    names: tuple = ("train", "val", "test"),
+) -> DataFrame:
+    """Leakage-aware split for forked conversations: resampled branches
+    of one session share an identical opening, so a plain
+    per-conversation hash split routinely trains on one sibling and
+    evaluates on another — shared-prefix leakage that
+    ``split_leakage_report`` would flag after the fact. Splitting by
+    the FORK GROUP (the prefix signature; unforked conversations are
+    their own group) pins every sibling to one side by construction.
+
+    ``fork_groups``: the pre-computed table from
+    ``dedup.conversation_fork_groups`` / ``finalize_fork_groups``
+    (conversation-cardinality). Appends ``split``.
+
+    Bucket arithmetic is engine-portable: the first 8 hex digits of
+    md5(group key) as an integer, mod 1000, against cumulative-weight
+    thresholds — Spark's ``conv(hex, 16, 10)`` and DuckDB's
+    ``CAST('0x' || hex AS BIGINT)`` agree digit-for-digit, so the
+    oracle replays the assignment exactly (the ``stratified_split``
+    determinism contract, extended to string keys).
+
+    Plan: one BROADCAST left join of the turn frame against the
+    conv-level fork table, then a stateless projection — zero corpus
+    shuffle, same cost shape as ``stratified_split``.
+    """
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    sig = F.broadcast(
+        fork_groups.select(
+            F.col(conv_col).alias("_fg_conv"),
+            F.col("fork_sig").alias("_fg_sig"),
+        )
+    )
+    out = df.join(sig, df[conv_col] == sig["_fg_conv"], "left").drop(
+        "_fg_conv"
+    )
+    key = F.coalesce(F.col("_fg_sig"), F.col(conv_col).cast("string"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long"),
+        F.lit(_SPLIT_BUCKETS),
+    )
+    expr = None
+    acc = 0.0
+    for w, name in zip(weights, names):
+        acc += w
+        cond = bucket < int(round(acc * _SPLIT_BUCKETS))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return out.withColumn("split", expr.otherwise(F.lit(names[-1]))).drop(
+        "_fg_sig"
+    )

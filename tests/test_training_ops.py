@@ -812,3 +812,57 @@ def test_insert_needles_empty_needles_raises(spark):
     empty = spark.createDataFrame([], "needle_id long, needle_text string")
     with pytest.raises(ValueError):
         insert_needles(docs, empty)
+
+
+# ---------------------------------------------------------------------------
+# fork-safe split (leakage-aware)
+
+
+def test_fork_safe_split_pins_siblings_together(spark):
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.operators.training import fork_safe_split
+
+    opening = [("user", "same opening here"), ("assistant", "same reply")]
+    rows = []
+    for fam in range(30):  # 30 fork families of 3 siblings each
+        op = [(r, f"{t} family {fam}") for r, t in opening]
+        for s in range(3):
+            cid = f"f{fam}-{s}"
+            for i, (r, t) in enumerate(op + [("user", f"branch {s}")]):
+                rows.append((cid, i, r, t))
+    for u in range(30):  # unforked controls
+        rows += [(f"u{u}", 0, "user", f"unique opening {u}"),
+                 (f"u{u}", 1, "assistant", f"unique reply {u}")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    forks = conversation_fork_groups(df, prefix_turns=2)
+    out = fork_safe_split(df, forks)
+    per_conv = {
+        (r.conv_id): r.split
+        for r in out.select("conv_id", "split").distinct().collect()
+    }
+    # every conversation got exactly one split
+    assert len(per_conv) == 30 * 3 + 30
+    # siblings always share a split
+    for fam in range(30):
+        splits = {per_conv[f"f{fam}-{s}"] for s in range(3)}
+        assert len(splits) == 1, (fam, splits)
+    # the assignment is not degenerate (both sides of the 80/10/10
+    # split appear across 60 group keys)
+    assert len(set(per_conv.values())) >= 2
+
+
+def test_fork_safe_split_broadcast_only(spark):
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.operators.training import fork_safe_split
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame(
+        [("a", 0, "user", "x"), ("b", 0, "user", "x")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    forks = conversation_fork_groups(df, prefix_turns=1)
+    out = fork_safe_split(df, forks)
+    p = checks.formatted_plan(out)
+    assert "BroadcastHashJoin" in p
