@@ -866,3 +866,53 @@ def test_fork_safe_split_broadcast_only(spark):
     out = fork_safe_split(df, forks)
     p = checks.formatted_plan(out)
     assert "BroadcastHashJoin" in p
+
+
+def test_fork_safe_split_zero_leakage_vs_plain_split(spark):
+    """Composition proof: feeding the fork SIBLING pairs into
+    split_leakage_report shows zero cross-boundary pairs under
+    fork_safe_split, while the plain per-conversation hash split leaks
+    (siblings straddle the boundary) on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.dedup import conversation_fork_groups
+    from ocr_spark.operators.training import (
+        fork_safe_split,
+        split_leakage_report,
+        stratified_split,
+    )
+
+    opening = [("user", "same opening here"), ("assistant", "same reply")]
+    rows = []
+    for fam in range(40):
+        op = [(r, f"{t} family {fam}") for r, t in opening]
+        for s in range(3):
+            for i, (r, t) in enumerate(op + [("user", f"branch {s}")]):
+                rows.append((fam * 3 + s, f"f{fam}-{s}", i, r, t))
+    df = spark.createDataFrame(
+        rows,
+        "conv_num long, conv_id string, turn_idx int, role string, text string",
+    )
+    forks = conversation_fork_groups(df, prefix_turns=2)
+    # sibling pairs: same fork_sig, conv_a < conv_b
+    a = forks.select(F.col("fork_sig"), F.col("conv_id").alias("id_a"))
+    b = forks.select(F.col("fork_sig"), F.col("conv_id").alias("id_b"))
+    pairs = a.join(b, "fork_sig").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b"
+    )
+
+    convs = df.select("conv_num", "conv_id").distinct()
+    plain = stratified_split(convs, id_col="conv_num").select(
+        F.col("conv_id").alias("doc_id"), "split"
+    )
+    safe = (
+        fork_safe_split(convs, forks)
+        .select(F.col("conv_id").alias("doc_id"), "split")
+    )
+
+    def cross(assign):
+        rep = split_leakage_report(assign, pairs, id_col="doc_id").collect()
+        return sum(r.n_pairs for r in rep if r.split_a != r.split_b)
+
+    assert cross(safe) == 0
+    assert cross(plain) > 0  # 120 siblings under an id-hash split WILL straddle
