@@ -4278,6 +4278,25 @@ def _q_tr_fork_safe_split(spark, sf_dir):
     return out.select("conv", "turn_idx", "split")
 
 
+def _q_rl_step_credit(spark, sf_dir):
+    """Process-supervision step credit (preference.step_credit):
+    trajectory outcome discounted backwards over turns in exact int64
+    via the shared fixed-point discount table — the SAME Python-
+    computed literal list is embedded in the Spark expression and the
+    DuckDB twin, so no engine pow() is involved."""
+    from ocr_spark.operators.preference import step_credit
+
+    corpus = _t(spark, sf_dir, "documents").selectExpr(
+        "CAST(doc_id % 97 AS BIGINT) AS conv",
+        "CAST(floor(doc_id / 97) AS INT) AS turn_idx",
+        "CAST(CASE doc_id % 97 % 3 WHEN 0 THEN 1 WHEN 1 THEN -1 "
+        "ELSE 0 END AS INT) AS outcome",
+    )
+    out = step_credit(corpus, "outcome", conv_col="conv")
+    return out.select("conv", "turn_idx", "outcome", "steps_from_end",
+                      "credit_scaled")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -4568,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_cap_duplicates": _q_dd_cap_duplicates,
         "ev_needle_insert": _q_ev_needle_insert,
         "tr_fork_safe_split": _q_tr_fork_safe_split,
+        "rl_step_credit": _q_rl_step_credit,
     }
 
 
@@ -8331,5 +8351,16 @@ FROM src s LEFT JOIN per USING (doc_id)
             "CASE WHEN b.bucket < 800 THEN 'train' "
             "WHEN b.bucket < 900 THEN 'val' ELSE 'test' END AS split "
             "FROM c JOIN b ON c.conv = b.conv"
+        ),
+        "rl_step_credit": (
+            "WITH c AS (SELECT CAST(doc_id % 97 AS BIGINT) AS conv, "
+            "CAST(floor(doc_id / 97) AS INT) AS turn_idx, "
+            "CAST(CASE doc_id % 97 % 3 WHEN 0 THEN 1 WHEN 1 THEN -1 "
+            "ELSE 0 END AS INT) AS outcome FROM documents), "
+            "m AS (SELECT *, CAST(max(turn_idx) OVER (PARTITION BY conv) "
+            "- turn_idx AS INT) AS steps_from_end FROM c) "
+            "SELECT conv, turn_idx, outcome, steps_from_end, "
+            "CAST(outcome * ([1000000000000, 900000000000, 810000000000, 729000000000, 656100000000, 590490000000, 531441000000, 478296900000, 430467210000, 387420489000, 348678440100, 313810596090, 282429536481, 254186582833, 228767924550, 205891132095, 185302018885, 166771816997, 150094635297, 135085171767, 121576654591, 109418989132, 98477090218, 88629381197, 79766443077, 71789798769, 64610818892, 58149737003, 52334763303, 47101286972, 42391158275, 38152042448, 34336838203, 30903154383, 27812838944, 25031555050, 22528399545, 20275559590, 18248003631, 16423203268, 14780882941])[least(steps_from_end, 40) + 1] "
+            "AS BIGINT) AS credit_scaled FROM m"
         ),
     }

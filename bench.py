@@ -232,6 +232,7 @@ def main() -> None:
         "dd_cap_duplicates",
         "ev_needle_insert",
         "tr_fork_safe_split",
+        "rl_step_credit",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

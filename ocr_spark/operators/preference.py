@@ -152,3 +152,58 @@ def best_of_n(
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
+
+
+def discount_table(gamma: float = 0.9, cap: int = 40,
+                   scale: int = 10**12) -> list:
+    """Fixed-point discount mantissas ``round(gamma^k * scale)`` for
+    k = 0..cap — computed ONCE in Python and embedded as the same
+    literal table in both the Spark expression and the DuckDB oracle,
+    so no engine's ``pow`` implementation (last-ulp divergent across
+    libm builds) ever touches the result. Beyond ``cap`` steps the
+    credit is pinned to the cap value (by then it is ~gamma^cap ≈
+    negligible; a caller wanting a hard zero filters on
+    ``steps_from_end``)."""
+    return [int(round((gamma ** k) * scale)) for k in range(cap + 1)]
+
+
+def step_credit(
+    df: DataFrame,
+    outcome_col: str,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    gamma: float = 0.9,
+    cap: int = 40,
+) -> DataFrame:
+    """Process-supervision credit assignment: propagate a
+    conversation-level outcome backwards over its turns with discount
+    ``gamma`` — the standard shaping for step-level reward data when
+    only trajectory outcomes exist (later steps near the resolution
+    carry more credit than the opening). Appends ``steps_from_end``
+    (0 for the final turn) and ``credit_scaled`` = outcome *
+    round(gamma^k * 1e12), exact int64 via the shared
+    ``discount_table`` (no float pow on either engine — oracle-hash
+    stable by construction).
+
+    ``outcome_col``: integer conversation outcome on every row (e.g.
+    +1 resolved / 0 abandoned / -1 failed, or
+    ``errors.conversation_error_outcome`` joined upstream).
+
+    Plan: one max-turn window on the conversation key (the same
+    exchange every neighbouring transcript op uses) + a stateless
+    literal-array projection. No joins, no Python.
+    """
+    table = discount_table(gamma, cap)
+    w = Window.partitionBy(conv_col)
+    k = (F.max(F.col(turn_col)).over(w) - F.col(turn_col)).cast("int")
+    idx = F.least(k, F.lit(cap)) + 1  # element_at is 1-based
+    mant = F.element_at(
+        F.array(*[F.lit(v).cast("long") for v in table]), idx
+    )
+    return (
+        df.withColumn("steps_from_end", k)
+        .withColumn(
+            "credit_scaled",
+            (F.col(outcome_col).cast("long") * mant).cast("long"),
+        )
+    )

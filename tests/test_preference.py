@@ -81,3 +81,44 @@ def test_preference_pairs_one_shuffle(spark, responses):
     out = preference_pairs(responses)
     assert checks.count_exchanges(out) == 1
     assert sum(checks.python_stage_counts(out).values()) == 0
+
+
+# ---------------------------------------------------------------------------
+# process-supervision step credit
+
+
+def test_step_credit_discounts_backwards_exactly(spark):
+    from ocr_spark.operators.preference import discount_table, step_credit
+
+    rows = [("a", i, 1) for i in range(5)] + [("b", 0, -1), ("b", 1, -1)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, outcome int")
+    out = {(r.conv_id, r.turn_idx): r for r in step_credit(df, "outcome").collect()}
+    tbl = discount_table()
+    # final turn gets full scale, earlier turns the exact table values
+    assert out[("a", 4)].credit_scaled == tbl[0] == 10**12
+    assert out[("a", 0)].credit_scaled == tbl[4]
+    assert out[("a", 0)].steps_from_end == 4
+    # negative outcome flips sign
+    assert out[("b", 0)].credit_scaled == -tbl[1]
+
+
+def test_step_credit_caps_deep_histories(spark):
+    from ocr_spark.operators.preference import discount_table, step_credit
+
+    rows = [("c", i, 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, outcome int")
+    out = {r.turn_idx: r for r in
+           step_credit(df, "outcome", cap=40).collect()}
+    tbl = discount_table(cap=40)
+    assert out[0].steps_from_end == 59
+    assert out[0].credit_scaled == tbl[40]  # pinned at the cap value
+
+
+def test_step_credit_single_conv_exchange(spark):
+    from ocr_spark.operators.preference import step_credit
+    from ocr_spark.plans import checks
+
+    df = spark.createDataFrame([("a", 0, 1)],
+                               "conv_id string, turn_idx int, outcome int")
+    out = step_credit(df, "outcome")
+    assert checks.count_exchanges(out) == 1
