@@ -4297,6 +4297,54 @@ def _q_rl_step_credit(spark, sf_dir):
                       "credit_scaled")
 
 
+# incremental-extraction fixture: v2 edits three disjoint classes of
+# v1 (content edit / WHITESPACE-ONLY edit / kind re-tag to an invalid-
+# JSON payload) — the identity delta must re-extract all three (the
+# whitespace class is exactly the review regression: a normalized
+# fingerprint calls it unchanged).
+_INC_V1_EXPRS = [
+    "CAST(doc_id AS STRING) AS conv_id",
+    "CAST(0 AS INT) AS turn_idx",
+    "'user' AS role",
+    "substr(text, 1, 80) AS text",
+    "'plain' AS tool",
+    "CAST(NULL AS TIMESTAMP) AS ts",
+]
+_INC_V2_EXPRS = [
+    "CAST(doc_id AS STRING) AS conv_id",
+    "CAST(0 AS INT) AS turn_idx",
+    "'user' AS role",
+    "CASE WHEN doc_id % 7 = 0 THEN substr(text, 1, 80) || ' plus an edit' "
+    "WHEN doc_id % 11 = 3 THEN substr(text, 1, 80) || '  ' "
+    "ELSE substr(text, 1, 80) END AS text",
+    "CASE WHEN doc_id % 7 <> 0 AND doc_id % 11 <> 3 AND doc_id % 13 = 5 "
+    "THEN 'json_tool' ELSE 'plain' END AS tool",
+    "CAST(NULL AS TIMESTAMP) AS ts",
+]
+
+
+def _q_ex_incremental_twin(spark, sf_dir):
+    """Hash-verified incremental re-extraction (pipeline.
+    extract_incremental): only the turns whose (text, tool) content
+    changed between two snapshots are re-extracted — including a
+    whitespace-only edit (identity delta, not a normalized
+    fingerprint) and a kind re-tag on unchanged bytes. Oracle
+    enumerates the three delta classes closed-form with the shared
+    canonicalize twin."""
+    _ensure_pyfiles(spark)
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.selectExpr(*_INC_V1_EXPRS)
+    v2 = docs.selectExpr(*_INC_V2_EXPRS)
+    from ocr_spark.pipeline import extract_incremental
+
+    out = extract_incremental(v1, v2)
+    return out.select(
+        F.col("conv_id").cast("long").alias("doc_id"),
+        "clean_text",
+        "parse_failures",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -4588,6 +4636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_needle_insert": _q_ev_needle_insert,
         "tr_fork_safe_split": _q_tr_fork_safe_split,
         "rl_step_credit": _q_rl_step_credit,
+        "ex_incremental_twin": _q_ex_incremental_twin,
     }
 
 
@@ -8362,5 +8411,21 @@ FROM src s LEFT JOIN per USING (doc_id)
             "SELECT conv, turn_idx, outcome, steps_from_end, "
             "CAST(outcome * ([1000000000000, 900000000000, 810000000000, 729000000000, 656100000000, 590490000000, 531441000000, 478296900000, 430467210000, 387420489000, 348678440100, 313810596090, 282429536481, 254186582833, 228767924550, 205891132095, 185302018885, 166771816997, 150094635297, 135085171767, 121576654591, 109418989132, 98477090218, 88629381197, 79766443077, 71789798769, 64610818892, 58149737003, 52334763303, 47101286972, 42391158275, 38152042448, 34336838203, 30903154383, 27812838944, 25031555050, 22528399545, 20275559590, 18248003631, 16423203268, 14780882941])[least(steps_from_end, 40) + 1] "
             "AS BIGINT) AS credit_scaled FROM m"
+        ),
+        "ex_incremental_twin": (
+            "WITH d AS (SELECT doc_id, substr(text, 1, 80) AS base "
+            "FROM documents), "
+            "cls AS (SELECT doc_id, base, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'edit' "
+            "WHEN doc_id % 11 = 3 THEN 'ws' "
+            "WHEN doc_id % 13 = 5 THEN 'retag' ELSE 'same' END AS k "
+            "FROM d) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CASE WHEN k = 'edit' THEN "
+            + _canon_sql("base || ' plus an edit'") + " "
+            "ELSE " + _canon_sql("base") + " END AS clean_text, "
+            "CAST(CASE WHEN k = 'retag' THEN 1 ELSE 0 END AS INT) "
+            "AS parse_failures "
+            "FROM cls WHERE k <> 'same'"
         ),
     }

@@ -233,6 +233,7 @@ def main() -> None:
         "ev_needle_insert",
         "tr_fork_safe_split",
         "rl_step_credit",
+        "ex_incremental_twin",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.
