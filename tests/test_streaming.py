@@ -790,3 +790,36 @@ def test_stream_error_profile_merge_equals_batch(spark, tmp_path):
         map(tuple, error_signature_profile(spark.read.parquet(src)).collect())
     )
     assert from_stream == batch and len(batch) == 2
+
+
+def test_stream_scrub_blobs_equals_batch(spark, tmp_path):
+    """Stateless codegen ops compose into readStream unchanged:
+    scrub_blobs over a file stream equals the batch run."""
+    from ocr_spark.operators.text_repair import scrub_blobs
+
+    b64 = "QWJjZDEyMzQ+/" * 7
+    rows = [(i, f"doc {i} {'with ' + b64 if i % 3 == 0 else 'clean'} end")
+            for i in range(30)]
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "blob_src")
+    df = spark.createDataFrame(rows, schema)
+    df.filter("doc_id % 2 = 0").coalesce(1).write.parquet(src)
+    df.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "blob_out")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        scrub_blobs(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "blob_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    want = sorted(map(tuple, scrub_blobs(spark.read.parquet(src)).collect()))
+    assert got == want and len(got) == 30
