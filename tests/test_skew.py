@@ -143,3 +143,24 @@ def test_skew_report_flags_hot_key(spark):
     assert hot["x_mean_pct"] == 1260  # 60 / (100/21) = 12.6x
     # ties below the hot key break by key ascending
     assert [r["key"] for r in out[1:]] == [1, 2]
+
+
+def test_merge_roles_rank_guard_under_degenerate_run(spark):
+    """A corpus dominated by ONE same-role mega-run: the rank guard
+    bounds the merged row (no gigabyte text, dropped turns counted)
+    while every other conversation merges normally."""
+    from ocr_spark.operators.transcript_qc import merge_consecutive_roles
+
+    rows = [("hot", i, "assistant", f"tick {i}") for i in range(5000)]
+    rows += [("ok", 0, "user", "hi"), ("ok", 1, "assistant", "hello")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in
+           merge_consecutive_roles(df, max_run_turns=100).collect()}
+    hot = out[("hot", 0)]
+    assert hot.merged_n == 100 and hot.truncated_n == 4900
+    assert hot.last_turn_idx == 4999
+    # merged text carries exactly the first 100 ticks
+    assert hot.text.count("tick") == 100
+    assert out[("ok", 0)].merged_n == 1 and out[("ok", 1)].merged_n == 1
