@@ -4345,6 +4345,44 @@ def _q_ex_incremental_twin(spark, sf_dir):
     )
 
 
+# PQ fixture codebooks/query: FIXED arithmetic constants (not trained)
+# shared between the Spark expressions and the oracle string — the twin
+# pins ENCODE (per-subspace argmin) + ADC (literal-table scoring)
+# exactness; training quality is pytest's job (test_quantize.py).
+def _pq_fixture_books(m: int = 4, k: int = 16, sub: int = 16) -> list:
+    return [
+        [
+            [((c * 31 + j * 17 + i * 7) % 29 - 14) / 29.0 for i in range(sub)]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _pq_fixture_query(d: int = 64) -> list:
+    return [((i * 5) % 17 - 8) / 17.0 for i in range(d)]
+
+
+def _q_qt_pq_adc(spark, sf_dir):
+    """Product-quantization encode + asymmetric-distance top-k
+    (quantize.pq_encode / pq_adc_topk): per-subspace argmin codes, then
+    a pure-codegen ADC scan over the shared literal distance table —
+    vs DuckDB replaying the same argmin (full squared distance,
+    first-minimum tie-break) and table lookup."""
+    _ensure_pyfiles(spark)
+    from ocr_spark.operators.quantize import pq_adc_topk, pq_encode
+
+    books = _pq_fixture_books()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, books)
+    top = pq_adc_topk(codes, books, _pq_fixture_query(), k=25)
+    return top.select(
+        "vec_id",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes"),
+        F.round(F.col("adc_dist"), 6).alias("adc_dist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry, MOST-IMPORTANT-FIRST (round-2 VERDICT ask #1).
 
@@ -4637,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tr_fork_safe_split": _q_tr_fork_safe_split,
         "rl_step_credit": _q_rl_step_credit,
         "ex_incremental_twin": _q_ex_incremental_twin,
+        "qt_pq_adc": _q_qt_pq_adc,
     }
 
 
@@ -8428,4 +8467,5 @@ FROM src s LEFT JOIN per USING (doc_id)
             "AS parse_failures "
             "FROM cls WHERE k <> 'same'"
         ),
+        "qt_pq_adc": """WITH e AS (SELECT vec_id, embedding FROM embeddings), d AS (SELECT vec_id, list_transform([[-0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862], [-0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793], [-0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724], [-0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966], [-0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586], [-0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552], [-0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655], [0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862], [0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069], [0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276], [0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483], [0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896], [0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655], [0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655], [0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896], [-0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483]], c -> list_sum(list_transform(generate_series(1, 16), i -> (CAST(embedding[0 + i] AS DOUBLE) - c[i]) * (CAST(embedding[0 + i] AS DOUBLE) - c[i])))) AS d0, list_transform([[0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724], [0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793], [0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862], [0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931], [0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0], [0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931], [-0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862], [-0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793], [-0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724], [-0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966], [-0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586], [-0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552], [-0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655], [0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862], [0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069], [0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276]], c -> list_sum(list_transform(generate_series(1, 16), i -> (CAST(embedding[16 + i] AS DOUBLE) - c[i]) * (CAST(embedding[16 + i] AS DOUBLE) - c[i])))) AS d1, list_transform([[-0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069], [-0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862], [-0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655], [-0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552], [-0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586], [0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966], [0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724], [0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793], [0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862], [0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931], [0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0], [0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931], [-0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862], [-0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793], [-0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724], [-0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966]], c -> list_sum(list_transform(generate_series(1, 16), i -> (CAST(embedding[32 + i] AS DOUBLE) - c[i]) * (CAST(embedding[32 + i] AS DOUBLE) - c[i])))) AS d2, list_transform([[0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896], [0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655], [0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655], [0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896], [-0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483], [-0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276], [-0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069], [-0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862], [-0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655], [-0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552], [-0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586], [0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966], [0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724], [0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862, 0.10344827586206896, 0.3448275862068966, -0.41379310344827586, -0.1724137931034483, 0.06896551724137931, 0.3103448275862069, -0.4482758620689655, -0.20689655172413793], [0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931, 0.1724137931034483, 0.41379310344827586, -0.3448275862068966, -0.10344827586206896, 0.13793103448275862, 0.3793103448275862, -0.3793103448275862, -0.13793103448275862], [0.3103448275862069, -0.4482758620689655, -0.20689655172413793, 0.034482758620689655, 0.27586206896551724, -0.4827586206896552, -0.2413793103448276, 0.0, 0.2413793103448276, 0.4827586206896552, -0.27586206896551724, -0.034482758620689655, 0.20689655172413793, 0.4482758620689655, -0.3103448275862069, -0.06896551724137931]], c -> list_sum(list_transform(generate_series(1, 16), i -> (CAST(embedding[48 + i] AS DOUBLE) - c[i]) * (CAST(embedding[48 + i] AS DOUBLE) - c[i])))) AS d3 FROM e), enc AS (SELECT vec_id, list_position(d0, list_min(d0)) - 1 AS c0, list_position(d1, list_min(d1)) - 1 AS c1, list_position(d2, list_min(d2)) - 1 AS c2, list_position(d3, list_min(d3)) - 1 AS c3 FROM d), s AS (SELECT vec_id, CAST(c0 AS STRING) || ',' || CAST(c1 AS STRING) || ',' || CAST(c2 AS STRING) || ',' || CAST(c3 AS STRING) AS codes, ([2.946035573073743, 2.1264230669535773, 2.1588074832646917, 2.1912618443194583, 3.164962620706113, 1.9318367901122815, 1.786001999596789, 1.8755312714720078, 2.8028586828170448, 3.0182884932667893, 3.0126929137745893, 2.7718731613789807, 3.147756213767594, 3.78740089446984, 3.8388802257980905, 2.3752165201255715])[c0 + 1] + ([3.164547066640883, 3.7826487662981543, 3.8125851165814306, 2.327378429863937, 2.1302741422511513, 2.0650856411670078, 2.5882023789441635, 2.551551333270246, 1.9551325041452547, 1.947018913881563, 2.2919164448321125, 3.841752074684528, 3.0671140387329308, 3.1160753592896904, 2.826364231080975, 3.824755501976968])[c1 + 1] + ([3.121288299890146, 3.148706639401931, 2.837452530148242, 3.81430081999926, 3.7465943081436253, 2.855428329266938, 1.9927298610568243, 1.9820283152779896, 1.9713967142428073, 3.2691514879715613, 1.855008660805023, 1.7492522084024211, 1.6435657007434716, 2.389876115515801, 3.1646540409547037, 3.115972499372555])[c2 + 1] + ([1.992729861056824, 2.8554283292669376, 3.7465943081436253, 3.81430081999926, 2.8374525301482416, 3.1487066394019316, 3.121288299890146, 3.2460697225662316, 1.855708108241548, 1.753448893021572, 1.783105464330238, 2.4010672745002033, 2.459261301219096, 1.957687544486914, 2.044419026616032, 2.2630662952737923])[c3 + 1] AS adc FROM enc) SELECT vec_id, codes, round(adc, 6) AS adc_dist FROM s ORDER BY adc, vec_id LIMIT 25""",
     }

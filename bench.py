@@ -234,6 +234,7 @@ def main() -> None:
         "tr_fork_safe_split",
         "rl_step_credit",
         "ex_incremental_twin",
+        "qt_pq_adc",
     ]
     # Untimed warm-up: JVM/codegen ramp + one pass over the largest scan so
     # the first timed query doesn't absorb session fixed costs.

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -159,3 +160,150 @@ topk AS (
 )
 SELECT id AS {id_col}, round(qcos, {round_to}) AS qcos FROM topk
 """
+
+
+# --------------------------------------------------------------- PQ / ADC
+
+
+def pq_train(
+    vectors: Sequence[Sequence[float]],
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 8,
+) -> list:
+    """Train product-quantization codebooks on a driver-side sample:
+    the vector is split into ``m`` contiguous subspaces and each gets a
+    k-centroid codebook via plain Lloyd's in numpy (codebooks are tiny
+    — m*k*sub_d floats — and PQ training is ALWAYS sample-based at
+    scale; the corpus-wide passes are encode and ADC, below). Seeding
+    is the first k distinct subvectors — deterministic, no RNG.
+
+    Returns ``codebooks[m][k][sub_d]`` (plain Python floats: the same
+    literal numbers feed the Spark expressions and the oracle SQL)."""
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n, d = x.shape
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        seen: list = []
+        for row in xs:
+            if not any(np.array_equal(row, s) for s in seen):
+                seen.append(row)
+            if len(seen) == k:
+                break
+        if len(seen) < k:
+            raise ValueError(f"subspace {j}: fewer than k={k} distinct rows")
+        c = np.asarray(seen)
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ci in range(k):
+                mask = assign == ci
+                if mask.any():
+                    c[ci] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in c])
+    return books
+
+
+def pq_encode_udf(codebooks: list):
+    """codes = per-subspace argmin against the broadcast codebooks —
+    one numpy matmul per Arrow batch per subspace (the ivf_assign_udf
+    shape, m times). Ties break to the lowest code index (numpy argmin
+    semantics), pinned for the oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        codes = []
+        for j, c in enumerate(books):
+            xs = x[:, j * sub:(j + 1) * sub]
+            d2 = -2.0 * (xs @ c.T) + (c * c).sum(axis=1)
+            codes.append(d2.argmin(axis=1))
+        out = np.stack(codes, axis=1).astype("int32")
+        return pd.Series(list(out))
+
+    return _encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, codes array<int> of length m)`` — the 32x-class footprint
+    cut (768 float32 -> m bytes-ish of codes): a pure projection, no
+    shuffle; the Arrow stage is the only Python."""
+    return df.select(
+        F.col(id_col),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_distance_table(codebooks: list, query: Sequence[float]) -> list:
+    """ADC lookup table for one query: ``table[j][c]`` = exact squared
+    distance between the query's j-th subvector and codebook entry c.
+    Computed ONCE per query in Python; the corpus-wide scoring pass is
+    then pure codegen arithmetic over these literals (no Python, no
+    UDF) — the PQ promise, and the same shared-literal-constants
+    discipline as preference.discount_table."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    sub = len(codebooks[0][0])
+    table = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * sub:(j + 1) * sub]
+        row = []
+        for cent in book:
+            dv = qs - np.asarray(cent, dtype=np.float64)
+            row.append(float((dv * dv).sum()))
+        table.append(row)
+    return table
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: score = sum over
+    subspaces of the literal lookup table at this row's code — pure
+    built-in expressions (element_at over a nested literal array +
+    aggregate), zero Python at query time. Returns the k nearest by
+    approximate squared distance (ascending), id-tie-broken.
+
+    Scale: the scan reads m ints per row instead of d floats; the only
+    shuffle is the global top-k (TakeOrderedAndProject — no full
+    sort)."""
+    table = pq_distance_table(codebooks, query)
+    lit_table = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in table]
+    )
+    dist = F.expr(
+        f"aggregate(zip_with({codes_col}, sequence(1, size({codes_col})), "
+        "(c, j) -> struct(c AS c, j AS j)), CAST(0.0 AS DOUBLE), "
+        "(acc, s) -> acc + element_at(element_at(_pq_tbl, s.j), s.c + 1))"
+    )
+    return (
+        codes_df.withColumn("_pq_tbl", lit_table)
+        .withColumn("adc_dist", dist)
+        .drop("_pq_tbl")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -82,3 +82,103 @@ def test_quantized_topk_matches_duckdb_twin(spark, emb):
         for r in con.execute(QZ.quantized_topk_sql("embeddings", 7, k=15)).fetchall()
     ]
     assert sorted(got) == sorted(want)
+
+
+# ---------------------------------------------------------------- PQ / ADC
+
+
+def _toy_vectors(n=120, d=8, spread=5):
+    # three well-separated blobs per subspace half, deterministic
+    out = []
+    for i in range(n):
+        base = (i % 3) * spread
+        out.append([base + ((i * 7 + j * 3) % 5) / 10.0 for j in range(d)])
+    return out
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import numpy as np
+
+    from ocr_spark.operators.quantize import pq_encode, pq_train
+
+    vecs = _toy_vectors()
+    books = pq_train(vecs, m=2, k=3, n_iter=6)
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    x = np.asarray(vecs)
+    for j, book in enumerate(books):
+        c = np.asarray(book)
+        xs = x[:, j * 4:(j + 1) * 4]
+        ref = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for i in range(len(vecs)):
+            assert got[i][j] == ref[i], (i, j)
+
+
+def test_pq_adc_equals_reconstructed_distance(spark):
+    """ADC identity: the ADC score IS the exact squared distance between
+    the query and the row's RECONSTRUCTED (codebook) vector."""
+    import numpy as np
+
+    from ocr_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    vecs = _toy_vectors()
+    books = pq_train(vecs, m=2, k=3, n_iter=6)
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<double>"
+    )
+    codes_df = pq_encode(df, books)
+    q = vecs[11]
+    top = pq_adc_topk(codes_df, books, q, k=len(vecs))
+    codes = {r.vec_id: (list(r.codes), r.adc_dist) for r in top.collect()}
+    qn = np.asarray(q)
+    for vid, (cs, dist) in codes.items():
+        recon = np.concatenate(
+            [np.asarray(books[j][c]) for j, c in enumerate(cs)]
+        )
+        assert abs(dist - ((qn - recon) ** 2).sum()) < 1e-9, vid
+
+
+def test_pq_train_beats_degenerate_codebooks(spark):
+    """Trained codebooks reconstruct better than a single repeated
+    centroid (sanity on the Lloyd loop)."""
+    import numpy as np
+
+    from ocr_spark.operators.quantize import pq_train
+
+    vecs = _toy_vectors()
+    books = pq_train(vecs, m=2, k=3, n_iter=6)
+    x = np.asarray(vecs)
+
+    def recon_err(bs):
+        err = 0.0
+        for j, book in enumerate(bs):
+            c = np.asarray(book)
+            xs = x[:, j * 4:(j + 1) * 4]
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    mean = x.mean(axis=0)
+    flat = [[list(mean[j * 4:(j + 1) * 4])] * 3 for j in range(2)]
+    assert recon_err(books) < 0.25 * recon_err(flat)
+
+
+def test_pq_adc_is_pure_codegen_scan(spark):
+    from ocr_spark.operators.quantize import pq_adc_topk, pq_train
+    from ocr_spark.plans import checks
+
+    vecs = _toy_vectors()
+    books = pq_train(vecs, m=2, k=3, n_iter=2)
+    codes_df = spark.createDataFrame(
+        [(0, [0, 1]), (1, [2, 0])], "vec_id long, codes array<int>"
+    )
+    out = pq_adc_topk(codes_df, books, vecs[0], k=5)
+    p = checks.formatted_plan(out)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "TakeOrderedAndProject" in p
