@@ -2881,9 +2881,12 @@ def _q_dd_line_dedup(spark, sf_dir):
 
 def _q_ex_dispatch_twin(spark, sf_dir):
     """Hash-verified KIND DISPATCH (S1): one corpus whose tool column
-    routes each doc to a different kernel by doc_id parity — plain /
-    markdown / json_tool / wiki — extracted in one pass through the
-    real dispatch; the oracle composes the four per-kind twins."""
+    routes each doc to a different kernel by doc_id residue — plain /
+    markdown / json_tool / wiki / log / notebook — extracted in one
+    pass through the real dispatch; the oracle composes the six
+    per-kind twins. Round-5 widening (from four kinds) so this scored
+    row genuinely replays the markdown/json/wiki/log/notebook kernels
+    the demoted single-kind twins cover (window-rotation rule)."""
     _ensure_pyfiles(spark)
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.select(
@@ -2891,13 +2894,17 @@ def _q_ex_dispatch_twin(spark, sf_dir):
         F.lit(0).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.expr(
-            f"CASE doc_id % 4 WHEN 0 THEN {_PLAIN_PAYLOAD_SQL}"
+            f"CASE doc_id % 6 WHEN 0 THEN {_PLAIN_PAYLOAD_SQL}"
             f" WHEN 1 THEN {_MD_PAYLOAD_SQL}"
-            f" WHEN 2 THEN {_JS_PAYLOAD_SQL} ELSE {_WIKI_PAYLOAD_SQL} END"
+            f" WHEN 2 THEN {_JS_PAYLOAD_SQL}"
+            f" WHEN 3 THEN {_WIKI_PAYLOAD_SQL}"
+            f" WHEN 4 THEN {_LOG_PAYLOAD_SQL}"
+            f" ELSE {_NB_PAYLOAD_SQL} END"
         ).alias("text"),
         F.expr(
-            "CASE doc_id % 4 WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'"
-            " WHEN 2 THEN 'json_tool' ELSE 'wiki' END"
+            "CASE doc_id % 6 WHEN 0 THEN 'plain' WHEN 1 THEN 'markdown'"
+            " WHEN 2 THEN 'json_tool' WHEN 3 THEN 'wiki'"
+            " WHEN 4 THEN 'log' ELSE 'notebook' END"
         ).alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
@@ -4437,6 +4444,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ret_bm25_scores (driver-green history r3; the retrieval family
     keeps its replica row + bench rows), which now leads the
     past-boundary block.
+
+    ROUND-5 WINDOW ROTATION (round-4 VERDICT ask #1): the 13 wave-5–7
+    flagship operators with zero driver-green history take the window —
+    error mining (er_error_profile, er_conv_outcome), code churn
+    (dg_churn_profile), chat normalization (qc_merge_roles,
+    qc_tool_repeats), fork detection + fork-safe splits
+    (dd_fork_groups, tr_fork_safe_split), blob scrub (tx_blob_scrub),
+    frequency capping (dd_cap_duplicates), needle-insertion eval
+    (ev_needle_insert), process-supervision credit (rl_step_credit),
+    incremental re-extraction (ex_incremental_twin), and PQ/ADC
+    (qt_pq_adc). The 13 demoted rows are all r4-driver-green AND
+    subsumed by a still-scored composition: ex_markdown/json/wiki/log/
+    notebook_sql_twin ⊂ ex_dispatch_twin (widened this round to route
+    all six of those kernels); ex_code_spans_twin ⊂ the dispatch's
+    markdown kernel + the replica-stamped span rows (sft_turn_spans,
+    sq_span_integrity); ex_records_meta_twin ⊂ ex_records_parse_twin
+    (same parse relation, meta is a projection); dd_canonical_corpus ⊂
+    dd_connected_components (scored) + the best-in-cluster pick
+    replayed by dd_cluster_best's replica row; emb_hashed_ann ⊂
+    emb_hashed_vectors ∘ the bucketed-ANN machinery scored via
+    sim_knn_join; sft_token_stream and pk_bin_materialize ⊂
+    sft_packed_bins (the bins pack exactly that stream and goldens pin
+    the materialized arrays); tx_text_stats ⊂ tx_quality_filter (the
+    filter computes the same stat family, then thresholds);
+    ev_overlap_report = the diagnostic tier under the still-scored
+    north-metric ev_equality_summary. Every demoted row sits directly
+    after the boundary and stays replica-verified at every stamp.
     """
     return {
         # -- flagship extraction kernel + classify cascade, hash vs DuckDB
@@ -4445,68 +4479,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ex_plain_sql_twin": _q_ex_plain_sql_twin,
         "ex_html_sql_twin": _q_ex_html_sql_twin,
         "ex_pdf_sql_twin": _q_ex_pdf_sql_twin,
-        "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
-        "ex_json_sql_twin": _q_ex_json_sql_twin,
-        "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
-        "ex_log_sql_twin": _q_ex_log_sql_twin,
-        "ex_diff_lines_twin": _q_ex_diff_lines_twin,
-        "ex_notebook_twin": _q_ex_notebook_twin,
-        "ex_html_tables_twin": _q_ex_html_tables_twin,
-        "ex_code_spans_twin": _q_ex_code_spans_twin,
         "ex_dispatch_twin": _q_ex_dispatch_twin,
+        "ex_diff_lines_twin": _q_ex_diff_lines_twin,
+        "ex_html_tables_twin": _q_ex_html_tables_twin,
         "ex_records_parse_twin": _q_ex_records_parse_twin,
         "ex_records_udtf_twin": _q_ex_records_udtf_twin,
-        "ex_records_meta_twin": _q_ex_records_meta_twin,
         "ex_classify_sql_twin": _q_ex_classify_sql_twin,
         "ex_fuzzy_cascade_twin": _q_ex_fuzzy_cascade_twin,
+        "ex_incremental_twin": _q_ex_incremental_twin,
         "ev_equality_summary": _q_ev_equality_summary,
+        # -- wave-5 flagships: error mining, code churn, chat norm
+        "er_error_profile": _q_er_error_profile,
+        "er_conv_outcome": _q_er_conv_outcome,
+        "dg_churn_profile": _q_dg_churn_profile,
+        "qc_merge_roles": _q_qc_merge_roles,
+        "qc_tool_repeats": _q_qc_tool_repeats,
+        "qc_transcript_integrity": _q_qc_transcript_integrity,
         # -- dedup stack
         "dd_exact_dedup": _q_dd_exact_dedup,
         "dd_minhash_exact_clones": _q_dd_minhash_exact_clones,
         "dd_ngram_jaccard": _q_dd_ngram_jaccard,
         "dd_connected_components": _q_dd_connected_components,
-        "gr_pagerank": _q_gr_pagerank,
-        "dd_canonical_corpus": _q_dd_canonical_corpus,
         "dd_incremental_clones": _q_dd_incremental_clones,
         "dd_winnow_fingerprints": _q_dd_winnow_fingerprints,
         "dd_scrub_ngrams": _q_dd_scrub_ngrams,
         "dd_line_dedup": _q_dd_line_dedup,
         "dd_conv_clones": _q_dd_conv_clones,
-        # -- ANN / similarity stack
+        "dd_fork_groups": _q_dd_fork_groups,
+        "dd_cap_duplicates": _q_dd_cap_duplicates,
+        "dd_lsh_recall": _q_dd_lsh_recall,
+        "gr_pagerank": _q_gr_pagerank,
+        # -- ANN / similarity / quantization stack
         "sim_cosine_topk": _q_sim_cosine_topk,
         "sim_knn_join": _q_sim_knn_join,
         "sim_ivf_topk": _q_sim_ivf_topk,
         "sim_semantic_dedup": _q_sim_semantic_dedup,
         "dv_kcenter_select": _q_dv_kcenter_select,
-        "dd_lsh_recall": _q_dd_lsh_recall,
-        "qt_quantized_topk": _q_qt_quantized_topk,
         "emb_hashed_vectors": _q_emb_hashed_vectors,
-        "emb_hashed_ann": _q_emb_hashed_ann,
+        "qt_quantized_topk": _q_qt_quantized_topk,
+        "qt_pq_adc": _q_qt_pq_adc,
         # -- learned tokenizer
         "tok_bpe_encode": _q_tok_bpe_encode,
         # -- transcript-curation flagship composition (round-4 wave 3)
         "cr_transcript_pipeline": _q_cr_transcript_pipeline,
         # -- text analysis + training-data ops
-        "tx_text_stats": _q_tx_text_stats,
         "tx_quality_filter": _q_tx_quality_filter,
-        "ev_overlap_report": _q_ev_overlap_report,
+        "tx_blob_scrub": _q_tx_blob_scrub,
         "pii_pseudonymize": _q_pii_pseudonymize,
+        "ev_needle_insert": _q_ev_needle_insert,
+        "rl_step_credit": _q_rl_step_credit,
+        "tr_fork_safe_split": _q_tr_fork_safe_split,
         "ctx_window_assembly": _q_ctx_window_assembly,
         "sft_doc_assembly": _q_sft_doc_assembly,
-        "sft_token_stream": _q_sft_token_stream,
         "sft_packed_bins": _q_sft_packed_bins,
-        "qc_transcript_integrity": _q_qc_transcript_integrity,
-        "pk_bin_materialize": _q_pk_bin_materialize,
         # ---- driver-scored window boundary (~50) ----
+        # demoted round-5 (all r4-driver-green, all subsumed by a
+        # still-scored composition — see the rotation note above):
+        "ex_markdown_sql_twin": _q_ex_markdown_sql_twin,
+        "ex_json_sql_twin": _q_ex_json_sql_twin,
+        "ex_wiki_sql_twin": _q_ex_wiki_sql_twin,
+        "ex_log_sql_twin": _q_ex_log_sql_twin,
+        "ex_notebook_twin": _q_ex_notebook_twin,
+        "ex_code_spans_twin": _q_ex_code_spans_twin,
+        "ex_records_meta_twin": _q_ex_records_meta_twin,
+        "dd_canonical_corpus": _q_dd_canonical_corpus,
+        "emb_hashed_ann": _q_emb_hashed_ann,
+        "sft_token_stream": _q_sft_token_stream,
+        "pk_bin_materialize": _q_pk_bin_materialize,
+        "tx_text_stats": _q_tx_text_stats,
+        "ev_overlap_report": _q_ev_overlap_report,
         "ex_nb_cells_twin": _q_ex_nb_cells_twin,
         "ret_bm25_scores": _q_ret_bm25_scores,
-        # new round-4 wave 5: error/stack-trace signature mining (below
-        # the boundary — replica-verified hash twin + pytest evidence)
-        "er_error_profile": _q_er_error_profile,
         "ex_log_lines_twin": _q_ex_log_lines_twin,
-        "er_conv_outcome": _q_er_conv_outcome,
         "er_error_trend": _q_er_error_trend,
-        "dg_churn_profile": _q_dg_churn_profile,
         "dg_conv_activity": _q_dg_conv_activity,
         "tj_features_twin": _q_tj_features_twin,
         # demoted round-4 wave 5 (with ex_diff_lines_twin promoted):
@@ -4665,17 +4710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lg_domain_filter": _q_lg_domain_filter,
         "ic_zorder_keys": _q_ic_zorder_keys,
         "ts_tool_args": _q_ts_tool_args,
-        "qc_merge_roles": _q_qc_merge_roles,
-        "qc_tool_repeats": _q_qc_tool_repeats,
         "qc_repeat_savings": _q_qc_repeat_savings,
-        "dd_fork_groups": _q_dd_fork_groups,
-        "tx_blob_scrub": _q_tx_blob_scrub,
-        "dd_cap_duplicates": _q_dd_cap_duplicates,
-        "ev_needle_insert": _q_ev_needle_insert,
-        "tr_fork_safe_split": _q_tr_fork_safe_split,
-        "rl_step_credit": _q_rl_step_credit,
-        "ex_incremental_twin": _q_ex_incremental_twin,
-        "qt_pq_adc": _q_qt_pq_adc,
     }
 
 
@@ -5601,20 +5636,26 @@ GROUP BY k.doc_id
 """
 
 
-# DuckDB twin of the kind dispatch: compose the four per-kind twins,
-# each filtered to the parity class the Spark corpus routes to it.
+# DuckDB twin of the kind dispatch: compose the six per-kind twins,
+# each filtered to the residue class the Spark corpus routes to it.
 _DISPATCH_TWIN_SQL = f"""
 SELECT doc_id, 'plain' AS tool, clean_text, blocks_kept
-FROM ({_PLAIN_TWIN_SQL}) WHERE doc_id % 4 = 0
+FROM ({_PLAIN_TWIN_SQL}) WHERE doc_id % 6 = 0
 UNION ALL
 SELECT doc_id, 'markdown', clean_text, blocks_kept
-FROM ({_MD_TWIN_SQL}) WHERE doc_id % 4 = 1
+FROM ({_MD_TWIN_SQL}) WHERE doc_id % 6 = 1
 UNION ALL
 SELECT doc_id, 'json_tool', clean_text, blocks_kept
-FROM ({_JS_TWIN_SQL}) WHERE doc_id % 4 = 2
+FROM ({_JS_TWIN_SQL}) WHERE doc_id % 6 = 2
 UNION ALL
 SELECT doc_id, 'wiki', clean_text, blocks_kept
-FROM ({_WIKI_TWIN_SQL}) WHERE doc_id % 4 = 3
+FROM ({_WIKI_TWIN_SQL}) WHERE doc_id % 6 = 3
+UNION ALL
+SELECT doc_id, 'log', clean_text, blocks_kept
+FROM ({_LOG_TWIN_SQL}) WHERE doc_id % 6 = 4
+UNION ALL
+SELECT doc_id, 'notebook', clean_text, blocks_kept
+FROM ({_NB_TWIN_SQL}) WHERE doc_id % 6 = 5
 """
 
 
@@ -8356,7 +8397,8 @@ FROM src s LEFT JOIN per USING (doc_id)
         "dd_fork_groups": (
             f"WITH c AS ({_FORK_CORPUS_SQL}), "
             "a AS (SELECT conv, CAST(count(*) AS INT) AS n_turns, "
-            "md5(string_agg(coalesce(role, '') || chr(31) "
+            "md5(string_agg(CAST(length(coalesce(role, '')) AS STRING) "
+            "|| chr(31) || coalesce(role, '') || chr(31) "
             "|| CAST(length(coalesce(text, '')) AS STRING) || chr(31) "
             "|| coalesce(text, '') || chr(30), '' ORDER BY turn_idx) "
             "FILTER (WHERE turn_idx < 4)) AS fork_sig "
@@ -8424,7 +8466,8 @@ FROM src s LEFT JOIN per USING (doc_id)
         "tr_fork_safe_split": (
             f"WITH c AS ({_FORK_CORPUS_SQL}), "
             "a AS (SELECT conv, "
-            "md5(string_agg(coalesce(role, '') || chr(31) "
+            "md5(string_agg(CAST(length(coalesce(role, '')) AS STRING) "
+            "|| chr(31) || coalesce(role, '') || chr(31) "
             "|| CAST(length(coalesce(text, '')) AS STRING) || chr(31) "
             "|| coalesce(text, '') || chr(30), '' ORDER BY turn_idx) "
             "FILTER (WHERE turn_idx < 4)) AS fork_sig "

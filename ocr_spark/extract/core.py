@@ -46,7 +46,8 @@ Payload kinds (the ``tool`` column; see FIXTURES.md §1):
                     — rebuild extension for patch tool-output turns)
 - ``notebook``   -> .ipynb cell extraction (markdown cells through the
                     markdown strip, code cells layout-preserved,
-                    outputs/raw/metadata dropped and counted; invalid
+                    outputs/attachments/raw dropped and counted,
+                    metadata ignored; invalid
                     JSON or non-notebook JSON degrades to plain with
                     parse_failures=1; see extract/notebook.py —
                     rebuild extension for notebook tool payloads)

@@ -926,12 +926,48 @@ def simhash_candidate_buckets(
     keys = F.array(
         *[
             # the combo index is hashed in so equal block values under
-            # different combinations never collide into one bucket
-            F.xxhash64(F.lit(ci), *[block[b] for b in combo])
+            # different combinations never collide into one bucket; it
+            # also rides along as `ci` so the pair join can keep only
+            # each pair's lowest-index clean combination (single-emit)
+            F.struct(
+                F.lit(ci).cast("int").alias("ci"),
+                F.xxhash64(F.lit(ci), *[block[b] for b in combo]).alias(
+                    "key"
+                ),
+            )
             for ci, combo in enumerate(combinations(range(m), keep))
         ]
     )
-    return sigs.select(id_col, sim_col, F.explode(keys).alias("bucket"))
+    return sigs.select(
+        id_col, sim_col, F.explode(keys).alias("_bk")
+    ).select(
+        id_col,
+        sim_col,
+        F.col("_bk.ci").alias("ci"),
+        F.col("_bk.key").alias("bucket"),
+    )
+
+
+def _first_clean_combo_sql(
+    m: int, max_hamming: int, xor_col: str
+) -> str:
+    """SQL CASE picking the LOWEST-index block combination whose member
+    blocks are all clean (zero in the pair's signature xor) — the
+    single-emission rule for the banded self-join. Pure codegen: m
+    block-clean predicates reused across C(m, m-d) WHEN arms."""
+    from itertools import combinations
+
+    keep = m - max_hamming
+    bounds = _simhash_blocks(64, m)
+    clean = [
+        f"(shiftrightunsigned({xor_col}, {s}) & {(1 << w) - 1}) = 0"
+        for s, w in bounds
+    ]
+    arms = " ".join(
+        f"WHEN ({' AND '.join(clean[b] for b in combo)}) THEN {ci}"
+        for ci, combo in enumerate(combinations(range(m), keep))
+    )
+    return f"CASE {arms} ELSE -1 END"
 
 
 def hamming_pairs_from_signatures(
@@ -941,22 +977,47 @@ def hamming_pairs_from_signatures(
     """Hamming-<=d pair join over ANY 64-bit signature column
     (SimHash text fingerprints, perceptual image aHashes, ...):
     block-combination LSH candidates -> exact ``bit_count(xor)``
-    verify. Linear candidate generation, exact recall by pigeonhole."""
+    verify. Linear candidate generation, exact recall by pigeonhole.
+
+    Single-emission dedupe (round-4 VERDICT ask #2): a pair may share
+    up to C(m, m-d) clean-block combinations, and the previous
+    ``.distinct()`` shuffled every surviving copy — the widest
+    intermediate in the dedup stack (the join output is partitioned by
+    bucket, so copies of one pair land in DIFFERENT partitions and
+    map-side combine cannot collapse them). Instead, each joined row
+    carries its combination index ``ci`` (equal on both sides — the
+    bucket hash includes it), and BOTH signatures are in the row, so a
+    pure-codegen filter keeps exactly the row whose ``ci`` is the
+    pair's lowest-index all-clean combination. Every true pair has at
+    least one clean combination (pigeonhole) and is emitted exactly
+    once; no third exchange, no aggregation."""
+    m = n_blocks or _default_simhash_blocks(max_hamming)
     banded = simhash_candidate_buckets(
-        sigs, id_col, max_hamming, n_blocks, sim_col=sim_col
+        sigs, id_col, max_hamming, m, sim_col=sim_col
     )
     a = banded.select(
-        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(sim_col).alias("sim_a"),
+        "ci",
+        "bucket",
     )
     b = banded.select(
-        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(sim_col).alias("sim_b"),
+        F.col("ci").alias("_cib"),
+        "bucket",
     )
+    first_clean = _first_clean_combo_sql(m, max_hamming, "_xr")
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()  # a pair may share several clean-block combinations
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        # equal by construction (the bucket hash includes ci); the
+        # explicit check keeps single-emission exact even under a
+        # 2^-64 xxhash64 key collision between different combos
+        .filter(F.col("ci") == F.col("_cib"))
+        .withColumn("_xr", F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        .filter(F.col("ci") == F.expr(first_clean))
+        .withColumn("hamming", F.bit_count(F.col("_xr")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -1445,11 +1506,15 @@ def finalize_fork_groups(
             F.array_join(
                 # injective regardless of content: roles NULL-coalesced
                 # (a NULL element would vanish from array_join — review
-                # finding) and the text length-prefixed, so chr(30/31)
-                # INSIDE a turn's text cannot forge a turn boundary
+                # finding) and BOTH fields length-prefixed, so chr(30/31)
+                # inside a turn's role OR text cannot forge a turn
+                # boundary (round-4 review: an unprefixed role could
+                # embed separators and collide two different prefixes)
                 F.expr(
-                    "transform(pre, p -> concat(coalesce(p.r, ''), "
-                    "chr(31), cast(length(coalesce(p.t, '')) as string), "
+                    "transform(pre, p -> concat("
+                    "cast(length(coalesce(p.r, '')) as string), chr(31), "
+                    "coalesce(p.r, ''), chr(31), "
+                    "cast(length(coalesce(p.t, '')) as string), "
                     "chr(31), coalesce(p.t, ''), chr(30)))"
                 ),
                 "",

@@ -1277,8 +1277,9 @@ def insert_needles(
     """Long-context eval prep (needle-in-a-haystack): deterministically
     splice one needle sentence into each document at a controlled depth,
     emitting the ground truth a retrieval eval needs. Needle choice
-    (``doc_id % |needles|``) and depth (``(doc_id % depth_levels) /
-    depth_levels`` of the char length) are pure functions of the doc id
+    (``pmod(doc_id, |needles|)``) and depth (``pmod(doc_id,
+    depth_levels) / depth_levels`` of the char length) are pure
+    non-negative functions of the doc id
     — re-runs, engines, and graders agree without storing state.
 
     Output: input columns with ``text`` = spliced document plus
@@ -1315,13 +1316,19 @@ def insert_needles(
             "_nkey long, _nid long, _ntext string",
         )
     )
-    key = (F.col(doc_id_col) % F.lit(n)).cast("long")
+    # pmod, not %: Spark's % follows the dividend's sign, so a negative
+    # doc id would miss every 0..n-1 needle key and the left join would
+    # NULL _ntext — concat() then silently nulls the WHOLE spliced text
+    # (review finding). pmod keys always land in [0, n), which also
+    # makes the join safely inner: a dropped row surfaces as a count
+    # mismatch instead of a corrupted survivor.
+    key = F.pmod(F.col(doc_id_col), F.lit(n)).cast("long")
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    depth = (F.col(doc_id_col) % F.lit(depth_levels)).cast("long")
+    depth = F.pmod(F.col(doc_id_col), F.lit(depth_levels)).cast("long")
     pos = F.floor(F.length(raw) * depth / F.lit(depth_levels)).cast("int")
     out = (
         docs.withColumn("_nkeyd", key)
-        .join(nd, F.col("_nkeyd") == F.col("_nkey"), "left")
+        .join(nd, F.col("_nkeyd") == F.col("_nkey"), "inner")
         .withColumn("_pos", pos)
     )
     spliced = F.concat(

@@ -553,13 +553,19 @@ def extract_incremental(
     turns are the caller's MERGE-delete side; this function returns
     only rows to (re)write.
 
-    Plan: one hash-join of the two snapshots on the turn key (both
-    sides pruned to key+digest columns), left-semi semantics against
-    ``new`` (no row widening), then the standard shuffle-free Arrow
-    extraction over the delta only. At 10^12 turns the join is the
-    scan-bound stage; the Python stage sees |delta| rows, not |corpus|.
+    Plan: one hash-join of the two snapshots on the REAL composite key
+    columns (no concat_ws key — a conv_id containing the separator
+    could collide with another (conv_id, turn_idx); review finding),
+    the old side pre-aggregated to ONE digest row per key so a
+    corrupted old snapshot with duplicate keys cannot fan matching new
+    rows out into duplicate re-extraction output. A key whose old
+    snapshot carries CONFLICTING digests is treated as changed (we
+    cannot know which copy the extraction table reflects, so
+    re-extracting is the only safe answer). Then the standard
+    shuffle-free Arrow extraction over the delta only. At 10^12 turns
+    the join is the scan-bound stage; the Python stage sees |delta|
+    rows, not |corpus|.
     """
-    key = F.concat_ws("\x1f", F.col("conv_id"), F.col("turn_idx"))
     digest = F.md5(
         F.concat_ws(
             "\x1e",
@@ -567,11 +573,28 @@ def extract_incremental(
             F.coalesce(F.col("tool"), F.lit("\x00")),
         )
     )
-    o = old.select(key.alias("_tk"), digest.alias("_od"))
-    n = new.withColumn("_tk", key).withColumn("_nd", digest)
+    o = (
+        old.select(
+            F.col("conv_id").alias("_okc"),
+            F.col("turn_idx").alias("_oki"),
+            digest.alias("_od"),
+        )
+        .groupBy("_okc", "_oki")
+        .agg(F.min("_od").alias("_odlo"), F.max("_od").alias("_odhi"))
+    )
+    n = new.withColumn("_nd", digest)
     targets = (
-        n.join(o, "_tk", "left")
-        .filter(F.col("_od").isNull() | (F.col("_od") != F.col("_nd")))
-        .drop("_tk", "_od", "_nd")
+        n.join(
+            o,
+            (F.col("conv_id") == F.col("_okc"))
+            & (F.col("turn_idx") == F.col("_oki")),
+            "left",
+        )
+        .filter(
+            F.col("_odlo").isNull()
+            | (F.col("_odlo") != F.col("_odhi"))
+            | (F.col("_odlo") != F.col("_nd"))
+        )
+        .drop("_okc", "_oki", "_odlo", "_odhi", "_nd")
     )
     return extract_transcripts(targets, repartition=repartition)

