@@ -480,6 +480,40 @@ def main() -> None:
     times["sim_ivf_probe_index"] = round(t_probe, 3)
     times["sim_ivf_full_scan"] = round(t_full, 3)
 
+    # round-5: corpus-scale k-center at k=512 (round-4 VERDICT ask #3).
+    # The exact greedy would cost 512 full passes + 1024 driver syncs;
+    # the oversampling path does O(log n) passes (reported) + one local
+    # greedy finish over the 2k-candidate set. Deterministic synthetic
+    # corpus (1M x 64, 1024 natural clusters), generated JVM-side once.
+    from ocr_spark.operators.diversity import (  # noqa: E402
+        _kcenter_rounds,
+        kcenter_select_scalable,
+    )
+
+    n_kc = int(os.environ.get("SPARK_GRAFT_KCENTER_N", "500000"))
+    kc_k = int(os.environ.get("SPARK_GRAFT_KCENTER_K", "512"))
+    kc_path = os.path.join(REPO, ".bench_cache", f"kc_corpus_{n_kc}.parquet")
+    if not os.path.exists(os.path.join(kc_path, "_SUCCESS")):
+        spark.range(n_kc).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(1, 64), j -> "
+                "cast(sin((1 + id % 1024) * j) + 0.03 * sin(id * j) as float))"
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(kc_path)
+    kc_emb = spark.read.parquet(kc_path)
+    t0 = time.time()
+    kc_picked = kcenter_select_scalable(kc_emb, kc_k, oversample=4)
+    times["dv_kcenter_scalable_k512"] = round(time.time() - t0, 3)
+    kcenter_payload = {
+        "k": kc_k,
+        "n": n_kc,
+        "selected": len(kc_picked),
+        "distributed_passes": _kcenter_rounds(n_kc, 4 * kc_k),
+        "exact_path_passes_would_be": kc_k,
+    }
+    spark.catalog.clearCache()
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "bench_suite_total",
@@ -502,6 +536,7 @@ def main() -> None:
         },
         "ivf_pruned_vs_full_ratio": round(t_probe / t_full, 3),
         "sft_payload": sft_payload,
+        "kcenter_scalable": kcenter_payload,
     }
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
