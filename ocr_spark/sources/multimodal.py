@@ -1,9 +1,13 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
-struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages (one Python crossing per batch —
-the same execution shape as the text extraction pipeline).
+struct; decode / feature-extract / enhance / resize / frame-sample run
+as Arrow-batched ``mapInPandas`` stages (one Python crossing per batch
+— the same execution shape as the text extraction pipeline).
+``enhance_pixels``/``decode_and_enhance`` are the D4 analog: the
+reference's pre-OCR contrast x1.5 + sharpness x1.5 conditioning
+(image_processing_service.py:64-85) re-expressed as a deterministic
+numpy spec over the real decoded samples.
 
 No imaging library ships in this container, so the codec layer is pure
 stdlib+numpy: ``decode_image_meta`` parses PNG/JPEG headers (struct
@@ -318,6 +322,96 @@ def decode_and_resize(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     px = resize_pixels(h, w, c, raw, out_h, out_w)
                     out["height"].append(out_h)
                     out["width"].append(out_w)
+                    out["channels"].append(c)
+                    out["pixels"].append(bytes(px))
+                    out["decode_error"].append(None)
+                except (ValueError, zlib.error, struct.error, IndexError) as ex:
+                    out["height"].append(None)
+                    out["width"].append(None)
+                    out["channels"].append(None)
+                    out["pixels"].append(None)
+                    out["decode_error"].append(str(ex))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
+def enhance_pixels(
+    height: int,
+    width: int,
+    channels: int,
+    raw,
+    contrast: float = 1.5,
+    sharpness: float = 1.5,
+):
+    """Pixel-space enhancement — the D4 analog over the REAL decoded
+    samples (reference image_processing_service.py:64-85 runs contrast
+    x1.5 then sharpness x1.5 before OCR). Deterministic numpy spec,
+    mirroring the classic enhance semantics:
+
+    - contrast(f): blend toward the image's luminance mean — out =
+      round(mean + f*(px - mean)) clipped to [0, 255], with mean =
+      round(mean of 0.299R + 0.587G + 0.114B) over all pixels (single
+      gray level, as an OCR contrast stretch wants). f=1 is identity.
+    - sharpness(f): blend AWAY from a 3x3 smooth ([1,1,1;1,5,1;1,1,1]
+      / 13) — out = round(smooth + f*(px - smooth)) clipped; the 1-px
+      border keeps its (contrast-adjusted) original values, matching
+      kernel-filter edge behavior. f=1 is identity.
+
+    Pure numpy over the whole sample buffer (no per-pixel Python), so
+    it fuses into the existing Arrow decode stage at zero extra
+    crossings."""
+    a = (
+        np.frombuffer(bytes(raw), dtype=np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    if channels >= 3:
+        lum = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    else:
+        lum = a[:, :, 0]
+    mean = np.floor(lum.mean() + 0.5)
+    a = np.clip(np.floor(mean + contrast * (a - mean) + 0.5), 0, 255)
+    if height >= 3 and width >= 3 and sharpness != 1.0:
+        k = np.array([[1.0, 1.0, 1.0], [1.0, 5.0, 1.0], [1.0, 1.0, 1.0]])
+        k /= k.sum()
+        smooth = np.zeros_like(a)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                smooth[1:-1, 1:-1, :] += (
+                    k[dy + 1, dx + 1]
+                    * a[1 + dy : height - 1 + dy, 1 + dx : width - 1 + dx, :]
+                )
+        sharp = np.clip(
+            np.floor(smooth + sharpness * (a - smooth) + 0.5), 0, 255
+        )
+        a[1:-1, 1:-1, :] = sharp[1:-1, 1:-1, :]
+    return bytearray(a.astype(np.uint8).tobytes())
+
+
+def decode_and_enhance(
+    media: DataFrame, contrast: float = 1.5, sharpness: float = 1.5
+) -> DataFrame:
+    """Decode payloads and apply the contrast/sharpen enhancement in ONE
+    Arrow-batched stage (decode + enhance fused — no intermediate pixel
+    materialization), the full D4 analog of the reference's pre-OCR
+    image conditioning. Poisoned payloads degrade to null rows with the
+    error recorded (D7 parity), never kill the batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"], "height": [], "width": [],
+                   "channels": [], "pixels": [], "decode_error": []}
+            for payload in pdf["payload"]:
+                try:
+                    h, w, c, raw = decode_pixels(
+                        bytes(payload) if payload is not None else b""
+                    )
+                    px = enhance_pixels(h, w, c, raw, contrast, sharpness)
+                    out["height"].append(h)
+                    out["width"].append(w)
                     out["channels"].append(c)
                     out["pixels"].append(bytes(px))
                     out["decode_error"].append(None)

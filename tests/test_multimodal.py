@@ -396,3 +396,100 @@ def test_near_dup_images_finds_reencoded_copy(spark):
              for r in near_dup_images(media, max_hamming=4).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0
     assert all(p == (1, 2) for p in pairs)  # no cross-content pair, no crash
+
+
+def test_enhance_pixels_identity_and_oracle():
+    """Round-5 D4 analog: contrast=sharpness=1 is byte-identity; a tiny
+    known image is checked against an INDEPENDENT loop-written numpy
+    oracle (luminance-mean contrast blend, 3x3 smooth unsharp blend,
+    border passthrough)."""
+    import numpy as np
+
+    from ocr_spark.sources.multimodal import enhance_pixels
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    raw = img.tobytes()
+
+    assert bytes(enhance_pixels(h, w, c, raw, 1.0, 1.0)) == raw
+
+    # independent oracle, written as explicit loops
+    a = img.astype(np.float64)
+    lum = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    mean = np.floor(lum.mean() + 0.5)
+    contrasted = np.clip(np.floor(mean + 1.5 * (a - mean) + 0.5), 0, 255)
+    out = contrasted.copy()
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            for ch in range(c):
+                s = 0.0
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        wgt = 5.0 if (dy == 0 and dx == 0) else 1.0
+                        s += wgt * contrasted[y + dy, x + dx, ch]
+                s /= 13.0
+                out[y, x, ch] = min(
+                    255.0,
+                    max(0.0, np.floor(s + 1.5 * (contrasted[y, x, ch] - s) + 0.5)),
+                )
+    got = np.frombuffer(
+        bytes(enhance_pixels(h, w, c, raw, 1.5, 1.5)), dtype=np.uint8
+    ).reshape(h, w, c)
+    assert np.array_equal(got, out.astype(np.uint8))
+
+
+def test_enhance_pixels_contrast_stretches_and_small_images():
+    """Contrast >1 increases sample spread around the luminance mean;
+    images under 3x3 skip the sharpen (no interior) but still get the
+    contrast stretch; grayscale uses the single channel as luminance."""
+    import numpy as np
+
+    from ocr_spark.sources.multimodal import enhance_pixels
+
+    img = np.tile(
+        np.array([[60, 60, 60], [190, 190, 190]], dtype=np.uint8), (4, 3, 1)
+    )
+    h, w, c = img.shape
+    out = np.frombuffer(
+        bytes(enhance_pixels(h, w, c, img.tobytes(), 1.5, 1.0)), dtype=np.uint8
+    ).reshape(h, w, c)
+    assert out.astype(np.float64).std() > img.astype(np.float64).std()
+
+    tiny = np.array([[[10], [240]]], dtype=np.uint8)  # 1x2 gray
+    got = bytes(enhance_pixels(1, 2, 1, tiny.tobytes(), 1.5, 1.5))
+    a = tiny[:, :, 0].astype(np.float64)
+    mean = np.floor(a.mean() + 0.5)
+    exp = np.clip(np.floor(mean + 1.5 * (a - mean) + 0.5), 0, 255).astype(np.uint8)
+    assert got == exp.tobytes()
+
+
+def test_decode_and_enhance_spark(spark):
+    """The fused Arrow stage: PNG and JPEG payloads decode + enhance in
+    one crossing and match the local enhance_pixels on the same decode;
+    a poisoned payload degrades to a null row with the error recorded."""
+    import numpy as np
+
+    from ocr_spark.sources.jpeg_codec import encode_baseline_jpeg
+    from ocr_spark.sources.multimodal import (
+        MEDIA_SCHEMA,
+        decode_and_enhance,
+        decode_pixels,
+        enhance_pixels,
+        synth_png,
+    )
+
+    rows = [(i, "image", bytearray(synth_png(12, 10, seed=i)), None) for i in range(3)]
+    rows.append((9, "image", bytearray(b"junk"), None))
+    jp_img = np.random.default_rng(3).integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    jp = encode_baseline_jpeg(10, 12, 3, jp_img.tobytes(), quant="flat")
+    rows.append((20, "image", bytearray(jp), None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in decode_and_enhance(df).collect()}
+    for i in range(3):
+        h, w, c, raw = decode_pixels(synth_png(12, 10, seed=i))
+        assert bytes(out[i].pixels) == bytes(enhance_pixels(h, w, c, raw))
+        assert (out[i].height, out[i].width, out[i].channels) == (10, 12, 3)
+    h, w, c, raw = decode_pixels(jp)
+    assert bytes(out[20].pixels) == bytes(enhance_pixels(h, w, c, raw))
+    assert out[9].decode_error is not None and out[9].pixels is None
