@@ -1,0 +1,193 @@
+"""During-run job progress surface — the reference's live job dict.
+
+The reference serves a mid-run progress dict from its API process
+while OCR crunches pages (main.py:292-326 registers the job, 576-610
+updates stage + per-page counters that a client polls). The rebuild's
+batch analog generalizes the checkpoint completion markers: while an
+action executes, a driver-side sampler thread polls the Spark
+AppStatusStore — the SAME store the UI REST API serves, but without
+enabling the UI (its extra listeners cost a measured ~16% on short
+queries, see bench.shuffle_write_bytes) — and appends one JSON row per
+tick to a progress file any observer can read MID-RUN (``tail -f``, or
+``progress_table(spark, path)`` for a DataFrame view):
+
+    ts, stage, tasks_done, tasks_total, input_rows, elapsed_s,
+    rows_per_sec, final
+
+Deltas are taken against a run-start snapshot, so earlier queries in
+the same application never pollute the counters. The ``final`` row is
+stamped from the completed frame's OWN aggregated counts (turns,
+blocks kept/dropped, parse failures), so it agrees exactly with
+``pipeline.extraction_metrics`` — asserted in tests/test_progress.py.
+
+At 10^12 turns the surface stays O(ticks): the sampler reads driver
+memory (no job is launched per tick) and appends ~100 bytes per row;
+the only cluster-side work is the action being measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _status_totals(spark: SparkSession) -> tuple:
+    """(tasks_done, tasks_total, input_records) summed over every stage
+    the driver's AppStatusStore knows about. (-1, -1, -1) if the
+    internal API is unavailable (callers then report elapsed only)."""
+    try:
+        sc = spark.sparkContext
+        ss = sc._jsc.sc().statusStore()
+        jvm = sc._gateway.jvm
+        empty = jvm.java.util.ArrayList()
+        darr = sc._gateway.new_array(jvm.double, 0)
+        lst = ss.stageList(empty, False, False, darr, empty)
+        done = tot = recs = 0
+        it = lst.iterator()
+        while it.hasNext():
+            s = it.next()
+            done += s.numCompleteTasks()
+            tot += s.numTasks()
+            recs += s.inputRecords()
+        return done, tot, recs
+    except Exception:
+        return -1, -1, -1
+
+
+class ProgressReporter:
+    """Context manager appending live progress rows while the body runs.
+
+    Usage::
+
+        with ProgressReporter(spark, path, stage="extract") as pr:
+            ...run the action...
+            pr.finalize(turns=n, blocks_kept=..., ...)
+
+    Rows are JSON lines; every tick row carries ``final=False``, the
+    ``finalize`` row ``final=True`` plus the caller's exact counters.
+    A t=0 row is written up front so an observer always sees the job
+    the moment it registers (the reference's create_job analog)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stage: str = "extract",
+        interval: float = 1.0,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.stage = stage
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._t0 = 0.0
+        self._base = (0, 0, 0)
+
+    def _row(self, final: bool = False, **extra) -> dict:
+        done, tot, recs = _status_totals(self.spark)
+        b_done, b_tot, b_recs = self._base
+        elapsed = time.time() - self._t0
+        rows = recs - b_recs if recs >= 0 else None
+        out = {
+            "ts": round(time.time(), 3),
+            "stage": self.stage,
+            "tasks_done": done - b_done if done >= 0 else None,
+            "tasks_total": tot - b_tot if tot >= 0 else None,
+            "input_rows": rows,
+            "elapsed_s": round(elapsed, 3),
+            "rows_per_sec": (
+                round(rows / elapsed, 1) if rows and elapsed > 0 else None
+            ),
+            "final": final,
+        }
+        out.update(extra)
+        return out
+
+    def _append(self, row: dict) -> None:
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval):
+            self._append(self._row())
+
+    def __enter__(self) -> "ProgressReporter":
+        self._t0 = time.time()
+        self._base = _status_totals(self.spark)
+        self._append(self._row())  # register the job at t=0
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def finalize(self, **counters) -> None:
+        """Write the ``final=True`` row carrying the completed frame's
+        own aggregated counters (the extraction_metrics contract)."""
+        self._halt()
+        self._append(self._row(final=True, **counters))
+
+    def _halt(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self._halt()
+
+
+def progress_table(spark: SparkSession, path: str) -> DataFrame:
+    """DataFrame view over a progress file — readable while the watched
+    job is still running (JSON lines append atomically per row)."""
+    return spark.read.json(path)
+
+
+def extract_with_progress(
+    transcripts: DataFrame,
+    progress_path: str,
+    interval: float = 1.0,
+    repartition: Optional[int] = None,
+) -> dict:
+    """Run the extraction pipeline with a live progress surface: ticks
+    while the single extraction pass runs, then a final row whose
+    counters are the frame's own totals — by construction equal to
+    ``extraction_metrics`` summed over buckets (one aggregation job IS
+    the materializing action, so nothing is computed twice). Returns
+    the final counters dict."""
+    from ocr_spark.pipeline import extract_transcripts
+
+    spark = transcripts.sparkSession
+    ext = extract_transcripts(transcripts, repartition=repartition)
+    with ProgressReporter(
+        spark, progress_path, stage="extract", interval=interval
+    ) as pr:
+        row = ext.agg(
+            F.count("*").alias("turns"),
+            F.coalesce(F.sum("blocks_kept"), F.lit(0)).alias("blocks_kept"),
+            F.coalesce(F.sum("blocks_dropped"), F.lit(0)).alias(
+                "blocks_dropped"
+            ),
+            F.coalesce(F.sum("parse_failures"), F.lit(0)).alias(
+                "parse_failures"
+            ),
+            F.coalesce(F.sum("truncated_chars"), F.lit(0)).alias(
+                "truncated_chars"
+            ),
+        ).collect()[0]
+        counters = {
+            "turns": row["turns"],
+            "blocks_kept": int(row["blocks_kept"]),
+            "blocks_dropped": int(row["blocks_dropped"]),
+            "parse_failures": int(row["parse_failures"]),
+            "truncated_chars": int(row["truncated_chars"]),
+        }
+        pr.finalize(**counters)
+    return counters

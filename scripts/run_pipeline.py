@@ -43,6 +43,11 @@ def main() -> None:
                     choices=["parquet", "orc", "json", "csv"])
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--progress", default=None,
+        help="path for live JSON-lines progress rows (readable mid-run; "
+        "the reference's job-dict analog, ocr_spark/progress.py)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("extract_pipeline")
@@ -72,9 +77,20 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
 
     t0 = time.time()
-    stats = run_with_checkpoint(
-        spark, transcripts, process, out, n_buckets=args.buckets
-    )
+    if args.progress:
+        from ocr_spark.progress import ProgressReporter
+
+        with ProgressReporter(spark, args.progress, "pipeline") as pr:
+            stats = run_with_checkpoint(
+                spark, transcripts, process, out, n_buckets=args.buckets
+            )
+            pr.finalize(**{
+                k: v for k, v in stats.items() if isinstance(v, (int, float))
+            })
+    else:
+        stats = run_with_checkpoint(
+            spark, transcripts, process, out, n_buckets=args.buckets
+        )
     stats["wall_sec"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
 

@@ -1,0 +1,78 @@
+"""During-run progress surface (ocr_spark/progress.py) — the analog of
+the reference's live job dict (main.py:292-326)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from ocr_spark.data.generate import gen_transcripts_df
+from ocr_spark.pipeline import extraction_metrics, extract_transcripts
+from ocr_spark.progress import (
+    ProgressReporter,
+    extract_with_progress,
+    progress_table,
+)
+
+
+def test_progress_rows_appear_midrun_and_final_matches_metrics(
+    spark, tmp_path
+):
+    """Mid-run rows exist (final=false, monotone elapsed), and the
+    final row's counters equal extraction_metrics summed over buckets
+    — the round-5 'done' criterion."""
+    path = str(tmp_path / "progress.jsonl")
+    transcripts = gen_transcripts_df(spark, 400).localCheckpoint()
+    counters = extract_with_progress(
+        transcripts, path, interval=0.05
+    )
+
+    rows = [json.loads(line) for line in open(path)]
+    assert len(rows) >= 2  # t=0 registration + final at minimum
+    mid = [r for r in rows if not r["final"]]
+    fin = [r for r in rows if r["final"]]
+    assert len(mid) >= 1 and len(fin) == 1
+    elapsed = [r["elapsed_s"] for r in rows]
+    assert elapsed == sorted(elapsed)
+    assert all(r["stage"] == "extract" for r in rows)
+
+    m = (
+        extraction_metrics(extract_transcripts(transcripts))
+        .agg(
+            F.sum("turns").alias("turns"),
+            F.sum("blocks_kept").alias("blocks_kept"),
+            F.sum("blocks_dropped").alias("blocks_dropped"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.sum("truncated_chars").alias("truncated_chars"),
+        )
+        .collect()[0]
+    )
+    f = fin[0]
+    assert f["turns"] == m["turns"]
+    assert f["blocks_kept"] == m["blocks_kept"]
+    assert f["blocks_dropped"] == m["blocks_dropped"]
+    assert f["parse_failures"] == m["parse_failures"]
+    assert f["truncated_chars"] == m["truncated_chars"]
+    assert counters["turns"] == m["turns"]
+
+    # the file is a queryable table (readable mid-run by any session)
+    pt = progress_table(spark, path)
+    assert pt.count() == len(rows)
+    assert pt.filter(F.col("final")).count() == 1
+
+
+def test_progress_reporter_counts_task_deltas(spark, tmp_path):
+    """Ticks report DELTAS from the run-start snapshot: work done by
+    earlier queries in the same application never pollutes the
+    counters, and tasks_done grows past zero once the watched action
+    has run."""
+    # unrelated prior work inflates the app-wide status store
+    spark.range(0, 100000, 1, 8).agg(F.sum("id")).collect()
+
+    path = str(tmp_path / "p2.jsonl")
+    with ProgressReporter(spark, path, stage="probe", interval=10) as pr:
+        first = json.loads(open(path).readline())
+        assert first["tasks_done"] == 0 and first["input_rows"] in (0, None)
+        spark.range(0, 50000, 1, 4).agg(F.sum("id")).collect()
+        pr.finalize(turns=0)
+    rows = [json.loads(line) for line in open(path)]
+    assert rows[-1]["final"] and rows[-1]["tasks_done"] >= 4
