@@ -225,6 +225,100 @@ def ivf_topk_from_index(
     return scored.orderBy(F.desc("cosine_sim"), F.col(id_col)).limit(k)
 
 
+def ivf_upsert_index(
+    new_embeddings: DataFrame,
+    path: str,
+    centroids: List[List[float]],
+    vec_col: str = "embedding",
+    files_per_list: int = 4,
+    drift_threshold: float = 0.5,
+) -> dict:
+    """Day-2 IVF maintenance (round-4 VERDICT ask #6): admit a nightly
+    batch of new vectors into the materialized index WITHOUT rewriting
+    the accepted corpus — the ANN analog of ``incremental_near_dups``.
+
+    The new batch is assigned with the FROZEN coarse quantizer and
+    appended with dynamic partition append: only the touched
+    ``ivf_list=`` partitions receive new files (the standing partitions
+    are untouched bytes), so probe queries see the union immediately
+    with unchanged plan shape. A quantized index (``q_vec`` schema) is
+    detected from the stored table and the batch is quantized to match.
+
+    Centroid drift check: per touched list, the new batch's mean vector
+    is compared to its centroid; drift is reported relative to that
+    centroid's distance to its NEAREST other centroid (ratio 0.5 means
+    the new mass sits halfway into another cell — recall on the frozen
+    quantizer starts decaying, recluster). The report recommends a
+    recluster when any list exceeds ``drift_threshold``; reclustering
+    IS ``ivf_centroids`` + ``ivf_write_index`` over the union (a full
+    rewrite, priced separately), which is why the trigger is explicit
+    and measured rather than implicit.
+
+    Plan: one assignment projection + one partitioned append; the
+    drift stats ride a posexplode groupBy of the BATCH only (day-2
+    delta scale, never the corpus). Returns
+    ``{n_added, lists_touched, max_drift, drift_by_list,
+    recluster_recommended}``."""
+    spark = new_embeddings.sparkSession
+    stored_cols = spark.read.parquet(path).columns
+    quantized = "q_vec" in stored_cols
+
+    c = np.asarray(centroids, dtype=np.float64)
+    salt = F.pmod(F.hash(F.col(vec_col)), F.lit(files_per_list))
+    assigned = new_embeddings.withColumn(
+        "ivf_list", ivf_assign_udf(centroids)(F.col(vec_col))
+    ).withColumn("_salt", salt)
+
+    # drift stats over the batch (before the vec column may be dropped)
+    stats = (
+        assigned.select("ivf_list", F.posexplode(F.col(vec_col)))
+        .groupBy("ivf_list", "pos")
+        .agg(F.sum("col").alias("s"), F.count("*").alias("n"))
+        .groupBy("ivf_list")
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct("pos", (F.col("s") / F.col("n")).alias("m")))
+            ).alias("mean_struct"),
+        )
+        .collect()
+    )
+    # nearest-other-centroid distance per centroid (the drift yardstick)
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    nearest = np.sqrt(d2.min(axis=1))
+    drift_by_list = {}
+    for r in stats:
+        li = int(r["ivf_list"])
+        mean = np.asarray([x["m"] for x in r["mean_struct"]], dtype=np.float64)
+        d = float(np.sqrt(((mean - c[li]) ** 2).sum()))
+        drift_by_list[li] = (
+            float(round(d / float(nearest[li]), 4)) if nearest[li] > 0 else 0.0
+        )
+    n_added = sum(int(r["n"]) for r in stats)
+
+    out = assigned
+    if quantized:
+        from ocr_spark.operators.quantize import quantize_embeddings
+
+        out = quantize_embeddings(out, vec_col)
+    touched = sorted(drift_by_list)
+    out.repartition(
+        max(1, files_per_list * max(1, len(touched))),
+        F.col("ivf_list"),
+        F.col("_salt"),
+    ).drop("_salt").write.partitionBy("ivf_list").mode("append").parquet(path)
+
+    max_drift = max(drift_by_list.values(), default=0.0)
+    return {
+        "n_added": n_added,
+        "lists_touched": touched,
+        "max_drift": max_drift,
+        "drift_by_list": drift_by_list,
+        "recluster_recommended": bool(max_drift > drift_threshold),
+    }
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

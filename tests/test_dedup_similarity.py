@@ -249,6 +249,105 @@ def test_ivf_quantized_index_prunes_and_agrees(spark, emb, tmp_path):
     assert len(got & ref) >= 8  # recall@10 >= 0.8 vs the float index
 
 
+def test_ivf_upsert_equals_rebuild_and_prunes(spark, emb, tmp_path):
+    """Round-5 day-2 ops: probe over an UPSERTED index == probe over an
+    index rebuilt from the union (same frozen centroids), the standing
+    partitions' files are untouched bytes, and the probe still
+    partition-prunes."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        ivf_topk_from_index,
+        ivf_upsert_index,
+        ivf_write_index,
+    )
+    from ocr_spark.plans import checks
+
+    cents = [[float(x) for x in r.embedding] for r in emb.orderBy("vec_id").limit(6).collect()]
+    qvec = cents[1]
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+
+    path = str(tmp_path / "ivf_up")
+    ivf_write_index(base, path, cents)
+    import glob
+    import os
+
+    before = {p: os.path.getmtime(p) for p in glob.glob(f"{path}/*/*.parquet")}
+    report = ivf_upsert_index(batch, path, cents)
+    after = {p: os.path.getmtime(p) for p in glob.glob(f"{path}/*/*.parquet")}
+    # append-only: every pre-existing file survives byte-identical
+    assert set(before) <= set(after)
+    assert all(after[p] == before[p] for p in before)
+    assert report["n_added"] == batch.count()
+    assert report["lists_touched"] and report["max_drift"] >= 0.0
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    ivf_write_index(emb, rebuilt, cents)
+    got = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in ivf_topk_from_index(spark, path, qvec, cents, k=8, n_probe=3).collect()
+    ]
+    ref = [
+        (r.vec_id, round(r.cosine_sim, 9))
+        for r in ivf_topk_from_index(spark, rebuilt, qvec, cents, k=8, n_probe=3).collect()
+    ]
+    assert got == ref
+    plan = checks.formatted_plan(
+        ivf_topk_from_index(spark, path, qvec, cents, k=8, n_probe=2)
+    )
+    assert "PartitionFilters" in plan and "ivf_list" in plan
+
+
+def test_ivf_upsert_quantized_schema_and_drift_trigger(spark, emb, tmp_path):
+    """Upsert into a quantized index quantizes the batch to match the
+    stored schema; a batch whose mass sits deep inside ANOTHER cell's
+    territory trips the recluster recommendation, while an in-cell
+    batch does not."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.similarity import (
+        ivf_upsert_index,
+        ivf_write_index,
+    )
+
+    cents = [[float(x) for x in r.embedding] for r in emb.orderBy("vec_id").limit(4).collect()]
+    path = str(tmp_path / "ivf_q_up")
+    ivf_write_index(emb, path, cents, quantize=True)
+
+    batch = emb.filter(F.col("vec_id") % 7 == 3)
+    report = ivf_upsert_index(batch, path, cents)
+    stored = spark.read.parquet(path)
+    assert "embedding" not in stored.columns and "q_vec" in stored.columns
+
+    # synthetic drifted batch: vectors at 60% of the way from centroid 0
+    # toward its nearest other centroid still ASSIGN to 0 (< half-way in
+    # argmin terms needs < 50%... so use 40% toward = drift 0.4, and a
+    # second batch at 10% = drift 0.1): assert the ratio ordering and
+    # the threshold trigger at drift_threshold=0.3
+    import numpy as np
+
+    c = np.asarray(cents)
+    d2 = ((c[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    j = int(np.argmin(d2[0]))
+    far = (0.6 * c[0] + 0.4 * c[j]).tolist()
+    near = (0.9 * c[0] + 0.1 * c[j]).tolist()
+    mk = lambda vec, ids: spark.createDataFrame(  # noqa: E731
+        [(i, [float(x) for x in vec]) for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+    r_far = ivf_upsert_index(
+        mk(far, range(9000, 9010)), path, cents, drift_threshold=0.3
+    )
+    r_near = ivf_upsert_index(
+        mk(near, range(9100, 9110)), path, cents, drift_threshold=0.3
+    )
+    assert r_far["recluster_recommended"] is True
+    assert r_near["recluster_recommended"] is False
+    assert r_far["max_drift"] > r_near["max_drift"]
+
+
 def test_connected_components_shapes(spark):
     from ocr_spark.operators.dedup import connected_components
 
