@@ -544,6 +544,61 @@ def main() -> None:
     }
     spark.catalog.clearCache()
 
+    # round-5 adversarial-skew row (round-4 VERDICT ask #8): ONE
+    # conversation that is a single 10^6-turn same-role run (a looping
+    # agent re-logged per token) alongside 2k normal conversations,
+    # through chat normalization + the curation chain. The
+    # merge_consecutive_roles rank guard bounds the hot run's
+    # aggregation state at max_run_turns; the reported guard counters
+    # prove the cap fired (truncated_n) while normal conversations
+    # merged untouched. Memory stays flat because the guard drops
+    # past-cap turns BEFORE the groupBy buffers them.
+    from ocr_spark.operators.curation import curate_transcripts  # noqa: E402
+    from ocr_spark.operators.transcript_qc import (  # noqa: E402
+        merge_consecutive_roles,
+    )
+
+    n_mega = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "1000000"))
+    mega = spark.range(n_mega).select(
+        F.lit("mega-skew").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.concat(F.lit("tick "), F.col("id")).alias("text"),
+        F.lit("plain").alias("tool"),
+        (F.lit("2024-03-05 08:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id").cast("double"))).alias("ts"),
+    )
+    normal_small = spark.read.parquet(bench_transcripts_path(spark, 2000))
+    skew_corpus = normal_small.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).unionByName(mega)
+    n_skew_turns = skew_corpus.count()
+
+    t0 = time.time()
+    merged_skew = merge_consecutive_roles(skew_corpus)
+    guard = (
+        merged_skew.agg(
+            F.sum("truncated_n").alias("truncated"),
+            F.sum("merged_n").alias("kept"),
+            F.count("*").alias("rows"),
+        ).collect()[0]
+    )
+    t_merge = time.time() - t0
+    t0 = time.time()
+    materialize(curate_transcripts(skew_corpus))
+    t_curate = time.time() - t0
+    times["qc_skew_mega_conv"] = round(t_merge + t_curate, 3)
+    skew_payload = {
+        "corpus_turns": n_skew_turns,
+        "mega_run_turns": n_mega,
+        "guard_truncated_n": int(guard["truncated"]),
+        "guard_kept_n": int(guard["kept"]),
+        "merged_rows": int(guard["rows"]),
+        "merge_sec": round(t_merge, 3),
+        "curate_sec": round(t_curate, 3),
+        "turns_per_sec": round(n_skew_turns / (t_merge + t_curate), 1),
+    }
+
     total = round(sum(times.values()), 3)
     result = {
         "metric": "bench_suite_total",
@@ -568,6 +623,7 @@ def main() -> None:
         "sft_payload": sft_payload,
         "kcenter_scalable": kcenter_payload,
         "ivf_upsert": ivf_upsert_payload,
+        "skew_mega_conv": skew_payload,
     }
     scaling_path = os.path.join(REPO, "BENCH_SCALING.json")
     if os.path.exists(scaling_path):
