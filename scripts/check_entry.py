@@ -3,7 +3,13 @@ __spark_entry__.queries() entry and its oracle_sql() twin on the same
 sf dir, compare row-count, column names, and exact values (columns
 sorted by name, rows sorted) — flags any hash-mismatch risk early.
 
-Usage: python scripts/check_entry.py [sf_dir] [query ...]
+Usage: python scripts/check_entry.py [--tier=window|slice:i/k|full]
+       [sf_dir] [query ...]
+
+Tier policy (see tier_names): ``window`` = scored-50 only (per-commit
+gate), ``slice:i/k`` = window + the i-th of k rotating past-boundary
+slices (running i=0..k-1 across a round stamps every entry at least
+once), default = the once-per-round full stamp.
 """
 
 from __future__ import annotations
@@ -40,9 +46,41 @@ def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+WINDOW = 50  # driver-scored window size (queries() insertion order)
+
+
+def tier_names(all_names: list, tier: str) -> list:
+    """Registry tier policy (round-4 VERDICT ask #7) — bound the gate's
+    cost as the registry grows:
+
+    - ``window``       : the driver-scored first 50 only (every commit);
+    - ``slice:i/k``    : the window PLUS the i-th of k rotating slices
+                         of the past-boundary block — running slices
+                         0..k-1 across a round stamps EVERY entry at
+                         least once while each run costs
+                         ~|window| + |past|/k queries;
+    - ``full`` / None  : everything (the once-per-round full stamp).
+    """
+    if not tier or tier == "full":
+        return all_names
+    window = all_names[:WINDOW]
+    if tier == "window":
+        return window
+    if tier.startswith("slice:"):
+        i, k = (int(x) for x in tier.split(":", 1)[1].split("/"))
+        return window + all_names[WINDOW:][i::k]
+    raise SystemExit(f"unknown --tier={tier}")
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    tier = None
+    for a in list(args):
+        if a.startswith("--tier="):
+            tier = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("check_entry")
     con = duckdb.connect()
     for t in TABLES:
@@ -54,8 +92,11 @@ def main() -> int:
     from ocr_spark.operators.ids import release_id_caches
 
     qs, oracles = E.queries(), E.oracle_sql()
+    selected = set(tier_names(list(qs), tier))
     failures = []
     for name, fn in qs.items():
+        if name not in selected:
+            continue
         if only and name not in only:
             continue
         release_shingle_caches()  # dedup queries each pin one cached relation
