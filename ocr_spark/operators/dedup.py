@@ -948,26 +948,16 @@ def simhash_candidate_buckets(
     )
 
 
-def _first_clean_combo_sql(
-    m: int, max_hamming: int, xor_col: str
-) -> str:
-    """SQL CASE picking the LOWEST-index block combination whose member
-    blocks are all clean (zero in the pair's signature xor) — the
-    single-emission rule for the banded self-join. Pure codegen: m
-    block-clean predicates reused across C(m, m-d) WHEN arms."""
-    from itertools import combinations
-
-    keep = m - max_hamming
+def _dirty_mask_sql(m: int, xor_col: str) -> str:
+    """Bitmask with bit b set iff signature block b differs between the
+    pair (computed ONCE per joined row; `_first_clean_combo_sql` probes
+    it against the combination masks)."""
     bounds = _simhash_blocks(64, m)
-    clean = [
-        f"(shiftrightunsigned({xor_col}, {s}) & {(1 << w) - 1}) = 0"
-        for s, w in bounds
-    ]
-    arms = " ".join(
-        f"WHEN ({' AND '.join(clean[b] for b in combo)}) THEN {ci}"
-        for ci, combo in enumerate(combinations(range(m), keep))
+    return " + ".join(
+        f"(CASE WHEN (shiftrightunsigned({xor_col}, {s}) & {(1 << w) - 1})"
+        f" = 0 THEN 0 ELSE {1 << b} END)"
+        for b, (s, w) in enumerate(bounds)
     )
-    return f"CASE {arms} ELSE -1 END"
 
 
 def hamming_pairs_from_signatures(
@@ -990,8 +980,30 @@ def hamming_pairs_from_signatures(
     pure-codegen filter keeps exactly the row whose ``ci`` is the
     pair's lowest-index all-clean combination. Every true pair has at
     least one clean combination (pigeonhole) and is emitted exactly
-    once; no third exchange, no aggregation."""
+    once; no third exchange, no aggregation.
+
+    The lowest-clean-combination test is ONE bitwise comparison against
+    two per-``ci`` literals (no per-combination scan, no repeated
+    sub-expressions): combinations are enumerated in lex order, so
+    combo ``ci`` (block set S, highest block h) is the FIRST all-clean
+    combination iff, restricted to blocks 0..h, the dirty mask is
+    exactly the complement of S — every S block clean AND every
+    non-S block below h dirty (a clean one would admit a lex-smaller
+    combo). Blocks above h are unconstrained. That is
+    ``dirty & below_ci == below_ci ^ mask_ci`` with
+    ``below_ci = (1 << (h+1)) - 1`` — both literals indexed by ``ci``,
+    the dirty mask referenced ONCE. Sub-expression discipline matters
+    here: formulations that re-used the clean mask (unrolled ``x&-x``
+    strips), scanned combos (a C(m,m-d)-arm CASE) or ran a HOF
+    ``array_position(transform(...))`` cost 90–170 s on the
+    10M-candidate bench corpus — projection collapse inlines repeated
+    sub-expressions exponentially, giant CASEs fall out of JIT, and
+    HOF lambdas interpret per element. This form runs inside
+    whole-stage codegen at join-scan speed."""
+    from itertools import combinations as _combos
+
     m = n_blocks or _default_simhash_blocks(max_hamming)
+    keep = m - max_hamming
     banded = simhash_candidate_buckets(
         sigs, id_col, max_hamming, m, sim_col=sim_col
     )
@@ -1007,7 +1019,14 @@ def hamming_pairs_from_signatures(
         F.col("ci").alias("_cib"),
         "bucket",
     )
-    first_clean = _first_clean_combo_sql(m, max_hamming, "_xr")
+    below, diff = [], []
+    for combo in _combos(range(m), keep):
+        mask = sum(1 << blk for blk in combo)
+        bel = (1 << (max(combo) + 1)) - 1
+        below.append(str(bel))
+        diff.append(str(bel ^ mask))
+    below_sql = ", ".join(below)
+    diff_sql = ", ".join(diff)
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1016,7 +1035,13 @@ def hamming_pairs_from_signatures(
         # 2^-64 xxhash64 key collision between different combos
         .filter(F.col("ci") == F.col("_cib"))
         .withColumn("_xr", F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        .filter(F.col("ci") == F.expr(first_clean))
+        .withColumn("_dirty", F.expr(_dirty_mask_sql(m, "_xr")))
+        .filter(
+            F.expr(
+                f"(_dirty & element_at(array({below_sql}), ci + 1)) = "
+                f"element_at(array({diff_sql}), ci + 1)"
+            )
+        )
         .withColumn("hamming", F.bit_count(F.col("_xr")))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
