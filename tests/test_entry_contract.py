@@ -61,3 +61,48 @@ def test_contract_key_consistency():
         "dd_simhash_neardups",
         "tx_compression_stats",  # DEFLATE is not SQL-expressible
     }, rows_only
+
+
+def test_scored_window_holds_round5_flagships():
+    """The round-5 window rotation: the first 50 queries() entries (the
+    driver-scored window) contain the wave-5-7 flagship operators, and
+    every window entry but the documented rows-only pair carries an
+    oracle twin."""
+    names = list(E.queries())
+    window = names[:50]
+    promoted = {
+        "er_error_profile", "er_conv_outcome", "dg_churn_profile",
+        "qc_merge_roles", "qc_tool_repeats", "dd_fork_groups",
+        "tx_blob_scrub", "dd_cap_duplicates", "ev_needle_insert",
+        "tr_fork_safe_split", "rl_step_credit", "ex_incremental_twin",
+        "qt_pq_adc",
+    }
+    assert promoted <= set(window), promoted - set(window)
+    oracles = set(E.oracle_sql())
+    missing = [n for n in window if n not in oracles]
+    assert missing == [], missing  # window is 100% hash-verifiable
+
+
+def test_gate_tier_policy():
+    """check_entry --tier contract: window = first 50; the k slices
+    jointly cover the whole registry; full = everything."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_entry_mod",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "check_entry.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    names = list(E.queries())
+    assert mod.tier_names(names, "window") == names[:50]
+    covered = set()
+    for i in range(8):
+        s = mod.tier_names(names, f"slice:{i}/8")
+        assert s[:50] == names[:50]  # window rides every slice
+        covered.update(s)
+    assert covered == set(names)
+    assert mod.tier_names(names, "full") == names
+    assert mod.tier_names(names, None) == names
