@@ -150,6 +150,57 @@ def progress_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def stream_progress_writer(path: str, stage: str = "stream"):
+    """Streaming-side parity for the progress surface: a
+    ``StreamingQueryListener`` that appends each micro-batch's
+    ``StreamingQueryProgress`` to the SAME JSON-lines format the batch
+    ``ProgressReporter`` writes (ts, stage, input_rows = cumulative
+    rows ingested, rows_per_sec = the engine's processedRowsPerSecond,
+    batch_id) — one observer format across both execution modes.
+    Register with ``spark.streams.addListener(listener)`` and remove
+    with ``spark.streams.removeListener(listener)``; rows appear while
+    the query runs, exactly like the batch surface."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def __init__(self) -> None:
+            self._rows = 0
+
+        def onQueryStarted(self, event) -> None:
+            pass
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            self._rows += int(p.numInputRows or 0)
+            row = {
+                "ts": round(time.time(), 3),
+                "stage": stage,
+                "batch_id": int(p.batchId),
+                "input_rows": self._rows,
+                "rows_per_sec": p.processedRowsPerSecond,
+                "final": False,
+            }
+            with open(path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+
+        def onQueryTerminated(self, event) -> None:
+            row = {
+                "ts": round(time.time(), 3),
+                "stage": stage,
+                "input_rows": self._rows,
+                "final": True,
+            }
+            with open(path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+    return _Listener()
+
+
 def extract_with_progress(
     transcripts: DataFrame,
     progress_path: str,

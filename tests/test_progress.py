@@ -76,3 +76,52 @@ def test_progress_reporter_counts_task_deltas(spark, tmp_path):
         pr.finalize(turns=0)
     rows = [json.loads(line) for line in open(path)]
     assert rows[-1]["final"] and rows[-1]["tasks_done"] >= 4
+
+
+def test_stream_progress_writer_parity(spark, tmp_path):
+    """The streaming listener writes micro-batch rows in the SAME
+    JSON-lines format as the batch reporter (mid-run rows + a final
+    row with cumulative input_rows) while a real streaming query
+    drains."""
+    import time as _time
+
+    from ocr_spark.progress import stream_progress_writer
+    from ocr_spark.streaming.extract_stream import (
+        extract_stream,
+        stream_transcripts,
+    )
+
+    src = str(tmp_path / "src")
+    gen_transcripts_df(spark, 60).write.mode("overwrite").parquet(src)
+    path = str(tmp_path / "sp.jsonl")
+    listener = stream_progress_writer(path, stage="extract_stream")
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            extract_stream(stream_transcripts(spark, src, files_per_trigger=4))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are async: wait for the terminated event to
+        # land BEFORE removing the listener (removal drops pending
+        # deliveries)
+        import os
+
+        rows = []
+        for _ in range(60):
+            if os.path.exists(path):
+                rows = [json.loads(line) for line in open(path)]
+                if rows and rows[-1]["final"]:
+                    break
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert rows, "no progress rows written"
+    mid = [r for r in rows if not r["final"]]
+    assert mid and all(r["stage"] == "extract_stream" for r in rows)
+    assert rows[-1]["final"] is True
+    n_src = spark.read.parquet(src).count()
+    assert rows[-1]["input_rows"] == n_src
