@@ -174,12 +174,12 @@ def _local_greedy(cands: "list", k: int) -> "list":
     """Exact greedy farthest-point over a driver-sized candidate list
     ``[(id, vec)]`` with the SAME deterministic order as the
     distributed exact loop: seed = min id, then argmax min-distance
-    with (desc d2, asc id) tie-break. Returns [(rank, id, radius2)]."""
-    ids = np.asarray([c[0] for c in cands], dtype=np.int64)
-    X = np.asarray([c[1] for c in cands], dtype=np.float64)
-    order = np.argsort(ids, kind="stable")
-    ids, X = ids[order], X[order]
-    picked = [(1, int(ids[0]), None)]
+    with (desc d2, asc id) tie-break. Returns [(rank, id, radius2)].
+    Id-type agnostic (int or string keys — only ordering is used)."""
+    order = sorted(range(len(cands)), key=lambda i: cands[i][0])
+    ids = [cands[i][0] for i in order]
+    X = np.asarray([cands[i][1] for i in order], dtype=np.float64)
+    picked = [(1, ids[0], None)]
     min_d2 = np.full(len(ids), np.inf)
     sel = np.zeros(len(ids), dtype=bool)
     sel[0] = True
@@ -189,10 +189,11 @@ def _local_greedy(cands: "list", k: int) -> "list":
         min_d2 = np.minimum(min_d2, d)
         masked = np.where(sel, -np.inf, min_d2)
         best = masked.max()
-        # deterministic tie-break: smallest id among the argmax set
+        # deterministic tie-break: ids are sorted ascending, so the
+        # first argmax position is the smallest id among ties
         cur = int(np.flatnonzero(masked == best)[0])
         sel[cur] = True
-        picked.append((rank, int(ids[cur]), float(best)))
+        picked.append((rank, ids[cur], float(best)))
     return picked
 
 
